@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}.
+
+Per-query wall time covers plan build + execution + result fetch; session
+startup is excluded (a cluster pays it once, not per query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from the_movie_database_import_spark.plans import REGISTRY  # noqa: E402
+from the_movie_database_import_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("tmdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM/session so the first measured query isn't paying startup.
+    spark.range(1).count()
+
+    names = [n for n, s in sorted(REGISTRY.items()) if s.headline]
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.spark_fn(spark, sf_dir)
+        rows = df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

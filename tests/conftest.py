@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from the_movie_database_import_spark.session import get_spark
+from the_movie_database_import_spark.sources.readers import TESTDATA_TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tmdb-spark-tests")
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's order-insensitive compare: sort columns by name,
+    coerce numerics to float64 / timestamps to us precision, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
+    )
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: columns {list(a.columns)} != oracle {list(b.columns)}"
+    )
+    pd.testing.assert_frame_equal(
+        a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-8, obj=name
+    )

@@ -1,0 +1,815 @@
+"""Core relational operator queries (SURVEY.md §2 Part C: sources, row ops,
+joins, aggregations).
+
+Conventions for DuckDB-oracle hash parity:
+- every computed column aliased identically in Spark and SQL;
+- float aggregates rounded (2-6 dp) on BOTH sides;
+- derived integers cast to BIGINT on BOTH sides (Spark int vs DuckDB BIGINT);
+- timestamps emitted as ``yyyy-MM-dd HH:mm:ss`` strings (tz-free, ns-vs-us safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+def _ts_str(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# Flagship + scan/agg spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_flagship_star_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY revenue DESC
+    """,
+    headline=True,
+    tags=("join", "agg", "flagship"),
+)
+def q_flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway star join + hash agg + sort (SURVEY.md §7.2 minimum slice).
+
+    lineitem ⋈ orders ⋈ customer → revenue per market segment. The customer
+    dimension is broadcast (small side); the lineitem⋈orders join shuffles on
+    orderkey — at 100 TB both sides would be bucketed on orderkey to make
+    this a shuffle-free sort-merge join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("agg", "filter"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → hash agg with expression
+    arithmetic (ref A14 generalized to multi-aggregate; `loader.py:313-336`).
+
+    The shipdate predicate is pushed to the parquet scan; aggregation is
+    partial (map-side) then final — one shuffle on the 6-value group key.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_project_rename",
+    oracle="""
+    SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS price
+    FROM part
+    """,
+    tags=("rowops",),
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename (ref A2, `loader.py:97-104` RELEVANT_COLUMNS)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_retailprice").alias("price"),
+    )
+
+
+@register(
+    "q_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice > 50000
+      AND o_orderpriority IS NOT NULL
+      AND o_custkey BETWEEN 10 AND 120
+    """,
+    tags=("rowops",),
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate: equality + range + null-test (ref A3/A16)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 50000)
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_custkey").between(10, 120)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "q_safe_cast",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_num,
+           TRY_CAST(o_orderpriority AS BIGINT) AS junk_cast
+    FROM orders
+    """,
+    tags=("rowops",),
+)
+def q_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-junk safe cast (ref A3, `loader.py:123-127`): '3-MEDIUM' → 3,
+    whole string → NULL. try_cast on both engines (Spark 4 ANSI-safe)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("priority_num"),
+        F.col("o_orderpriority").try_cast("bigint").alias("junk_cast"),
+    )
+
+
+@register(
+    "q_positive_or_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 0 THEN ROUND(c_acctbal, 2) ELSE NULL END AS acctbal_pos
+    FROM customer
+    """,
+    tags=("rowops",),
+)
+def q_positive_or_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-else-NULL cleansing (ref A4, `loader.py:37-50,:130-142`)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 0, F.round(F.col("c_acctbal"), 2)).alias("acctbal_pos"),
+    )
+
+
+@register(
+    "q_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           trim(concat(p_brand, ' ', p_type)) AS brand_type,
+           substr(p_type, 1, 5) AS type_prefix,
+           replace(p_name, ' ', '_') AS name_underscored,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           split_part(p_name, ' ', 1) AS first_token
+    FROM part
+    """,
+    tags=("rowops", "string"),
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (ref B1 `get_named_entity` loader.py:28 is the
+    seed: replace ' '→'_'; generalized per SURVEY.md §2 Part C string_fns)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.trim(F.concat(F.col("p_brand"), F.lit(" "), F.col("p_type"))).alias("brand_type"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_underscored"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("p_type").like("%BRASS%"), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_brass"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+    )
+
+
+@register(
+    "q_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+               AS days_to_2002,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts_str
+    FROM orders
+    """,
+    tags=("rowops", "date"),
+)
+def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions ([ext]; the reference keeps dates as varchar —
+    `db_schema.json:5` — so this is the engine's added date surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.add_months(d.cast("date"), 3), "yyyy-MM-dd").alias("plus3m"),
+        _ts_str(d).alias("order_ts_str"),
+    )
+
+
+@register(
+    "q_math_fns",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           ROUND(abs(l_discount - 0.05), 4) AS disc_dev,
+           floor(l_quantity) AS qty_floor,
+           ceil(l_quantity) AS qty_ceil,
+           ROUND(ln(l_extendedprice + 1), 6) AS log_price,
+           ROUND(pow(l_quantity, 2), 2) AS qty_sq,
+           ROUND(l_discount * 100, 2) AS disc_pct
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+    tags=("rowops", "math"),
+)
+def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface (ref A14 arithmetic generalized)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(F.col("l_orderkey") <= 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.col("l_discount") * 100, 2).alias("disc_pct"),
+    )
+
+
+@register(
+    "q_json_fns",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_field
+    FROM events
+    """,
+    tags=("rowops", "json"),
+)
+def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (ref A5 nested-cell parsing
+    generalized to real JSON; `loader.py:146` et al.)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
+        F.get_json_object("props", "$.missing").try_cast("bigint").alias("missing_field"),
+    )
+
+
+@register(
+    "q_array_fns",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           list_sort(string_split(text, ' '))[1] AS min_token,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT)
+               AS total_token_chars,
+           CASE WHEN list_contains(string_split(text, ' '), 'data') THEN 1 ELSE 0 END
+               AS has_data_token
+    FROM documents
+    """,
+    tags=("rowops", "array"),
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda surface (ref A5/A6/A11 generalized): split, size,
+    sort_array, array_distinct, aggregate/transform lambdas, array_contains.
+    Arrays are reduced to scalars so the oracle hash is representation-free."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.sort_array(toks).getItem(0).alias("min_token"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+        F.when(F.array_contains(toks, "data"), F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
+            "has_data_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner_equi",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join",),
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi hash join (generalizes ref A15's lookup join)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (ref A15,
+    `loader.py:406`: movie keeps NULL rating when no ratings exist)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hash join: the part dimension ships to every
+    executor; the fact side never shuffles (the 100 TB-correct plan for
+    fact ⋈ small-dim)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one large order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_late_items
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: lineitems shipped >60 days after their
+    order date. The equi key carries the shuffle; the range predicate is
+    evaluated post-probe, so this stays a hash join at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (lineitem.l_orderkey == orders.o_orderkey) & (
+        lineitem.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(lineitem, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_late_items"))
+    )
+
+
+@register(
+    "q_join_multiway_star",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    headline=True,
+    tags=("join", "star"),
+)
+def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact + 4 dimensions star join; all dims broadcast, fact never
+    shuffles for the joins (single shuffle for the final aggregation)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           ROUND(value, 4) AS purchase_value,
+           strftime(prev_click_ts, '%Y-%m-%d %H:%M:%S') AS prev_click_ts_str
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_click_ts
+        FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join emulation ([ext], SURVEY.md §2 `join_asof_event_order`):
+    each purchase picks the most recent preceding click of the same user.
+
+    Spark has no native ASOF JOIN; the scalable formulation is a union-free
+    single-pass window (`last(..., ignorenulls)` over an unbounded-preceding
+    frame) — one shuffle on user_id, no range-join blowup."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        events.withColumn("prev_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("purchase_value"),
+            _ts_str("prev_click_ts").alias("prev_click_ts_str"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_avg_per_key",
+    oracle="""
+    SELECT o_custkey, ROUND(AVG(o_totalprice), 4) AS avg_order_value
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("agg",),
+)
+def q_agg_avg_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG per group — the reference's rating aggregation (ref A14,
+    `loader.py:313-336`) re-expressed as a hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_order_value")
+    )
+
+
+@register(
+    "q_agg_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate single pass: count / count-distinct / min / max /
+    sum / avg (ref A14+A20 generalized)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@register(
+    "q_agg_collect_set",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "collect"),
+)
+def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set per group (ref A10 per-movie sets, `loader.py:145-223`);
+    emitted as a sorted joined string so the hash is order-insensitive."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "q_agg_first_nonnull",
+    oracle="""
+    SELECT c_nationkey,
+           min(c_name) AS first_name,
+           max(c_mktsegment) AS max_segment
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg",),
+)
+def q_agg_first_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-nonnull merge (ref A9 name fill-in,
+    `loader.py:188-189`): min/max give a stable representative where the
+    reference relied on arrival order."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.min("c_name").alias("first_name"),
+        F.max("c_mktsegment").alias("max_segment"),
+    )
+
+
+@register(
+    "q_dedup_by_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+    tags=("agg", "dedup"),
+)
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-by-key (ref A7 first-wins dimension registration,
+    `loader.py:147-148` et al.): keep one row per key by an explicit order —
+    row_number()==1, never nondeterministic dropDuplicates."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_agg_count_by_value",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q_agg_count_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram (ref B2 `print_all_jobs`, `loader.py:485-491`)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals ([ext] SURVEY.md §2 agg_grouping_sets)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys ([ext])."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) (ref A10 implied set semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@register("q_agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct ([ext]; sketch implementations
+    differ across engines, so this is a rows-only check — the exact twin
+    `q_agg_count_distinct` carries the value oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_n_customers")
+    )

@@ -1,0 +1,74 @@
+"""Source readers for the engine.
+
+Parquet scans (testdata star schema + events/documents/embeddings) and CSV
+scans with explicit schemas (TMDB ETL inputs — reference ``loader.py:561-568``
+uses pandas ``read_csv`` with inferred schemas; here schemas are explicit so
+plans are deterministic and column pruning / predicate pushdown reach the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from ..session import configure_session
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata parquet table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader cannot decode natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we convert
+    to a TIMESTAMP_NTZ (session tz is pinned to UTC by
+    :func:`configure_session`, making the wall-clock conversion exact and
+    matching DuckDB's naive-timestamp reading of the same file).
+    """
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    multiline: bool = True,
+) -> DataFrame:
+    """CSV scan with header + quoted/escaped multiline fields (ref A1).
+
+    Mirrors the shape pandas ``read_csv`` accepts for the TMDB dataset:
+    header row, RFC-4180 quoting with embedded quotes doubled, newlines
+    inside quoted cells (``multiLine``). Schema is explicit — no sampling
+    pass, deterministic types (SURVEY.md §1.3).
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", multiline)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+    )
+    return reader.csv(path)
