@@ -49,6 +49,9 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns {list(a.columns)} != oracle {list(b.columns)}"
     )
+    # rtol must stay 0: the driver hashes exact values, and a relative
+    # tolerance would mask rounding-boundary flips on large aggregates.
+    # atol 1e-6 only absorbs 1-ulp representation noise.
     pd.testing.assert_frame_equal(
-        a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-8, obj=name
+        a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-6, obj=name
     )

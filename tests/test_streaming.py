@@ -1,0 +1,82 @@
+"""Batch/stream parity: the same window transforms over the events table must
+produce identical results via readStream(availableNow) and plain batch
+(SURVEY.md §5 test pyramid item 4 — streaming has no DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from conftest import SF_DIR, assert_frames_match
+
+from the_movie_database_import_spark.sources.readers import load_table
+from the_movie_database_import_spark.streaming import (
+    dedup_within_watermark,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _batch_events(spark):
+    # Same shape the stream produces: TimestampType event time.
+    ev = load_table(spark, SF_DIR, "events")
+    return ev.withColumn("ts", ev.ts.cast("timestamp"))
+
+
+def test_tumbling_parity(spark):
+    stream_out = run_to_memory(
+        tumbling_agg(stream_events(spark, SF_DIR)), "t_tumble", "complete"
+    ).toPandas()
+    batch_out = tumbling_agg(_batch_events(spark)).toPandas()
+    assert_frames_match(stream_out, batch_out, "tumbling_parity")
+
+
+def test_sliding_parity(spark):
+    stream_out = run_to_memory(
+        sliding_agg(stream_events(spark, SF_DIR)), "t_slide", "complete"
+    ).toPandas()
+    batch_out = sliding_agg(_batch_events(spark)).toPandas()
+    assert_frames_match(stream_out, batch_out, "sliding_parity")
+
+
+def test_session_parity(spark):
+    stream_out = run_to_memory(
+        session_agg(stream_events(spark, SF_DIR)), "t_sess", "complete"
+    ).toPandas()
+    batch_out = session_agg(_batch_events(spark)).toPandas()
+    assert_frames_match(stream_out, batch_out, "session_parity")
+
+
+def test_dedup_within_watermark_keys(spark):
+    """Survivor row choice is arrival-order-dependent; the deduped KEY SET is
+    deterministic and must equal the batch distinct."""
+    stream_out = run_to_memory(
+        dedup_within_watermark(stream_events(spark, SF_DIR)), "t_dedup", "append"
+    ).toPandas()
+    batch_keys = (
+        _batch_events(spark).select("user_id", "event_type").distinct().toPandas()
+    )
+    got = set(map(tuple, stream_out[["user_id", "event_type"]].itertuples(index=False)))
+    want = set(map(tuple, batch_keys.itertuples(index=False)))
+    assert got == want
+    assert len(stream_out) == len(want)  # exactly one survivor per key
+
+
+def test_watermarked_append_subset(spark):
+    """Append mode with watermark emits only finalized windows — a subset of
+    the complete-mode result."""
+    from the_movie_database_import_spark.streaming.windows import watermarked_tumbling_agg
+
+    out = run_to_memory(
+        watermarked_tumbling_agg(stream_events(spark, SF_DIR)), "t_wm", "append"
+    ).toPandas()
+    full = (
+        tumbling_agg(_batch_events(spark))
+        .toPandas()[["window_start", "event_type", "n_events"]]
+    )
+    merged = out.merge(full, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(out)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert len(out) <= len(full)

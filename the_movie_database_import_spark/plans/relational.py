@@ -3,9 +3,23 @@ joins, aggregations).
 
 Conventions for DuckDB-oracle hash parity:
 - every computed column aliased identically in Spark and SQL;
-- float aggregates rounded (2-6 dp) on BOTH sides;
 - derived integers cast to BIGINT on BOTH sides (Spark int vs DuckDB BIGINT);
-- timestamps emitted as ``yyyy-MM-dd HH:mm:ss`` strings (tz-free, ns-vs-us safe).
+- timestamps emitted as ``yyyy-MM-dd HH:mm:ss`` strings (tz-free, ns-vs-us safe);
+- floating-point policy (all testdata doubles are exact 2-decimal values):
+    * Cross-engine float SUM/AVG is doubly hazardous: reduction order diverges
+      (~1e-12), and ROUND itself disagrees between engines at true decimal
+      halfway points (Spark rounds the shortest-decimal repr HALF_UP; DuckDB
+      does not — ROUND(73.91375::DOUBLE, 4) is 73.9138 vs 73.9137).
+    * Therefore money aggregates run in DECIMAL (exact, order-insensitive in
+      both engines): cast 2-decimal inputs to DECIMAL(9,2), multiply/sum in
+      decimal, emit CAST(... AS DOUBLE). Averages emit the raw double
+      quotient CAST(sum_dec AS DOUBLE)/COUNT — identical IEEE division of
+      identical inputs, no rounding step at all.
+    * ROUND is allowed only where the TRUE value provably sits ON the target
+      grid (e.g. ROUND(SUM(x),2) of exact-2dp x) or provably off-halfway —
+      then both engines agree. Naked ROUND(AVG(x), n) is BANNED.
+  This is also the right 100 TB answer: exact decimal money arithmetic,
+  not float accumulation.
 """
 
 from __future__ import annotations
@@ -20,6 +34,27 @@ def _ts_str(col):
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+DEC = "decimal(9,2)"
+
+
+def _dec(col):
+    """Exact decimal view of a 2-decimal money column/expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def _sumd(expr):
+    """Hash-safe SUM: exact decimal accumulation emitted as double."""
+    return F.sum(expr).cast("double")
+
+
+def _avgd(col):
+    """Hash-safe AVG: exact decimal sum cast to double, divided by the
+    non-null count — no rounding step (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(_dec(c)).cast("double") / F.count(c)
+
+
 # ---------------------------------------------------------------------------
 # Flagship + scan/agg spine
 # ---------------------------------------------------------------------------
@@ -29,7 +64,8 @@ def _ts_str(col):
     "q_flagship_star_revenue",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
     FROM lineitem
@@ -57,7 +93,7 @@ def q_flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _sumd(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).alias(
                 "revenue"
             ),
             F.count("*").alias("n_items"),
@@ -72,13 +108,19 @@ def q_flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(9,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(l_quantity)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(l_extendedprice)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(l_discount)
+               AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -96,18 +138,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial (map-side) then final — one shuffle on the 6-value group key.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast(DEC)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _sumd(_dec("l_quantity")).alias("sum_qty"),
+            _sumd(_dec("l_extendedprice")).alias("sum_base_price"),
+            _sumd(disc_price).alias("sum_disc_price"),
+            _sumd(disc_price * (one + _dec("l_tax"))).alias("sum_charge"),
+            _avgd("l_quantity").alias("avg_qty"),
+            _avgd("l_extendedprice").alias("avg_price"),
+            _avgd("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -276,12 +319,14 @@ def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))
+                * (1 + CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS charge,
            ROUND(abs(l_discount - 0.05), 4) AS disc_dev,
            floor(l_quantity) AS qty_floor,
            ceil(l_quantity) AS qty_ceil,
            ROUND(ln(l_extendedprice + 1), 6) AS log_price,
-           ROUND(pow(l_quantity, 2), 2) AS qty_sq,
+           CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) AS DOUBLE)
+               AS qty_sq,
            ROUND(l_discount * 100, 2) AS disc_pct
     FROM lineitem
     WHERE l_orderkey <= 500
@@ -294,14 +339,18 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem.filter(F.col("l_orderkey") <= 500).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
-        ).alias("charge"),
+        (
+            _dec("l_extendedprice")
+            * (F.lit(1).cast(DEC) - _dec("l_discount"))
+            * (F.lit(1).cast(DEC) + _dec("l_tax"))
+        )
+        .cast("double")
+        .alias("charge"),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
-        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        (_dec("l_quantity") * _dec("l_quantity")).cast("double").alias("qty_sq"),
         F.round(F.col("l_discount") * 100, 2).alias("disc_pct"),
     )
 
@@ -376,7 +425,7 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -391,7 +440,7 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            _sumd(_dec("l_extendedprice")).alias("total_price"),
         )
     )
 
@@ -401,7 +450,7 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(9,2))), 0) AS DOUBLE) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -417,7 +466,9 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spent"),
         )
     )
 
@@ -427,7 +478,8 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(AVG(l_quantity), 4) AS avg_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(l_quantity)
+               AS avg_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -444,7 +496,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _avgd("l_quantity").alias("avg_qty"),
         )
     )
 
@@ -517,7 +569,8 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway_star",
     oracle="""
     SELECT r_name AS region, n_name AS nation,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -544,7 +597,7 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _sumd(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).alias(
                 "revenue"
             ),
             F.count("*").alias("n_items"),
@@ -607,7 +660,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_avg_per_key",
     oracle="""
-    SELECT o_custkey, ROUND(AVG(o_totalprice), 4) AS avg_order_value
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(o_totalprice)
+               AS avg_order_value
     FROM orders
     GROUP BY o_custkey
     """,
@@ -618,7 +673,7 @@ def q_agg_avg_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     `loader.py:313-336`) re-expressed as a hash aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.round(F.avg("o_totalprice"), 4).alias("avg_order_value")
+        _avgd("o_totalprice").alias("avg_order_value")
     )
 
 
@@ -630,8 +685,9 @@ def q_agg_avg_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(AVG(l_discount), 6) AS avg_disc
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(l_discount)
+               AS avg_disc
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -646,8 +702,8 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        _sumd(_dec("l_quantity")).alias("sum_qty"),
+        _avgd("l_discount").alias("avg_disc"),
     )
 
 
@@ -739,7 +795,7 @@ def q_agg_count_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -751,7 +807,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(_sumd(_dec("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -766,7 +822,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -777,7 +833,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .agg(_sumd(_dec("l_extendedprice")).alias("sum_price"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

@@ -73,9 +73,10 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS running_spend
     FROM orders
     """,
@@ -92,7 +93,9 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(9,2)")).over(w).cast("double").alias(
+            "running_spend"
+        ),
     )
 
 
@@ -100,16 +103,21 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_sliding_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(o_totalprice) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                AS moving_avg_3
     FROM orders
     """,
     tags=("window",),
 )
 def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 3-row frame moving average ([ext])."""
+    """Sliding 3-row frame moving average ([ext]): exact decimal frame sum,
+    raw double quotient (hash-safe, see relational.py docstring)."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -119,7 +127,10 @@ def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(9,2)")).over(w).cast("double")
+            / F.count("o_totalprice").over(w)
+        ).alias("moving_avg_3"),
     )
 
 

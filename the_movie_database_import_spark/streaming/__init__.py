@@ -1,0 +1,8 @@
+from .windows import (  # noqa: F401
+    stream_events,
+    tumbling_agg,
+    sliding_agg,
+    session_agg,
+    dedup_within_watermark,
+    run_to_memory,
+)

@@ -1,0 +1,149 @@
+"""Structured Streaming slice ([ext]; the reference is batch-only,
+SURVEY.md §2.1).
+
+Design: every window transform is written against a plain DataFrame so the
+SAME function body serves batch and streaming — the batch path is the DuckDB
+oracle (plans/streaming_batch.py), the streaming path is validated by
+batch/stream parity (tests/test_streaming.py).
+
+Scale notes: event-time windows + watermarks keep state bounded (late data
+beyond the watermark is dropped); `availableNow` gives incremental backfill
+over file sources with the same semantics a live Kafka source would see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import configure_session
+
+# Parquet-on-disk schema of the events table (ts is TIMESTAMP(NANOS), read
+# as long under spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with event-time `ts`.
+
+    A production deployment swaps this for a Kafka/Kinesis source; every
+    transform downstream is source-agnostic.
+    """
+    configure_session(spark)
+    # The file source requires a directory; pathGlobFilter narrows the
+    # listing to the events table inside the shared sf_dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window counts + value totals per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(9,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour window sliding every 30 minutes."""
+    avg_value = F.sum(F.col("value").cast("decimal(9,2)")).cast("double") / F.count("value")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), avg_value.alias("avg_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user with an inactivity gap."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(9,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def watermarked_tumbling_agg(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Tumbling agg with a watermark: state for windows older than
+    max(event-time) - delay is evicted; later-than-watermark data dropped.
+    Append-mode emits only finalized windows."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) with bounded state
+    (`dropDuplicatesWithinWatermark`) — the streaming form of ref A7's
+    first-wins registration with state eviction for unbounded streams."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion with availableNow into an
+    in-memory table; returns the batch DataFrame of results."""
+    spark = stream_df.sparkSession
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
