@@ -1,0 +1,107 @@
+"""Property/recall tests for the extension operators whose candidate
+generation is hash-specific and therefore has no SQL oracle (SURVEY.md §5:
+rows-only ops get their own correctness pins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from the_movie_database_import_spark.operators.dedup import (
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+)
+from the_movie_database_import_spark.operators.multimodal import (
+    assets_from_documents,
+    decode_image,
+    extract_features,
+)
+from the_movie_database_import_spark.operators.simhash import (
+    _simhash_one,
+    simhash_neardup_pairs,
+)
+from the_movie_database_import_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+)
+from the_movie_database_import_spark.sources.readers import load_table
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    """LSH output must be a subset of exact-Jaccard pairs (precision 1.0 by
+    construction — exact verify) with recall >= 0.9 at threshold 0.8."""
+    docs = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs_exact(docs, block_col="source", threshold=0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    # LSH is blocking-free: it may also find cross-source pairs, so compare
+    # against the unblocked exact set (single constant block).
+    exact_all = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs_exact(
+            docs.withColumn("blk", F.lit(1)), block_col="blk", threshold=0.8
+        )
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b").collect()
+    }
+    assert got <= exact_all, "LSH must never emit a below-threshold pair"
+    assert exact  # the fixture does contain near-dup pairs
+    recall = len(got & exact_all) / len(exact_all)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+
+
+def test_simhash_deterministic_and_near():
+    a = "the fast key order sort table scan merge"
+    b = "the fast key order sort table scan merge extra"
+    c = "completely different words entirely unrelated content here now"
+    assert _simhash_one(a) == _simhash_one(a)
+    ham_ab = bin((_simhash_one(a) ^ _simhash_one(b)) & (2**64 - 1)).count("1")
+    ham_ac = bin((_simhash_one(a) ^ _simhash_one(c)) & (2**64 - 1)).count("1")
+    assert ham_ab < ham_ac, "near-identical docs must be closer than unrelated ones"
+
+
+def test_simhash_pairs_runs(spark):
+    out = simhash_neardup_pairs(_docs(spark), max_hamming=10).collect()
+    # all emitted pairs satisfy the hamming bound
+    assert all(r.hamming <= 10 for r in out)
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    """Bucketed ANN results must be genuine corpus vectors with correct
+    cosines: every (query, vec, cosine) must appear in the brute-force
+    scoring at the same cosine."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(emb, queries, k=10**6)  # all scored pairs
+    brute_map = {(r.query_id, r.vec_id): r.cosine for r in brute.collect()}
+    for r in lsh_bucket_topk(emb, queries, k=10).collect():
+        assert brute_map[(r.query_id, r.vec_id)] == pytest.approx(r.cosine, abs=1e-9)
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_multimodal_features_shape(spark):
+    docs = _docs(spark)
+    feats = extract_features(assets_from_documents(docs))
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r0 = next(r for r in rows if r.n_bytes > 0)
+    assert len(r0.byte_histogram) == 16
+    assert sum(r0.byte_histogram) == r0.n_bytes
+    assert 0 <= r0.mean_byte <= 255

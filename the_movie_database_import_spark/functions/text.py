@@ -1,0 +1,142 @@
+"""Text-analysis functions for the training-data pipeline surface
+([ext], north star): tokenization, language-ID scoring, quality metrics,
+token counting, and document fingerprinting.
+
+Everything here is pure built-in JVM expression work (no Python UDFs) so it
+whole-stage-codegens and scales linearly with the scan. Each function has an
+ANSI-SQL twin used by the DuckDB oracles in plans/extensions.py; outputs are
+exact integers or raw double quotients of identical integers (hash-safe, see
+plans/relational.py float policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker-word lists for the language-ID heuristic. The documents fixture is
+# synthetic word soup over a shared vocabulary, so these are config, not
+# linguistics — a production deployment swaps in real per-language stopword
+# lists; the argmax machinery is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("batch", "merge", "window", "row"),
+    "en": ("the", "a", "fast", "data"),
+    "es": ("table", "join", "query", "scan"),
+    "fr": ("stream", "filter", "sort", "agg"),
+    "zh": ("vector", "hash", "spark", "key"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+FINGERPRINT_PREFIX = 64
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def canonical_token_text(text: Column) -> Column:
+    """Order-insensitive canonical form: sorted distinct tokens re-joined.
+    Two permuted/duplicated-word documents canonicalize identically — the
+    exact-dedup key for set-equivalent near-duplicates."""
+    return F.array_join(F.sort_array(distinct_tokens(text)), " ")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-hit score: occurrences (not distinct) of the language's marker
+    words."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(markers, t))).cast(
+        "bigint"
+    )
+
+
+def langid(text: Column) -> Column:
+    """Argmax of marker scores with a fixed priority order for ties
+    (alphabetical, mirrored exactly in the SQL oracle)."""
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: lang_score(text, lang) for lang in langs}
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if cond is None:
+            expr = expr.otherwise(branch) if expr is not None else branch
+        else:
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr
+
+
+def langid_oracle_sql(text_sql: str = "text") -> str:
+    """The DuckDB twin of :func:`langid` over the same marker lists."""
+    langs = sorted(LANG_MARKERS)
+
+    def score(lang: str) -> str:
+        lits = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(string_split({text_sql}, ' '), "
+            f"t -> list_contains([{lits}], t)))"
+        )
+
+    aliases = ",\n        ".join(f"{score(lg)} AS s_{lg}" for lg in langs)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        if conds:
+            branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+        else:
+            branches.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return aliases, case
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Deterministic quality features: token counts, type-token ratio,
+    average token length, stopword ratio, and a blended score."""
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_alpha_chars = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("bigint")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("bigint")
+    ttr = n_distinct / n_tokens
+    avg_token_len = n_alpha_chars / n_tokens
+    stop_ratio = n_stop / n_tokens
+    score = ttr * 0.5 + (1 - stop_ratio) * 0.3 + F.least(n_tokens / 100, F.lit(1.0)) * 0.2
+    return {
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct,
+        "ttr": ttr,
+        "avg_token_len": avg_token_len,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def regex_token_count(text: Column, pattern: str = "[a-z]+|[0-9]+") -> Column:
+    """BPE-ish regex token count (letter runs / digit runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over the first ``FINGERPRINT_PREFIX`` chars
+    (base 31, mod 1e9+7) — pure integer arithmetic, identical in any engine."""
+    chars = F.filter(
+        F.split(F.substring(text, 1, FINGERPRINT_PREFIX), ""), lambda c: c != ""
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(
+            acc * FINGERPRINT_BASE + F.ascii(c), F.lit(FINGERPRINT_MOD)
+        ).cast("bigint"),
+    )

@@ -1,0 +1,99 @@
+"""SimHash near-duplicate detection ([ext], north star `dedup_simhash`).
+
+The 64-bit signature is computed in an Arrow-batched pandas UDF (the
+showcase of the vectorized Python path — per-token MD5 is not expressible
+with builtins, and a scalar Python UDF would be 10-100x slower). Candidate
+generation and Hamming verification stay JVM-side: band buckets + ``bit_count``
+on XOR — no Python in the pair phase.
+
+Determinism: hashlib MD5 (not Python ``hash``, which is salted per-process).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+SIMHASH_BITS = 64
+BAND_BITS = 16  # 4 bands of 16 bits: candidates must share >=1 exact band
+
+
+def _simhash_one(text: str) -> int:
+    acc = [0] * SIMHASH_BITS
+    for tok in set(text.split(" ")):
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(SIMHASH_BITS):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(SIMHASH_BITS):
+        if acc[b] > 0:
+            sig |= 1 << b
+    # signed 64-bit for Spark LongType
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_simhash_one)
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits, via 16-bit band buckets.
+
+    Two signatures within Hamming distance 3 must agree exactly on at least
+    one of four 16-bit bands (pigeonhole); larger radii trade recall. The
+    band join is the shuffle — tiny (doc_id, band, 16-bit value) rows."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * BAND_BITS)
+                    .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                    .alias(f"b{i}")
+                    for i in range(SIMHASH_BITS // BAND_BITS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,433 @@
+"""North-star extension queries ([ext]): dedup, similarity search, text
+analysis, TF-IDF, multimodal plumbing (SURVEY.md §2 Part C extensions).
+
+Oracle-checked wherever SQL-expressible; LSH/SimHash candidate generation is
+hash-function-specific and therefore rows-only here, with recall tested
+against exact brute force in tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    FINGERPRINT_PREFIX,
+    STOPWORDS,
+    fingerprint,
+    langid,
+    langid_oracle_sql,
+    quality_metrics,
+    regex_token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    canonical_dedup,
+    exact_dedup,
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+)
+from ..operators.multimodal import assets_from_documents, extract_features
+from ..operators.simhash import simhash_neardup_pairs
+from ..operators.similarity import cosine_neardup_pairs, cosine_topk, lsh_bucket_topk
+from ..sources.readers import load_table
+from .registry import register
+
+# DuckDB twin of similarity.dot(): ordered left-fold over the zipped lists,
+# so float summation order matches Spark's F.aggregate exactly.
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup", "ext"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha256 digest (north star `dedup_exact`). The oracle
+    groups by raw text — digest grouping must be equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("keep_doc_id", "dup_count")
+
+
+@register(
+    "q_dedup_canonical",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+    """,
+    tags=("dedup", "ext"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by canonical token-set form — catches permuted/repeated-word
+    duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_dedup(docs).select("keep_doc_id", "dup_count")
+
+
+@register(
+    "q_text_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM tok a
+        JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    """,
+    tags=("dedup", "ext"),
+)
+def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup pairs within a source block,
+    via inverted token index — the oracle-checkable twin of the LSH path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(docs, threshold=0.8)
+
+
+@register("q_dedup_minhash_lsh", oracle=None, tags=("dedup", "ext", "lsh"))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (signature → bands → bucket join → exact
+    verify). Hash-family-specific, so rows-only here; recall vs brute force
+    is pinned in tests/test_extensions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8)
+
+
+@register("q_dedup_simhash", oracle=None, tags=("dedup", "ext", "simhash"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Arrow pandas-UDF signatures, JVM-side band
+    bucketing + bit_count Hamming verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_similarity_topk_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS vn FROM e
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               {_dot_sql('c.v', 'q.v')} / (c.vn * q.vn) AS cos_raw
+        FROM n c, n q
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 10
+    """,
+    headline=True,
+    tags=("similarity", "ext"),
+)
+def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id<10 (north star
+    `similarity_topk_cosine`): broadcast queries, one corpus scan, ordered
+    fold dot product (reproducible float summation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS vn FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_dot_sql('a.v', 'b.v')} / (a.vn * b.vn), 6) AS cosine
+    FROM n a JOIN n b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.v', 'b.v')} / (a.vn * b.vn) >= 0.4
+    """,
+    tags=("similarity", "dedup", "ext"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs blocked by label (the blocking
+    key plays the role LSH buckets play at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.4, block_col="label")
+
+
+@register("q_similarity_lsh_topk", oracle=None, tags=("similarity", "ext", "lsh"))
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed approximate top-k (the ANN scale path;
+    recall vs brute force pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_langid",
+    oracle=None,  # installed below (needs the generated scoring SQL)
+    tags=("text", "ext"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language occurrence scores,
+    argmax with alphabetical tie priority."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+def _install_langid_oracle() -> None:
+    from .registry import REGISTRY, QuerySpec
+
+    aliases, case = langid_oracle_sql("text")
+    sql = f"""
+    WITH scored AS (
+        SELECT doc_id,
+        {aliases}
+        FROM documents
+    )
+    SELECT doc_id, {case} AS lang_pred FROM scored
+    """
+    spec = REGISTRY["q_text_langid"]
+    REGISTRY["q_text_langid"] = QuerySpec(
+        name=spec.name,
+        spark_fn=spec.spark_fn,
+        oracle=sql,
+        headline=spec.headline,
+        tags=spec.tags,
+        doc=spec.doc,
+    )
+
+
+_install_langid_oracle()
+
+
+_STOP_LITS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> list_contains([{_STOP_LITS}], x))) AS BIGINT)
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+           CAST(n_alpha AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+             + (1 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+             + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.2 AS quality_score
+    FROM t
+    """,
+    tags=("text", "ext"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: TTR, token-length, stopword ratio, blended
+    score (north star text-analysis quality scoring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct"].alias("n_distinct"),
+        m["ttr"].alias("ttr"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+    tags=("text", "ext"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        regex_token_count(F.col("text")).alias("n_re_tokens"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS BIGINT),
+                   list_transform(
+                       range(1, least(length(text), {FINGERPRINT_PREFIX}) + 1),
+                       i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+                   )
+               ),
+               (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD}
+           ) AS fp
+    FROM documents
+    """,
+    tags=("text", "ext"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint — exact integer arithmetic,
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "q_text_tfidf_top_term",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf_counts AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf_counts.doc_id, tf_counts.term,
+               tf_counts.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+        FROM tf_counts JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tfidf AS top_tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) = 1
+    """,
+    tags=("text", "ext", "tfidf"),
+)
+def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring (north star `tfidf`): explode → tf per (doc, term),
+    df per term, idf = ln((N+1)/(df+1)); emits each document's top term.
+    All-builtin (explode + two hash aggs + broadcast joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.col("tfidf").alias("top_tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+    tags=("multimodal", "ext"),
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary multimodal columns carried through relational ops: payload
+    byte length + content digest + typed media metadata (north star
+    `multimodal_columns`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs)
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+@register("q_multimodal_features", oracle=None, tags=("multimodal", "ext"))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic byte-level stand-in for the stubbed codec decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(assets_from_documents(docs))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "mean_byte",
+        F.array_join(F.transform("byte_histogram", lambda x: x.cast("string")), ",").alias(
+            "histogram_csv"
+        ),
+    )

@@ -9,10 +9,36 @@ ones, and demotes/promotes join strategies based on observed sizes.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "the-movie-database-import-spark"
+
+_PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
+_shipped_sessions: set[int] = set()
+
+
+def _package_zip_path() -> str:
+    """Zip this package for executor shipping (cached by newest-source mtime)."""
+    newest = 0.0
+    for root, _dirs, files in os.walk(_PACKAGE_DIR):
+        for f in files:
+            if f.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+    path = f"/tmp/the_movie_database_import_spark-{int(newest)}.zip"
+    if not os.path.exists(path):
+        tmp = path + ".part"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(_PACKAGE_DIR):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(_PACKAGE_DIR))
+                    zf.write(full, rel)
+        os.replace(tmp, path)
+    return path
 
 
 def get_spark(app_name: str = DEFAULT_APP_NAME) -> SparkSession:
@@ -52,7 +78,15 @@ def configure_session(spark: SparkSession) -> SparkSession:
     - ``nanosAsLong`` → Spark has no TIMESTAMP(NANOS) parquet reader; the
       ``events`` table stores ns timestamps, read as long and converted in
       :mod:`sources.readers`.
+    - ``addPyFile`` ships this package to executors so Python-UDF stages
+      (pandas_udf / mapInPandas) deserialize even when the driver process
+      wasn't launched from the repo directory — the same mechanism that
+      deploys the package to a real cluster.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = id(spark)
+    if key not in _shipped_sessions:
+        spark.sparkContext.addPyFile(_package_zip_path())
+        _shipped_sessions.add(key)
     return spark
