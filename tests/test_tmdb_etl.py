@@ -1,0 +1,228 @@
+"""Reference-parity semantics tests for the TMDB ETL (SURVEY.md §5 pyramid
+item 2): miniature CSVs in the exact Kaggle shape, hand-derived golden
+expectations (never computed by importing the reference).
+
+Covered quirks (FIXTURES.md §B checklist): junk-id row skips, duplicate
+movie id last-wins, dimension first-wins, keyword movie-set union, language
+NULL-name fill-in, cast duplicates preserved with order, crew entry without
+job, Director filter, movie with no ratings → NULL, positive-else-NULL
+cleansing over {0, negative, junk, float-string, positive}, apostrophes
+inside repr cells, multiline overview."""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+
+from the_movie_database_import_spark.etl.pipeline import build_all_tables
+
+MOVIE_COLS = [
+    "adult", "belongs_to_collection", "budget", "genres", "homepage", "id",
+    "imdb_id", "original_language", "original_title", "overview", "popularity",
+    "poster_path", "production_companies", "production_countries", "release_date",
+    "revenue", "runtime", "spoken_languages", "status", "tagline", "title",
+    "video", "vote_average", "vote_count",
+]
+
+
+def _movie_row(**kw) -> list[str]:
+    base = {c: "" for c in MOVIE_COLS}
+    base.update(kw)
+    return [base[c] for c in MOVIE_COLS]
+
+
+@pytest.fixture(scope="module")
+def tmdb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tmdb")
+
+    with open(d / "movies_metadata.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(MOVIE_COLS)
+        w.writerow(_movie_row(
+            id="1", original_title="First Movie",
+            genres="[{'id': 16, 'name': 'Animation'}, {'id': 35, 'name': 'Comedy'}]",
+            belongs_to_collection="{'id': 10, 'name': 'Toy Story Collection'}",
+            original_language="en",
+            spoken_languages="[{'iso_639_1': 'en', 'name': None}]",
+            production_companies="[{'name': 'Pixar', 'id': 3}]",
+            production_countries="[{'iso_3166_1': 'US', 'name': 'United States of America'}]",
+            release_date="1995-10-30", budget="30000000", popularity="21.9469",
+            revenue="373554033", runtime="81.0", overview="A fun movie.",
+        ))
+        w.writerow(_movie_row(id="abc", original_title="Junk Id Movie"))
+        w.writerow(_movie_row(
+            id="2", original_title="Second Movie",
+            genres="[{'id': 16, 'name': 'Animation Dup'}]",
+            original_language="fr",
+            spoken_languages=(
+                "[{'iso_639_1': 'fr', 'name': 'Français'}, "
+                "{'iso_639_1': 'en', 'name': 'English'}]"
+            ),
+            production_companies="[{'id': 3, 'name': 'Pixar Duplicate'}]",
+            release_date="2000-01-01", budget="0", popularity="-1",
+            revenue="junk", runtime="", overview="",
+        ))
+        w.writerow(_movie_row(
+            id="1", original_title="First Movie V2",
+            genres="[{'id': 35, 'name': 'Comedy'}]",
+            original_language="de",
+            spoken_languages="[{'iso_639_1': 'xx', 'name': \"O'Brien's Tongue\"}]",
+            production_countries="[{'iso_3166_1': 'DE', 'name': 'Germany'}]",
+            release_date="1996-01-01", budget="-5",
+            overview="Second version.\nWith a second line.",
+        ))
+        w.writerow(_movie_row(
+            id="4", original_title="Fourth Movie", genres="[]",
+            original_language="en", budget="100", runtime="90.5",
+        ))
+
+    with open(d / "credits.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["cast", "crew", "id"])
+        w.writerow([
+            "[{'id': 200, 'name': 'Alice Act', 'order': 0}, "
+            "{'id': 200, 'name': 'Alice Act', 'order': 3}, "
+            "{'id': 201, 'name': \"Sam O'Neil\", 'order': 1}]",
+            "[{'id': 100, 'name': 'Jane Dir', 'job': 'Director'}, "
+            "{'id': 101, 'name': 'Bob Grip'}]",
+            "1",
+        ])
+        w.writerow(["[]", "[]", "xyz"])
+        w.writerow(["[]", "[{'id': 102, 'name': 'New Dir', 'job': 'Director'}]", "1"])
+        w.writerow(["[{'id': 200, 'name': 'Alice Duplicate', 'order': 0}]", "[]", "2"])
+
+    with open(d / "keywords.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "keywords"])
+        w.writerow(["1", "[{'id': 931, 'name': 'jealousy'}, {'id': 4290, 'name': 'toy'}]"])
+        w.writerow(["oops", "[{'id': 1, 'name': 'skipme'}]"])
+        w.writerow(["2", "[{'id': 931, 'name': 'jealousy dup'}]"])
+        w.writerow(["1", "[{'id': 5, 'name': 'boy'}]"])
+
+    with open(d / "ratings.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["userId", "movieId", "rating", "timestamp"])
+        w.writerows([["1", "1", "4.0", "0"], ["2", "1", "3.0", "0"],
+                     ["1", "2", "5.0", "0"], ["1", "abc", "4.0", "0"],
+                     ["1", "3", "bad", "0"]])
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmdb_dir):
+    out = build_all_tables(spark, tmdb_dir)
+    return {name: df.collect() for name, df in out.items()}
+
+
+def _by_id(rows):
+    return {r.id: r for r in rows}
+
+
+def test_movies_last_wins_and_cleansing(tables):
+    m = _by_id(tables["movies"])
+    assert set(m) == {1, 2, 4}
+    assert m[1].title == "First Movie V2"          # duplicate id: last wins
+    assert m[1].budget is None                     # -5 → NULL
+    assert m[1].overview == "Second version.\nWith a second line."
+    assert m[2].budget is None                     # 0 → NULL
+    assert m[2].popularity is None                 # negative → NULL
+    assert m[2].revenue is None                    # junk → NULL
+    assert m[2].runtime is None                    # empty → NULL
+    assert m[2].overview is None                   # empty → NULL (D2)
+    assert m[4].budget == 100
+    assert m[4].runtime == 90                      # '90.5' → float parse → trunc
+
+
+def test_movies_rating_left_join(tables):
+    m = _by_id(tables["movies"])
+    assert m[1].rating == pytest.approx(3.5)
+    assert m[2].rating == pytest.approx(5.0)
+    assert m[4].rating is None                     # no ratings → NULL (A15)
+
+
+def test_dimensions_first_wins(tables):
+    assert _by_id(tables["genres"])[16].name == "Animation"      # not 'Animation Dup'
+    assert _by_id(tables["genres"])[35].name == "Comedy"
+    assert _by_id(tables["production_companies"])[3].name == "Pixar"
+    assert _by_id(tables["collections"])[10].name == "Toy Story Collection"
+
+
+def test_languages_surrogates_and_fill_in(tables):
+    langs = {r.lang_key: r for r in tables["languages"]}
+    assert set(langs) == {"de", "en", "fr", "xx"}
+    # dense_rank over iso (deviation D1): alphabetical ids
+    assert [langs[k].id for k in sorted(langs)] == [1, 2, 3, 4]
+    assert langs["en"].name == "English"           # NULL-name fill-in (A9)
+    assert langs["fr"].name == "Français"
+    assert langs["de"].name is None                # only seen as original_language
+    assert langs["xx"].name == "O'Brien's Tongue"  # apostrophe survives parsing
+    m = _by_id(tables["movies"])
+    assert m[1].original_language == langs["de"].id  # last row's orig lang
+    assert m[2].original_language == langs["fr"].id
+    assert m[4].original_language == langs["en"].id
+
+
+def test_countries(tables):
+    cs = {r.code: r for r in tables["countries"]}
+    assert set(cs) == {"DE", "US"}
+    assert cs["DE"].name == "Germany"
+    pairs = {(r.movie_id, r.country_id) for r in tables["production_countries"]}
+    assert pairs == {(1, cs["DE"].id)}             # from the surviving row only
+
+
+def test_bridges_from_surviving_row(tables):
+    mg = {(r.movie_id, r.genre_id) for r in tables["movies_genres"]}
+    assert mg == {(1, 35), (2, 16)}                # movie 1: V2's genres only
+    langs = {r.lang_key: r.id for r in tables["languages"]}
+    sl = {(r.movie_id, r.language_id) for r in tables["spoken_languages"]}
+    assert sl == {(1, langs["xx"]), (2, langs["fr"]), (2, langs["en"])}
+    mc = {(r.movie_id, r.production_company_id)
+          for r in tables["movies_production_companies"]}
+    # movie 1's surviving (V2) row lists no companies — the dimension keeps
+    # Pixar (registered from the overwritten row), but the bridge does not
+    assert mc == {(2, 3)}
+
+
+def test_persons_first_wins_crew_before_cast(tables):
+    p = _by_id(tables["persons"])
+    assert set(p) == {100, 101, 102, 200, 201}
+    assert p[101].name == "Bob Grip"               # no-job crew member still registered
+    assert p[200].name == "Alice Act"              # not 'Alice Duplicate'
+    assert p[201].name == "Sam O'Neil"
+
+
+def test_directors_last_row_and_filter(tables):
+    d = {(r.movie_id, r.director_id) for r in tables["directors"]}
+    assert d == {(1, 102)}                         # last credits row for movie 1
+
+
+def test_actors_list_semantics(tables):
+    rows = {(r.person_id, r.movie_id, r.order_id) for r in tables["actors"]}
+    # movie 1's cast was overwritten by its last (empty) credits row
+    assert rows == {(200, 2, 0)}
+    assert len(tables["actors"]) == 1
+
+
+def test_keywords_union_semantics(tables):
+    kw = _by_id(tables["keywords"])
+    assert kw[931].keyword == "jealousy"           # first-wins name
+    assert set(kw) == {931, 4290, 5}
+    mk = {(r.movie_id, r.keyword_id) for r in tables["movies_keywords"]}
+    # union across ALL rows, including the duplicate movie-1 row
+    assert mk == {(1, 931), (1, 4290), (1, 5), (2, 931)}
+
+
+def test_crew_by_job_map(tables):
+    m = {(r.movie_id, r.job): set(r.person_ids) for r in tables["crew_by_job"]}
+    assert m == {(1, "Director"): {102}}           # last row; no-job people absent
+
+
+def test_parquet_roundtrip(spark, tmdb_dir, tmp_path):
+    from the_movie_database_import_spark.sources.writers import write_all_parquet
+
+    out = build_all_tables(spark, tmdb_dir)
+    write_all_parquet({"movies": out["movies"]}, str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "movies"))
+    assert back.count() == 3
+    assert set(back.columns) == set(out["movies"].columns)

@@ -63,6 +63,7 @@ def scan_csv(
     inside quoted cells (``multiLine``). Schema is explicit — no sampling
     pass, deterministic types (SURVEY.md §1.3).
     """
+    configure_session(spark)  # ships the package zip for downstream UDF stages
     reader = (
         spark.read.option("header", True)
         .option("quote", '"')

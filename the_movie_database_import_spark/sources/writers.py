@@ -1,0 +1,83 @@
+"""Sinks (ref A17-A19 re-expressed).
+
+The reference bulk-loads PostgreSQL with 50k-row ``executemany`` batches
+under disabled FK triggers because it writes bridges before their dimension
+targets (`loader.py:339-353,:67-78,:597-605`). Here the write ORDER is fixed
+instead — dimensions before facts before bridges — so constraints can stay
+on (deviation D4), and batching maps to the JDBC writer's ``batchsize``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# FK-safe write order (contrast ref B3: bridges-before-dims under disabled
+# triggers): dims → fact → bridges.
+JDBC_WRITE_ORDER = (
+    "genres", "languages", "collections", "persons", "countries",
+    "production_companies", "keywords",
+    "movies",
+    "movies_genres", "spoken_languages", "production_countries",
+    "movies_production_companies", "movies_keywords", "directors", "actors",
+)
+
+DEFAULT_BATCH_SIZE = 50_000  # db_config.json:6
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Batched JDBC sink (ref A17): one connection per partition, typed
+    values (deviation D5 — the reference stringifies everything,
+    `loader.py:356-360`), ``batchsize`` rows per round trip."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def write_all_jdbc(
+    tables: dict[str, DataFrame],
+    url: str,
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Write the full table set in FK-safe order (ref A18/A19 replacement)."""
+    for name in JDBC_WRITE_ORDER:
+        if name in tables:
+            write_jdbc(
+                tables[name], url, name, batch_size=batch_size, properties=properties
+            )
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink ([ext] 100 TB posture): the lake-side twin
+    of the JDBC sink — partition columns become directory pruning keys."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_all_parquet(tables: dict[str, DataFrame], base_path: str) -> None:
+    for name, df in tables.items():
+        write_parquet_partitioned(df, f"{base_path}/{name}")
