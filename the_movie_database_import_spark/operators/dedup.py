@@ -81,6 +81,12 @@ def minhash_lsh_pairs(
     base = docs.select(
         F.col(id_col).alias("doc_id"), distinct_tokens(F.col(text_col)).alias("toks")
     ).withColumn("sig", _minhash_signature(F.col("toks"), num_hashes))
+    # The banded self-join and the two verification joins each instantiate
+    # this sub-plan; Catalyst does not share identical subtrees across join
+    # branches, so without caching the 32-hash signatures would be computed
+    # twice and tokenization four times. (At cluster scale: persist to
+    # MEMORY_AND_DISK or materialize signatures to a table first.)
+    base = base.cache()
 
     band_cols = [
         F.xxhash64(

@@ -116,7 +116,7 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_exact(docs, threshold=0.8)
 
 
-@register("q_dedup_minhash_lsh", oracle=None, tags=("dedup", "ext", "lsh"))
+@register("q_dedup_minhash_lsh", oracle=None, headline=True, tags=("dedup", "ext", "lsh"))
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (signature → bands → bucket join → exact
     verify). Hash-family-specific, so rows-only here; recall vs brute force

@@ -29,6 +29,7 @@ def _ts_str(col):
     FROM events
     GROUP BY 1, 2
     """,
+    headline=True,
     tags=("streaming", "window"),
 )
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

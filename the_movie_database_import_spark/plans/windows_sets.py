@@ -166,6 +166,7 @@ def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY row_number() OVER (PARTITION BY c_mktsegment
                                ORDER BY o_totalprice DESC, o_orderkey) <= 3
     """,
+    headline=True,
     tags=("window", "topk"),
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
