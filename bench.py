@@ -3,8 +3,12 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}.
 
-Per-query wall time covers plan build + execution + result fetch; session
-startup is excluded (a cluster pays it once, not per query).
+Per-query wall time covers plan build + full execution into Spark's `noop`
+sink (every operator runs, nothing is fetched to the Python driver — driver-
+side Row deserialization is harness overhead, not engine work; a pipeline
+would write results to storage, and multi-million-row outputs would swamp
+the timing with py4j transfer otherwise). Session startup is excluded (a
+cluster pays it once, not per query).
 """
 
 from __future__ import annotations
@@ -31,21 +35,22 @@ def main() -> None:
     spark = get_spark("tmdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(name: str) -> None:
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
     names = [n for n, s in sorted(REGISTRY.items()) if s.headline]
     # Untimed warmup pass: JVM/codegen/parquet-footer caches are one-time
     # session costs a long-lived cluster amortizes away; the timed pass
-    # measures steady-state plan build + execution + fetch.
+    # measures steady-state plan build + execution.
     for name in names:
-        REGISTRY[name].spark_fn(spark, sf_dir).collect()
+        run(name)
 
     timings: dict[str, float] = {}
     for name in names:
-        spec = REGISTRY[name]
         t0 = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        rows = df.collect()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
 
     total = round(sum(timings.values()), 4)
     print(

@@ -49,13 +49,30 @@ def canonical_dedup(
     )
 
 
-def _minhash_signature(toks: Column, num_hashes: int = NUM_MINHASHES) -> Column:
-    """MinHash signature over a token array: h_i = min over tokens of
-    xxhash64(token || '#i'). Salted-suffix hashing gives ``num_hashes``
-    independent deterministic hash families with zero Python involvement."""
+def _token_hashes(toks: Column) -> Column:
+    """Hash each (already-distinct) token to a 64-bit long ONCE; every
+    downstream minhash family and the Jaccard verification both reuse these
+    longs, so string bytes are hashed exactly one time per document."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _minhash_signature(tok_hashes: Column, num_hashes: int = NUM_MINHASHES) -> Column:
+    """MinHash signature over pre-hashed tokens: h_i = min over tokens of
+    xxhash64(token_hash, i). Re-hashing a fixed-width long with the family
+    index as a second column gives ``num_hashes`` independent deterministic
+    hash families at long-arithmetic cost (no per-family string traversal).
+
+    The lambda MUST take exactly one parameter: ``transform`` passes the
+    element index to two-parameter lambdas, which would silently override a
+    ``i=i`` default and collapse every family into one (and make signatures
+    token-order-sensitive). Hence the closure factory.
+    """
+
+    def family(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     sigs = [
-        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(F.concat(t, F.lit(f"#{i}")))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(tok_hashes, family(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
 
@@ -70,39 +87,77 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
 
-    Pipeline: tokenize → 32-hash MinHash signature → split into ``bands``
-    band signatures → explode → shuffle on (band, signature) → same-bucket
-    pairs → verify with exact token-set Jaccard ≥ threshold.
+    Pipeline: tokenize → hash tokens to longs → 32-hash MinHash signature →
+    ``bands`` band signatures → explode → shuffle on (band, signature) →
+    same-bucket pairs, emitted only in the FIRST band where the two docs
+    collide → verify with exact token-set Jaccard ≥ threshold.
 
-    Verification makes the output precision-exact; banding only affects
-    recall (tested against brute force in tests/test_extensions.py).
+    First-collision-band emission is the scale-critical trick: a true
+    near-dup pair collides in most of its bands, so a naive banded self-join
+    emits each pair O(bands) times and then needs a huge ``distinct()``
+    shuffle to dedupe (measured 23M pre-distinct rows for 8M unique pairs on
+    the sf0.1 corpus). Carrying each doc's full band-signature array into the
+    join and keeping a match only when no earlier band also matched emits
+    every candidate pair exactly once — no distinct, no second shuffle.
+
+    Verification intersects the hashed-token long arrays (not the string
+    arrays): 64-bit per-token hashes make a false token equality ~2^-64, so
+    the Jaccard is exact in practice at long-comparison cost. Precision is
+    exact; banding only affects recall (tested against brute force in
+    tests/test_extensions.py).
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), distinct_tokens(F.col(text_col)).alias("toks")
-    ).withColumn("sig", _minhash_signature(F.col("toks"), num_hashes))
-    # The banded self-join and the two verification joins each instantiate
-    # this sub-plan; Catalyst does not share identical subtrees across join
-    # branches, so without caching the 32-hash signatures would be computed
-    # twice and tokenization four times. (At cluster scale: persist to
-    # MEMORY_AND_DISK or materialize signatures to a table first.)
-    base = base.cache()
-
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), distinct_tokens(F.col(text_col)).alias("toks")
+        )
+        .select("doc_id", _token_hashes(F.col("toks")).alias("th"))
+        .withColumn("sig", _minhash_signature(F.col("th"), num_hashes))
+    )
     band_cols = [
         F.xxhash64(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig").getItem(b * rows_per_band + r).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band_{b}")
+            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        )
         for b in range(bands)
     ]
+    base = base.select(
+        "doc_id",
+        "th",
+        F.size("th").cast("bigint").alias("n_toks"),
+        *[c.alias(f"b{b}") for b, c in enumerate(band_cols)],
+    )
+    # The banded self-join and the two verification joins each instantiate
+    # this sub-plan; Catalyst does not share identical subtrees across join
+    # branches, so without caching the signatures would be computed twice and
+    # tokenization four times. (At cluster scale: persist to MEMORY_AND_DISK
+    # or materialize signatures to a table first.)
+    base = base.cache()
+
     banded = base.select(
         "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
+        "n_toks",
+        *[f"b{b}" for b in range(bands)],
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])).alias(
+            "band_id", "band_sig"
+        ),
+    )
+    # "No earlier band also matched", as a CASE chain over plain long
+    # comparisons: the band signatures ride along as scalar columns, so the
+    # predicate whole-stage-codegens with zero per-row allocation. (An
+    # equivalent zip_with/slice over a bands array costs ~15x more — array
+    # slices allocate per matched row, and the join matches each true
+    # near-dup pair in ~every band.)
+    no_earlier = F.when(F.col("a.band_id") == 0, F.lit(True))
+    distinct_so_far = None
+    for b in range(1, bands):
+        neq = F.col(f"a.b{b - 1}") != F.col(f"b.b{b - 1}")
+        distinct_so_far = neq if distinct_so_far is None else (distinct_so_far & neq)
+        no_earlier = no_earlier.when(F.col("a.band_id") == b, distinct_so_far)
+    # Size-compatibility pruning, exact: J(A,B) <= min|.|/max|.|, so J >=
+    # t forces the smaller token set to hold at least t x the larger one's
+    # tokens. Two long comparisons per matched row, zero recall loss.
+    size_compatible = F.least(F.col("a.n_toks"), F.col("b.n_toks")) >= (
+        F.greatest(F.col("a.n_toks"), F.col("b.n_toks")) * F.lit(threshold)
     )
     cand = (
         banded.alias("a")
@@ -110,26 +165,59 @@ def minhash_lsh_pairs(
             banded.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & no_earlier
+            & size_compatible,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
-    toksets = base.select("doc_id", "toks")
-    verified = (
-        cand.join(toksets.withColumnsRenamed({"doc_id": "doc_a", "toks": "toks_a"}), "doc_a")
-        .join(toksets.withColumnsRenamed({"doc_id": "doc_b", "toks": "toks_b"}), "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (
-                F.size("toks_a").cast("bigint")
-                + F.size("toks_b").cast("bigint")
-                - F.col("n_inter")
+    toksets = base.select("doc_id", "th", "n_toks")
+    # The scoring projection computes the expensive set intersection; the
+    # monotonically_increasing_id column is a deliberate optimizer barrier:
+    # without it, Catalyst pushes the jaccard filter below this projection by
+    # SUBSTITUTING the array_intersect expression into the predicate — it
+    # lands in the broadcast join's post-condition where it is evaluated
+    # TWICE per candidate (numerator and denominator, no subexpression
+    # elimination in join conditions) plus once more in the surviving row's
+    # Project. A nondeterministic projection field blocks
+    # PushPredicateThroughNonJoin and CollapseProject, so the intersection
+    # runs exactly once per candidate. The filter below must keep a live
+    # reference to the barrier column, else ColumnPruning deletes it and the
+    # projection becomes pushable again.
+    scored = (
+        cand.join(
+            toksets.withColumnsRenamed(
+                {"doc_id": "doc_a", "th": "th_a", "n_toks": "n_a"}
             ),
+            "doc_a",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .join(
+            toksets.withColumnsRenamed(
+                {"doc_id": "doc_b", "th": "th_b", "n_toks": "n_b"}
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("th_a", "th_b")).cast("bigint").alias("n_inter"),
+            F.monotonically_increasing_id().alias("_pushdown_barrier"),
+        )
+    )
+    verified = (
+        scored.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(
+            # >= 0 is always true for monotonically_increasing_id but not
+            # foldable (isNotNull would constant-fold away: the id is
+            # non-nullable, and a folded-out reference lets ColumnPruning
+            # delete the barrier and re-enable the pushdown).
+            (F.col("jaccard") >= threshold) & (F.col("_pushdown_barrier") >= 0)
+        )
         .select("doc_a", "doc_b", "jaccard")
     )
     return verified
