@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -7,7 +9,10 @@ import pytest
 from the_movie_database_import_spark.session import get_spark
 from the_movie_database_import_spark.sources.readers import TESTDATA_TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.001 keeps the suite fast for iteration; the driver's gate runs at
+# sf0.01 — run `SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest` to
+# mirror it exactly before shipping.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
