@@ -14,6 +14,7 @@ from the_movie_database_import_spark.streaming import (
     run_to_memory,
     session_agg,
     sliding_agg,
+    stateful_user_totals,
     stream_events,
     tumbling_agg,
 )
@@ -62,6 +63,37 @@ def test_dedup_within_watermark_keys(spark):
     want = set(map(tuple, batch_keys.itertuples(index=False)))
     assert got == want
     assert len(stream_out) == len(want)  # exactly one survivor per key
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-key state across micro-batches:
+    split the events into 4 files, stream them 1 file per trigger, and
+    assert each user's LAST emitted running total equals the all-data batch
+    aggregate (the q_stateful_user_totals registry twin)."""
+    from the_movie_database_import_spark.plans import REGISTRY
+    from the_movie_database_import_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    src = str(tmp_path / "events_split")
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_out = run_to_memory(stateful_user_totals(raw), "t_state", "update").toPandas()
+    # update mode emits one running-total row per (key, batch); a key's
+    # final emission is the one with the highest running count.
+    final = (
+        stream_out.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()[["user_id", "n_events", "total_cents"]]
+    )
+    batch_out = REGISTRY["q_stateful_user_totals"].spark_fn(spark, SF_DIR).toPandas()
+    assert (stream_out.groupby("user_id").size() > 1).any(), (
+        "expected multiple emissions per user across micro-batches"
+    )
+    assert_frames_match(final, batch_out, "stateful_user_totals")
 
 
 def test_watermarked_append_subset(spark):

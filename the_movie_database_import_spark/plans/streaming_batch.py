@@ -132,6 +132,32 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
+def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals — batch twin of the
+    ``applyInPandasWithState`` custom stateful operator
+    (streaming/windows.py `stateful_user_totals`). Money is accumulated as
+    integer cents so cross-batch state updates are associative and exact;
+    the streaming version's final per-key emission must equal this batch
+    aggregate (asserted across 4 micro-batches in tests/test_streaming.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+    )
+
+
+@register(
     "q_dedup_first_event",
     oracle="""
     SELECT user_id, event_type, event_id,

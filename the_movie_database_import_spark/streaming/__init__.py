@@ -4,5 +4,6 @@ from .windows import (  # noqa: F401
     sliding_agg,
     session_agg,
     dedup_within_watermark,
+    stateful_user_totals,
     run_to_memory,
 )

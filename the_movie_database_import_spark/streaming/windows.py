@@ -134,6 +134,51 @@ def dedup_within_watermark(events: DataFrame, delay: str = "2 hours") -> DataFra
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` ([ext]
+    SURVEY.md §2 streaming): per-user running event count + exact value
+    total, maintained in explicit per-key state across micro-batches.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregations can't express (per-key counters, custom sessionization,
+    CDC-style merge). State is partitioned by key across executors and
+    checkpointable; money totals are kept as integer cents (the input
+    doubles are exact 2-decimal values), so cross-batch accumulation is
+    associative and exact — the batch groupBy twin hash-matches.
+
+    Each update emits the key's NEW running totals, so in update output
+    mode the LAST row per user equals the all-data batch aggregate
+    (tests/test_streaming.py asserts exactly that across 4 micro-batches).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion with availableNow into an
     in-memory table; returns the batch DataFrame of results."""
