@@ -1,0 +1,57 @@
+"""Sink behavior (SURVEY.md §2 sources/sinks): partitioned parquet layout
+and partition pruning — the mechanism that makes a 100 TB table readable in
+slices (directory-level pruning happens before any I/O)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from the_movie_database_import_spark.sources.readers import load_table
+from the_movie_database_import_spark.sources.writers import write_parquet_partitioned
+
+
+def test_partitioned_sink_layout_and_pruning(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet_partitioned(events, out, partition_by=["event_type"])
+
+    # Hive-style directory layout, one per partition value.
+    types = [r.event_type for r in events.select("event_type").distinct().collect()]
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert dirs == {f"event_type={t}" for t in types}
+
+    # A filter on the partition column must prune at planning time: the scan's
+    # partition filters include the predicate, and only one directory is read.
+    back = spark.read.parquet(out).filter(F.col("event_type") == types[0])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    start = plan.index("PartitionFilters")
+    assert "event_type" in plan[start : start + 200], (
+        "partition predicate did not reach the scan's PartitionFilters"
+    )
+    # Row parity with the unpartitioned source.
+    want = events.filter(F.col("event_type") == types[0]).count()
+    assert back.count() == want
+
+
+def test_partitioned_sink_roundtrip_values(spark, tmp_path):
+    """Partition columns are restored on read (values, not just counts)."""
+    events = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_rt")
+    write_parquet_partitioned(events, out, partition_by=["event_type"])
+    a = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    )
+    b = (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
