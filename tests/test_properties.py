@@ -1,0 +1,189 @@
+"""Property-based tests (hypothesis) for the reference-parity quirks that
+hand-picked fixtures under-cover (SURVEY.md §7.4/§7.5 hard parts):
+
+- positive-or-null cleansing vs an independent model of the reference's
+  `is_positive_integer`/`is_positive_float` (`loader.py:31-50`);
+- the Python-repr nested-cell parser vs `ast.literal_eval` ground truth
+  (apostrophes, quotes, None, junk — `loader.py:146` et al.);
+- rolling-hash fingerprint vs a pure-Python model;
+- surrogate-id assignment invariant under row permutation/duplication.
+
+Each hypothesis example generates a BATCH of values and runs one Spark job
+over the batch, keeping example counts useful and runtime sane.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from the_movie_database_import_spark.etl.parse import (
+    parse_id_name_array,
+    positive_bigint_or_null,
+    positive_double_or_null,
+)
+from the_movie_database_import_spark.functions.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    FINGERPRINT_PREFIX,
+    fingerprint,
+)
+from the_movie_database_import_spark.operators.surrogate import assign_surrogate_ids
+
+SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+# Numeric-ish cell strings as they occur in CSV data: ints, decimals,
+# signs, whitespace, empties, and word junk. (Python-only syntax like
+# "1_000" is deliberately out of scope — the reference never sees it.)
+cellish = st.one_of(
+    st.integers(-10**12, 10**12).map(str),
+    st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+    ).map(str),
+    st.sampled_from(["", " ", "0", "-0", "abc", "12abc", "1.5.2", "None", "nan"]),
+    st.integers(-100, 100).map(lambda i: f"  {i} "),
+)
+
+
+def _model_positive_int(cell: str):
+    """Independent model of `is_positive_integer` (`loader.py:37-42`)."""
+    try:
+        v = int(cell)
+    except (TypeError, ValueError):
+        return None
+    return v if v > 0 else None
+
+
+def _model_positive_float(cell: str):
+    try:
+        v = float(cell)
+    except (TypeError, ValueError):
+        return None
+    return v if v > 0 else None
+
+
+def _str_df(spark, cells):
+    schema = StructType([StructField("c", StringType())])
+    return spark.createDataFrame([(c,) for c in cells], schema)
+
+
+@SETTINGS
+@given(cells=st.lists(cellish, min_size=1, max_size=60))
+def test_positive_bigint_cleansing_matches_reference_model(spark, cells):
+    got = [
+        r.v
+        for r in _str_df(spark, cells)
+        .select(positive_bigint_or_null(F.col("c")).alias("v"))
+        .collect()
+    ]
+    want = [_model_positive_int(c) for c in cells]
+    assert got == want
+
+
+@SETTINGS
+@given(cells=st.lists(cellish, min_size=1, max_size=60))
+def test_positive_double_cleansing_matches_reference_model(spark, cells):
+    got = [
+        r.v
+        for r in _str_df(spark, cells)
+        .select(positive_double_or_null(F.col("c")).alias("v"))
+        .collect()
+    ]
+    want = [_model_positive_float(c) for c in cells]
+    for g, w in zip(got, want):
+        assert (g is None) == (w is None)
+        if g is not None:
+            assert g == w
+
+
+name_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), exclude_characters="\x00"
+    ),
+    max_size=20,
+)
+entity = st.fixed_dictionaries({"id": st.integers(0, 10**9), "name": name_text})
+cell_value = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("[]"),
+    st.just("not a literal ["),
+    st.lists(entity, max_size=4).map(repr),
+)
+
+
+@SETTINGS
+@given(cells=st.lists(cell_value, min_size=1, max_size=40))
+def test_repr_array_parser_matches_literal_eval(spark, cells):
+    """The Arrow UDF must extract exactly the (id, name) pairs that a trusted
+    literal_eval of the repr produces — including apostrophes/quotes in
+    names — and NULL for invalid/empty cells (`is_valid_str` guard)."""
+    import ast
+
+    got = [
+        r.parsed
+        for r in _str_df(spark, cells)
+        .select(parse_id_name_array(F.col("c")).alias("parsed"))
+        .collect()
+    ]
+    for cell, out in zip(cells, got):
+        if not isinstance(cell, str) or len(cell) == 0:
+            assert out is None
+            continue
+        try:
+            truth = ast.literal_eval(cell)
+        except (ValueError, SyntaxError):
+            assert out is None
+            continue
+        assert out is not None
+        assert [(e["id"], e["name"]) for e in truth] == [
+            (e.id, e.name) for e in out
+        ]
+
+
+@SETTINGS
+@given(texts=st.lists(name_text, min_size=1, max_size=40))
+def test_fingerprint_matches_python_model(spark, texts):
+    got = [
+        r.fp
+        for r in _str_df(spark, texts)
+        .select(fingerprint(F.col("c")).alias("fp"))
+        .collect()
+    ]
+    for text, g in zip(texts, got):
+        acc = 0
+        for ch in text[:FINGERPRINT_PREFIX]:
+            acc = (acc * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+        assert g == acc, f"fingerprint mismatch for {text!r}"
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=3), min_size=1, max_size=30),
+    seed=st.integers(0, 2**31),
+)
+def test_surrogate_ids_permutation_invariant(spark, keys, seed):
+    """Dense 1-based ids ordered by natural key — identical for any input
+    row order or duplication (deviation D1's determinism claim)."""
+    import random
+
+    rng = random.Random(seed)
+    shuffled = keys[:]
+    rng.shuffle(shuffled)
+    a = {
+        (r.k, r.surrogate_id)
+        for r in assign_surrogate_ids(_str_df(spark, keys).withColumnRenamed("c", "k"), "k").collect()
+    }
+    b = {
+        (r.k, r.surrogate_id)
+        for r in assign_surrogate_ids(
+            _str_df(spark, shuffled + shuffled).withColumnRenamed("c", "k"), "k"
+        ).collect()
+    }
+    assert a == b
+    ids = sorted(i for _, i in a)
+    assert ids == list(range(1, len(ids) + 1))

@@ -155,9 +155,14 @@ def positive_bigint_or_null(col: Column) -> Column:
 
 
 def positive_double_or_null(col: Column) -> Column:
-    """`is_positive_float` (`loader.py:45-50`)."""
+    """`is_positive_float` (`loader.py:45-50`).
+
+    NaN needs an explicit guard: Spark SQL orders NaN above every number,
+    so ``cast('nan') > 0.0`` is TRUE in Spark while the reference's
+    ``float('nan') > 0`` is False — without ``isnan`` the literal string
+    'nan' would pass cleansing (caught by tests/test_properties.py)."""
     v = col.try_cast("double")
-    return F.when(v > 0.0, v)
+    return F.when((v > 0.0) & ~F.isnan(v), v)
 
 
 def positive_int_trunc_or_null(col: Column) -> Column:
