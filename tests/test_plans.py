@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the scale-critical plan shapes the engine
+relies on must survive refactors (SURVEY.md §4 — these are the properties a
+100 TB run depends on; checked here at test scale via explain())."""
+
+from __future__ import annotations
+
+import re
+
+from conftest import SF_DIR
+
+from the_movie_database_import_spark.plans import REGISTRY
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims_and_prunes_scan(spark):
+    plan = _plan(spark, "q_flagship_star_revenue")
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # Column pruning must reach the lineitem parquet scan: only the join key
+    # and the two money columns.
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, "no pruned lineitem ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}, cols
+
+
+def test_multiway_star_all_dims_broadcast(spark):
+    plan = _plan(spark, "q_join_multiway_star")
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "customer/nation/region dims must all broadcast"
+    )
+
+
+def test_lsh_verification_single_intersect(spark):
+    """The pushdown barrier keeps array_intersect at exactly one occurrence;
+    regressions reintroduce 3x evaluation via join-condition substitution."""
+    plan = _plan(spark, "q_dedup_minhash_lsh")
+    assert plan.count("array_intersect") == 1, (
+        f"array_intersect appears {plan.count('array_intersect')}x — "
+        "the jaccard filter was pushed into the join condition again"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "q_filter_pred")
+    # (plan toString truncates long filter lists, so match the head only)
+    assert "PushedFilters: [IsNotNull" in plan, "no filters pushed to the scan"
+    assert "PushedFilters: []" not in plan
+
+
+def test_topk_per_group_single_shuffle(spark):
+    """Per-group top-k is one hash-partition exchange on the group key plus
+    the final order; no repeated shuffles of the full input."""
+    plan = _plan(spark, "q_topk_per_group")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} hash exchanges (expected <=2)"
