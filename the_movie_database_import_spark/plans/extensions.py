@@ -60,6 +60,7 @@ def _dot_sql(a: str, b: str) -> str:
     FROM documents
     GROUP BY text
     """,
+    headline=True,
     tags=("dedup", "ext"),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +273,7 @@ _STOP_LITS = ", ".join(f"'{s}'" for s in STOPWORDS)
              + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.2 AS quality_score
     FROM t
     """,
+    headline=True,
     tags=("text", "ext"),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -364,6 +364,7 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_field
     FROM events
     """,
+    headline=True,
     tags=("rowops", "json"),
 )
 def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +623,7 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE event_type = 'purchase'
     """,
+    headline=True,
     tags=("join", "asof"),
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,6 +802,7 @@ def q_agg_count_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    headline=True,
     tags=("agg", "rollup"),
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,6 +80,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS running_spend
     FROM orders
     """,
+    headline=True,
     tags=("window",),
 )
 def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
