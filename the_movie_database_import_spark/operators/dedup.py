@@ -223,6 +223,63 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node's
+    label converges to the smallest node id reachable from it — the cluster
+    representative a dedup pipeline keeps.
+
+    This is the canonical iterative-algorithm shape on Spark (the reference
+    has nothing like it — SURVEY.md §2.1): each round is one shuffle-join +
+    aggregate, the loop runs until a fixpoint (at most the graph diameter;
+    near-dup clusters are dense, so 2-4 rounds in practice, `max_iters` is
+    a safety bound). `localCheckpoint` truncates lineage each round so the
+    plan doesn't grow with iterations — at cluster scale this would be a
+    persisted table per round (or GraphFrames/Pregel), same loop body.
+    """
+    undirected = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+    labels = (
+        nodes.select(F.col(node_col).alias("u"))
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            undirected.join(labels.withColumnsRenamed({"u": "v2", "label": "vlabel"}),
+                            F.col("v") == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least("label", "nb_min").alias("label"))
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("u") == F.col("label")).alias("is_kept"),
+    )
+
+
 def jaccard_pairs_exact(
     docs: DataFrame,
     text_col: str = "text",

@@ -24,6 +24,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     canonical_dedup,
+    connected_components,
     exact_dedup,
     jaccard_pairs_exact,
     minhash_lsh_pairs,
@@ -115,6 +116,61 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via inverted token index — the oracle-checkable twin of the LSH path."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_exact(docs, threshold=0.8)
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM tok a
+        JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    ),
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, undirected.v AS r
+        FROM reach JOIN undirected ON undirected.u = reach.r
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS cluster_rep,
+           CAST(MIN(r) = node AS BOOLEAN) AS is_kept
+    FROM reach
+    GROUP BY node
+    """,
+    tags=("dedup", "ext", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (connected components over the exact-
+    Jaccard pair graph): every doc labeled with the smallest doc id in its
+    duplicate cluster, `is_kept` marking the survivor — the keep/drop
+    decision a corpus-curation pipeline materializes, vs the raw pair list.
+
+    Spark side is iterative min-label propagation (operators/dedup.py
+    `connected_components`); the oracle computes the same fixpoint as a
+    recursive-CTE reachability closure. Both are exact, so this normally
+    non-SQL-expressible iterative algorithm is still hash-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs_exact(docs, threshold=0.8)
+    return connected_components(docs.select("doc_id"), edges, node_col="doc_id")
 
 
 @register("q_dedup_minhash_lsh", oracle=None, headline=True, tags=("dedup", "ext", "lsh"))
