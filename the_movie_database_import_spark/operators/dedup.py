@@ -100,12 +100,27 @@ def minhash_lsh_pairs(
     join and keeping a match only when no earlier band also matched emits
     every candidate pair exactly once — no distinct, no second shuffle.
 
+    Verification is FUSED into the banded join: each banded row carries its
+    doc's hashed-token array, so the exact Jaccard is computed in the join's
+    output projection — no separate joins to re-attach token sets. On a
+    duplicate-heavy corpus the candidate stream is quadratic in cluster size
+    (sf0.1: 3.0M pairs from 5k docs) while the banded rows are linear
+    (|docs| x bands), so shuffling token arrays with the banded rows is
+    strictly cheaper than two extra shuffle joins over the pair stream
+    (measured 3.7x end-to-end). For a mostly-unique corpus the balance can
+    flip (rare candidates, re-join touches few rows) — but a linear-size cost
+    is the safe default at 100 TB, where a quadratic blowup is fatal and the
+    8x token-array duplication is bounded by the band count.
+
     Verification intersects the hashed-token long arrays (not the string
     arrays): 64-bit per-token hashes make a false token equality ~2^-64, so
     the Jaccard is exact in practice at long-comparison cost. Precision is
     exact; banding only affects recall (tested against brute force in
     tests/test_extensions.py).
     """
+    from ..sources.readers import fan_out
+
+    docs = fan_out(docs)
     rows_per_band = num_hashes // bands
     base = (
         docs.select(
@@ -126,15 +141,16 @@ def minhash_lsh_pairs(
         F.size("th").cast("bigint").alias("n_toks"),
         *[c.alias(f"b{b}") for b, c in enumerate(band_cols)],
     )
-    # The banded self-join and the two verification joins each instantiate
-    # this sub-plan; Catalyst does not share identical subtrees across join
-    # branches, so without caching the signatures would be computed twice and
-    # tokenization four times. (At cluster scale: persist to MEMORY_AND_DISK
-    # or materialize signatures to a table first.)
+    # Both sides of the self-join instantiate this sub-plan; Catalyst does
+    # not share identical subtrees across join branches, so without caching
+    # the signatures would be computed twice and tokenization four times.
+    # (At cluster scale: persist to MEMORY_AND_DISK or materialize
+    # signatures to a table first.)
     base = base.cache()
 
     banded = base.select(
         "doc_id",
+        "th",
         "n_toks",
         *[f"b{b}" for b in range(bands)],
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])).alias(
@@ -159,7 +175,20 @@ def minhash_lsh_pairs(
     size_compatible = F.least(F.col("a.n_toks"), F.col("b.n_toks")) >= (
         F.greatest(F.col("a.n_toks"), F.col("b.n_toks")) * F.lit(threshold)
     )
-    cand = (
+    # The join's output projection computes the expensive set intersection
+    # directly from the token arrays riding on both banded sides; the
+    # monotonically_increasing_id column is a deliberate optimizer barrier:
+    # without it, Catalyst pushes the jaccard filter below this projection by
+    # SUBSTITUTING the array_intersect expression into the predicate — it
+    # lands in the join's post-condition where it is evaluated TWICE per
+    # candidate (numerator and denominator, no subexpression elimination in
+    # join conditions) plus once more in the surviving row's Project. A
+    # nondeterministic projection field blocks PushPredicateThroughNonJoin
+    # and CollapseProject, so the intersection runs exactly once per
+    # candidate. The filter below must keep a live reference to the barrier
+    # column, else ColumnPruning deletes it and the projection becomes
+    # pushable again.
+    scored = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -169,40 +198,12 @@ def minhash_lsh_pairs(
             & no_earlier
             & size_compatible,
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    toksets = base.select("doc_id", "th", "n_toks")
-    # The scoring projection computes the expensive set intersection; the
-    # monotonically_increasing_id column is a deliberate optimizer barrier:
-    # without it, Catalyst pushes the jaccard filter below this projection by
-    # SUBSTITUTING the array_intersect expression into the predicate — it
-    # lands in the broadcast join's post-condition where it is evaluated
-    # TWICE per candidate (numerator and denominator, no subexpression
-    # elimination in join conditions) plus once more in the surviving row's
-    # Project. A nondeterministic projection field blocks
-    # PushPredicateThroughNonJoin and CollapseProject, so the intersection
-    # runs exactly once per candidate. The filter below must keep a live
-    # reference to the barrier column, else ColumnPruning deletes it and the
-    # projection becomes pushable again.
-    scored = (
-        cand.join(
-            toksets.withColumnsRenamed(
-                {"doc_id": "doc_a", "th": "th_a", "n_toks": "n_a"}
-            ),
-            "doc_a",
-        )
-        .join(
-            toksets.withColumnsRenamed(
-                {"doc_id": "doc_b", "th": "th_b", "n_toks": "n_b"}
-            ),
-            "doc_b",
-        )
         .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
-            "n_b",
-            F.size(F.array_intersect("th_a", "th_b")).cast("bigint").alias("n_inter"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_toks").alias("n_a"),
+            F.col("b.n_toks").alias("n_b"),
+            F.size(F.array_intersect("a.th", "b.th")).cast("bigint").alias("n_inter"),
             F.monotonically_increasing_id().alias("_pushdown_barrier"),
         )
     )

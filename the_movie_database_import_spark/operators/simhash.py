@@ -43,7 +43,11 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return docs.select(
+    from ..sources.readers import fan_out
+
+    # The UDF runs at input parallelism — fan out a single-split source so
+    # the Arrow batches spread across all cores.
+    return fan_out(docs).select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
     )
 

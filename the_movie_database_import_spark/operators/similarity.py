@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..sources.readers import fan_out
+
 LSH_PLANES = 8
 
 
@@ -45,7 +47,9 @@ def cosine_topk(
     against all queries in one pass — no corpus shuffle, one final top-k
     window on (query, score).
     """
-    corpus = embeddings.select(
+    # Scoring happens on the probe side of the broadcast join at *input*
+    # parallelism — fan out so a single-split local file doesn't serialize it.
+    corpus = fan_out(embeddings).select(
         F.col(id_col).alias("vec_id"),
         as_double_vec(F.col(vec_col)).alias("v"),
     ).withColumn("v_norm", norm(F.col("v")))
@@ -81,7 +85,7 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key
     (north star `dedup` embedding-cosine variant)."""
-    base = embeddings.select(
+    base = fan_out(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col(block_col).alias("block"),
         as_double_vec(F.col(vec_col)).alias("v"),
@@ -144,7 +148,7 @@ def lsh_bucket_topk(
             out = out + b
         return out.cast("bigint")
 
-    corpus = embeddings.select(
+    corpus = fan_out(embeddings).select(
         F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
     )
     corpus = corpus.withColumn("bucket", signature(F.col("v"))).withColumn(

@@ -49,6 +49,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame up to cluster parallelism when the
+    source produced too few splits.
+
+    Compute-heavy scan-side operators (MinHash signatures, SimHash, pairwise
+    verification after a broadcast join) run at *input* parallelism: a small
+    parquet file arrives as ONE split, so without this every downstream
+    narrow stage — including the probe side of broadcast joins, where all the
+    pair comparisons happen — executes on a single core. On a real cluster a
+    100 TB scan has thousands of splits and this is a no-op (the partition
+    count check costs nothing); locally it is the difference between 1/32 and
+    32/32 core utilization (measured 4x end-to-end on the LSH dedup).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def scan_csv(
     spark: SparkSession,
     path: str,
