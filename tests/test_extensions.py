@@ -91,6 +91,29 @@ def test_lsh_topk_subset_of_bruteforce_space(spark):
         assert brute_map[(r.query_id, r.vec_id)] == pytest.approx(r.cosine, abs=1e-9)
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with 16 centroids / 4 probes must recover most of the exact
+    top-10 (recall@10), and every emitted cosine must match brute force."""
+    from the_movie_database_import_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(emb, queries, k=10)
+    exact = {}
+    for r in brute.collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    brute_all = cosine_topk(emb, queries, k=10**6)
+    brute_map = {(r.query_id, r.vec_id): r.cosine for r in brute_all.collect()}
+    got = {}
+    for r in ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+        assert brute_map[(r.query_id, r.vec_id)] == pytest.approx(r.cosine, abs=1e-9)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall@10 {recall:.3f} < 0.5"
+
+
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")

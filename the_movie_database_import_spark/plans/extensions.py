@@ -31,7 +31,12 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import assets_from_documents, extract_features
 from ..operators.simhash import simhash_neardup_pairs
-from ..operators.similarity import cosine_neardup_pairs, cosine_topk, lsh_bucket_topk
+from ..operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from ..sources.readers import load_table
 from .registry import register
 
@@ -259,6 +264,16 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(emb, queries, k=10)
+
+
+@register("q_similarity_ivf_topk", oracle=None, tags=("similarity", "ext", "ivf"))
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer buckets the corpus,
+    each query scores its n_probe nearest buckets (data-adaptive ANN scale
+    path next to LSH; recall vs brute force pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
 # ---------------------------------------------------------------------------
