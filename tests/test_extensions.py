@@ -63,6 +63,26 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
 
 
+def test_jaccard_hot_token_cap_is_lower_bound(spark):
+    """The skew guard (max_token_df) only UNDERCOUNTS intersections: every
+    capped pair must exist in the uncapped output with jaccard >= the capped
+    score, and the cap must never invent pairs."""
+    docs = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_exact(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_exact(docs, threshold=0.5, max_token_df=10).collect()
+    }
+    assert set(capped) <= set(exact), "cap created pairs that don't exist exactly"
+    for pair, score in capped.items():
+        assert exact[pair] >= score - 1e-12
+    # the cap actually pruned something on this corpus (guards test strength)
+    assert len(capped) <= len(exact)
+
+
 def test_simhash_deterministic_and_near():
     a = "the fast key order sort table scan merge"
     b = "the fast key order sort table scan merge extra"

@@ -287,14 +287,22 @@ def jaccard_pairs_exact(
     id_col: str = "doc_id",
     block_col: str = "source",
     threshold: float = 0.8,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key, via an
     inverted token index (the SQL-oracle-checkable twin of the LSH path).
 
     The join fans out on (block, token) — at 100 TB the blocking key bounds
-    the candidate space the way LSH buckets do, and hot tokens would be
-    df-filtered (drop tokens with document frequency above a cap) before the
-    pair join to control skew.
+    the candidate space the way LSH buckets do. ``max_token_df`` is the skew
+    guard: a token appearing in d documents of a block contributes d² join
+    rows, so one stop-word-grade token dominates the whole shuffle. Dropping
+    tokens with document frequency above the cap bounds per-token fan-out at
+    ``max_token_df²``. The default (None) keeps the operator exact (and
+    DuckDB-oracle-checkable); with a cap, scores for pairs that shared a
+    dropped token UNDERCOUNT the intersection while the denominator keeps
+    full set sizes, so capped Jaccard is a lower bound — capping never
+    creates false positives, only (bounded) false negatives on pairs whose
+    similarity rides on ubiquitous tokens.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -303,6 +311,16 @@ def jaccard_pairs_exact(
     )
     sizes = base.select("doc_id", F.size("toks").cast("bigint").alias("n_toks"))
     inv = base.select("doc_id", "block", F.explode("toks").alias("tok"))
+    if max_token_df is not None:
+        hot = (
+            inv.groupBy("block", "tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("block", "tok")
+        )
+        # Broadcast anti-join: the hot-token list is tiny by construction
+        # (only tokens above the cap), so pruning costs no extra shuffle.
+        inv = inv.join(F.broadcast(hot), ["block", "tok"], "left_anti")
     inter = (
         inv.alias("a")
         .join(

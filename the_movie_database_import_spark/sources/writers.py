@@ -81,3 +81,32 @@ def write_parquet_partitioned(
 def write_all_parquet(tables: dict[str, DataFrame], base_path: str) -> None:
     for name, df in tables.items():
         write_parquet_partitioned(df, f"{base_path}/{name}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed external table sink ([ext] 100 TB posture): pre-shuffles once
+    at write time so every later equi-join/aggregation on the bucket key is
+    co-located — no Exchange in the join plan (asserted in tests/test_plans.py).
+
+    At 100 TB this is the standard fact-to-fact join strategy: lineitem and
+    orders both bucketed by orderkey join with zero shuffle, paying the
+    shuffle once at ingest instead of per query. ``sortBy`` additionally
+    pre-sorts within buckets so sort-merge joins skip their sort."""
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_by)
+        .format("parquet")
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
