@@ -106,4 +106,8 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    return assets.mapInPandas(feats, schema=FEATURE_SCHEMA)
+    from ..sources.readers import fan_out
+
+    # mapInPandas runs at input parallelism; fan out a single-split source so
+    # Arrow batches spread across cores (no-op on a real multi-split scan).
+    return fan_out(assets).mapInPandas(feats, schema=FEATURE_SCHEMA)
