@@ -55,3 +55,23 @@ def test_partitioned_sink_roundtrip_values(spark, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sql_front_door_matches_dataframe_plan(spark):
+    """register_views exposes the testdata tables to ad-hoc Spark SQL; a SQL
+    aggregation must equal the equivalent DataFrame plan row-for-row."""
+    from the_movie_database_import_spark.sources.readers import register_views
+
+    register_views(spark, SF_DIR)
+    sql_rows = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS qty "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    df_rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert sql_rows == df_rows

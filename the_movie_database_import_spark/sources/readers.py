@@ -49,6 +49,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so ad-hoc Spark SQL runs
+    directly against the same scans the DataFrame plans use (same pruning /
+    pushdown — ``spark.sql("select ... from lineitem ...")`` is the SQL
+    front door to the engine)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a DataFrame up to cluster parallelism when the
     source produced too few splits.
