@@ -226,3 +226,17 @@ def test_parquet_roundtrip(spark, tmdb_dir, tmp_path):
     back = spark.read.parquet(str(tmp_path / "movies"))
     assert back.count() == 3
     assert set(back.columns) == set(out["movies"].columns)
+
+
+def test_cli_end_to_end(tmdb_dir, tmp_path, spark):
+    """`python -m the_movie_database_import_spark.etl <dir> --out <dir>` — the
+    engine's twin of the reference's `python loader.py <dir>` entry point
+    (loader.py:549-611) — writes every output table as readable parquet."""
+    from the_movie_database_import_spark.etl.__main__ import main
+
+    out = tmp_path / "out"
+    assert main([str(tmdb_dir), "--out", str(out)]) == 0
+    movies = spark.read.parquet(str(out / "movies"))
+    assert movies.count() > 0
+    for t in ("genres", "actors", "directors", "movies_keywords"):
+        assert spark.read.parquet(str(out / t)).columns

@@ -1,0 +1,66 @@
+"""CLI for the TMDB ETL — the engine's twin of the reference's entry point
+(``python loader.py <dataset_dir>``, ``loader.py:549-611``).
+
+Usage:
+    python -m the_movie_database_import_spark.etl <dataset_dir> --out <dir>
+    python -m the_movie_database_import_spark.etl <dataset_dir> --jdbc-url jdbc:postgresql://...
+
+Reads the four Kaggle "The Movies Dataset" CSVs from <dataset_dir>
+(movies_metadata.csv, credits.csv, keywords.csv, ratings.csv), builds the 15
+normalized tables, and writes them either as parquet (default sink) or over
+JDBC in FK-safe order (dimensions before facts before bridges — deviation D4,
+no trigger disabling needed; contrast ``loader.py:597-605``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m the_movie_database_import_spark.etl",
+        description="TMDB CSVs -> 15 normalized tables (parquet or JDBC sink)",
+    )
+    parser.add_argument("dataset_dir", help="directory with the four TMDB CSVs")
+    parser.add_argument("--out", help="output directory for parquet tables")
+    parser.add_argument("--jdbc-url", help="JDBC URL to load instead of parquet")
+    parser.add_argument(
+        "--batch-size", type=int, default=None,
+        help="JDBC insert batch size (default 50000, db_config.json:6)",
+    )
+    args = parser.parse_args(argv)
+    if not args.out and not args.jdbc_url:
+        parser.error("need --out and/or --jdbc-url")
+
+    from ..session import get_spark
+    from ..sources.writers import (
+        DEFAULT_BATCH_SIZE,
+        write_all_jdbc,
+        write_all_parquet,
+    )
+    from .pipeline import build_all_tables
+
+    spark = get_spark("tmdb-etl")
+    t0 = time.time()
+    tables = build_all_tables(spark, base_dir=args.dataset_dir)
+    if args.out:
+        write_all_parquet(tables, args.out)
+    if args.jdbc_url:
+        write_all_jdbc(
+            tables, args.jdbc_url, batch_size=args.batch_size or DEFAULT_BATCH_SIZE
+        )
+    counts = {name: spark.read.parquet(f"{args.out}/{name}").count() for name in tables} \
+        if args.out else {name: df.count() for name, df in tables.items()}
+    print(
+        f"loaded {len(tables)} tables in {time.time() - t0:.1f}s: "
+        + ", ".join(f"{k}={v}" for k, v in sorted(counts.items())),
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
