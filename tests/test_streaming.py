@@ -112,3 +112,32 @@ def test_watermarked_append_subset(spark):
     assert len(merged) == len(out)
     assert (merged.n_events_s == merged.n_events_b).all()
     assert len(out) <= len(full)
+
+
+def test_stream_to_parquet_file_sink(spark, tmp_path):
+    """readStream → stateless transform → parquet writeStream (availableNow,
+    checkpointed): the durable sink must hold exactly the batch-equivalent
+    rows, partitioned for downstream pruning."""
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.streaming import run_to_parquet, stream_events
+
+    stream = stream_events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_to_parquet(stream, out, ckpt, partition_by=["event_type"])
+
+    got = spark.read.parquet(out)
+    batch = _batch_events(spark).select(
+        "event_id", "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    assert got.count() == batch.count()
+    assert sorted(got.select("event_id").toPandas()["event_id"]) == sorted(
+        batch.select("event_id").toPandas()["event_id"]
+    )
+    # partition columns became directories (pruning keys at scale)
+    kinds = [r.event_type for r in batch.select("event_type").distinct().collect()]
+    import os
+    assert any(d.startswith("event_type=") for d in os.listdir(out)), os.listdir(out)
+    assert len([d for d in os.listdir(out) if d.startswith("event_type=")]) == len(kinds)

@@ -6,4 +6,5 @@ from .windows import (  # noqa: F401
     dedup_within_watermark,
     stateful_user_totals,
     run_to_memory,
+    run_to_parquet,
 )

@@ -179,6 +179,32 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Execute a streaming DataFrame to completion with availableNow into a
+    parquet file sink — the durable lake-side sink (append mode only, so the
+    input must be an append-capable stream: watermarked windows after their
+    watermark closes, or stateless transforms). The checkpoint directory
+    carries offsets + sink metadata for exactly-once file commits across
+    restarts — at scale this is the canonical incremental-ingest shape."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion with availableNow into an
     in-memory table; returns the batch DataFrame of results."""
