@@ -100,3 +100,11 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_range_join_binned_avoids_nested_loop(spark):
+    """The keyless range join must plan as a partitionable equi-join on bin
+    ids — never a nested-loop or cartesian product."""
+    plan = _plan(spark, "q_join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

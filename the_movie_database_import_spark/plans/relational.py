@@ -567,6 +567,47 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_range_binned",
+    oracle="""
+    SELECT a.event_id AS probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nearby
+    FROM events a JOIN events b
+      ON b.ts >= a.ts - INTERVAL 5 MINUTE
+     AND b.ts <  a.ts + INTERVAL 5 MINUTE
+     AND b.event_id != a.event_id
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+    tags=("join", "range", "binned"),
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): for each purchase event, count all
+    events within ±5 minutes. Naively this is a BroadcastNestedLoopJoin —
+    O(|L|x|R|) — so it runs through the binned rewrite
+    (operators/rangejoin.py): equi-join on time-bin ids + exact residual,
+    shuffle-partitionable at any scale (plan shape pinned in test_plans)."""
+    from ..operators.rangejoin import interval_point_join_binned
+
+    events = load_table(spark, sf_dir, "events")
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"), F.col("ts").alias("probe_ts")
+    )
+    points = events.select(
+        F.col("event_id").alias("other_id"), F.col("ts").alias("other_ts")
+    )
+    pairs = interval_point_join_binned(
+        probes,
+        points,
+        left_ts="probe_ts",
+        right_ts="other_ts",
+        lower_s=-300,
+        upper_s=300,
+        extra_pred=F.col("other_id") != F.col("probe_id"),
+    )
+    return pairs.groupBy("probe_id").agg(F.count("*").alias("n_nearby"))
+
+
+@register(
     "q_join_multiway_star",
     oracle="""
     SELECT r_name AS region, n_name AS nation,
