@@ -148,3 +148,39 @@ def test_multimodal_features_shape(spark):
     assert len(r0.byte_histogram) == 16
     assert sum(r0.byte_histogram) == r0.n_bytes
     assert 0 <= r0.mean_byte <= 255
+
+
+def test_binned_range_join_equals_bruteforce(spark):
+    """The binned rewrite must equal the naive cross-join range filter
+    exactly — including points sitting on bin and interval boundaries
+    (end-exclusive upper, inclusive lower)."""
+    from the_movie_database_import_spark.operators.rangejoin import (
+        interval_point_join_binned,
+    )
+
+    # timestamps engineered to land on/next to 600s bin edges and on the
+    # exact ±300s interval edges of other rows
+    base = 1_700_000_000
+    offsets = [0, 1, 299, 300, 301, 599, 600, 601, 900, 1199, 1200, 1800, 2400]
+    rows = [(i, base + o) for i, o in enumerate(offsets)]
+    df = spark.createDataFrame(rows, "id long, sec long").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz")
+    )
+    left = df.select(F.col("id").alias("lid"), F.col("ts").alias("lts"))
+    right = df.select(F.col("id").alias("rid"), F.col("ts").alias("rts"))
+
+    binned = interval_point_join_binned(
+        left, right, left_ts="lts", right_ts="rts", lower_s=-300, upper_s=300
+    ).select("lid", "rid")
+    brute = (
+        left.crossJoin(right)
+        .filter(
+            (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 300 SECOND"))
+            & (F.col("rts") < F.col("lts") + F.expr("INTERVAL 300 SECOND"))
+        )
+        .select("lid", "rid")
+    )
+    got = sorted((r.lid, r.rid) for r in binned.collect())
+    want = sorted((r.lid, r.rid) for r in brute.collect())
+    assert got == want
+    assert len(got) == len(set(got)), "binned join emitted duplicate pairs"
