@@ -578,6 +578,7 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.event_type = 'purchase'
     GROUP BY a.event_id
     """,
+    headline=True,
     tags=("join", "range", "binned"),
 )
 def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
