@@ -888,6 +888,37 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus values become columns ([ext] OLAP reshaping). The
+    value list is explicit, so the output schema is static (no extra
+    distinct-scan job) and the whole thing is one hash aggregation — the
+    oracle is the equivalent conditional aggregation."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_sumd(_dec("l_quantity")))
+        .select(
+            "returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+    )
+
+
+@register(
     "q_agg_count_distinct",
     oracle="""
     SELECT o_orderstatus,
