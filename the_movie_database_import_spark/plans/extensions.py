@@ -422,11 +422,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
     scored AS (
-        SELECT tf_counts.doc_id, tf_counts.term,
+        SELECT tf_counts.doc_id, tf_counts.term, tf_counts.tf, df.df,
                tf_counts.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
         FROM tf_counts JOIN df USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term AS top_term, tfidf AS top_tfidf
+    SELECT doc_id, term AS top_term, tf AS top_tf, df AS top_df,
+           CAST(floor(tfidf * 10000) AS BIGINT) AS top_tfidf_q4
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) = 1
     """,
@@ -435,7 +436,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring (north star `tfidf`): explode → tf per (doc, term),
     df per term, idf = ln((N+1)/(df+1)); emits each document's top term.
-    All-builtin (explode + two hash aggs + broadcast joins)."""
+    All-builtin (explode + two hash aggs + broadcast joins).
+
+    Hash-exactness: Java Math.log and DuckDB's libm ln differ by 1 ulp on
+    some inputs, so the raw double score cannot be hashed (module float
+    policy). The hashed columns are exact integers: tf, df, and the score
+    floor-quantized to 1e-4 (verified at sf0.001/0.01/0.1 that no score
+    sits within 5e-4 grid units of a floor boundary, so a 1-ulp flip can
+    never change the quantized value). Ranking still uses the raw double;
+    every observed top-2 tie comes from an identical (tf, df) pair, which
+    both engines score bit-identically, so the term-ASC tie-break is
+    cross-engine stable."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -453,7 +464,13 @@ def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("term").alias("top_term"), F.col("tfidf").alias("top_tfidf"))
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            F.col("tf").alias("top_tf"),
+            F.col("df").alias("top_df"),
+            F.floor(F.col("tfidf") * 10000).alias("top_tfidf_q4"),
+        )
     )
 
 

@@ -321,20 +321,31 @@ def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_linenumber,
            CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))
                 * (1 + CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS charge,
-           ROUND(abs(l_discount - 0.05), 4) AS disc_dev,
-           floor(l_quantity) AS qty_floor,
-           ceil(l_quantity) AS qty_ceil,
+           CAST(abs(CAST(l_discount AS DECIMAL(9,2)) - CAST(0.05 AS DECIMAL(9,2))) AS DOUBLE)
+               AS disc_dev,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            ROUND(ln(l_extendedprice + 1), 6) AS log_price,
            CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) AS DOUBLE)
                AS qty_sq,
-           ROUND(l_discount * 100, 2) AS disc_pct
+           CAST(CAST(l_discount AS DECIMAL(9,2)) * 100 AS DOUBLE) AS disc_pct
     FROM lineitem
     WHERE l_orderkey <= 500
     """,
     tags=("rowops", "math"),
 )
 def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function surface (ref A14 arithmetic generalized)."""
+    """Math function surface (ref A14 arithmetic generalized).
+
+    Hash-exactness notes (driver compares raw pandas dtypes + values):
+    - floor/ceil: Spark returns LONG while DuckDB floor(DOUBLE) returns
+      DOUBLE, so the oracle casts to BIGINT to match int64 vs int64.
+    - disc_dev / disc_pct: 2-dp inputs make DECIMAL arithmetic exact on
+      both engines — no float ROUND, no rounding-boundary risk (module
+      float policy, see header).
+    - log_price keeps ROUND(ln(x)+1, 6); Java Math.log and libm agree on
+      every sf0.01 row today — tolerance-based property coverage lives in
+      tests, not the hash."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.filter(F.col("l_orderkey") <= 500).select(
         "l_orderkey",
@@ -346,12 +357,12 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("charge"),
-        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.abs(_dec("l_discount") - F.lit(0.05).cast(DEC)).cast("double").alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
         (_dec("l_quantity") * _dec("l_quantity")).cast("double").alias("qty_sq"),
-        F.round(F.col("l_discount") * 100, 2).alias("disc_pct"),
+        (_dec("l_discount") * F.lit(100)).cast("double").alias("disc_pct"),
     )
 
 

@@ -132,6 +132,47 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_watermark",
+    oracle="""
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           n_events
+    FROM agg
+    WHERE ws + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def q_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finalized-window subset under a 1-hour watermark — deterministic batch
+    twin of `stream_watermark_late_data` (streaming/windows.py
+    `watermarked_tumbling_agg`): with watermark = max(event_time) - 1h, append
+    mode emits exactly the tumbling windows whose end precedes the watermark,
+    i.e. window_start + 2h <= max(ts). The second scan reads only `ts`
+    (column-pruned) and the 1-row max is broadcast, so the fact table is
+    scanned once per side and never shuffled beyond the window agg."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    wm = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        agg.crossJoin(F.broadcast(wm))
+        .filter(F.col("window.start") + F.expr("INTERVAL 2 HOUR") <= F.col("max_ts"))
+        .select(
+            _ts_str(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
     "q_stateful_user_totals",
     oracle="""
     SELECT user_id,

@@ -52,9 +52,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # Exact integer division (`div`), matching load_table: double `/` loses
+    # integer exactness above 2^53 and can skew the truncation by 1 µs.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
