@@ -33,6 +33,38 @@ def _docs(spark):
     return load_table(spark, SF_DIR, "documents")
 
 
+def test_minhash_null_text_docs_never_pair(spark):
+    """NULL-text docs must not emit pairs: the identical-set collapse would
+    otherwise merge every NULL-text doc into one setkey (xxhash64 of a NULL
+    array is the seed constant, not NULL) and emit all of them pairwise at
+    jaccard 1.0 — while brute-force exact Jaccard (the semantics oracle)
+    drops them (NULL intersect → NULL jaccard). Empty-STRING docs tokenize
+    to the set {""} and legitimately pair — brute force agrees."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, ""),
+            (5, "real duplicate text body"),
+            (6, "real duplicate text body"),
+        ],
+        schema,
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert got == {(3, 4), (5, 6)}
+
+
 def test_minhash_lsh_recall_and_precision(spark):
     """LSH output must be a subset of exact-Jaccard pairs (precision 1.0 by
     construction — exact verify) with recall >= 0.9 at threshold 0.8."""

@@ -23,6 +23,7 @@ from the_movie_database_import_spark.etl.parse import (
     parse_id_name_array,
     positive_bigint_or_null,
     positive_double_or_null,
+    positive_int_trunc_or_null,
 )
 from the_movie_database_import_spark.functions.text import (
     FINGERPRINT_BASE,
@@ -98,6 +99,41 @@ def test_positive_double_cleansing_matches_reference_model(spark, cells):
         assert (g is None) == (w is None)
         if g is not None:
             assert g == w
+
+
+trunc_cellish = st.one_of(
+    cellish, st.sampled_from(["inf", "-inf", "Infinity", "1.9", "0.5", "-0.5"])
+)
+
+
+def _model_positive_int_trunc(cell: str):
+    """Independent model of the runtime's float-parse-then-int() cleansing
+    (`loader.py:139-140`): NaN/inf make int() raise → NULL."""
+    try:
+        v = float(cell)
+    except (TypeError, ValueError):
+        return None
+    if not v > 0:
+        return None
+    try:
+        i = int(v)
+    except (OverflowError, ValueError):
+        return None
+    # int32 sink column: out-of-range becomes NULL (try_cast), not an error
+    return i if i <= 2**31 - 1 else None
+
+
+@SETTINGS
+@given(cells=st.lists(trunc_cellish, min_size=1, max_size=60))
+def test_positive_int_trunc_cleansing_matches_reference_model(spark, cells):
+    got = [
+        r.v
+        for r in _str_df(spark, cells)
+        .select(positive_int_trunc_or_null(F.col("c")).alias("v"))
+        .collect()
+    ]
+    want = [_model_positive_int_trunc(c) for c in cells]
+    assert got == want
 
 
 name_text = st.text(

@@ -199,9 +199,12 @@ def test_directors_last_row_and_filter(tables):
 
 def test_actors_list_semantics(tables):
     rows = {(r.person_id, r.movie_id, r.order_id) for r in tables["actors"]}
-    # movie 1's cast was overwritten by its last (empty) credits row
-    assert rows == {(200, 2, 0)}
-    assert len(tables["actors"]) == 1
+    # movie 1's last credits row has an EMPTY cast, so it does not overwrite
+    # the earlier row's cast (loader.py:275-276 assigns only when
+    # len(cast) > 0); crew, tracked independently, IS overwritten by that
+    # row (directors test). Duplicate cast entries are preserved with order.
+    assert rows == {(200, 1, 0), (200, 1, 3), (201, 1, 1), (200, 2, 0)}
+    assert len(tables["actors"]) == 4
 
 
 def test_keywords_union_semantics(tables):

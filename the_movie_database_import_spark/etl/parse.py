@@ -168,6 +168,15 @@ def positive_double_or_null(col: Column) -> Column:
 def positive_int_trunc_or_null(col: Column) -> Column:
     """Runtime semantics: pandas parses the column as float, the reference
     then ``int()``s it (`loader.py:139-140`) — i.e. float parse, truncate,
-    keep if strictly positive."""
+    keep if strictly positive.
+
+    Same NaN guard as :func:`positive_double_or_null` (Spark orders NaN above
+    every number, so 'nan' would pass ``> 0`` and cast to 0), plus an +inf
+    guard: the reference's ``int(float('inf'))`` raises (→ NULL), while
+    Spark's ``inf.cast('long')`` saturates to Long.MAX. The final int32
+    narrowing is ``try_cast`` so out-of-range values yield NULL instead of
+    an ANSI overflow error killing the job."""
     v = col.try_cast("double")
-    return F.when(v > 0, v.cast("long")).cast("integer")
+    return F.when(
+        (v > 0) & ~F.isnan(v) & (v < F.lit(float("inf"))), v.cast("long")
+    ).try_cast("integer")

@@ -302,23 +302,32 @@ def build_credit_tables(credits_raw: DataFrame) -> dict[str, DataFrame]:
         .select("id", "name")
     )
 
-    # duplicate credits rows for a movie: LAST wins (`loader.py:256,:276`)
-    last = (
-        parsed.withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("movie_id").orderBy(F.col("_idx").desc()))
+    # Duplicate credits rows for a movie: last NON-EMPTY row wins, and crew
+    # and cast are tracked independently (`loader.py:256,:266-267,:275-276`
+    # — the reference only assigns `crew_dict[movie] = crew` when
+    # `len(crew.keys()) > 0`, i.e. at least one entry carries a job, and
+    # `cast_dict[movie] = cast` when `len(cast) > 0`). A later duplicate row
+    # with an empty cast must NOT wipe an earlier row's cast.
+    def last_row(pred):
+        w = Window.partitionBy("movie_id").orderBy(F.col("_idx").desc())
+        return (
+            parsed.filter(pred)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
         )
-        .filter(F.col("_rn") == 1)
-    )
+
+    crew_last = last_row(F.exists("crew_arr", lambda e: e["has_job"]))
+    cast_last = last_row(F.size("cast_arr") > 0)
 
     crew_by_job = (
-        last.select("movie_id", F.explode("crew_arr").alias("e"))
+        crew_last.select("movie_id", F.explode("crew_arr").alias("e"))
         .filter(F.col("e.has_job") & F.col("e.id").isNotNull())
         .groupBy("movie_id", F.col("e.job").alias("job"))
         .agg(F.collect_set("e.id").alias("person_ids"))
     )
 
     directors = (
-        last.select("movie_id", F.explode("crew_arr").alias("e"))
+        crew_last.select("movie_id", F.explode("crew_arr").alias("e"))
         .filter(F.col("e.has_job") & (F.col("e.job") == "Director") & F.col("e.id").isNotNull())
         .select("movie_id", F.col("e.id").alias("director_id"))
         .distinct()
@@ -326,7 +335,7 @@ def build_credit_tables(credits_raw: DataFrame) -> dict[str, DataFrame]:
 
     # cast is an ordered LIST — duplicates preserved (ref A12)
     actors = (
-        last.select("movie_id", F.explode("cast_arr").alias("e"))
+        cast_last.select("movie_id", F.explode("cast_arr").alias("e"))
         .select(
             F.col("e.id").alias("person_id"),
             "movie_id",

@@ -139,6 +139,14 @@ def minhash_lsh_pairs(
     toksets = docs.select(
         F.col(id_col).alias("doc_id"), distinct_tokens(F.col(text_col)).alias("toks")
     ).select("doc_id", _token_hashes(F.col("toks")).alias("th"))
+    # Degenerate docs (NULL or empty text → NULL/empty token set) can never
+    # verify at jaccard >= t: pre-collapse they died in verification
+    # (array_intersect on NULL → NULL jaccard → filtered; 0/0 → NULL). They
+    # must be dropped BEFORE the set-identity collapse — xxhash64(sort_array
+    # (NULL)) is the seed constant, not NULL, so all NULL-text docs would
+    # collapse into ONE set and the intra-membership join would emit every
+    # pair of them at jaccard 1.0.
+    toksets = toksets.filter(F.col("th").isNotNull() & (F.size("th") > 0))
     # Set identity = hash of the sorted token-hash array (order-insensitive).
     toksets = toksets.withColumn("setkey", F.xxhash64(F.sort_array(F.col("th"))))
     # Used three times (reps, two expansion probes) — cache the tokenization.
