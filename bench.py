@@ -9,12 +9,19 @@ side Row deserialization is harness overhead, not engine work; a pipeline
 would write results to storage, and multi-million-row outputs would swamp
 the timing with py4j transfer otherwise). Session startup is excluded (a
 cluster pays it once, not per query).
+
+Each query is timed over $SPARK_GRAFT_BENCH_PASSES (default 3) passes after
+one untimed warmup, reporting the per-query MEDIAN: single-pass numbers on a
+shared machine swing ±25% (one GC or page-cache event made a 0.8s query read
+as 11.8s in a previous single-pass run), and the median of 3 is immune to
+one outlier pass.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -39,18 +46,22 @@ def main() -> None:
         df = REGISTRY[name].spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     names = [n for n, s in sorted(REGISTRY.items()) if s.headline]
     # Untimed warmup pass: JVM/codegen/parquet-footer caches are one-time
-    # session costs a long-lived cluster amortizes away; the timed pass
-    # measures steady-state plan build + execution.
+    # session costs a long-lived cluster amortizes away; the timed passes
+    # measure steady-state plan build + execution.
     for name in names:
         run(name)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - t0, 4)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            run(name)
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 4)
     print(

@@ -129,6 +129,24 @@ def test_simhash_pairs_runs(spark):
     out = simhash_neardup_pairs(_docs(spark), max_hamming=10).collect()
     # all emitted pairs satisfy the hamming bound
     assert all(r.hamming <= 10 for r in out)
+    # first-collision-band emission: each candidate pair exactly once —
+    # no duplicates, so no distinct() shuffle is needed (plan pin below)
+    pairs = [(r.doc_a, r.doc_b) for r in out]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_simhash_plan_has_no_distinct_aggregate(spark):
+    """The banded self-join must emit each pair once (first-collision-band),
+    not pairs x bands followed by a distinct(): the executed plan must
+    contain no HashAggregate (the physical form of distinct) and therefore
+    no post-join Exchange for it."""
+    plan = (
+        simhash_neardup_pairs(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" not in plan
 
 
 def test_lsh_topk_subset_of_bruteforce_space(spark):

@@ -45,6 +45,33 @@ def test_lsh_verification_single_intersect(spark):
     )
 
 
+def test_json_fns_single_parse(spark):
+    """q_json_fns must parse each props value exactly once (one from_json
+    struct), never the 3x get_json_object re-parse it replaced."""
+    plan = _plan(spark, "q_json_fns")
+    assert plan.count("from_json") == 1, plan.count("from_json")
+    assert "get_json_object" not in plan
+
+
+def test_tracked_caches_released_on_next_query(spark):
+    """Engine caches (minhash collapse, ETL parse reuse) must not accumulate
+    across a registry sweep: invoking any registry query releases the
+    previous query's tracked caches, and release_caches() empties executor
+    storage entirely (VERDICT r01 #8)."""
+    from the_movie_database_import_spark.session import release_caches
+
+    release_caches()
+    REGISTRY["q_dedup_minhash_lsh"].spark_fn(spark, SF_DIR).count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0, "minhash run should have cached"
+    # next query's invocation releases the minhash caches before running
+    REGISTRY["q_filter_pred"].spark_fn(spark, SF_DIR).count()
+    assert jsc.getPersistentRDDs().size() == 0, "previous caches must be freed"
+    n = release_caches()
+    assert jsc.getPersistentRDDs().size() == 0
+    assert n == 0, "no caches should remain tracked after the sweep"
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     plan = _plan(spark, "q_filter_pred")
     # (plan toString truncates long filter lists, so match the head only)

@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
         )
     counts = {name: spark.read.parquet(f"{args.out}/{name}").count() for name in tables} \
         if args.out else {name: df.count() for name, df in tables.items()}
+    from ..session import release_caches
+
+    release_caches()  # all sinks written — drop the shared parse caches
     print(
         f"loaded {len(tables)} tables in {time.time() - t0:.1f}s: "
         + ", ".join(f"{k}={v}" for k, v in sorted(counts.items())),

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from ..session import tracked_cache
 from ..sources.readers import scan_csv
 from .parse import (
     parse_cast_array,
@@ -123,7 +124,7 @@ def build_movie_tables(movies_raw: DataFrame) -> dict[str, DataFrame]:
         parse_id_name_array("production_companies").alias("companies_arr"),
         parse_country_array("production_countries").alias("countries_arr"),
     )
-    parsed.cache()  # shared by every derivation below
+    tracked_cache(parsed)  # shared by every derivation below
 
     last = (
         parsed.withColumn(
@@ -279,7 +280,7 @@ def build_credit_tables(credits_raw: DataFrame) -> dict[str, DataFrame]:
         parse_crew_array("crew").alias("crew_arr"),
         parse_cast_array("cast").alias("cast_arr"),
     )
-    parsed.cache()
+    tracked_cache(parsed)
 
     # person registry: ALL rows, crew (phase 0) before cast (phase 1) within
     # a row, first occurrence wins (`loader.py:264-265,:272-273`)
@@ -358,7 +359,7 @@ def build_keyword_tables(keywords_raw: DataFrame) -> dict[str, DataFrame]:
     ).select(
         "movie_id", "_idx", "_pos", F.col("e.id").alias("keyword_id"), F.col("e.name").alias("name")
     ).filter(F.col("keyword_id").isNotNull())
-    occ.cache()
+    tracked_cache(occ)
 
     keywords = (
         occ.withColumn(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import canonical_token_text, distinct_tokens
+from ..session import tracked_cache
 
 NUM_MINHASHES = 32
 LSH_BANDS = 8  # 8 bands x 4 rows: ~P(candidate) = 1-(1-j^4)^8
@@ -150,7 +151,7 @@ def minhash_lsh_pairs(
     # Set identity = hash of the sorted token-hash array (order-insensitive).
     toksets = toksets.withColumn("setkey", F.xxhash64(F.sort_array(F.col("th"))))
     # Used three times (reps, two expansion probes) — cache the tokenization.
-    toksets = toksets.cache()
+    toksets = tracked_cache(toksets)
     members = toksets.select("doc_id", "setkey")
     reps = toksets.groupBy("setkey").agg(
         F.min("doc_id").alias("doc_id"), F.min_by("th", "doc_id").alias("th")
@@ -174,7 +175,7 @@ def minhash_lsh_pairs(
     # the signatures would be computed twice and tokenization four times.
     # (At cluster scale: persist to MEMORY_AND_DISK or materialize
     # signatures to a table first.)
-    base = base.cache()
+    base = tracked_cache(base)
 
     banded = base.select(
         "doc_id",

@@ -62,41 +62,59 @@ def simhash_neardup_pairs(
 
     Two signatures within Hamming distance 3 must agree exactly on at least
     one of four 16-bit bands (pigeonhole); larger radii trade recall. The
-    band join is the shuffle — tiny (doc_id, band, 16-bit value) rows."""
+    band join is the shuffle — tiny (doc_id, band, 16-bit value) rows.
+
+    First-collision-band emission (same trick as minhash_lsh_pairs): a
+    near-dup pair collides in several bands, so a naive banded self-join
+    emits each pair up to ``n_bands`` times and needs a full ``distinct()``
+    shuffle over the candidate stream to dedupe. Carrying every band value
+    as a scalar column on both join sides and keeping a match only when no
+    EARLIER band also matched emits each candidate pair exactly once — the
+    post-join Exchange disappears and candidate volume is the true pair
+    count, not pairs x bands."""
+    n_bands = SIMHASH_BITS // BAND_BITS
     sigs = simhash_signatures(docs, text_col, id_col)
-    bands = sigs.select(
+    base = sigs.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * BAND_BITS)
-                    .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
-                    .alias(f"b{i}")
-                    for i in range(SIMHASH_BITS // BAND_BITS)
-                ]
-            )
-        ).alias("band_id", "band_val"),
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * BAND_BITS)
+            .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+            .alias(f"b{i}")
+            for i in range(n_bands)
+        ],
     )
-    cand = (
-        bands.alias("a")
+    banded = base.select(
+        "doc_id",
+        "simhash",
+        *[f"b{i}" for i in range(n_bands)],
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(n_bands)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    # "No earlier band also matched" as a CASE chain over long comparisons —
+    # whole-stage-codegens with zero per-row allocation.
+    no_earlier = F.when(F.col("a.band_id") == 0, F.lit(True))
+    distinct_so_far = None
+    for b in range(1, n_bands):
+        neq = F.col(f"a.b{b - 1}") != F.col(f"b.b{b - 1}")
+        distinct_so_far = neq if distinct_so_far is None else (distinct_so_far & neq)
+        no_earlier = no_earlier.when(F.col("a.band_id") == b, distinct_so_far)
+    return (
+        banded.alias("a")
         .join(
-            bands.alias("b"),
+            banded.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & no_earlier,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -95,6 +95,26 @@ TAIL_PRIORITY = [
 ]
 
 
+def _wrap_release(spec: QuerySpec) -> QuerySpec:
+    """Starting a query releases the PREVIOUS query's tracked caches, so a
+    long-lived session sweeping the registry retains at most one query's
+    working set (VERDICT r01 #8). The current query's own caches stay live —
+    its returned DataFrame hasn't executed yet."""
+    import dataclasses
+
+    from ..session import release_caches
+
+    inner = spec.spark_fn
+
+    def fn(spark, sf_dir):
+        release_caches()
+        return inner(spark, sf_dir)
+
+    fn.__doc__ = inner.__doc__
+    fn.__name__ = inner.__name__
+    return dataclasses.replace(spec, spark_fn=fn)
+
+
 def _reorder() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
     if missing:
@@ -102,7 +122,7 @@ def _reorder() -> None:
     placed = set(DRIVER_WINDOW) | set(TAIL_PRIORITY)
     rest = [n for n in REGISTRY if n not in placed]
     ordered = {
-        n: REGISTRY[n]
+        n: _wrap_release(REGISTRY[n])
         for n in [*DRIVER_WINDOW, *[t for t in TAIL_PRIORITY if t in REGISTRY], *rest]
     }
     REGISTRY.clear()

@@ -380,13 +380,20 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (ref A5 nested-cell parsing
-    generalized to real JSON; `loader.py:146` et al.)."""
+    generalized to real JSON; `loader.py:146` et al.).
+
+    Single-parse: one ``from_json`` into a struct, fields projected from it —
+    three ``get_json_object`` calls would parse the same JSON three times per
+    row (headline query; tests/test_plans.py pins one parse in the plan)."""
     events = load_table(spark, sf_dir, "events")
-    return events.select(
+    parsed = events.select(
+        "event_id", F.from_json("props", "k STRING, missing STRING").alias("p")
+    )
+    return parsed.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
-        F.get_json_object("props", "$.missing").try_cast("bigint").alias("missing_field"),
+        F.col("p.k").alias("k_str"),
+        F.col("p.k").try_cast("bigint").alias("k_num"),
+        F.col("p.missing").try_cast("bigint").alias("missing_field"),
     )
 
 

@@ -11,9 +11,36 @@ from __future__ import annotations
 import os
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_APP_NAME = "the-movie-database-import-spark"
+
+# Caches created by engine operators (minhash collapse, ETL parse reuse, ...).
+# A long-lived session (the external harness's, a notebook's) would otherwise
+# accumulate executor storage across queries — tracked caches are released
+# when the NEXT registry query starts (plans/__init__ wraps every entry) and
+# explicitly at pipeline/bench completion points, so at most one query's
+# working set is ever retained.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + registration for :func:`release_caches`."""
+    df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released."""
+    n = len(_TRACKED_CACHES)
+    for df in _TRACKED_CACHES:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _TRACKED_CACHES.clear()
+    return n
 
 _PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
 _shipped_sessions: set[int] = set()
