@@ -50,6 +50,18 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )
+    # Raw pandas dtypes must agree BEFORE normalize's float64 coercion: the
+    # driver's value-hash is dtype-sensitive, so e.g. Spark floor (int64) vs
+    # DuckDB floor (float64) is a driver FAIL even when values match (the
+    # exact q_math_fns r01 failure). tools/exact_parity.py is the full
+    # atol=0 mirror of the driver; this assertion puts the dtype half of it
+    # in every suite run.
+    sd = {c: str(t) for c, t in spark_pdf.dtypes.items()}
+    od = {c: str(t) for c, t in oracle_pdf.dtypes.items()}
+    dtype_diffs = {
+        c: (sd.get(c), od.get(c)) for c in set(sd) | set(od) if sd.get(c) != od.get(c)
+    }
+    assert not dtype_diffs, f"{name}: spark-vs-oracle dtype mismatches {dtype_diffs}"
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns {list(a.columns)} != oracle {list(b.columns)}"

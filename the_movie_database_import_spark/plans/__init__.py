@@ -19,8 +19,11 @@ from . import udfs  # noqa: F401,E402
 
 # First 50 = the driver-checked window: one entry per §2 component.
 DRIVER_WINDOW = [
-    # flagship + row-op surface (§2 C6-C14)
-    "q_flagship_star_revenue",
+    # row-op surface (§2 C6-C14). The flagship itself lives in the tail: the
+    # harness smoke-checks it every round via entry(), and its star-join
+    # component is covered in-window by q_join_multiway_star — freeing one
+    # window slot for a set-op component row.
+    "q_union_all",
     "q_project_rename",
     "q_filter_pred",
     "q_safe_cast",
@@ -83,6 +86,7 @@ DRIVER_WINDOW = [
 # (if the driver's cap is looser than 50, these are captured next); variants
 # already driver-green in CORRECTNESS_r01.json go last.
 TAIL_PRIORITY = [
+    "q_flagship_star_revenue",
     "q_dedup_canonical",
     "q_dedup_simhash",
     "q_similarity_lsh_topk",
