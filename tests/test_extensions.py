@@ -14,9 +14,12 @@ from the_movie_database_import_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from the_movie_database_import_spark.operators.multimodal import (
+    RESIZE_BUCKETS,
     assets_from_documents,
     decode_image,
     extract_features,
+    resize_signal,
+    sample_frames,
 )
 from the_movie_database_import_spark.operators.simhash import (
     _simhash_one,
@@ -198,6 +201,47 @@ def test_multimodal_features_shape(spark):
     assert len(r0.byte_histogram) == 16
     assert sum(r0.byte_histogram) == r0.n_bytes
     assert 0 <= r0.mean_byte <= 255
+
+
+def test_multimodal_frame_sample_matches_python_model(spark):
+    """Every sampled frame (idx, length, digest) must match a pure-Python
+    byte-slicing model of the same payloads — the Arrow row-expansion
+    (one asset → many frame rows) is the property under test."""
+    import hashlib
+
+    docs = _docs(spark).limit(50)
+    assets = assets_from_documents(docs)
+    got = {
+        (r.asset_id, r.frame_idx): (r.frame_len, r.frame_sha256)
+        for r in sample_frames(assets, frame_bytes=64, every=4).collect()
+    }
+    want = {}
+    for r in assets.collect():
+        b = bytes(r.payload)
+        n = (len(b) + 63) // 64
+        for i in range(0, n, 4):
+            fr = b[i * 64 : (i + 1) * 64]
+            want[(r.asset_id, i)] = (len(fr), hashlib.sha256(fr).hexdigest())
+    assert got == want
+
+
+def test_multimodal_resize_matches_python_model(spark):
+    """Bucket (sum, len) pairs must match numpy-free Python area pooling:
+    exact integer arithmetic, bucket lens summing to the payload size."""
+    docs = _docs(spark).limit(50)
+    assets = assets_from_documents(docs)
+    got = {
+        r.asset_id: (r.orig_bytes, list(r.bucket_sums), list(r.bucket_lens))
+        for r in resize_signal(assets).collect()
+    }
+    for r in assets.collect():
+        b = bytes(r.payload)
+        bounds = [i * len(b) // RESIZE_BUCKETS for i in range(RESIZE_BUCKETS + 1)]
+        sums = [sum(b[bounds[i] : bounds[i + 1]]) for i in range(RESIZE_BUCKETS)]
+        lens = [bounds[i + 1] - bounds[i] for i in range(RESIZE_BUCKETS)]
+        ob, gs, gl = got[r.asset_id]
+        assert ob == len(b) and gs == sums and gl == lens
+        assert sum(gl) == ob, "bucket lens must partition the payload"
 
 
 def test_binned_range_join_equals_bruteforce(spark):

@@ -78,6 +78,97 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64  # pseudo-frame size for the stubbed video path
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+RESIZE_BUCKETS = 16
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("orig_bytes", LongType()),
+        StructField("bucket_sums", ArrayType(LongType())),
+        StructField("bucket_lens", ArrayType(LongType())),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = FRAME_BYTES, every: int = 4
+) -> DataFrame:
+    """Frame sampling over opaque video payloads: slice each payload into
+    fixed-size pseudo-frames and keep every ``every``-th, one OUTPUT ROW PER
+    SAMPLED FRAME (asset_id, frame_idx, frame length, frame digest).
+
+    This is the row-expanding multimodal shape a real video pipeline needs —
+    ``mapInPandas`` yielding multiple rows per input asset, Arrow in both
+    directions — with ffmpeg's keyframe extraction swapped for deterministic
+    byte slicing of identical signature (the brief's allowed stub). Frames
+    are emitted as digests, not payloads: at 100 TB the sampled-frame bytes
+    would be written to a side store, never shuffled in row form.
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAME_SAMPLE_SCHEMA.fields}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(fr))
+                    out["frame_sha256"].append(hashlib.sha256(fr).hexdigest())
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    from ..sources.readers import fan_out
+
+    return fan_out(assets).mapInPandas(gen, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def resize_signal(assets: DataFrame, buckets: int = RESIZE_BUCKETS) -> DataFrame:
+    """Resize/downsample over opaque payloads: area-pool the byte signal into
+    ``buckets`` equal spans, emitting exact integer (sum, len) per bucket —
+    the deterministic stand-in for an image resize (PIL's reduce box filter
+    has the same batch shape). Integer sums keep the output exactly
+    reproducible across partitionings and engines (no float accumulation),
+    and mean = sum/len is recoverable losslessly downstream."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for asset_id, media_type, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(
+                    bytes(payload) if payload is not None else b"", dtype=np.uint8
+                )
+                # exact integer bucket bounds (i*size//buckets): no float
+                # rounding anywhere, so the pooling is bit-reproducible
+                bounds = [i * arr.size // buckets for i in range(buckets + 1)]
+                sums = [int(arr[bounds[i] : bounds[i + 1]].sum()) for i in range(buckets)]
+                lens = [int(bounds[i + 1] - bounds[i]) for i in range(buckets)]
+                out["asset_id"].append(asset_id)
+                out["media_type"].append(media_type)
+                out["orig_bytes"].append(int(arr.size))
+                out["bucket_sums"].append(sums)
+                out["bucket_lens"].append(lens)
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    from ..sources.readers import fan_out
+
+    return fan_out(assets).mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
 def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Byte-level feature extraction over Arrow batches (``mapInPandas``):
     payload size, mean byte value, 16-bin byte histogram.

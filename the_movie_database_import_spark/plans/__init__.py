@@ -95,7 +95,9 @@ TAIL_PRIORITY = [
     "q_text_quality",
     "q_token_count",
     "q_doc_fingerprint",
+    "q_multimodal_frame_sample",
     "q_multimodal_features",
+    "q_multimodal_resize",
 ]
 
 

@@ -29,7 +29,12 @@ from ..operators.dedup import (
     jaccard_pairs_exact,
     minhash_lsh_pairs,
 )
-from ..operators.multimodal import assets_from_documents, extract_features
+from ..operators.multimodal import (
+    assets_from_documents,
+    extract_features,
+    resize_signal,
+    sample_frames,
+)
 from ..operators.simhash import simhash_neardup_pairs
 from ..operators.similarity import (
     cosine_neardup_pairs,
@@ -520,4 +525,61 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("byte_histogram", lambda x: x.cast("string")), ",").alias(
             "histogram_csv"
         ),
+    )
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+    WITH assets AS (
+        -- DuckDB substring works on VARCHAR only; documents.text is pure
+        -- ASCII at every SF (asserted by the paired Spark/oracle hash), so
+        -- char slicing equals the byte slicing the Spark side performs.
+        SELECT doc_id AS asset_id, text AS payload
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        SELECT asset_id, payload,
+               unnest(range(0,
+                            CAST(ceil(octet_length(encode(payload)) / 64.0) AS BIGINT),
+                            4)) AS frame_idx
+        FROM assets
+    )
+    SELECT asset_id,
+           frame_idx,
+           CAST(length(substring(payload, frame_idx * 64 + 1, 64)) AS BIGINT)
+               AS frame_len,
+           sha256(substring(payload, frame_idx * 64 + 1, 64)) AS frame_sha256
+    FROM frames
+    """,
+    tags=("multimodal", "ext", "udf"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads (north star `multimodal_columns`,
+    decode/frame-sample stage): every 4th 64-byte pseudo-frame of each
+    video-typed asset, one row per sampled frame with its digest — the
+    row-expanding mapInPandas shape a real ffmpeg keyframe extractor uses.
+    The DuckDB oracle reproduces the slicing with blob substring + sha256,
+    so the Arrow plumbing is value-hash-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs).filter(F.col("media_type") == "video/mp4")
+    return sample_frames(assets, frame_bytes=64, every=4)
+
+
+@register("q_multimodal_resize", oracle=None, tags=("multimodal", "ext", "udf"))
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stage for image payloads: area-pool the byte signal
+    into 16 exact integer (sum, len) buckets per asset (rows-only — the
+    bucket arithmetic is pinned against a pure-Python model in
+    tests/test_extensions.py; arrays are emitted as CSV strings so the
+    output is schema-stable for the rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs).filter(F.col("media_type") == "image/png")
+    resized = resize_signal(assets)
+    as_csv = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")  # noqa: E731
+    return resized.select(
+        "asset_id",
+        "orig_bytes",
+        as_csv("bucket_sums").alias("bucket_sums_csv"),
+        as_csv("bucket_lens").alias("bucket_lens_csv"),
     )
