@@ -203,6 +203,45 @@ def test_multimodal_features_shape(spark):
     assert 0 <= r0.mean_byte <= 255
 
 
+def test_ngram_jaccard_is_order_sensitive(spark):
+    """Shingle Jaccard must separate what unigram Jaccard cannot: a word-
+    scrambled copy has unigram jaccard 1.0 but (near-)zero bigram jaccard,
+    while a true verbatim copy scores 1.0 on both."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.functions.text import word_shingles
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "alpha beta gamma delta epsilon zeta"),
+            (2, "s", "zeta epsilon delta gamma beta alpha"),  # scrambled
+            (3, "s", "alpha beta gamma delta epsilon zeta"),  # verbatim
+            (4, "s", "tiny"),  # shorter than the shingle width: no shingles
+        ],
+        schema,
+    )
+    uni = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_exact(docs, threshold=0.9).collect()
+    }
+    bi = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_exact(
+            docs, threshold=0.9, tokens_fn=lambda c: word_shingles(c, 2)
+        ).collect()
+    }
+    assert set(uni) == {(1, 2), (1, 3), (2, 3)}  # unigram can't tell order
+    assert set(bi) == {(1, 3)}  # bigram keeps only the verbatim copy
+    assert bi[(1, 3)] == 1.0
+
+
 def test_multimodal_frame_sample_matches_python_model(spark):
     """Every sampled frame (idx, length, digest) must match a pure-Python
     byte-slicing model of the same payloads — the Arrow row-expansion

@@ -41,6 +41,25 @@ def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles: every run of ``n`` consecutive tokens
+    joined with a space. Documents shorter than ``n`` tokens produce an
+    EMPTY array (the `when` guard matters: `sequence(0, negative)` would
+    generate a descending sequence, not an empty one). All-builtin —
+    sequence + slice + array_join whole-stage-codegen; no explode until the
+    consumer asks for one."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def canonical_token_text(text: Column) -> Column:
     """Order-insensitive canonical form: sorted distinct tokens re-joined.
     Two permuted/duplicated-word documents canonicalize identically — the

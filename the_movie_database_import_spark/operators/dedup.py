@@ -15,6 +15,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import canonical_token_text, distinct_tokens
@@ -348,9 +350,15 @@ def jaccard_pairs_exact(
     block_col: str = "source",
     threshold: float = 0.8,
     max_token_df: int | None = None,
+    tokens_fn: "Callable[[Column], Column]" = distinct_tokens,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key, via an
     inverted token index (the SQL-oracle-checkable twin of the LSH path).
+
+    ``tokens_fn`` selects the set elements: ``distinct_tokens`` (unigram
+    sets, the default) or ``word_shingles(…, n)`` for n-gram Jaccard —
+    shingles preserve local word ORDER, so reordered-but-same-vocabulary
+    documents score low where unigram Jaccard scores 1.0.
 
     The join fans out on (block, token) — at 100 TB the blocking key bounds
     the candidate space the way LSH buckets do. ``max_token_df`` is the skew
@@ -367,7 +375,7 @@ def jaccard_pairs_exact(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
-        distinct_tokens(F.col(text_col)).alias("toks"),
+        tokens_fn(F.col(text_col)).alias("toks"),
     )
     sizes = base.select("doc_id", F.size("toks").cast("bigint").alias("n_toks"))
     inv = base.select("doc_id", "block", F.explode("toks").alias("tok"))

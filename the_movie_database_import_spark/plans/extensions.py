@@ -583,3 +583,47 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_csv("bucket_sums").alias("bucket_sums_csv"),
         as_csv("bucket_lens").alias("bucket_lens_csv"),
     )
+
+
+@register(
+    "q_text_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t), 1)),
+                   i -> array_to_string(t[i:i+1], ' ')))) AS tok
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM tok a
+        JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.05
+    """,
+    tags=("dedup", "text", "ext"),
+)
+def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-BIGRAM (2-shingle) Jaccard pairs (north star `n-gram Jaccard`):
+    same inverted-index plan as q_text_jaccard_pairs but over order-
+    preserving shingles, so reordered-but-same-vocabulary docs — which score
+    1.0 on unigram sets — score near zero here. The corpus's near-dups are
+    word-scrambled, hence the low 0.05 threshold: this query surfaces the
+    partial-phrase-overlap band the unigram operator cannot see."""
+    from ..functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(
+        docs, threshold=0.05, tokens_fn=lambda c: word_shingles(c, 2)
+    )
