@@ -72,6 +72,18 @@ def test_tracked_caches_released_on_next_query(spark):
     assert n == 0, "no caches should remain tracked after the sweep"
 
 
+def test_salted_join_spreads_skewed_key(spark):
+    """The salted join must shuffle on (event_type, _salt) — a hot key
+    occupies n_salts partitions instead of one — and must NOT broadcast
+    (salting exists for the non-broadcastable case)."""
+    plan = _plan(spark, "q_join_salted_skew")
+    assert "BroadcastHashJoin" not in plan, "salted join must not broadcast"
+    m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert m and "_salt" in m.group(1), (
+        f"join exchange must partition on the salt too: {m.group(1) if m else None}"
+    )
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     plan = _plan(spark, "q_filter_pred")
     # (plan toString truncates long filter lists, so match the head only)

@@ -627,3 +627,37 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_exact(
         docs, threshold=0.05, tokens_fn=lambda c: word_shingles(c, 2)
     )
+
+
+@register(
+    "q_join_salted_skew",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_type,
+               CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS type_total
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, s.n_type, s.type_total
+    FROM events e JOIN stats s USING (event_type)
+    """,
+    tags=("join", "skew", "ext"),
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join on a pathologically skewed key: events.event_type
+    has ~5 distinct values, so a plain shuffle join lands each type's entire
+    fact slice in ONE task. salted_join spreads every type over 8 salt
+    partitions (operators/skew.py); the oracle is the plain join — salting
+    must be invisible in the result. tests/test_plans.py pins the shape:
+    the exchange partitions on (event_type, _salt) and no broadcast."""
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n_type"),
+        F.sum(F.col("value").cast("decimal(9,2)")).cast("double").alias("type_total"),
+    )
+    return salted_join(events, stats, "event_type", "event_id", n_salts=8).select(
+        "event_id", "event_type", "n_type", "type_total"
+    )
