@@ -24,6 +24,27 @@ def test_query_matches_oracle(name, spark, duck):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
+def test_approx_count_distinct_error_bound(spark, duck):
+    """The HLL++ sketch has no value oracle (sketches differ across engines),
+    but its ESTIMATE must sit within the configured relative error of the
+    exact distinct count per group — rsd=0.01, asserted at a loose 5% so the
+    bound never flakes while still catching a broken sketch."""
+    approx = {
+        r.o_orderstatus: r.approx_n_customers
+        for r in REGISTRY["q_agg_approx_count_distinct"].spark_fn(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for status, n_exact in exact.items():
+        assert abs(approx[status] - n_exact) <= max(0.05 * n_exact, 2), (
+            f"{status}: approx {approx[status]} vs exact {n_exact}"
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
