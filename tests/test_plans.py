@@ -72,6 +72,18 @@ def test_tracked_caches_released_on_next_query(spark):
     assert n == 0, "no caches should remain tracked after the sweep"
 
 
+def test_corpus_curation_single_shuffle_no_python(spark):
+    """The composed curation pipeline (quality score -> lang filter ->
+    canonical dedup flag) must stay one fused scan-side projection plus
+    exactly one exchange (the dedup window) with zero Python stages."""
+    plan = _plan(spark, "q_corpus_curation")
+    assert plan.count("Exchange hashpartitioning") == 1, plan.count(
+        "Exchange hashpartitioning"
+    )
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
 def test_salted_join_spreads_skewed_key(spark):
     """The salted join must shuffle on (event_type, _salt) — a hot key
     occupies n_salts partitions instead of one — and must NOT broadcast

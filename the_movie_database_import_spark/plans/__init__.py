@@ -96,6 +96,7 @@ TAIL_PRIORITY = [
     "q_token_count",
     "q_doc_fingerprint",
     "q_text_ngram_jaccard",
+    "q_corpus_curation",
     "q_join_salted_skew",
     "q_multimodal_frame_sample",
     "q_multimodal_features",

@@ -661,3 +661,84 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(events, stats, "event_type", "event_id", n_salts=8).select(
         "event_id", "event_type", "n_type", "type_total"
     )
+
+
+@register(
+    "q_corpus_curation",
+    oracle=None,  # installed below (composes the generated langid scoring SQL)
+    tags=("text", "dedup", "ext", "pipeline"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composed pipeline a training-data
+    run executes as ONE declarative plan: quality scoring → threshold filter
+    → language-ID filter → canonical-token-set dedup with survivor flag.
+    Catalyst fuses all three scalar stages into the scan projection (no
+    Python anywhere), and the only shuffle is the dedup window on the
+    canonical key. Each stage is also oracle-checked standalone
+    (q_text_quality / q_text_langid / q_dedup_canonical); this query proves
+    the COMPOSITION is hash-exact too."""
+    from ..functions.text import canonical_token_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        m["n_tokens"].alias("n_tokens"),
+        m["quality_score"].alias("quality_score"),
+        langid(F.col("text")).alias("lang_pred"),
+    ).filter((F.col("quality_score") >= 0.6) & F.col("lang_pred").isin("en", "de"))
+    w = Window.partitionBy(canonical_token_text(F.col("text")))
+    return base.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        "quality_score",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    )
+
+
+def _install_curation_oracle() -> None:
+    from .registry import REGISTRY, QuerySpec
+
+    aliases, case = langid_oracle_sql("text")
+    sql = f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 0.5
+                 + (1 - CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains([{_STOP_LITS}], x))) AS DOUBLE)
+                      / len(string_split(text, ' '))) * 0.3
+                 + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.2
+                   AS quality_score
+        FROM documents
+    ),
+    l AS (
+        SELECT doc_id, {case} AS lang_pred
+        FROM (SELECT doc_id, {aliases} FROM documents) scored
+    ),
+    base AS (
+        SELECT q.doc_id, q.text, q.n_tokens, q.quality_score, l.lang_pred
+        FROM q JOIN l ON q.doc_id = l.doc_id
+        WHERE q.quality_score >= 0.6 AND l.lang_pred IN ('en', 'de')
+    )
+    SELECT doc_id, lang_pred, n_tokens, quality_score,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY
+                array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS BOOLEAN) AS is_kept
+    FROM base
+    """
+    spec = REGISTRY["q_corpus_curation"]
+    REGISTRY["q_corpus_curation"] = QuerySpec(
+        name=spec.name,
+        spark_fn=spec.spark_fn,
+        oracle=sql,
+        headline=spec.headline,
+        tags=spec.tags,
+        doc=spec.doc,
+    )
+
+
+_install_curation_oracle()
