@@ -136,6 +136,34 @@ def test_positive_int_trunc_cleansing_matches_reference_model(spark, cells):
     assert got == want
 
 
+shingle_text = st.text(
+    alphabet=st.sampled_from("ab "), max_size=30
+)  # short alphabet forces repeated tokens and empty-token edge cases
+
+
+@SETTINGS
+@given(texts=st.lists(shingle_text, min_size=1, max_size=30), n=st.integers(1, 4))
+def test_word_shingles_matches_python_model(spark, texts, n):
+    """word_shingles == distinct n-grams of the whitespace split, [] for
+    docs shorter than n tokens (the sequence(0, negative) guard)."""
+    from the_movie_database_import_spark.functions.text import word_shingles
+
+    got = [
+        r.s
+        for r in _str_df(spark, texts)
+        .select(word_shingles(F.col("c"), n).alias("s"))
+        .collect()
+    ]
+    for text, g in zip(texts, got):
+        toks = text.split(" ")
+        want = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        )
+        assert g == want, f"{text!r} n={n}: {g} != {want}"
+
+
 name_text = st.text(
     alphabet=st.characters(
         codec="utf-8", exclude_categories=("Cs",), exclude_characters="\x00"

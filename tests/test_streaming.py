@@ -96,21 +96,23 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     assert_frames_match(final, batch_out, "stateful_user_totals")
 
 
-def test_watermarked_append_subset(spark):
-    """Append mode with watermark emits only finalized windows — a subset of
-    the complete-mode result."""
+def test_watermarked_append_equals_batch_twin(spark):
+    """Append mode with watermark emits only finalized windows — and for a
+    bounded availableNow run, EXACTLY the rows of the oracle-checked batch
+    twin q_window_watermark (final watermark = max(ts) - delay, windows with
+    end <= watermark). This ties the live streaming operator to the same
+    query the external harness hash-gates."""
+    from the_movie_database_import_spark.plans import REGISTRY
     from the_movie_database_import_spark.streaming.windows import watermarked_tumbling_agg
 
     out = run_to_memory(
         watermarked_tumbling_agg(stream_events(spark, SF_DIR)), "t_wm", "append"
     ).toPandas()
-    full = (
-        tumbling_agg(_batch_events(spark))
-        .toPandas()[["window_start", "event_type", "n_events"]]
-    )
-    merged = out.merge(full, on=["window_start", "event_type"], suffixes=("_s", "_b"))
-    assert len(merged) == len(out)
-    assert (merged.n_events_s == merged.n_events_b).all()
+    twin = REGISTRY["q_window_watermark"].spark_fn(spark, SF_DIR).toPandas()
+    cols = ["window_start", "event_type", "n_events"]
+    assert set(map(tuple, out[cols].values)) == set(map(tuple, twin[cols].values))
+    # and still a strict subset of the unwatermarked complete result
+    full = tumbling_agg(_batch_events(spark)).toPandas()[cols]
     assert len(out) <= len(full)
 
 
