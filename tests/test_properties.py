@@ -108,16 +108,18 @@ trunc_cellish = st.one_of(
 
 def _model_positive_int_trunc(cell: str):
     """Independent model of the runtime's float-parse-then-int() cleansing
-    (`loader.py:139-140`): NaN/inf make int() raise → NULL."""
+    (`is_positive_integer`, `loader.py:37-42` + `:139-140`): NaN/inf make
+    int() raise (→ NULL), and positivity is checked on the TRUNCATED value
+    — int('0.5'-as-float) == 0 is not > 0, so '0.5' → NULL."""
     try:
         v = float(cell)
     except (TypeError, ValueError):
         return None
-    if not v > 0:
-        return None
     try:
         i = int(v)
     except (OverflowError, ValueError):
+        return None
+    if not i > 0:
         return None
     # int32 sink column: out-of-range becomes NULL (try_cast), not an error
     return i if i <= 2**31 - 1 else None

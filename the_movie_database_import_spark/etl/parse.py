@@ -167,16 +167,15 @@ def positive_double_or_null(col: Column) -> Column:
 
 def positive_int_trunc_or_null(col: Column) -> Column:
     """Runtime semantics: pandas parses the column as float, the reference
-    then ``int()``s it (`loader.py:139-140`) — i.e. float parse, truncate,
-    keep if strictly positive.
+    then ``int()``s it and checks positivity on the TRUNCATED value
+    (`is_positive_integer`, `loader.py:37-42`; applied `loader.py:139-140`)
+    — so '0.5' truncates to 0 and becomes NULL, not 0.
 
-    Same NaN guard as :func:`positive_double_or_null` (Spark orders NaN above
-    every number, so 'nan' would pass ``> 0`` and cast to 0), plus an +inf
-    guard: the reference's ``int(float('inf'))`` raises (→ NULL), while
-    Spark's ``inf.cast('long')`` saturates to Long.MAX. The final int32
-    narrowing is ``try_cast`` so out-of-range values yield NULL instead of
-    an ANSI overflow error killing the job."""
-    v = col.try_cast("double")
-    return F.when(
-        (v > 0) & ~F.isnan(v) & (v < F.lit(float("inf"))), v.cast("long")
-    ).try_cast("integer")
+    ``try_cast('long')`` does the truncation with ANSI semantics and NULL on
+    error, which exactly covers the reference's exception path: NaN and ±inf
+    make ``int()`` raise (→ NULL), and out-of-long-range magnitudes go NULL
+    rather than saturating. The final int32 narrowing is ``try_cast`` so
+    out-of-range values yield NULL instead of an overflow error killing the
+    job."""
+    t = col.try_cast("double").try_cast("long")
+    return F.when(t > 0, t).try_cast("integer")

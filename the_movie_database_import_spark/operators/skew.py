@@ -38,7 +38,18 @@ def salted_join(
     on the salt values, only parallelism does. The small side is hinted
     SHUFFLE_HASH: salting exists precisely for the case where broadcast is
     off the table, and the replicated small side should be the build side.
+
+    Only big-side-preserving joins are supported: for right/full outer an
+    unmatched small-side key would surface once per replica (n_salts
+    null-extended rows instead of one), so those modes are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "replicating the small side breaks right/full-outer semantics"
+        )
     salt = F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).cast("int")
     big_salted = big.withColumn("_salt", salt)
     small_salted = small.withColumn(

@@ -17,90 +17,92 @@ from . import streaming_batch  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
-# First 50 = the driver-checked window: one entry per §2 component.
+# First 50 = the driver-checked window. Round-3 rotation (VERDICT r02 #1):
+# the 14 queries that had never earned a driver row (the r02 TAIL_PRIORITY
+# set) move in-window; 14 r02-green variants move to the tail. Every family
+# keeps >=1 in-window representative, and every rotated-out query already has
+# a green row in CORRECTNESS_r01/r02, so no family loses its only driver
+# evidence across rounds.
 DRIVER_WINDOW = [
-    # row-op surface (§2 C6-C14). The flagship itself lives in the tail: the
-    # harness smoke-checks it every round via entry(), and its star-join
-    # component is covered in-window by q_join_multiway_star — freeing one
-    # window slot for a set-op component row.
+    # row-op + set-op representatives (the other row ops are r01+r02 green)
     "q_union_all",
+    "q_math_fns",
+    "q_json_fns",
+    # joins
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_join_multiway_star",
+    "q_join_asof",
+    "q_join_salted_skew",
+    # aggregations
+    "q_agg_avg_per_key",
+    "q_agg_multi",
+    "q_agg_first_nonnull",
+    "q_dedup_by_key",
+    "q_agg_count_by_value",
+    "q_agg_grouping_sets",
+    "q_agg_count_distinct",
+    # window functions + ordering
+    "q_win_rank",
+    "q_win_running_sum",
+    "q_topk_per_group",
+    "q_sort_multi_key",
+    "q_topk_global",
+    # event-time windows / streaming twins
+    "q_window_tumbling",
+    "q_window_session",
+    "q_window_watermark",
+    "q_dedup_first_event",
+    "q_stateful_user_totals",
+    # Python-surface UDFs
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_applyinpandas_group_pct",
+    # LLM-pipeline operators (full surface: every dedup/similarity/text/
+    # multimodal operator now has an in-window slot)
+    "q_dedup_exact",
+    "q_dedup_canonical",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_text_tfidf_top_term",
+    "q_similarity_topk_cosine",
+    "q_similarity_lsh_topk",
+    "q_similarity_ivf_topk",
+    "q_text_jaccard_pairs",
+    "q_text_ngram_jaccard",
+    "q_text_langid",
+    "q_text_quality",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_dedup_embedding_cosine",
+    "q_dedup_clusters",
+    "q_corpus_curation",
+    "q_multimodal_metadata",
+    "q_multimodal_frame_sample",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+]
+
+
+# Tail: everything here is already driver-green in CORRECTNESS_r01 or r02
+# (flagship was r01-green and is smoke-checked every round via entry()).
+TAIL_PRIORITY = [
+    "q_flagship_star_revenue",
     "q_project_rename",
     "q_filter_pred",
     "q_safe_cast",
     "q_positive_or_null",
     "q_string_fns",
     "q_date_fns",
-    "q_math_fns",
-    "q_json_fns",
     "q_array_fns",
-    # joins (C15-C21)
     "q_join_inner_equi",
     "q_join_left_outer",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_join_multiway_star",
-    "q_join_asof",
-    # aggregations (C22-C30)
-    "q_agg_avg_per_key",
-    "q_agg_multi",
     "q_agg_collect_set",
-    "q_agg_first_nonnull",
-    "q_dedup_by_key",
-    "q_agg_count_by_value",
-    "q_agg_grouping_sets",
-    "q_agg_count_distinct",
-    # window functions + ordering (C31-C38)
-    "q_win_rank",
     "q_win_lag_lead",
-    "q_win_running_sum",
     "q_win_sliding_frame",
     "q_win_ntile_pctrank",
-    "q_topk_per_group",
-    "q_sort_multi_key",
-    "q_topk_global",
-    # event-time windows / streaming twins (C41-C46)
-    "q_window_tumbling",
     "q_window_sliding",
-    "q_window_session",
-    "q_window_watermark",
-    "q_dedup_first_event",
-    "q_stateful_user_totals",
-    # Python-surface UDFs (C48-C50)
-    "q_pandas_udf_scalar",
-    "q_pandas_udf_grouped_agg",
-    "q_applyinpandas_group_pct",
-    # LLM-pipeline operators (C51-C55)
-    "q_dedup_exact",
-    "q_dedup_minhash_lsh",
-    "q_text_tfidf_top_term",
-    "q_similarity_topk_cosine",
-    "q_text_jaccard_pairs",
-    "q_dedup_embedding_cosine",
-    "q_dedup_clusters",
-    "q_multimodal_metadata",
-]
-
-
-# Tail priority: queries with no driver row yet come right after the window
-# (if the driver's cap is looser than 50, these are captured next); variants
-# already driver-green in CORRECTNESS_r01.json go last.
-TAIL_PRIORITY = [
-    "q_flagship_star_revenue",
-    "q_dedup_canonical",
-    "q_dedup_simhash",
-    "q_similarity_lsh_topk",
-    "q_similarity_ivf_topk",
-    "q_text_langid",
-    "q_text_quality",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_text_ngram_jaccard",
-    "q_corpus_curation",
-    "q_join_salted_skew",
-    "q_multimodal_frame_sample",
-    "q_multimodal_features",
-    "q_multimodal_resize",
 ]
 
 
@@ -108,7 +110,16 @@ def _wrap_release(spec: QuerySpec) -> QuerySpec:
     """Starting a query releases the PREVIOUS query's tracked caches, so a
     long-lived session sweeping the registry retains at most one query's
     working set (VERDICT r01 #8). The current query's own caches stay live —
-    its returned DataFrame hasn't executed yet."""
+    its returned DataFrame hasn't executed yet.
+
+    ASSUMPTION: builders and executions interleave strictly (build q1 ->
+    execute q1 -> build q2 -> ...), which is how the driver, bench.py, and
+    tests consume the registry. A consumer that builds several DataFrames
+    before executing the first would have its earlier queries' caches
+    released mid-flight — results stay CORRECT (unpersist only drops the
+    materialized blocks; lineage recomputes), but the intra-query cache
+    reuse degrades to recomputation. If such a consumer appears, release on
+    execution boundaries (QueryExecutionListener) instead of build time."""
     import dataclasses
 
     from ..session import release_caches
