@@ -317,3 +317,57 @@ def test_binned_range_join_equals_bruteforce(spark):
     want = sorted((r.lid, r.rid) for r in brute.collect())
     assert got == want
     assert len(got) == len(set(got)), "binned join emitted duplicate pairs"
+
+
+def test_cosine_neardup_lsh_recall_and_exact_precision(spark):
+    """The banded-LSH near-dup scale path must be a SUBSET of the exact
+    all-pairs twin (verification is exact cosine, so precision is 1.0 by
+    construction) with recall >= 0.8 at the query's own parameters. The
+    hyperplanes are deterministic, so this is an exact pin, not a flaky
+    statistical bound."""
+    from the_movie_database_import_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_neardup_pairs(emb, 0.4, "label").collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_neardup_pairs_lsh(
+            emb, 0.4, "label", planes=12, bands=6
+        ).collect()
+    }
+    assert lsh <= exact, "LSH emitted a pair the exact twin rejects"
+    assert exact, "fixture must contain near-dup pairs at threshold 0.4"
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_simhash_batch_matches_scalar_model():
+    """The vectorized batch SimHash must be bit-exact with the scalar
+    reference model across edge cases (empty string, repeated tokens,
+    unicode, single token)."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.simhash import (
+        _simhash_batch,
+        _simhash_one,
+    )
+
+    texts = [
+        "",
+        " ",
+        "one",
+        "the quick brown fox jumps over the lazy dog",
+        "the the the the",
+        "naïve café über ß",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "x" * 1000,
+        "tok " * 200,
+    ]
+    got = list(_simhash_batch(pd.Series(texts)))
+    want = [_simhash_one(t) for t in texts]
+    assert got == want

@@ -267,47 +267,132 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmdb_dir, tmp_path):
 
 
 def test_jdbc_fk_safe_order_with_constraints_on(spark, tmdb_dir, tmp_path):
-    """The FK-safe write order is what lets constraints STAY ON (deviation
-    D4, vs the reference's disabled triggers): into a Derby schema with a
-    real foreign key, dims-then-bridges succeeds, while writing the bridge
-    first violates the constraint and fails."""
+    """ENGINE-GENERATED DDL bootstrap (ref A18, `loader.py:81-91` +
+    `db_schema.json:2-16`) + FK-safe write order with constraints STAYING ON
+    (deviation D4, vs the reference's disabled triggers): bootstrap_schema
+    creates the full 15-table schema with live FKs, a bridge-first write
+    violates a constraint and fails, and the ordered full load succeeds."""
+    from the_movie_database_import_spark.sources.schema import bootstrap_schema
     from the_movie_database_import_spark.sources.writers import (
+        JDBC_WRITE_ORDER,
         write_all_jdbc,
         write_jdbc,
     )
 
     url = f"jdbc:derby:{tmp_path}/tmdb_fk;create=true"
-    jvm = spark._jvm
-    jvm.java.lang.Class.forName(DERBY_DRIVER)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    st = conn.createStatement()
-    st.executeUpdate(
-        "CREATE TABLE keywords (id BIGINT PRIMARY KEY, keyword VARCHAR(500))"
-    )
-    st.executeUpdate(
-        "CREATE TABLE movies_keywords (movie_id BIGINT, "
-        "keyword_id BIGINT REFERENCES keywords(id))"
-    )
-    conn.close()
+    bootstrap_schema(spark, url, driver=DERBY_DRIVER)
+    # re-bootstrap must also work against the now-populated-with-DDL schema
+    # (the reference drops before every load)
+    bootstrap_schema(spark, url, driver=DERBY_DRIVER)
 
     tables = build_all_tables(spark, tmdb_dir)
-    subset = {k: tables[k] for k in ("keywords", "movies_keywords")}
 
-    # bridge-first violates the live FK — proves constraints are enforced
+    # bridge-first violates the live engine-created FK — constraints are on
     with pytest.raises(Exception, match="(?i)foreign key|violation"):
-        write_jdbc(subset["movies_keywords"], url, "movies_keywords",
+        write_jdbc(tables["movies_keywords"], url, "movies_keywords",
                    properties=DERBY_PROPS)
 
-    # FK-safe order (write_all_jdbc follows JDBC_WRITE_ORDER) succeeds
-    write_all_jdbc(subset, url, properties=DERBY_PROPS)
-    back = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", "movies_keywords")
-        .option("driver", DERBY_DRIVER)
-        .load()
+    # FK-safe order (write_all_jdbc follows JDBC_WRITE_ORDER) succeeds for
+    # the WHOLE schema with every FK enforced
+    write_all_jdbc(tables, url, properties=DERBY_PROPS)
+    for name in JDBC_WRITE_ORDER:
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", name)
+            .option("driver", DERBY_DRIVER)
+            .load()
+        )
+        assert back.count() == tables[name].count(), name
+
+
+def test_schema_registry_mirrors_reference_ddl():
+    """The DDL registry must mirror db_schema.json structurally: 15 tables,
+    serial pk everywhere, every FK clause present and create-order-safe
+    (referenced tables precede referrers — what makes D4 possible)."""
+    from the_movie_database_import_spark.sources.schema import (
+        TABLES,
+        create_table_sql,
     )
-    assert back.count() == subset["movies_keywords"].count() > 0
+
+    assert len(TABLES) == 15
+    seen = set()
+    for t in TABLES:
+        for _, ref in t.fks:
+            assert ref in seen, f"{t.name} references {ref} before it is created"
+        seen.add(t.name)
+    pg = create_table_sql("movies", "postgresql")
+    assert pg.startswith("CREATE TABLE movies (id serial primary key, ")
+    assert "foreign key (original_language) references languages (id)" in pg
+    assert "foreign key (belongs_to_collection) references collections (id)" in pg
+    derby = create_table_sql("actors", "derby")
+    assert "GENERATED BY DEFAULT AS IDENTITY" in derby
+    assert "FOREIGN KEY (movie_id) REFERENCES movies (id)" in derby
+    # every reference column name present
+    for table, col in [("movies", "belongs_to_collection"), ("languages", "lang_key"),
+                       ("countries", "code"), ("keywords", "keyword"),
+                       ("actors", "order_id")]:
+        assert col in create_table_sql(table, "postgresql")
+
+
+def test_jdbc_exactly_once_swap_and_failure_isolation(spark, tmp_path):
+    """Exactly-once JDBC load (SURVEY §7.4(5)): the staged swap atomically
+    replaces the target's contents, and a load that dies mid-stream leaves
+    the target EXACTLY as before — Spark never touches the target table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.schema import execute_statements
+    from the_movie_database_import_spark.sources.writers import (
+        write_jdbc,
+        write_jdbc_exactly_once,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/tmdb_xo;create=true"
+    execute_statements(
+        spark, url,
+        ["CREATE TABLE kv (id BIGINT, val VARCHAR(100))"],
+        driver=DERBY_DRIVER,
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    write_jdbc(spark.createDataFrame([(1, "old")], schema), url, "kv",
+               properties=DERBY_PROPS)
+
+    def read_back():
+        # Derby uppercases unquoted identifiers; normalize for comparison
+        df = (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "kv").option("driver", DERBY_DRIVER).load()
+        )
+        df = df.toDF(*[c.lower() for c in df.columns])
+        return sorted((r.id, r.val) for r in df.collect())
+
+    # happy path: swap REPLACES (truncate-and-reload), never appends
+    good = spark.createDataFrame([(2, "new"), (3, "new")], schema)
+    write_jdbc_exactly_once(good, url, "kv", properties=DERBY_PROPS)
+    assert read_back() == [(2, "new"), (3, "new")]
+
+    # failing load: one partition succeeds, one raises mid-stream
+    @F.udf(StringType())
+    def boom(i):
+        if i >= 10:
+            raise RuntimeError("injected mid-write failure")
+        return f"v{i}"
+
+    bad = (
+        spark.range(0, 20, 1, 2)
+        .select(F.col("id").cast("long").alias("id"), boom("id").alias("val"))
+    )
+    with pytest.raises(Exception):
+        write_jdbc_exactly_once(bad, url, "kv", properties=DERBY_PROPS)
+    assert read_back() == [(2, "new"), (3, "new")], (
+        "failed load must leave the target exactly as before"
+    )
+    # staging was cleaned up: rerunning a good load still works
+    write_jdbc_exactly_once(good, url, "kv", properties=DERBY_PROPS)
+    assert read_back() == [(2, "new"), (3, "new")]
 
 
 def test_cli_end_to_end(tmdb_dir, tmp_path, spark):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
@@ -22,6 +23,8 @@ BAND_BITS = 16  # 4 bands of 16 bits: candidates must share >=1 exact band
 
 
 def _simhash_one(text: str) -> int:
+    """Scalar reference model (kept as the determinism oracle for the
+    vectorized batch path below; the UDF itself never calls this)."""
     acc = [0] * SIMHASH_BITS
     for tok in set(text.split(" ")):
         h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
@@ -35,9 +38,54 @@ def _simhash_one(text: str) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
+_BIT_IDX = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """NumPy bit-matrix SimHash over a whole Arrow batch (VERDICT r02 #5).
+
+    Only the per-unique-token MD5 stays in Python (hashlib has no vector
+    form, and a per-batch cache hashes each distinct token once); the
+    per-bit accumulation — the old inner 64-iteration Python loop per token
+    — becomes one (tokens x 64) bit-matrix plus a segmented sum. Bit-exact
+    with :func:`_simhash_one` (pinned in tests)."""
+    tok_idx: dict[str, int] = {}
+    hashes: list[int] = []
+    idx_list: list[int] = []
+    doc_token_counts: list[int] = []
+    for text in texts:
+        toks = set(text.split(" "))
+        doc_token_counts.append(len(toks))
+        for tok in toks:
+            i = tok_idx.get(tok)
+            if i is None:
+                i = len(hashes)
+                tok_idx[tok] = i
+                hashes.append(
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                )
+            idx_list.append(i)
+    if not idx_list:
+        return pd.Series(np.empty(0, dtype=np.int64))
+    # Bit-expand each UNIQUE token once (unique x 64 int8), then gather per
+    # token instance — the int8 gather is the only tokens-x-64 intermediate,
+    # 8x smaller than an int64 matrix, and the per-doc sum upcasts to int32.
+    h_u = np.array(hashes, dtype=np.uint64)
+    contrib_u = (2 * ((h_u[:, None] >> _BIT_IDX[None, :]) & 1).astype(np.int8)) - 1
+    idx = np.array(idx_list, dtype=np.intp)
+    # every doc has >=1 token (''.split(' ') == ['']), so reduceat offsets
+    # are strictly increasing and cover each doc exactly once
+    offsets = np.concatenate(([0], np.cumsum(doc_token_counts)[:-1]))
+    acc = np.add.reduceat(contrib_u[idx], offsets, axis=0, dtype=np.int32)
+    sig_bits = (acc > 0).astype(np.uint64)
+    sigs = (sig_bits << _BIT_IDX[None, :]).sum(axis=1, dtype=np.uint64)
+    # two's-complement reinterpretation == the scalar path's signed fold
+    return pd.Series(sigs.view(np.int64))
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(_simhash_one)
+    return _simhash_batch(texts)
 
 
 def simhash_signatures(

@@ -47,7 +47,6 @@ DRIVER_WINDOW = [
     "q_win_rank",
     "q_win_running_sum",
     "q_topk_per_group",
-    "q_sort_multi_key",
     "q_topk_global",
     # event-time windows / streaming twins
     "q_window_tumbling",
@@ -76,6 +75,7 @@ DRIVER_WINDOW = [
     "q_token_count",
     "q_doc_fingerprint",
     "q_dedup_embedding_cosine",
+    "q_dedup_embedding_cosine_lsh",
     "q_dedup_clusters",
     "q_corpus_curation",
     "q_multimodal_metadata",
@@ -99,6 +99,7 @@ TAIL_PRIORITY = [
     "q_join_inner_equi",
     "q_join_left_outer",
     "q_agg_collect_set",
+    "q_sort_multi_key",
     "q_win_lag_lead",
     "q_win_sliding_frame",
     "q_win_ntile_pctrank",

@@ -38,6 +38,7 @@ from ..operators.multimodal import (
 from ..operators.simhash import simhash_neardup_pairs
 from ..operators.similarity import (
     cosine_neardup_pairs,
+    cosine_neardup_pairs_lsh,
     cosine_topk,
     ivf_topk,
     lsh_bucket_topk,
@@ -260,6 +261,27 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key plays the role LSH buckets play at scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(emb, threshold=0.4, block_col="label")
+
+
+@register(
+    "q_dedup_embedding_cosine_lsh",
+    oracle=None,
+    tags=("similarity", "dedup", "ext", "lsh"),
+)
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: banded hyperplane LSH
+    sub-buckets within each label block, so the join key is (block, band,
+    band_val) — no unbounded within-block all-pairs (VERDICT r02 #2). The
+    synthetic corpus has no planted high-similarity pairs (max within-label
+    cosine ~0.5), so this query runs at threshold 0.4 with narrow 2-bit
+    bands for recall at that low angle; recall vs the exact twin
+    (q_dedup_embedding_cosine) is pinned in tests/test_extensions.py.
+    No oracle: LSH recall is hash-function-specific (same contract as
+    q_dedup_minhash_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs_lsh(
+        emb, threshold=0.4, block_col="label", planes=12, bands=6
+    )
 
 
 @register("q_similarity_lsh_topk", oracle=None, tags=("similarity", "ext", "lsh"))

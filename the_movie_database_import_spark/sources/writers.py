@@ -63,6 +63,78 @@ def write_all_jdbc(
             )
 
 
+def write_jdbc_exactly_once(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Exactly-once JDBC load via staging table + atomic swap (SURVEY
+    §7.4(5), VERDICT r02 #4).
+
+    Spark's JDBC writer is at-least-once per partition: a mid-write failure
+    leaves a partial ``append`` in the target, and a task retry re-inserts
+    its whole partition. The reference has the same flaw in different form
+    — per-batch commits under disabled triggers (`loader.py:342-343`).
+    Here the target table is never touched by Spark at all:
+
+    1. a constraint-free staging clone is (re)created,
+    2. Spark appends into STAGING — failures/retries dirty only staging,
+    3. one DB transaction does DELETE-target + INSERT-from-staging — the
+       swap is all-or-nothing, so the target atomically jumps from its old
+       contents to the complete new load (truncate-and-reload semantics,
+       matching the reference's drop/create, `loader.py:81-91`),
+    4. staging is dropped.
+
+    Single-table scope: a target referenced by live FK rows elsewhere can't
+    be DELETEd — for full-schema loads run ``bootstrap_schema`` first and
+    compose per-table swaps in ``JDBC_WRITE_ORDER``.
+    """
+    from .schema import (
+        dialect_from_url,
+        drop_table_sql,
+        execute_statements,
+        execute_transaction,
+        stage_clone_sql,
+    )
+
+    spark = df.sparkSession
+    dialect = dialect_from_url(url)
+    driver = (properties or {}).get("driver")
+    stage = f"{table}__stage"
+    execute_statements(
+        spark, url, [drop_table_sql(stage, dialect)], driver=driver, ignore_errors=True
+    )
+    execute_statements(
+        spark, url, [stage_clone_sql(table, stage, dialect)], driver=driver
+    )
+    try:
+        write_jdbc(
+            df, url, stage, batch_size=batch_size, properties=properties
+        )
+    except Exception:
+        execute_statements(
+            spark, url, [drop_table_sql(stage, dialect)],
+            driver=driver, ignore_errors=True,
+        )
+        raise
+    cols = ", ".join(df.columns)
+    execute_transaction(
+        spark,
+        url,
+        [
+            f"DELETE FROM {table}",
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+        ],
+        driver=driver,
+    )
+    execute_statements(
+        spark, url, [drop_table_sql(stage, dialect)], driver=driver, ignore_errors=True
+    )
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,
