@@ -371,3 +371,54 @@ def test_simhash_batch_matches_scalar_model():
     got = list(_simhash_batch(pd.Series(texts)))
     want = [_simhash_one(t) for t in texts]
     assert got == want
+
+
+def test_curation_near_dup_skew_cap_bounds_fanout(spark):
+    """VERDICT r02 #6: the composed curation pipeline must be skew-safe by
+    default. A stop-word-heavy block (one token in ALL docs) makes the
+    uncapped inverted-index join emit every pair (quadratic fan-out); with
+    max_token_df the fan-out collapses to the genuinely-similar pairs, and
+    capped scores are a LOWER BOUND of the exact ones (never false
+    positives)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.operators.curation import curate_corpus
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ])
+    rows = [
+        (1, "the alpha beta gamma delta", "s1"),
+        (2, "the alpha beta gamma epsilon", "s1"),
+    ] + [(i, f"the u{i}a u{i}b u{i}c u{i}d", "s1") for i in range(3, 31)]
+    docs = spark.createDataFrame(rows, schema)
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_exact(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_exact(docs, threshold=0.05, max_token_df=5).collect()
+    }
+    # the ubiquitous token links EVERY pair without the cap...
+    assert len(uncapped) == 30 * 29 // 2
+    # ...and the cap prunes the fan-out to the one genuinely-similar pair
+    assert set(capped) == {(1, 2)}
+    # lower-bound semantics: capped pairs are a subset with <= scores
+    for k, v in capped.items():
+        assert k in uncapped and v <= uncapped[k] + 1e-12
+    assert capped[(1, 2)] == pytest.approx(3 / 7)  # 'the' dropped from inter
+    assert uncapped[(1, 2)] == pytest.approx(4 / 6)
+
+    # composed pipeline: near-dup stage applies the cap by default and
+    # flags the higher-id doc of the pair, keeping the survivor unflagged
+    out = curate_corpus(
+        docs, quality_threshold=0.0, langs=("en",),
+        near_dup_threshold=0.05, max_token_df=5,
+    )
+    flags = {r.doc_id: r.is_near_dup for r in out.collect()}
+    assert flags[2] is True and flags[1] is False
+    assert sum(flags.values()) == 1

@@ -1,0 +1,87 @@
+"""Composed corpus-curation pipeline ([ext], north star: the end-to-end
+flow a training-data run executes — quality scoring → language filter →
+canonical dedup → optional near-dup pairing), skew-safe BY DEFAULT.
+
+The scalar stages fuse into the scan projection (no Python, pinned in
+tests/test_plans.py); the canonical-dedup window is the only shuffle. The
+optional near-dup stage rides the inverted-token-index Jaccard join, whose
+100 TB failure mode is token skew: a stop-word-grade token appearing in d
+docs of a block contributes d² join rows. ``max_token_df`` (threaded to
+``jaccard_pairs_exact``) caps that fan-out at the pipeline level — the
+composed flagship is skew-safe without each caller re-remembering the guard
+(VERDICT r02 #6). Capped scores are a documented LOWER BOUND: dropping a
+ubiquitous token undercounts intersections but never inflates them, so the
+cap can only suppress pairs, never invent them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import canonical_token_text, langid, quality_metrics
+from .dedup import jaccard_pairs_exact
+
+# Default skew cap for the near-dup stage: a token must appear in more
+# documents than this (per block) to be pruned. 1000 bounds any single
+# token's join fan-out at ~10^6 rows per block — noise at cluster scale —
+# while leaving every topically-meaningful token intact.
+DEFAULT_MAX_TOKEN_DF = 1000
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    quality_threshold: float = 0.6,
+    langs: tuple[str, ...] = ("en", "de"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_threshold: float | None = None,
+    block_col: str = "source",
+    max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
+) -> DataFrame:
+    """Quality-score, language-filter, and canonical-dedup ``docs``; with
+    ``near_dup_threshold`` set, additionally flag near-duplicate documents
+    (``is_near_dup``) via blocked exact-Jaccard pairing with the
+    ``max_token_df`` skew cap applied by default.
+
+    Near-dup flagging keeps the pair's LOWEST-id document unflagged (the
+    survivor convention shared with canonical_dedup/minhash clustering)."""
+    m = quality_metrics(F.col(text_col))
+    base = docs.select(
+        id_col,
+        text_col,
+        *([block_col] if near_dup_threshold is not None else []),
+        m["n_tokens"].alias("n_tokens"),
+        m["quality_score"].alias("quality_score"),
+        langid(F.col(text_col)).alias("lang_pred"),
+    ).filter(
+        (F.col("quality_score") >= quality_threshold)
+        & F.col("lang_pred").isin(*langs)
+    )
+    w = Window.partitionBy(canonical_token_text(F.col(text_col)))
+    curated = base.select(
+        id_col,
+        *([block_col] if near_dup_threshold is not None else []),
+        "lang_pred",
+        "n_tokens",
+        "quality_score",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_kept"),
+    )
+    if near_dup_threshold is None:
+        return curated
+    pairs = jaccard_pairs_exact(
+        base.select(id_col, text_col, block_col),
+        text_col=text_col,
+        id_col=id_col,
+        block_col=block_col,
+        threshold=near_dup_threshold,
+        max_token_df=max_token_df,
+    )
+    dup_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return (
+        curated.join(
+            dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
+        )
+        .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+        .drop(block_col)
+    )

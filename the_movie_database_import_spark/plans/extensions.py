@@ -698,26 +698,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python anywhere), and the only shuffle is the dedup window on the
     canonical key. Each stage is also oracle-checked standalone
     (q_text_quality / q_text_langid / q_dedup_canonical); this query proves
-    the COMPOSITION is hash-exact too."""
-    from ..functions.text import canonical_token_text
+    the COMPOSITION is hash-exact too. The library pipeline behind it
+    (operators/curation.py) also offers a near-dup stage with the
+    max_token_df skew cap ON BY DEFAULT — exercised with its lower-bound
+    semantics in tests/test_extensions.py; omitted here to keep this query
+    SQL-oracle-exact."""
+    from ..operators.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    m = quality_metrics(F.col("text"))
-    base = docs.select(
-        "doc_id",
-        "text",
-        m["n_tokens"].alias("n_tokens"),
-        m["quality_score"].alias("quality_score"),
-        langid(F.col("text")).alias("lang_pred"),
-    ).filter((F.col("quality_score") >= 0.6) & F.col("lang_pred").isin("en", "de"))
-    w = Window.partitionBy(canonical_token_text(F.col("text")))
-    return base.select(
-        "doc_id",
-        "lang_pred",
-        "n_tokens",
-        "quality_score",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
-    )
+    return curate_corpus(docs, quality_threshold=0.6, langs=("en", "de"))
 
 
 def _install_curation_oracle() -> None:
