@@ -71,13 +71,14 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     assert each user's LAST emitted running total equals the all-data batch
     aggregate (the q_stateful_user_totals registry twin)."""
     from the_movie_database_import_spark.plans import REGISTRY
-    from the_movie_database_import_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    from the_movie_database_import_spark.streaming.windows import _events_raw_schema
 
     src = str(tmp_path / "events_split")
     load_table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
 
+    # the rewrite above stores ts as native TIMESTAMP_NTZ micros
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_is_long=False))
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )

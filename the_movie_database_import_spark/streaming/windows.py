@@ -24,37 +24,56 @@ from pyspark.sql.types import (
 
 from ..session import configure_session
 
-# Parquet-on-disk schema of the events table (ts is TIMESTAMP(NANOS), read
-# as long under spark.sql.legacy.parquet.nanosAsLong).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_raw_schema(ts_is_long: bool) -> StructType:
+    """Stream-source schema for the events table. ``ts`` on disk is either
+    TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ) or TIMESTAMP(NANOS)
+    (readable only as a long under spark.sql.legacy.parquet.nanosAsLong) —
+    the file source needs the schema up front, so the batch reader's footer
+    schema decides which variant applies."""
+    from pyspark.sql.types import TimestampNTZType
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table with event-time `ts`.
 
     A production deployment swaps this for a Kafka/Kinesis source; every
-    transform downstream is source-agnostic.
+    transform downstream is source-agnostic. The on-disk timestamp encoding
+    is probed from the parquet footer (one cheap batch-reader call) so both
+    the TIMESTAMP(NANOS) and TIMESTAMP(MICROS) encodings stream correctly —
+    same adaptivity as the batch ``load_table``.
     """
     configure_session(spark)
+    ts_is_long = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+        == "bigint"
+    )
     # The file source requires a directory; pathGlobFilter narrows the
     # listing to the events table inside the shared sf_dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Exact integer division (`div`), matching load_table: double `/` loses
-    # integer exactness above 2^53 and can skew the truncation by 1 µs.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        # Exact integer division (`div`), matching load_table: double `/`
+        # loses integer exactness above 2^53 and can skew truncation by 1 µs.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ); the session tz is
+    # pinned to UTC by configure_session, so the cast is an exact relabel —
+    # identical to the batch twins' ts.cast("timestamp").
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
