@@ -407,3 +407,29 @@ def test_cli_end_to_end(tmdb_dir, tmp_path, spark):
     assert movies.count() > 0
     for t in ("genres", "actors", "directors", "movies_keywords"):
         assert spark.read.parquet(str(out / t)).columns
+
+
+def test_cli_jdbc_end_to_end_bootstraps_empty_database(spark, tmdb_dir, tmp_path):
+    """`--jdbc-url` against an EMPTY database must self-bootstrap the 15-table
+    schema (engine DDL) and load it — the reference-user story: the reference
+    drops/creates before every load (loader.py:81-91), so no manual DDL step
+    may be required here either."""
+    from the_movie_database_import_spark.etl.__main__ import main
+
+    url = f"jdbc:derby:{tmp_path}/tmdb_cli;create=true"
+    assert main([str(tmdb_dir), "--jdbc-url", url,
+                 "--jdbc-driver", DERBY_DRIVER]) == 0
+    movies = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "movies").option("driver", DERBY_DRIVER).load()
+    )
+    assert movies.count() == 3
+    # rerun: the default bootstrap drops + reloads (reference semantics),
+    # so counts stay stable instead of doubling via append
+    assert main([str(tmdb_dir), "--jdbc-url", url,
+                 "--jdbc-driver", DERBY_DRIVER]) == 0
+    assert (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "movies").option("driver", DERBY_DRIVER).load().count()
+        == 3
+    )

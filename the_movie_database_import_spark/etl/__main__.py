@@ -28,6 +28,16 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--out", help="output directory for parquet tables")
     parser.add_argument("--jdbc-url", help="JDBC URL to load instead of parquet")
     parser.add_argument(
+        "--jdbc-driver", default=None,
+        help="JDBC driver class (e.g. org.postgresql.Driver)",
+    )
+    parser.add_argument(
+        "--no-bootstrap", action="store_true",
+        help="skip the DROP/CREATE schema bootstrap before the JDBC load "
+             "(default mirrors the reference, which recreates all 15 tables "
+             "per run — loader.py:81-91)",
+    )
+    parser.add_argument(
         "--batch-size", type=int, default=None,
         help="JDBC insert batch size (default 50000, db_config.json:6)",
     )
@@ -49,8 +59,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.out:
         write_all_parquet(tables, args.out)
     if args.jdbc_url:
+        props = {"driver": args.jdbc_driver} if args.jdbc_driver else None
+        if not args.no_bootstrap:
+            from ..sources.schema import bootstrap_schema
+
+            bootstrap_schema(spark, args.jdbc_url, driver=args.jdbc_driver)
         write_all_jdbc(
-            tables, args.jdbc_url, batch_size=args.batch_size or DEFAULT_BATCH_SIZE
+            tables, args.jdbc_url,
+            batch_size=args.batch_size or DEFAULT_BATCH_SIZE,
+            properties=props,
         )
     counts = {name: spark.read.parquet(f"{args.out}/{name}").count() for name in tables} \
         if args.out else {name: df.count() for name, df in tables.items()}
