@@ -433,3 +433,21 @@ def test_cli_jdbc_end_to_end_bootstraps_empty_database(spark, tmdb_dir, tmp_path
         .option("dbtable", "movies").option("driver", DERBY_DRIVER).load().count()
         == 3
     )
+
+
+def test_db_config_json_reference_format(tmp_path):
+    """A reference user's db_config.json (username/password/host/db_name/
+    batch_size, loader.py:580-586) must map verbatim onto the CLI's JDBC
+    parameters."""
+    import json as _json
+
+    from the_movie_database_import_spark.etl.__main__ import load_db_config
+
+    cfg = {"username": "postgres", "password": "pg", "host": "dbhost",
+           "db_name": "test_db", "batch_size": 50000}
+    p = tmp_path / "db_config.json"
+    p.write_text(_json.dumps(cfg))
+    url, props, batch = load_db_config(str(p))
+    assert url == "jdbc:postgresql://dbhost:5432/test_db"
+    assert props == {"user": "postgres", "password": "pg"}
+    assert batch == 50000

@@ -15,8 +15,28 @@ no trigger disabling needed; contrast ``loader.py:597-605``).
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
+
+
+def load_db_config(path: str) -> tuple[str, dict[str, str], int | None]:
+    """Parse a reference-format ``db_config.json`` (`loader.py:580-586`,
+    keys ``username password host db_name batch_size``; the reference builds
+    a psycopg2 conn string from them, `loader.py:52-60`) into
+    (jdbc_url, connection properties, batch_size). PostgreSQL is the
+    reference's only target, so the URL scheme is ``jdbc:postgresql``."""
+    with open(path) as f:
+        cfg = json.load(f)
+    host = cfg.get("host", "localhost")
+    port = cfg.get("port", 5432)  # reference omits it; psycopg2 defaults 5432
+    url = f"jdbc:postgresql://{host}:{port}/{cfg['db_name']}"
+    props = {}
+    if "username" in cfg:
+        props["user"] = str(cfg["username"])
+    if "password" in cfg:
+        props["password"] = str(cfg["password"])
+    return url, props, cfg.get("batch_size")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -41,9 +61,23 @@ def main(argv: list[str] | None = None) -> int:
         "--batch-size", type=int, default=None,
         help="JDBC insert batch size (default 50000, db_config.json:6)",
     )
+    parser.add_argument(
+        "--config", default=None,
+        help="reference-format db_config.json (username/password/host/"
+             "db_name/batch_size, loader.py:580-586) — a user switching from "
+             "the reference reuses their config file verbatim; explicit "
+             "--jdbc-url/--batch-size flags override it",
+    )
     args = parser.parse_args(argv)
+    if args.config:
+        url, props, cfg_batch = load_db_config(args.config)
+        args.jdbc_url = args.jdbc_url or url
+        args.batch_size = args.batch_size or cfg_batch
+        args.config_props = props
+    else:
+        args.config_props = None
     if not args.out and not args.jdbc_url:
-        parser.error("need --out and/or --jdbc-url")
+        parser.error("need --out, --jdbc-url, or --config")
 
     from ..session import get_spark
     from ..sources.writers import (
@@ -59,7 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.out:
         write_all_parquet(tables, args.out)
     if args.jdbc_url:
-        props = {"driver": args.jdbc_driver} if args.jdbc_driver else None
+        props = dict(args.config_props or {})
+        if args.jdbc_driver:
+            props["driver"] = args.jdbc_driver
         if not args.no_bootstrap:
             from ..sources.schema import bootstrap_schema
 
@@ -67,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         write_all_jdbc(
             tables, args.jdbc_url,
             batch_size=args.batch_size or DEFAULT_BATCH_SIZE,
-            properties=props,
+            properties=props or None,
         )
     counts = {name: spark.read.parquet(f"{args.out}/{name}").count() for name in tables} \
         if args.out else {name: df.count() for name, df in tables.items()}
