@@ -26,11 +26,26 @@ from the_movie_database_import_spark.plans import DRIVER_WINDOW, REGISTRY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _is_green(row: dict) -> bool:
+    """A driver row only counts as evidence when it PASSED: oracle rows must
+    match on rows/schema/hash; `no_oracle` rows (hash-function-specific ops)
+    are the expected weaker rows-only check. A failed row must NOT license
+    rotating its query out of the window."""
+    if row.get("err") == "no_oracle":
+        return True
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is not False
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    )
+
+
 def _historical_rows() -> set[str]:
     checked: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
-            checked.update(json.load(f))
+            checked.update(k for k, v in json.load(f).items() if _is_green(v))
     return checked
 
 

@@ -99,7 +99,9 @@ def main(argv: list[str] | None = None) -> int:
         if not args.no_bootstrap:
             from ..sources.schema import bootstrap_schema
 
-            bootstrap_schema(spark, args.jdbc_url, driver=args.jdbc_driver)
+            # same credential properties as the data writes — the DDL
+            # connection must authenticate too
+            bootstrap_schema(spark, args.jdbc_url, properties=props)
         write_all_jdbc(
             tables, args.jdbc_url,
             batch_size=args.batch_size or DEFAULT_BATCH_SIZE,

@@ -169,7 +169,14 @@ def cosine_neardup_pairs_lsh(
             ],
         )
     )
-    banded = base.select(
+    # The banded self-join shuffles/broadcasts its rows bands-times, so the
+    # 64-double vector must NOT ride along (it would multiply the exchange
+    # payload by the band count). The join sides carry only ids, blocks, and
+    # band longs; vectors re-attach to the (sparse, sub-bucket-bounded)
+    # candidate stream afterwards — the opposite trade from minhash_lsh_pairs,
+    # where a duplicate-heavy corpus makes candidates outnumber banded rows.
+    vecs = base.select("vec_id", "v", "v_norm")
+    banded = base.drop("v", "v_norm").select(
         "*",
         F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)])).alias(
             "band_id", "band_val"
@@ -183,7 +190,7 @@ def cosine_neardup_pairs_lsh(
         neq = F.col(f"a.b{b - 1}") != F.col(f"b.b{b - 1}")
         distinct_so_far = neq if distinct_so_far is None else (distinct_so_far & neq)
         no_earlier = no_earlier.when(F.col("a.band_id") == b, distinct_so_far)
-    return (
+    cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -193,16 +200,30 @@ def cosine_neardup_pairs_lsh(
             & (F.col("a.vec_id") < F.col("b.vec_id"))
             & no_earlier,
         )
-        .withColumn(
-            "cosine",
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.v_norm") * F.col("b.v_norm")),
-        )
-        .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine", 6).alias("cosine"),
         )
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("av"),
+        F.col("v_norm").alias("av_norm"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("bv"),
+        F.col("v_norm").alias("bv_norm"),
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            dot(F.col("av"), F.col("bv")) / (F.col("av_norm") * F.col("bv_norm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
 
 

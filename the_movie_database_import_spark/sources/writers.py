@@ -82,57 +82,71 @@ def write_jdbc_exactly_once(
 
     1. a constraint-free staging clone is (re)created,
     2. Spark appends into STAGING — failures/retries dirty only staging,
-    3. one DB transaction does DELETE-target + INSERT-from-staging — the
+    3. the staging row count is verified against the DataFrame's count —
+       a task retry that re-committed its partition (Spark is at-least-once
+       per partition) or a speculative duplicate shows up as a mismatch and
+       ABORTS before the target is touched,
+    4. one DB transaction does DELETE-target + INSERT-from-staging — the
        swap is all-or-nothing, so the target atomically jumps from its old
        contents to the complete new load (truncate-and-reload semantics,
        matching the reference's drop/create, `loader.py:81-91`),
-    4. staging is dropped.
+    5. staging is dropped (also on swap failure).
 
-    Single-table scope: a target referenced by live FK rows elsewhere can't
-    be DELETEd — for full-schema loads run ``bootstrap_schema`` first and
-    compose per-table swaps in ``JDBC_WRITE_ORDER``.
+    The verification count executes ``df`` a second time, so ``df`` must be
+    deterministic between the write and the count — checkpoint/persist
+    nondeterministic inputs first (at 100 TB you want the input materialized
+    before a full reload anyway). Single-table scope: a target referenced by
+    live FK rows elsewhere can't be DELETEd — for full-schema loads run
+    ``bootstrap_schema`` first and compose per-table swaps in
+    ``JDBC_WRITE_ORDER``.
     """
     from .schema import (
         dialect_from_url,
         drop_table_sql,
         execute_statements,
         execute_transaction,
+        query_scalar_long,
         stage_clone_sql,
     )
 
     spark = df.sparkSession
     dialect = dialect_from_url(url)
-    driver = (properties or {}).get("driver")
     stage = f"{table}__stage"
-    execute_statements(
-        spark, url, [drop_table_sql(stage, dialect)], driver=driver, ignore_errors=True
-    )
-    execute_statements(
-        spark, url, [stage_clone_sql(table, stage, dialect)], driver=driver
-    )
-    try:
-        write_jdbc(
-            df, url, stage, batch_size=batch_size, properties=properties
-        )
-    except Exception:
+
+    def _drop_stage() -> None:
         execute_statements(
             spark, url, [drop_table_sql(stage, dialect)],
-            driver=driver, ignore_errors=True,
+            properties=properties, ignore_errors=True,
         )
-        raise
-    cols = ", ".join(df.columns)
-    execute_transaction(
-        spark,
-        url,
-        [
-            f"DELETE FROM {table}",
-            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
-        ],
-        driver=driver,
-    )
+
+    _drop_stage()
     execute_statements(
-        spark, url, [drop_table_sql(stage, dialect)], driver=driver, ignore_errors=True
+        spark, url, [stage_clone_sql(table, stage, dialect)], properties=properties
     )
+    try:
+        write_jdbc(df, url, stage, batch_size=batch_size, properties=properties)
+        expected = df.count()
+        staged = query_scalar_long(
+            spark, url, f"SELECT COUNT(*) FROM {stage}", properties=properties
+        )
+        if staged != expected:
+            raise RuntimeError(
+                f"exactly-once load aborted: staging holds {staged} rows but "
+                f"the DataFrame has {expected} — a task retry or speculative "
+                "duplicate dirtied staging; the target was not touched"
+            )
+        cols = ", ".join(df.columns)
+        execute_transaction(
+            spark,
+            url,
+            [
+                f"DELETE FROM {table}",
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+            ],
+            properties=properties,
+        )
+    finally:
+        _drop_stage()
 
 
 def write_parquet_partitioned(
