@@ -451,3 +451,50 @@ def test_db_config_json_reference_format(tmp_path):
     assert url == "jdbc:postgresql://dbhost:5432/test_db"
     assert props == {"user": "postgres", "password": "pg"}
     assert batch == 50000
+
+
+def test_jdbc_exactly_once_aborts_on_staging_count_mismatch(spark, tmp_path):
+    """Step 3 of the exactly-once protocol: if staging holds a different row
+    count than the DataFrame (the at-least-once signature of a task retry
+    that re-committed, or a speculative duplicate), the load must ABORT
+    before the swap, leave the target untouched, and still clean up
+    staging."""
+    from unittest import mock
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.schema import execute_statements
+    from the_movie_database_import_spark.sources.writers import (
+        write_jdbc,
+        write_jdbc_exactly_once,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/tmdb_xo2;create=true"
+    execute_statements(
+        spark, url, ["CREATE TABLE kv (id BIGINT, val VARCHAR(100))"],
+        driver=DERBY_DRIVER,
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    write_jdbc(spark.createDataFrame([(1, "old")], schema), url, "kv",
+               properties=DERBY_PROPS)
+
+    good = spark.createDataFrame([(2, "new")], schema)
+    # simulate a retry-duplicated staging table: the count probe sees one
+    # row more than the DataFrame holds (write_jdbc_exactly_once resolves
+    # query_scalar_long from the schema module at call time)
+    import the_movie_database_import_spark.sources.schema as schema_mod
+
+    with mock.patch.object(schema_mod, "query_scalar_long", return_value=2):
+        with pytest.raises(RuntimeError, match="staging holds 2 rows"):
+            write_jdbc_exactly_once(good, url, "kv", properties=DERBY_PROPS)
+
+    back = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", "kv")
+        .option("driver", DERBY_DRIVER).load()
+    )
+    back = back.toDF(*[c.lower() for c in back.columns])
+    assert [(r.id, r.val) for r in back.collect()] == [(1, "old")]
+    # staging cleaned up: a subsequent honest load succeeds
+    write_jdbc_exactly_once(good, url, "kv", properties=DERBY_PROPS)
