@@ -422,3 +422,107 @@ def test_curation_near_dup_skew_cap_bounds_fanout(spark):
     flags = {r.doc_id: r.is_near_dup for r in out.collect()}
     assert flags[2] is True and flags[1] is False
     assert sum(flags.values()) == 1
+
+
+def test_choose_lsh_params_math():
+    """The chooser must satisfy its own contract: bands divide planes, the
+    plane budget is respected, and the analytic recall at the threshold
+    meets the target (VERDICT r03 #5)."""
+    import math
+
+    from the_movie_database_import_spark.operators.similarity import (
+        choose_lsh_params,
+    )
+
+    for threshold, target in [(0.9, 0.9), (0.7, 0.9), (0.4, 0.9), (0.9, 0.99)]:
+        planes, bands = choose_lsh_params(threshold, target)
+        assert planes % bands == 0 and planes <= 32, (threshold, planes, bands)
+        p = 1.0 - math.acos(threshold) / math.pi
+        recall = 1.0 - (1.0 - p ** (planes // bands)) ** bands
+        assert recall >= target, (threshold, planes, bands, recall)
+    with pytest.raises(ValueError):
+        choose_lsh_params(0.01, 0.999, max_planes=2)
+
+
+def test_cosine_neardup_lsh_recall_with_chosen_params(spark):
+    """End-to-end recall pin at TWO thresholds with chooser-derived
+    (planes, bands) — no hand-picked parameters (VERDICT r03 #5 'done'
+    criterion).
+
+    The chooser's guarantee is PER-PAIR probabilistic (each qualifying pair
+    is emitted with prob >= target over the hash family), so pinning an
+    observed-recall bound needs enough qualifying pairs for the binomial to
+    concentrate — the sf0.001 embeddings table has only ~5 pairs at
+    threshold 0.4, where two unlucky pairs already break 0.9. This fixture
+    plants 150 pairs per threshold at controlled cosines just above the
+    threshold (the chooser's WORST case — real near-dups sit higher and
+    collide more often), plus noise vectors. Deterministic hyperplanes +
+    seeded fixture make the observed recall an exact, repeatable pin."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from the_movie_database_import_spark.operators.similarity import (
+        choose_lsh_params,
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(42)
+    dim, n_pairs = 64, 150
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("label", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    for threshold in (0.9, 0.4):
+        rows = []
+        for i in range(n_pairs):
+            v = rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            u = rng.normal(size=dim)
+            u -= (u @ v) * v
+            u /= np.linalg.norm(u)
+            # cosine in [threshold+0.01, threshold+0.05]: near the boundary,
+            # where per-pair collision probability is at its minimum
+            c = threshold + 0.01 + 0.04 * rng.random()
+            w = c * v + np.sqrt(1.0 - c * c) * u
+            rows.append((2 * i, "blk", [float(x) for x in v]))
+            rows.append((2 * i + 1, "blk", [float(x) for x in w]))
+        for j in range(200):  # unrelated noise in the same block
+            z = rng.normal(size=dim)
+            rows.append((10_000 + j, "blk", [float(x) for x in z]))
+        emb = spark.createDataFrame(rows, schema)
+
+        planes, bands = choose_lsh_params(threshold, target_recall=0.95)
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in cosine_neardup_pairs(emb, threshold, "label").collect()
+        }
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in cosine_neardup_pairs_lsh(
+                emb, threshold, "label", planes=planes, bands=bands
+            ).collect()
+        }
+        assert lsh <= exact, "LSH emitted a pair the exact twin rejects"
+        assert len(exact) >= n_pairs, (threshold, len(exact))
+        assert len(lsh) / len(exact) >= 0.9, (threshold, len(lsh), len(exact))
+
+
+def test_hyperplanes_are_decorrelated():
+    """The recall formula behind choose_lsh_params assumes independent
+    hyperplanes. The original 32-bit one-xorshift mixer produced planes with
+    mean |correlation| 0.48 (some IDENTICAL), silently collapsing banded
+    recall. Pin the splitmix64 mixer's avalanche: mean |corr| near the
+    1/sqrt(dim) independence level, and no near-duplicate planes."""
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.similarity import _hyperplane
+
+    H = np.array([_hyperplane(64, p) for p in range(32)])
+    C = H @ H.T / 64
+    off = np.abs(C[~np.eye(32, dtype=bool)])
+    assert off.mean() < 0.15, off.mean()  # independent +-1: ~0.1 at dim 64
+    assert off.max() < 0.6, off.max()     # no pair of planes nearly equal

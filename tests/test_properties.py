@@ -253,3 +253,82 @@ def test_surrogate_ids_permutation_invariant(spark, keys, seed):
     assert a == b
     ids = sorted(i for _, i in a)
     assert ids == list(range(1, len(ids) + 1))
+
+
+# --- first-collision-band candidate emission (VERDICT r03 #7) ---------------
+#
+# The banded LSH self-joins (minhash, simhash, cosine) share one hand-rolled
+# trick: instead of emitting a candidate pair once per colliding band and
+# deduplicating with distinct() (an extra shuffle), a CASE chain keeps a
+# match only at its FIRST colliding band. The property: the emitted pair
+# set equals the distinct()-model ("any band collides, each pair once"),
+# with no duplicate rows. Driven through cosine_neardup_pairs_lsh with a
+# verification threshold of -2 so every candidate survives — the output IS
+# the candidate set. The independent model recomputes signatures in Python
+# with the same left-fold float summation order as F.aggregate, so sign
+# bits match bit-for-bit.
+
+vec8 = st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, min_value=-1.0, max_value=1.0),
+    min_size=8, max_size=8,
+).map(lambda v: v if any(x != 0.0 for x in v) else ([1.0] + v[1:]))
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(vec8, min_size=2, max_size=10),
+    band_bits=st.integers(1, 2),
+    bands=st.integers(2, 3),
+    n_blocks=st.integers(1, 2),
+)
+def test_first_collision_band_matches_distinct_model(
+    spark, vecs, band_bits, bands, n_blocks
+):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType as S, StructField, StructType,
+    )
+
+    from the_movie_database_import_spark.operators.similarity import (
+        _hyperplane,
+        cosine_neardup_pairs_lsh,
+    )
+
+    planes = band_bits * bands
+    rows = [(i, f"b{i % n_blocks}", v) for i, v in enumerate(vecs)]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("label", S()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    emb = spark.createDataFrame(rows, schema)
+    got_rows = cosine_neardup_pairs_lsh(
+        emb, threshold=-2.0, planes=planes, bands=bands, dim=8
+    ).collect()
+    got = [(r.vec_a, r.vec_b) for r in got_rows]
+    assert len(got) == len(set(got)), "duplicate candidate emission"
+
+    # independent python model: signature -> band values -> distinct pairs
+    hps = [_hyperplane(8, p) for p in range(planes)]
+
+    def band_vals(v):
+        sig = 0
+        for p, hp in enumerate(hps):
+            proj = 0.0
+            for x, h in zip(v, hp):  # same fold order as F.aggregate
+                proj += x * h
+            if proj >= 0:
+                sig += 2**p
+        mask = (1 << band_bits) - 1
+        return [(sig >> (i * band_bits)) & mask for i in range(bands)]
+
+    bv = {i: band_vals(v) for i, (_, _, v) in enumerate(
+        (r[0], r[1], r[2]) for r in rows
+    )}
+    want = {
+        (a, b)
+        for a in range(len(vecs))
+        for b in range(a + 1, len(vecs))
+        if rows[a][1] == rows[b][1]
+        and any(bv[a][i] == bv[b][i] for i in range(bands))
+    }
+    assert set(got) == want, (sorted(got), sorted(want))

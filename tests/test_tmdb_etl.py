@@ -498,3 +498,280 @@ def test_jdbc_exactly_once_aborts_on_staging_count_mismatch(spark, tmp_path):
     assert [(r.id, r.val) for r in back.collect()] == [(1, "old")]
     # staging cleaned up: a subsequent honest load succeeds
     write_jdbc_exactly_once(good, url, "kv", properties=DERBY_PROPS)
+
+
+def test_jdbc_exactly_once_computes_input_once(spark, tmp_path):
+    """VERDICT r03 #2: the verification count must come from the staged
+    write's own execution (Observation), not a second full run of ``df``.
+    An accumulator ticked by a UDF in the pipeline counts executions: the
+    old ``df.count()`` re-derivation would tick 2x rows, the observed write
+    exactly 1x."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.schema import execute_statements
+    from the_movie_database_import_spark.sources.writers import (
+        write_jdbc_exactly_once,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/tmdb_xo3;create=true"
+    execute_statements(
+        spark, url, ["CREATE TABLE kv (id BIGINT, val VARCHAR(100))"],
+        driver=DERBY_DRIVER,
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(StringType())
+    def tick(i):
+        acc.add(1)
+        return f"v{i}"
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    n = 7
+    df = (
+        spark.createDataFrame([(i, "x") for i in range(n)], schema)
+        .select("id", tick("id").alias("val"))
+    )
+    write_jdbc_exactly_once(df, url, "kv", properties=DERBY_PROPS)
+    assert acc.value == n, (
+        f"input pipeline executed {acc.value / n:.1f}x — verification must "
+        "ride the staged write, not recompute df"
+    )
+
+
+def test_jdbc_exactly_once_into_bootstrapped_identity_table(spark, tmp_path):
+    """ADVICE r03 (medium): composing write_jdbc_exactly_once with the
+    bootstrapped 15-table schema — the exact composition the writer's
+    docstring recommends — must work on Derby for id-less DataFrames. The
+    old CTAS staging clone copied the id column's NOT NULL without its
+    identity default, so every id-less bridge insert failed; the staging
+    DDL now renders from the TABLES registry with a nullable id."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.schema import bootstrap_schema
+    from the_movie_database_import_spark.sources.writers import (
+        write_jdbc_exactly_once,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/tmdb_xo4;create=true"
+    bootstrap_schema(spark, url, driver=DERBY_DRIVER)
+    schema = StructType([StructField("name", StringType())])
+    genres = spark.createDataFrame([("Action",), ("Drama",)], schema)
+    write_jdbc_exactly_once(genres, url, "genres", properties=DERBY_PROPS)
+
+    def read_names():
+        df = (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "genres").option("driver", DERBY_DRIVER).load()
+        )
+        df = df.toDF(*[c.lower() for c in df.columns])
+        return sorted(r.name for r in df.collect()), [
+            r.id for r in df.collect()
+        ]
+
+    names, ids = read_names()
+    assert names == ["Action", "Drama"]
+    assert all(i is not None for i in ids), "identity must fill ids on swap"
+    # reload REPLACES (truncate-and-reload), identity keeps generating
+    genres2 = spark.createDataFrame([("Comedy",)], schema)
+    write_jdbc_exactly_once(genres2, url, "genres", properties=DERBY_PROPS)
+    names, ids = read_names()
+    assert names == ["Comedy"]
+    assert all(i is not None for i in ids)
+
+
+def test_jdbc_exactly_once_rename_swap(spark, tmp_path):
+    """VERDICT r03 #3: rename-based swap — three O(1) catalog ops instead of
+    a second full data rewrite — for tables without inbound FKs. Also pins
+    the runtime fallback: a view pinning the target makes Derby reject the
+    rename, and the load must still complete via DELETE+INSERT from the
+    intact staging."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.schema import execute_statements
+    from the_movie_database_import_spark.sources.writers import (
+        write_jdbc,
+        write_jdbc_exactly_once,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/tmdb_xo5;create=true"
+    execute_statements(
+        spark, url, ["CREATE TABLE kv (id BIGINT, val VARCHAR(100))"],
+        driver=DERBY_DRIVER,
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    write_jdbc(spark.createDataFrame([(1, "old")], schema), url, "kv",
+               properties=DERBY_PROPS)
+
+    def read_back():
+        df = (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "kv").option("driver", DERBY_DRIVER).load()
+        )
+        df = df.toDF(*[c.lower() for c in df.columns])
+        return sorted((r.id, r.val) for r in df.collect())
+
+    good = spark.createDataFrame([(2, "new"), (3, "new")], schema)
+    # record the swap transaction to prove the RENAME path ran (a silent
+    # fallback to DELETE+INSERT would produce the same table contents)
+    from unittest import mock
+
+    import the_movie_database_import_spark.sources.schema as schema_mod
+
+    real_tx = schema_mod.execute_transaction
+    seen: list[list[str]] = []
+
+    def recording_tx(spark_, url_, statements, **kw):
+        seen.append(list(statements))
+        return real_tx(spark_, url_, statements, **kw)
+
+    with mock.patch.object(schema_mod, "execute_transaction", recording_tx):
+        write_jdbc_exactly_once(good, url, "kv", properties=DERBY_PROPS,
+                                swap="rename")
+    assert read_back() == [(2, "new"), (3, "new")]
+    assert len(seen) == 1 and seen[0][0].startswith("RENAME TABLE kv TO "), seen
+    # scratch names are gone: both would collide on the next rename swap
+    again = spark.createDataFrame([(4, "v2")], schema)
+    write_jdbc_exactly_once(again, url, "kv", properties=DERBY_PROPS,
+                            swap="rename", run_id="r2")
+    assert read_back() == [(4, "v2")]
+
+    # runtime fallback: a view references kv -> Derby refuses RENAME TABLE;
+    # the writer must fall back to DELETE+INSERT from the verified staging
+    execute_statements(
+        spark, url, ["CREATE VIEW kv_v AS SELECT * FROM kv"],
+        driver=DERBY_DRIVER,
+    )
+    pinned = spark.createDataFrame([(5, "v3")], schema)
+    write_jdbc_exactly_once(pinned, url, "kv", properties=DERBY_PROPS,
+                            swap="rename")
+    assert read_back() == [(5, "v3")]
+
+
+def test_jdbc_exactly_once_rename_fk_fallback(spark, tmp_path):
+    """Registry tables with inbound FK references must NEVER attempt the
+    rename (FK constraints follow the referenced table through a rename):
+    swap="rename" on genres — referenced by movies_genres — silently takes
+    the DELETE+INSERT path. Pinned by patching rename_table_sql to explode
+    if consulted."""
+    from unittest import mock
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    import the_movie_database_import_spark.sources.schema as schema_mod
+    from the_movie_database_import_spark.sources.schema import bootstrap_schema
+    from the_movie_database_import_spark.sources.writers import (
+        write_jdbc_exactly_once,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/tmdb_xo6;create=true"
+    bootstrap_schema(spark, url, driver=DERBY_DRIVER)
+    schema = StructType([StructField("name", StringType())])
+    genres = spark.createDataFrame([("Action",)], schema)
+    with mock.patch.object(
+        schema_mod, "rename_table_sql",
+        side_effect=AssertionError("rename attempted on FK-referenced table"),
+    ):
+        write_jdbc_exactly_once(genres, url, "genres", properties=DERBY_PROPS,
+                                swap="rename")
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "genres").option("driver", DERBY_DRIVER).load()
+    )
+    assert back.count() == 1
+
+
+def test_stage_and_swap_sql_strings_golden():
+    """VERDICT r03 #6: string-golden pins for the PostgreSQL staging-clone
+    and swap statements (the container has no Postgres, so these strings are
+    the pg dialect's only guard), plus the registry-rendered Derby staging
+    DDL that replaced the CTAS clone."""
+    from the_movie_database_import_spark.sources.schema import (
+        inbound_fk_referrers,
+        rename_table_sql,
+        stage_clone_sql,
+    )
+
+    # registry table, permissive staging: nullable id, NO identity/PK/FK
+    pg = stage_clone_sql("genres", "genres__stage", "postgresql")
+    assert pg == "CREATE TABLE genres__stage (id integer, name varchar)"
+    derby = stage_clone_sql("genres", "genres__stage", "derby")
+    assert derby == "CREATE TABLE genres__stage (id INTEGER, name CLOB)"
+    assert "IDENTITY" not in derby and "NOT NULL" not in derby
+    movies = stage_clone_sql("movies", "movies__stage", "postgresql")
+    assert movies.startswith("CREATE TABLE movies__stage (id integer, title varchar, ")
+    assert "foreign key" not in movies and "primary key" not in movies
+
+    # registry table, full-schema staging (rename swap): real DDL under the
+    # stage name
+    full = stage_clone_sql("genres", "genres__stage", "postgresql",
+                           full_schema=True)
+    assert full == "CREATE TABLE genres__stage (id serial primary key, name varchar)"
+
+    # unknown table: dialect structural clones
+    assert (
+        stage_clone_sql("kv", "kv__stage", "postgresql")
+        == "CREATE TABLE kv__stage (LIKE kv INCLUDING DEFAULTS)"
+    )
+    assert (
+        stage_clone_sql("kv", "kv__stage", "postgresql", full_schema=True)
+        == "CREATE TABLE kv__stage (LIKE kv INCLUDING ALL)"
+    )
+    assert (
+        stage_clone_sql("kv", "kv__stage", "derby")
+        == "CREATE TABLE kv__stage AS SELECT * FROM kv WITH NO DATA"
+    )
+
+    # rename statements
+    assert rename_table_sql("kv__stage", "kv", "postgresql") == (
+        "ALTER TABLE kv__stage RENAME TO kv"
+    )
+    assert rename_table_sql("kv__stage", "kv", "derby") == (
+        "RENAME TABLE kv__stage TO kv"
+    )
+
+    # inbound-FK map drives the rename/fallback decision
+    assert inbound_fk_referrers("genres") == ("movies_genres",)
+    assert set(inbound_fk_referrers("movies")) == {
+        "movies_genres", "directors", "actors", "movies_keywords",
+        "spoken_languages", "production_countries",
+        "movies_production_companies",
+    }
+    assert inbound_fk_referrers("kv") == ()
+
+
+def test_cli_config_credentials_scoped_to_config_url(tmp_path):
+    """ADVICE r03: combining --config with an explicitly DIFFERENT
+    --jdbc-url must not forward the config file's credentials to that other
+    server; with the config's own URL they flow as before."""
+    import json as _json
+    from unittest import mock
+
+    import the_movie_database_import_spark.etl.__main__ as cli
+    import the_movie_database_import_spark.etl.pipeline as pipe_mod
+    import the_movie_database_import_spark.session as session_mod
+    import the_movie_database_import_spark.sources.schema as schema_mod
+    import the_movie_database_import_spark.sources.writers as writers_mod
+
+    cfg = {"username": "u", "password": "p", "host": "h", "db_name": "d"}
+    p = tmp_path / "db_config.json"
+    p.write_text(_json.dumps(cfg))
+    with mock.patch.object(pipe_mod, "build_all_tables", return_value={}), \
+         mock.patch.object(session_mod, "get_spark",
+                           return_value=mock.MagicMock()), \
+         mock.patch.object(schema_mod, "bootstrap_schema"), \
+         mock.patch.object(writers_mod, "write_all_jdbc") as wj:
+        assert cli.main([str(tmp_path), "--config", str(p),
+                         "--jdbc-url", "jdbc:postgresql://other:5432/x"]) == 0
+        props = wj.call_args.kwargs.get("properties")
+        assert not props or "password" not in props, props
+
+        wj.reset_mock()
+        assert cli.main([str(tmp_path), "--config", str(p)]) == 0
+        assert wj.call_args.kwargs.get("properties") == {
+            "user": "u", "password": "p"
+        }

@@ -71,6 +71,16 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.config:
         url, props, cfg_batch = load_db_config(args.config)
+        # config credentials are scoped to the config's OWN server: an
+        # explicit --jdbc-url pointing elsewhere must not receive them
+        # (ADVICE r03 — credential-leak footgun)
+        if args.jdbc_url and args.jdbc_url != url:
+            props = {}
+            print(
+                "note: --jdbc-url differs from the config's URL; the config "
+                "file's credentials are NOT applied to it",
+                file=sys.stderr,
+            )
         args.jdbc_url = args.jdbc_url or url
         args.batch_size = args.batch_size or cfg_batch
         args.config_props = props
@@ -99,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         if not args.no_bootstrap:
             from ..sources.schema import bootstrap_schema
 
+            # destructive by design (reference parity, loader.py:81-91);
+            # say so once — --no-bootstrap opts out
+            print(
+                f"note: dropping and recreating all 15 output tables on "
+                f"{args.jdbc_url} (pass --no-bootstrap to keep the schema)",
+                file=sys.stderr,
+            )
             # same credential properties as the data writes — the DDL
             # connection must authenticate too
             bootstrap_schema(spark, args.jdbc_url, properties=props)

