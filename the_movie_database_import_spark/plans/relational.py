@@ -83,11 +83,23 @@ def q_flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem ⋈ orders ⋈ customer → revenue per market segment. The customer
     dimension is broadcast (small side); the lineitem⋈orders join shuffles on
     orderkey — at 100 TB both sides would be bucketed on orderkey to make
-    this a shuffle-free sort-merge join.
-    """
+    this a shuffle-free sort-merge join (measured end-to-end by
+    tools/bucketed_showcase.py over :func:`flagship_star_revenue_over`;
+    numbers in PLANS.md)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    return flagship_star_revenue_over(lineitem, orders, customer)
+
+
+def flagship_star_revenue_over(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """The flagship star-join aggregation over caller-supplied inputs — the
+    same logical plan runs against raw parquet scans (the registered
+    headline query) or orderkey-bucketed tables (the 100 TB answer: the
+    lineitem⋈orders shuffle disappears because bucketing pre-paid it at
+    ingest; see tools/bucketed_showcase.py + PLANS.md)."""
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
