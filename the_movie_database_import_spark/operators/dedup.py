@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import canonical_token_text, distinct_tokens
 from ..session import tracked_cache
+from .banding import first_collision_band
 
 NUM_MINHASHES = 32
 LSH_BANDS = 8  # 8 bands x 4 rows: ~P(candidate) = 1-(1-j^4)^8
@@ -189,18 +190,7 @@ def minhash_lsh_pairs(
             "band_id", "band_sig"
         ),
     )
-    # "No earlier band also matched", as a CASE chain over plain long
-    # comparisons: the band signatures ride along as scalar columns, so the
-    # predicate whole-stage-codegens with zero per-row allocation. (An
-    # equivalent zip_with/slice over a bands array costs ~15x more — array
-    # slices allocate per matched row, and the join matches each true
-    # near-dup pair in ~every band.)
-    no_earlier = F.when(F.col("a.band_id") == 0, F.lit(True))
-    distinct_so_far = None
-    for b in range(1, bands):
-        neq = F.col(f"a.b{b - 1}") != F.col(f"b.b{b - 1}")
-        distinct_so_far = neq if distinct_so_far is None else (distinct_so_far & neq)
-        no_earlier = no_earlier.when(F.col("a.band_id") == b, distinct_so_far)
+    no_earlier = first_collision_band(bands)
     # Size-compatibility pruning, exact: J(A,B) <= min|.|/max|.|, so J >=
     # t forces the smaller token set to hold at least t x the larger one's
     # tokens. Two long comparisons per matched row, zero recall loss.

@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 
+from .banding import first_collision_band
+
 SIMHASH_BITS = 64
 BAND_BITS = 16  # 4 bands of 16 bits: candidates must share >=1 exact band
 
@@ -140,14 +142,7 @@ def simhash_neardup_pairs(
             "band_id", "band_val"
         ),
     )
-    # "No earlier band also matched" as a CASE chain over long comparisons —
-    # whole-stage-codegens with zero per-row allocation.
-    no_earlier = F.when(F.col("a.band_id") == 0, F.lit(True))
-    distinct_so_far = None
-    for b in range(1, n_bands):
-        neq = F.col(f"a.b{b - 1}") != F.col(f"b.b{b - 1}")
-        distinct_so_far = neq if distinct_so_far is None else (distinct_so_far & neq)
-        no_earlier = no_earlier.when(F.col("a.band_id") == b, distinct_so_far)
+    no_earlier = first_collision_band(n_bands)
     return (
         banded.alias("a")
         .join(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..sources.readers import fan_out
+from .banding import first_collision_band
 
 LSH_PLANES = 8
 
@@ -184,14 +185,7 @@ def cosine_neardup_pairs_lsh(
             "band_id", "band_val"
         ),
     )
-    # First-collision-band: keep a match only when no EARLIER band matched
-    # too — a CASE chain over long comparisons, zero-allocation codegen.
-    no_earlier = F.when(F.col("a.band_id") == 0, F.lit(True))
-    distinct_so_far = None
-    for b in range(1, bands):
-        neq = F.col(f"a.b{b - 1}") != F.col(f"b.b{b - 1}")
-        distinct_so_far = neq if distinct_so_far is None else (distinct_so_far & neq)
-        no_earlier = no_earlier.when(F.col("a.band_id") == b, distinct_so_far)
+    no_earlier = first_collision_band(bands)
     cand = (
         banded.alias("a")
         .join(
