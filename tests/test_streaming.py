@@ -144,3 +144,78 @@ def test_stream_to_parquet_file_sink(spark, tmp_path):
     import os
     assert any(d.startswith("event_type=") for d in os.listdir(out)), os.listdir(out)
     assert len([d for d in os.listdir(out) if d.startswith("event_type=")]) == len(kinds)
+
+
+def test_stream_to_jdbc_exactly_once(spark, tmp_path):
+    """readStream → foreachBatch JDBC sink with a transactional batch-id
+    ledger: the Derby target must hold exactly the batch-equivalent rows
+    after an availableNow run, and a re-run over the same checkpoint must
+    not duplicate anything."""
+    from the_movie_database_import_spark.sources.schema import execute_statements
+    from the_movie_database_import_spark.streaming import run_to_jdbc_exactly_once
+
+    DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+    props = {"driver": DERBY_DRIVER}
+    url = f"jdbc:derby:{tmp_path}/stream_xo;create=true"
+    execute_statements(
+        spark, url,
+        ["CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR(100))"],
+        driver=DERBY_DRIVER,
+    )
+    stream = stream_events(spark, SF_DIR).select("event_id", "user_id", "event_type")
+    ckpt = str(tmp_path / "ckpt")
+    run_to_jdbc_exactly_once(stream, url, "ev", ckpt, properties=props)
+
+    def count():
+        return (
+            spark.read.format("jdbc").option("url", url).option("dbtable", "ev")
+            .option("driver", DERBY_DRIVER).load().count()
+        )
+
+    want = _batch_events(spark).count()
+    assert count() == want
+    # restart over the same checkpoint: offsets say everything is consumed
+    run_to_jdbc_exactly_once(stream, url, "ev", ckpt, properties=props)
+    assert count() == want
+
+
+def test_jdbc_batch_writer_replay_is_idempotent(spark, tmp_path):
+    """The foreachBatch contract replays the last uncommitted batch with the
+    SAME batch_id after a failure — the ledger must make the second delivery
+    a no-op, while a new batch_id appends."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.schema import execute_statements
+    from the_movie_database_import_spark.streaming import (
+        jdbc_exactly_once_batch_writer,
+    )
+
+    DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+    props = {"driver": DERBY_DRIVER}
+    url = f"jdbc:derby:{tmp_path}/replay_xo;create=true"
+    execute_statements(
+        spark, url, ["CREATE TABLE kv (id BIGINT, val VARCHAR(100))"],
+        driver=DERBY_DRIVER,
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    sink = jdbc_exactly_once_batch_writer(url, "kv", stream_id="t", properties=props)
+
+    def count():
+        return (
+            spark.read.format("jdbc").option("url", url).option("dbtable", "kv")
+            .option("driver", DERBY_DRIVER).load().count()
+        )
+
+    sink(batch, 0)
+    assert count() == 2
+    sink(batch, 0)  # replayed delivery of the committed batch: must no-op
+    assert count() == 2
+    sink(batch, 1)  # genuinely new batch appends
+    assert count() == 4
+    # a separate stream lineage keeps its own ledger
+    other = jdbc_exactly_once_batch_writer(url, "kv", stream_id="u", properties=props)
+    other(batch, 0)
+    assert count() == 6

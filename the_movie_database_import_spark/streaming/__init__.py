@@ -1,3 +1,7 @@
+from .sinks import (  # noqa: F401
+    jdbc_exactly_once_batch_writer,
+    run_to_jdbc_exactly_once,
+)
 from .windows import (  # noqa: F401
     stream_events,
     tumbling_agg,
