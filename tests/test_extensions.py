@@ -526,3 +526,24 @@ def test_hyperplanes_are_decorrelated():
     off = np.abs(C[~np.eye(32, dtype=bool)])
     assert off.mean() < 0.15, off.mean()  # independent +-1: ~0.1 at dim 64
     assert off.max() < 0.6, off.max()     # no pair of planes nearly equal
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """Banded multi-table ANN must actually FIND neighbors: recall@10 vs
+    brute force pinned at the defaults (deterministic hyperplanes + fixed
+    corpus → exact pin). The old single-bucket form (full-signature match)
+    measured 0.01 here — the subset test alone never caught it."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {}
+    for r in cosine_topk(emb, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    rows = lsh_bucket_topk(emb, queries, k=10).collect()
+    pairs = [(r.query_id, r.vec_id) for r in rows]
+    assert len(pairs) == len(set(pairs)), "candidate emitted more than once"
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.3, f"recall@10 {hits / total:.3f} < 0.3"

@@ -409,36 +409,82 @@ def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    planes: int = LSH_PLANES,
+    planes: int = 16,
+    bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane LSH sign signature
-    buckets the corpus; each query scores only its own bucket.
+    """Approximate cosine top-k via BANDED (multi-table) hyperplane LSH:
+    the signature splits into ``bands`` bands of planes/bands bits; a corpus
+    vector is a candidate for a query when they agree exactly on >=1 band.
 
-    With 8 planes the corpus splits into ≤256 buckets; at 100 TB the bucket
-    id becomes the shuffle/partition key and per-query work drops ~256x at
-    the cost of recall (measured in tests)."""
+    This is the standard multi-hash-table LSH search layout. The earlier
+    single-bucket form (match on the FULL signature) needed every sign bit
+    to agree — at 8 planes and the moderate angles real neighbors sit at,
+    per-neighbor hit probability was (1 - theta/pi)^8 ~ a few percent, i.e.
+    recall@10 ~0.01 (measured): a fast operator that answered almost
+    nothing. Banding trades candidate volume for recall the same way the
+    near-dup paths do: per-band bucket occupancy ~ corpus/2^(planes/bands),
+    so expected scored fraction per query is ~ bands/2^(planes/bands)
+    (defaults: 4/16 = 25% of the corpus, vs 100% brute force) and recall at
+    angle theta is 1-(1-p^r)^b with p = 1 - theta/pi — tune with
+    :func:`choose_lsh_params`. Candidates are emitted once via the shared
+    first-collision-band predicate (no distinct over the candidate stream);
+    the final per-query top-k is one window over the scored candidates.
 
-    def signature(vec: Column) -> Column:
-        return hyperplane_signature(vec, planes, dim)
+    At 100 TB: (band_id, band_val) is the shuffle/cluster key for the
+    corpus side; queries broadcast banded (|Q| x bands tiny rows); scoring
+    stays whole-stage-codegen. Recall@10 vs brute force is pinned in
+    tests/test_extensions.py."""
+    band_bits = planes // bands
+    if band_bits * bands != planes:
+        raise ValueError(f"bands={bands} must divide planes={planes}")
 
-    corpus = fan_out(embeddings).select(
-        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
-    )
-    corpus = corpus.withColumn("bucket", signature(F.col("v"))).withColumn(
-        "v_norm", norm(F.col("v"))
-    )
-    qs = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("q")
-    )
-    qs = qs.withColumn("bucket", signature(F.col("q"))).withColumn("q_norm", norm(F.col("q")))
+    def banded_view(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id), as_double_vec(F.col(vec_col)).alias(out_vec)
+        )
+        base = base.withColumn(
+            "sig", hyperplane_signature(F.col(out_vec), planes, dim)
+        ).withColumn(f"{out_vec}_norm", norm(F.col(out_vec)))
+        base = base.select(
+            out_id,
+            out_vec,
+            f"{out_vec}_norm",
+            *[
+                F.shiftrightunsigned(F.col("sig"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias(f"b{i}")
+                for i in range(bands)
+            ],
+        )
+        return base.select(
+            "*",
+            F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)])).alias(
+                "band_id", "band_val"
+            ),
+        )
+
+    corpus = banded_view(fan_out(embeddings), "vec_id", "v")
+    qs = banded_view(queries, "query_id", "q")
 
     scored = (
-        corpus.join(F.broadcast(qs), "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")))
+        corpus.alias("a")
+        .join(
+            F.broadcast(qs).alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.query_id"))
+            & first_collision_band(bands),
+        )
+        .select(
+            F.col("b.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("vec_id"),
+            (dot(F.col("a.v"), F.col("b.q")) / (F.col("a.v_norm") * F.col("b.q_norm"))).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
