@@ -324,11 +324,28 @@ def test_first_collision_band_matches_distinct_model(
     bv = {i: band_vals(v) for i, (_, _, v) in enumerate(
         (r[0], r[1], r[2]) for r in rows
     )}
+
+    # Same IEEE fold as operators.similarity.norm: sqrt of the ordered sum
+    # of squares. A vector of ~1e-308 components has a squared norm that
+    # underflows to 0.0 (python and the JVM agree bit-for-bit), and a pair
+    # whose norm PRODUCT underflows to 0.0 has an undefined cosine — the
+    # operator emits NULL there (try_divide) and the threshold filter drops
+    # it, so the model must drop it too.
+    import math
+
+    def vnorm(v):
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
+    nrm = {i: vnorm(v) for i, (_, _, v) in enumerate(rows)}
     want = {
         (a, b)
         for a in range(len(vecs))
         for b in range(a + 1, len(vecs))
         if rows[a][1] == rows[b][1]
         and any(bv[a][i] == bv[b][i] for i in range(bands))
+        and nrm[a] * nrm[b] != 0.0
     }
     assert set(got) == want, (sorted(got), sorted(want))

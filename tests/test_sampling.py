@@ -1,0 +1,113 @@
+"""Deterministic sampling / split operators (operators/sampling.py).
+
+The oracle-parity suite already value-checks q_sample_stratified and
+q_sample_split against DuckDB; these tests pin the PROPERTIES the oracle
+can't see: determinism across runs, rate accuracy, stratified-subset
+consistency, split stability under re-splitting, and the no-shuffle plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from the_movie_database_import_spark.operators.sampling import (
+    hash_sample,
+    hex_threshold,
+    split_column,
+    stratified_sample,
+)
+from the_movie_database_import_spark.sources.readers import load_table
+
+from conftest import SF_DIR
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "ffffffff"
+    assert hex_threshold(0.2) == format(int(0.2 * 16**8), "08x")
+    with pytest.raises(ValueError):
+        hex_threshold(-0.1)
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(r.doc_id for r in hash_sample(docs, F.col("doc_id"), 0.3).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, F.col("doc_id"), 0.3).collect())
+    assert a == b, "same key + rate must select the identical row set"
+    n = docs.count()
+    # binomial(n, 0.3) stays within ±5 sigma of the mean
+    sigma = (n * 0.3 * 0.7) ** 0.5
+    assert abs(len(a) - 0.3 * n) <= 5 * sigma, (len(a), n)
+
+
+def test_hash_sample_is_nested_across_rates(spark):
+    """Raising the rate only ADDS rows (threshold grows, bucket per row is
+    fixed) — incremental corpus growth never flips earlier members out."""
+    docs = load_table(spark, SF_DIR, "documents")
+    small = {r.doc_id for r in hash_sample(docs, F.col("doc_id"), 0.1).collect()}
+    large = {r.doc_id for r in hash_sample(docs, F.col("doc_id"), 0.4).collect()}
+    assert small <= large
+
+
+def test_stratified_equals_per_stratum_hash_sample(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"en": 0.2, "de": 0.9}
+    got = {
+        r.doc_id
+        for r in stratified_sample(
+            docs, F.col("doc_id"), F.col("lang"), rates
+        ).collect()
+    }
+    want: set[int] = set()
+    for lang, rate in rates.items():
+        sub = docs.filter(F.col("lang") == lang)
+        want |= {r.doc_id for r in hash_sample(sub, F.col("doc_id"), rate).collect()}
+    assert got == want  # strata outside `rates` default to rate 0
+
+
+def test_split_disjoint_exhaustive_and_stable(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    labeled = docs.select(
+        "doc_id",
+        split_column(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+            "split"
+        ),
+    ).collect()
+    by_split: dict[str, set[int]] = {}
+    for r in labeled:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    assert None not in by_split, "fractions sum to 1 — every row gets a label"
+    assert set(by_split) == {"train", "val", "test"}
+    assert sum(len(v) for v in by_split.values()) == len(labeled)
+
+    # Re-splitting with a WIDER train keeps every existing train row (the
+    # no-leakage property: val/test rows move into train, never the reverse)
+    wider = docs.select(
+        "doc_id",
+        split_column(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}).alias(
+            "split"
+        ),
+    ).collect()
+    wider_train = {r.doc_id for r in wider if r.split == "train"}
+    assert by_split["train"] <= wider_train
+
+
+def test_split_rejects_bad_fractions(spark):
+    with pytest.raises(ValueError):
+        split_column(F.col("doc_id"), {"a": 0.8, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_column(F.col("doc_id"), {"a": -0.1, "b": 0.5})
+
+
+def test_stratified_sample_plan_has_no_exchange(spark):
+    """The 100 TB contract: membership is a codegen'd filter fused into the
+    scan — no shuffle, no join, no Python."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = stratified_sample(
+        docs, F.col("doc_id"), F.col("lang"), {"en": 0.5, "de": 0.25}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

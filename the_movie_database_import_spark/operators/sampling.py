@@ -1,0 +1,123 @@
+"""Deterministic hash sampling / stratified sampling / corpus splits
+([ext] training-data pipeline, north star).
+
+Reproducible membership is a first-class need when curating a 100 TB
+corpus: ``df.sample()`` draws from a per-partition RNG, so membership
+changes with partitioning, retries, and re-runs, and a backfill can't
+reconstruct yesterday's split. Hashing a STABLE KEY instead makes
+membership a pure row-local function — a re-run, an incremental append,
+or a different cluster all agree on which side every document lands, and
+train/val/test assignment survives re-partitioning by construction.
+
+Mechanics: ``md5(key)``'s first 8 hex chars are a uniform draw from
+[0, 16^8); comparing that lowercase-hex string against the hex encoding
+of ``floor(rate * 16^8)`` keeps an expected ``rate`` fraction. The whole
+predicate is built-in-function codegen directly on top of the scan — no
+shuffle, no state, no Python; at any scale the cost is the scan itself.
+Lexicographic comparison of fixed-width lowercase-hex strings equals
+numeric comparison, so the same predicate is expressible verbatim in
+ANSI SQL (the DuckDB oracles in plans/sampling.py use it).
+
+The reference (a load-everything ETL, `loader.py`) has no sampling
+surface; this module is part of the north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HASH_SPACE = 16**8  # first 8 md5 hex chars
+
+
+def hex_threshold(rate: float) -> str:
+    """``floor(rate * 16^8)`` as 8 lowercase hex chars — the string a row's
+    hash bucket must stay below to be kept."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1]: {rate}")
+    return format(min(int(rate * HASH_SPACE), HASH_SPACE - 1), "08x")
+
+
+def hash_bucket(key: Column) -> Column:
+    """Uniform per-row draw: first 8 hex chars of md5 of the key rendered as
+    a decimal string. Stringifying first keeps the draw portable — every
+    engine hashes the same UTF-8 bytes, so oracles can replay it."""
+    return F.md5(key.cast("string")).substr(1, 8)
+
+
+def hash_sample(df: DataFrame, key: Column, rate: float) -> DataFrame:
+    """Keep an expected ``rate`` fraction, deterministically in the key.
+
+    Same key => same verdict, forever: re-runs are idempotent and appends
+    sample consistently with history (the property Bernoulli ``sample()``
+    lacks). Rows with a NULL key are dropped (md5(NULL) is NULL and the
+    comparison is non-true), matching SQL filter semantics.
+    """
+    return df.filter(hash_bucket(key) < F.lit(hex_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    strata: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep rates (e.g. downsample dominant languages, keep all
+    of rare ones). The per-row threshold is a literal CASE over the stratum
+    value — still pure codegen on the scan, no join and no shuffle, because
+    ``rates`` is a driver-side constant (it is a CURATION PARAMETER, not
+    data; for data-driven rates join a broadcast rate table instead).
+    Strata absent from ``rates`` fall back to ``default_rate``.
+    """
+    threshold = F.lit(hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(strata == F.lit(value), F.lit(hex_threshold(rate))).otherwise(
+            threshold
+        )
+    return df.filter(hash_bucket(key) < threshold)
+
+
+def split_column(
+    key: Column,
+    splits: dict[str, float],
+    otherwise: str | None = None,
+) -> Column:
+    """Label each row with a split name ('train'/'val'/'test', ...) by
+    cutting the hash space into consecutive fractions — disjoint and
+    exhaustive when the fractions sum to 1 (the leftover, if any, gets
+    ``otherwise``, NULL by default so downstream filters drop it loudly).
+
+    Insertion order of ``splits`` fixes the interval layout, so growing one
+    split only re-labels rows at its boundary — shrinking val from 0.2 to
+    0.1 never moves a training row into val (no train/test leakage on
+    re-splits).
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    if any(frac < 0 for frac in splits.values()):
+        raise ValueError(f"negative split fraction in {splits}")
+    cumulative = 0.0
+    conditions: list[tuple[str, str]] = []
+    for name, frac in splits.items():
+        cumulative += frac
+        conditions.append((name, hex_threshold(min(cumulative, 1.0))))
+    # Chain inside-out so the FIRST (smallest-threshold) split wins the CASE.
+    bucket = hash_bucket(key)
+    expr: Column = F.lit(otherwise)
+    for name, threshold in reversed(conditions):
+        expr = F.when(bucket < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_case_sql(key_sql: str, splits: dict[str, float], otherwise: str | None = None) -> str:
+    """The ANSI-SQL twin of :func:`split_column`, for oracle queries: a CASE
+    over the same hex thresholds on ``substr(md5(CAST(key AS VARCHAR)),1,8)``."""
+    bucket = f"substr(md5(CAST({key_sql} AS VARCHAR)),1,8)"
+    arms = []
+    cumulative = 0.0
+    for name, frac in splits.items():
+        cumulative += frac
+        arms.append(f"WHEN {bucket} < '{hex_threshold(min(cumulative, 1.0))}' THEN '{name}'")
+    tail = "NULL" if otherwise is None else f"'{otherwise}'"
+    return "CASE " + " ".join(arms) + f" ELSE {tail} END"

@@ -35,6 +35,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def cosine(d: Column, norm_a: Column, norm_b: Column) -> Column:
+    """``d / (norm_a * norm_b)`` with NULL on a zero (or denormal-underflow)
+    norm: cosine against the zero vector is undefined, and ANSI mode makes a
+    plain division THROW on it (caught by the banding property test — a
+    1e-308-component vector's squared norm underflows to 0.0). NULL matches
+    the DuckDB oracles exactly (x/0 is NULL there) and every consumer does
+    the right thing with it: threshold filters drop the pair (an undefined
+    cosine is not a near-dup), top-k DESC orderings rank it last."""
+    return F.try_divide(d, norm_a * norm_b)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -62,7 +73,7 @@ def cosine_topk(
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")))
+        .withColumn("cosine", cosine(dot(F.col("v"), F.col("q")), F.col("v_norm"), F.col("q_norm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -107,7 +118,7 @@ def cosine_neardup_pairs(
         )
         .withColumn(
             "cosine",
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.v_norm") * F.col("b.v_norm")),
+            cosine(dot(F.col("a.v"), F.col("b.v")), F.col("a.v_norm"), F.col("b.v_norm")),
         )
         .filter(F.col("cosine") >= threshold)
         .select(
@@ -216,7 +227,7 @@ def cosine_neardup_pairs_lsh(
         .join(vb, "vec_b")
         .withColumn(
             "cosine",
-            dot(F.col("av"), F.col("bv")) / (F.col("av_norm") * F.col("bv_norm")),
+            cosine(dot(F.col("av"), F.col("bv")), F.col("av_norm"), F.col("bv_norm")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
@@ -369,7 +380,7 @@ def ivf_topk(
         corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "cosine", dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+            "cosine", cosine(dot(F.col("v"), F.col("q")), F.col("v_norm"), F.col("q_norm"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
@@ -481,7 +492,7 @@ def lsh_bucket_topk(
         .select(
             F.col("b.query_id").alias("query_id"),
             F.col("a.vec_id").alias("vec_id"),
-            (dot(F.col("a.v"), F.col("b.q")) / (F.col("a.v_norm") * F.col("b.q_norm"))).alias(
+            cosine(dot(F.col("a.v"), F.col("b.q")), F.col("a.v_norm"), F.col("b.q_norm")).alias(
                 "cosine"
             ),
         )

@@ -15,15 +15,17 @@ from . import relational  # noqa: F401,E402
 from . import windows_sets  # noqa: F401,E402
 from . import streaming_batch  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+from . import sampling  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
 # First 50 = the driver-checked window. Round-4 rotation (VERDICT r03 #1):
 # the driver regenerates /root/testdata between rounds, so the 27 queries
 # whose only driver rows predate the current generation (r01/r02 era — the
-# whole r03 tail) move in-window to earn fresh rows; 23 r03-green variants
-# stay as family representatives. Every rotated-out query keeps its r03 row
-# (same testdata generation), so no family loses current-generation driver
-# evidence.
+# whole r03 tail) move in-window to earn fresh rows, and the four new
+# round-4 queries (sampling/percentiles/repetition — never driver-checked)
+# take window slots; 19 r03-green variants stay as family representatives.
+# Every rotated-out query keeps its r03 row (same testdata generation), so
+# no family loses current-generation driver evidence.
 DRIVER_WINDOW = [
     # --- refreshed: r01/r02-era rows, stale vs the current testdata ---
     "q_flagship_star_revenue",
@@ -53,13 +55,14 @@ DRIVER_WINDOW = [
     "q_except",
     "q_surrogate_keys",
     "q_window_sliding",
+    # --- new round-4 queries: never driver-checked, must be in-window ---
+    "q_sample_stratified",
+    "q_sample_split",
+    "q_agg_percentiles",
+    "q_text_repetition",
     # --- r03-green family representatives kept in-window ---
-    "q_math_fns",
-    "q_join_asof",
     "q_join_salted_skew",
-    "q_agg_first_nonnull",
     "q_agg_grouping_sets",
-    "q_topk_per_group",
     "q_window_watermark",
     "q_stateful_user_totals",
     "q_applyinpandas_group_pct",
@@ -84,6 +87,11 @@ DRIVER_WINDOW = [
 # the CURRENT testdata generation — and remains locally oracle-checked by
 # tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
 TAIL_PRIORITY = [
+    # r03-green representatives displaced by the four new round-4 queries
+    "q_math_fns",
+    "q_join_asof",
+    "q_agg_first_nonnull",
+    "q_topk_per_group",
     "q_union_all",
     "q_json_fns",
     "q_join_broadcast",

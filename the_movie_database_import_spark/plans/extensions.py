@@ -757,3 +757,52 @@ def _install_curation_oracle() -> None:
 
 
 _install_curation_oracle()
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           round(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_frac,
+           round(COUNT(*) * 1.0 / SUM(c), 4) AS distinct_bigram_ratio
+    FROM cnt
+    GROUP BY doc_id
+    """,
+    tags=("text", "ext"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document (north star text-analysis, the
+    Gopher/RefinedWeb "repetitious text" family): fraction of all bigrams
+    taken by the single most frequent bigram, and the distinct/total bigram
+    ratio. High `top_bigram_frac` or low `distinct_bigram_ratio` flags
+    boilerplate and generate-loop text that TTR alone misses (TTR sees
+    tokens, not adjacency).
+
+    Scale shape: bigrams are built inside the row with an indexed
+    `transform` over the token array (pure codegen, no self-join), then two
+    hash aggregations — (doc_id, bigram) then (doc_id) — both map-side
+    combinable. Nothing global: the widest shuffle key is (doc_id, bigram),
+    which is near-unique, so AQE coalesces it freely at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))"
+        ).alias("bigrams"),
+    )
+    counts = (
+        bigrams.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_bigrams"),
+        F.round(F.max("count") / F.sum("count"), 4).alias("top_bigram_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("count"), 4).alias("distinct_bigram_ratio"),
+    )

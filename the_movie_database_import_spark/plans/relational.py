@@ -975,3 +975,48 @@ def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_n_customers")
     )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles ([ext] distribution profiling — the data-
+    quality twin of `q_agg_approx_count_distinct`'s sketch: this is the
+    exact form, computed by Spark's `percentile` aggregate with linear
+    interpolation, value-matched against DuckDB's `quantile_cont`).
+
+    Scale note: exact percentiles sort each group's values inside the
+    aggregate buffer — right for bounded-cardinality profiling like this
+    (3 groups x ~200k values at sf1). For percentiles over UNBOUNDED groups
+    at 100 TB use `percentile_approx` (t-digest-style sketch, map-side
+    combinable) and accept the documented error bound, exactly as the
+    approx-count-distinct pair does."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    quartiles = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            quartiles.alias("q"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+                "median_price"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("q", 1), 4).alias("qty_p25"),
+            F.round(F.element_at("q", 2), 4).alias("qty_p50"),
+            F.round(F.element_at("q", 3), 4).alias("qty_p75"),
+            "median_price",
+        )
+    )

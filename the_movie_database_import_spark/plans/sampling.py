@@ -1,0 +1,85 @@
+"""Deterministic sampling / corpus-split queries ([ext] north star,
+training-data pipeline). Plans over operators/sampling.py.
+
+Both queries are fully oracle-checked: the md5-hex-threshold predicate is
+engine-portable (identical UTF-8 bytes hashed, identical lowercase-hex
+compare), so DuckDB replays membership EXACTLY — not just in expectation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.sampling import (
+    hex_threshold,
+    split_case_sql,
+    split_column,
+    stratified_sample,
+)
+from ..sources.readers import load_table
+from .registry import register
+
+# Curation-style per-language keep rates: downsample the dominant language,
+# keep most of the rare ones (the usual corpus-balancing move).
+STRATIFIED_RATES = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+
+# Insertion order is the interval layout (see split_column docstring).
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN '{hex_threshold(rate)}'"
+    for lang, rate in sorted(STRATIFIED_RATES.items())
+) + f" ELSE '{hex_threshold(0.0)}' END"
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_RATE_CASE}
+    """,
+    tags=("sampling", "ext"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language (north star
+    `sample_stratified`): keep 25% of the dominant 'en' stratum and 80% of
+    each rare stratum, membership a pure function of doc_id.
+
+    Scale shape: a single codegen'd filter (md5 + CASE of literals) fused
+    into the parquet scan — zero shuffles, zero joins, and a re-run or a
+    100 TB backfill reproduces the identical sample row-for-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, F.col("doc_id"), F.col("lang"), STRATIFIED_RATES
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_sample_split",
+    oracle=f"""
+    SELECT {split_case_sql("doc_id", SPLITS)} AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("sampling", "ext"),
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (north star `corpus_split`):
+    80/10/10 by consecutive hash intervals, then the per-split-per-language
+    census a curation report would publish.
+
+    The interval layout means a later re-split that widens train can only
+    relabel rows at the train/val boundary — no test row ever leaks into
+    train. One map-side-combinable aggregation on a 15-value key; the
+    assignment itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            split_column(F.col("doc_id"), SPLITS).alias("split"), "lang"
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
