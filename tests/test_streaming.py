@@ -219,3 +219,34 @@ def test_jdbc_batch_writer_replay_is_idempotent(spark, tmp_path):
     other = jdbc_exactly_once_batch_writer(url, "kv", stream_id="u", properties=props)
     other(batch, 0)
     assert count() == 6
+
+
+def test_stream_stream_interval_join_parity(spark):
+    """Stream-stream interval join (views -> purchases within 2h, watermarked
+    both sides) must equal the batch twin pair-for-pair. Inner join + bounded
+    time range means the watermark only EVICTS state, never changes results
+    with availableNow delivering everything."""
+    from the_movie_database_import_spark.streaming import (
+        interval_join_views_to_purchases,
+    )
+
+    views = (
+        stream_events(spark, SF_DIR)
+        .filter("event_type = 'view'")
+        .withWatermark("ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, SF_DIR)
+        .filter("event_type = 'purchase'")
+        .withWatermark("ts", "2 hours")
+    )
+    stream_out = run_to_memory(
+        interval_join_views_to_purchases(views, purchases), "t_ssj", "append"
+    ).toPandas()
+
+    ev = _batch_events(spark)
+    batch_out = interval_join_views_to_purchases(
+        ev.filter("event_type = 'view'"), ev.filter("event_type = 'purchase'")
+    ).toPandas()
+    assert len(batch_out) > 0
+    assert_frames_match(stream_out, batch_out, "stream_stream_join_parity")

@@ -219,3 +219,37 @@ def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", _ts_str("ts").alias("first_ts"))
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution interval join — batch twin of the
+    stream-stream event-time join (streaming/windows.py
+    `interval_join_views_to_purchases`; parity in tests/test_streaming.py).
+    Equi key user_id + bounded time range is the shape that keeps streaming
+    state finite (watermark evicts views older than the lag horizon) and
+    keeps the batch plan a plain sort-merge join — no cartesian, no
+    unbounded buffering on either execution model."""
+    events = load_table(spark, sf_dir, "events")
+    from ..streaming.windows import interval_join_views_to_purchases
+
+    return interval_join_views_to_purchases(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )

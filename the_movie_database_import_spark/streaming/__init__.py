@@ -8,6 +8,7 @@ from .windows import (  # noqa: F401
     sliding_agg,
     session_agg,
     dedup_within_watermark,
+    interval_join_views_to_purchases,
     stateful_user_totals,
     run_to_memory,
     run_to_parquet,

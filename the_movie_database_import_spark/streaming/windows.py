@@ -198,6 +198,62 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_views_to_purchases(
+    views: DataFrame, purchases: DataFrame, max_lag: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream event-time interval join ([ext] SURVEY.md §2 streaming):
+    attribute each purchase to the same user's preceding views within
+    ``max_lag`` — the canonical ad-attribution / funnel join.
+
+    The join condition is equi (user_id) + a BOUNDED event-time range, which
+    is exactly what lets Structured Streaming run it with finite state: with
+    watermarks on both inputs, a buffered view can be evicted once the
+    watermark passes view_ts + max_lag (no purchase can match it anymore),
+    and vice versa — state is O(events inside the lag horizon), not O(stream).
+    In batch the same plan is a sort-merge join on user_id with the range as
+    a post-condition. Same function body serves both; the batch twin
+    (q_stream_stream_join) carries the DuckDB oracle and the streaming side
+    is checked by batch/stream parity.
+
+    The caller applies ``withWatermark`` on both inputs for the streaming
+    case (required for append-mode stream-stream joins); batch inputs pass
+    through unchanged.
+    """
+    v = views.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag}")
+            ),
+            "inner",
+        )
+        # NTZ can't cast straight to long; via TIMESTAMP it's an exact relabel
+        # under the UTC session tz (same move as the watermark cast above).
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                F.col("purchase_ts").cast("timestamp").cast("long")
+                - F.col("view_ts").cast("timestamp").cast("long")
+            ).alias("lag_s"),
+        )
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     path: str,
