@@ -111,3 +111,32 @@ def test_stratified_sample_plan_has_no_exchange(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sample_fixed_k_sizes_and_determinism(spark):
+    from the_movie_database_import_spark.operators.sampling import sample_fixed_k
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 10).collect()
+    sizes: dict[str, int] = {}
+    for r in got:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    stratum_totals = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {
+        lang: min(10, n) for lang, n in stratum_totals.items()
+    }, "exactly min(k, stratum size) per stratum"
+    again = sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 10).collect()
+    assert sorted((r.lang, r.doc_id, r._rk) for r in got) == sorted(
+        (r.lang, r.doc_id, r._rk) for r in again
+    )
+    # rank prefix is itself the k=5 sample: sub-slicing is consistent
+    five = {
+        (r.lang, r.doc_id)
+        for r in sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 5).collect()
+    }
+    assert five == {(r.lang, r.doc_id) for r in got if r._rk <= 5}
+
+    with pytest.raises(ValueError):
+        sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 0)

@@ -24,7 +24,7 @@ surface; this module is part of the north-star extension set.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 HASH_SPACE = 16**8  # first 8 md5 hex chars
 
@@ -108,6 +108,37 @@ def split_column(
     for name, threshold in reversed(conditions):
         expr = F.when(bucket < F.lit(threshold), F.lit(name)).otherwise(expr)
     return expr
+
+
+def sample_fixed_k(
+    df: DataFrame,
+    key: Column,
+    strata: Column,
+    k: int,
+) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows per stratum, deterministically:
+    the k smallest hash buckets win (ties broken by the key itself, so the
+    result is unique even under a hash collision). The fixed-size complement
+    of :func:`stratified_sample`'s fixed-rate draw — what an eval-set or
+    labeling budget wants ("500 docs per language, same 500 every run").
+
+    Adds ``_rk`` (1-based rank within the stratum) so callers can
+    sub-slice consistently (e.g. first 100 for pass 1).
+
+    Scale: one shuffle on the stratum key + a per-stratum sort — fine while
+    no single stratum is monstrous. For a dominant stratum at 100 TB,
+    pre-thin with ``hash_sample(df, key, c*k/n_stratum)`` (the uniform
+    bucket means the true top-k survives a rate comfortably above k/n with
+    overwhelming probability), then run this on the survivors.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    w = Window.partitionBy(strata).orderBy(hash_bucket(key), key)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumn("_rk", F.col("_rk").cast("bigint"))
+    )
 
 
 def split_case_sql(key_sql: str, splits: dict[str, float], otherwise: str | None = None) -> str:

@@ -83,3 +83,30 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "q_sample_fixed_k",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ) AS BIGINT) AS _rk
+    FROM documents
+    QUALIFY _rk <= 25
+    """,
+    tags=("sampling", "ext"),
+)
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 25 documents per language, deterministically (north star
+    `sample_fixed_k`): the 25 smallest hash buckets win, so every run, SF,
+    and engine picks the same rows — the eval-set / labeling-budget draw.
+    One stratum-key shuffle + per-stratum sort; a dominant stratum at scale
+    pre-thins with `hash_sample` first (see operator docstring)."""
+    from ..operators.sampling import sample_fixed_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 25).select(
+        "doc_id", "lang", "_rk"
+    )
