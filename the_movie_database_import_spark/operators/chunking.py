@@ -1,0 +1,100 @@
+"""Document chunking and sequence packing ([ext] training-data pipeline,
+north star): the last mile between a curated corpus and a training batch —
+split documents into fixed-token-window chunks with overlap, then assign
+chunks/documents to fixed-budget bins (context-window packing).
+
+Both are pure row-local / window-function constructs: chunking is an
+in-row ``sequence``+``transform``+``posexplode`` (whole-stage codegen, no
+shuffle — the explode multiplies rows, not exchanges), packing is one
+running-sum window per shard. Neither touches Python.
+
+The reference (a load-everything ETL, `loader.py`) has no chunking
+surface; this module is part of the north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Explode each document into token-window chunks of ``chunk_size``
+    whitespace tokens, consecutive chunks sharing ``overlap`` tokens
+    (stride = chunk_size - overlap). The final chunk may be shorter; a
+    document shorter than one stride still yields exactly one chunk.
+
+    Output adds ``chunk_id`` (0-based), ``chunk_text``, ``n_tokens``.
+
+    Scale shape: chunk construction happens INSIDE the row — an indexed
+    ``transform`` over a ``sequence`` of chunk starts, then ``posexplode``.
+    No shuffle, no self-join, no Python; output row count is
+    sum(ceil(tokens/stride)), and downstream stages see chunks as ordinary
+    rows. Overlap is the standard guard against splitting a span a model
+    should see contiguously.
+    """
+    if chunk_size <= 0 or overlap < 0 or overlap >= chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size: {chunk_size=} {overlap=}")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil matches the oracle's ceil(x/stride.0): small-int doubles are exact
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(float(stride)))
+    starts = F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    return (
+        df.withColumn("_n", n)
+        .select(
+            "*",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.array_join(
+                        F.slice(toks, (i * stride + 1).cast("int"), chunk_size), " "
+                    ),
+                )
+            ).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+        .withColumn(
+            "n_tokens",
+            F.least(F.col("_n") - F.col("chunk_id") * stride, F.lit(chunk_size)).cast(
+                "bigint"
+            ),
+        )
+        .drop("_n")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    size_col: Column,
+    order_col: Column,
+    budget: int,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Assign each row to a fixed-budget bin by running token count: bin =
+    floor(preceding-cumsum / budget) in ``order_col`` order — the
+    deterministic single-pass packing a sequence-packing data loader does
+    (each item lands in the bin where its offset starts; bins hold ~budget
+    tokens). Adds ``bin_id``.
+
+    Scale: a running-sum window is a SORT, and without ``shard_col`` it is
+    one global sort — fine for a bounded eval set, wrong for 100 TB. Pass a
+    shard column (split name, language, hash prefix) to pack within shards:
+    the window becomes per-shard, the sort distributes, and bins are
+    (shard, bin_id). Training jobs shard anyway, so per-shard packing is
+    the semantics you want, not a compromise.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    w = (
+        Window.partitionBy(shard_col) if shard_col is not None else Window.partitionBy()
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offset = F.sum(size_col).over(w) - size_col
+    return df.withColumn(
+        "bin_id", F.floor(offset / F.lit(float(budget))).cast("bigint")
+    )

@@ -21,10 +21,10 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-4 rotation (VERDICT r03 #1):
 # the driver regenerates /root/testdata between rounds, so the 27 queries
 # whose only driver rows predate the current generation (r01/r02 era — the
-# whole r03 tail) move in-window to earn fresh rows, and the six new
-# round-4 queries (sampling/splits/percentiles/repetition/stream-stream
-# join — never driver-checked) take window slots; 17 r03-green variants
-# stay as family representatives.
+# whole r03 tail) move in-window to earn fresh rows, and the eight new
+# round-4 queries (sampling/splits/percentiles/repetition/chunking/
+# packing/stream-stream join — never driver-checked) take window slots;
+# 15 r03-green variants stay as family representatives.
 # Every rotated-out query keeps its r03 row (same testdata generation), so
 # no family loses current-generation driver evidence.
 DRIVER_WINDOW = [
@@ -62,12 +62,12 @@ DRIVER_WINDOW = [
     "q_sample_fixed_k",
     "q_agg_percentiles",
     "q_text_repetition",
+    "q_text_chunks",
+    "q_pack_greedy",
     "q_stream_stream_join",
     # --- r03-green family representatives kept in-window ---
     "q_join_salted_skew",
     "q_stateful_user_totals",
-    "q_applyinpandas_group_pct",
-    "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_text_tfidf_top_term",
@@ -88,13 +88,15 @@ DRIVER_WINDOW = [
 # the CURRENT testdata generation — and remains locally oracle-checked by
 # tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
 TAIL_PRIORITY = [
-    # r03-green representatives displaced by the six new round-4 queries
+    # r03-green representatives displaced by the eight new round-4 queries
     "q_math_fns",
     "q_join_asof",
     "q_agg_first_nonnull",
     "q_topk_per_group",
     "q_window_watermark",
     "q_agg_grouping_sets",
+    "q_applyinpandas_group_pct",
+    "q_dedup_exact",
     "q_union_all",
     "q_json_fns",
     "q_join_broadcast",

@@ -806,3 +806,82 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("count") / F.sum("count"), 4).alias("top_bigram_frac"),
         F.round(F.count(F.lit(1)) / F.sum("count"), 4).alias("distinct_bigram_ratio"),
     )
+
+
+@register(
+    "q_text_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text,
+           CAST(least(n - i * 48, 64) AS BIGINT) AS n_tokens
+    FROM toks,
+         unnest(generate_series(0,
+             CAST(ceil(greatest(n - 16, 1) / 48.0) AS BIGINT) - 1)) AS g(i)
+    """,
+    tags=("text", "chunking", "ext"),
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (north star `chunk_tokens`): 64-token chunks
+    with 16-token overlap per document — the split a context-window-bounded
+    trainer consumes. Chunks are built inside the row (sequence + indexed
+    transform + posexplode, all codegen, zero shuffles); content equality is
+    oracle-checked chunk-for-chunk including the overlap regions."""
+    from ..operators.chunking import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_size=64, overlap=16).select(
+        "doc_id", "chunk_id", "chunk_text", "n_tokens"
+    )
+
+
+@register(
+    "q_pack_greedy",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT lang, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0)
+                    AS BIGINT) AS bin_id
+        FROM c
+    )
+    SELECT lang, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM b
+    GROUP BY lang, bin_id
+    """,
+    tags=("text", "chunking", "ext"),
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (north star `pack_greedy`): deterministic
+    offset-based assignment of documents to 256-token bins, packed WITHIN
+    each language shard — per-shard running-sum window (the sort
+    distributes across shards; training jobs shard anyway), then the bin
+    census. Every engine re-derives identical bins because assignment is a
+    pure function of (shard, order, sizes)."""
+    from ..operators.chunking import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_greedy(
+        sized, F.col("n_tokens"), F.col("doc_id"), 256, shard_col=F.col("lang")
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
