@@ -20,7 +20,7 @@ def test_chunks_reconstruct_documents(spark):
     """Dropping each chunk's leading `overlap` tokens (except chunk 0) and
     concatenating in chunk_id order must reproduce the original document —
     no token lost, duplicated beyond the overlap, or reordered."""
-    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id < 50")
     chunks = chunk_tokens(docs, chunk_size=64, overlap=16)
     rows = chunks.select("doc_id", "chunk_id", "chunk_text").collect()
     by_doc: dict[int, list[tuple[int, str]]] = {}
@@ -39,7 +39,7 @@ def test_chunks_reconstruct_documents(spark):
 
 
 def test_chunk_overlap_is_shared_suffix_prefix(spark):
-    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id < 20")
     rows = chunk_tokens(docs, chunk_size=64, overlap=16).collect()
     by_doc: dict[int, list[tuple[int, list[str]]]] = {}
     for r in rows:

@@ -24,7 +24,9 @@ from conftest import SF_DIR
 
 def test_hex_threshold_bounds():
     assert hex_threshold(0.0) == "00000000"
-    assert hex_threshold(1.0) == "ffffffff"
+    # 'g' sorts above every hex char: rate 1.0 must be keep-ALL, not
+    # keep-all-but-bucket-ffffffff
+    assert hex_threshold(1.0) == "g"
     assert hex_threshold(0.2) == format(int(0.2 * 16**8), "08x")
     with pytest.raises(ValueError):
         hex_threshold(-0.1)
@@ -140,3 +142,16 @@ def test_sample_fixed_k_sizes_and_determinism(spark):
 
     with pytest.raises(ValueError):
         sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 0)
+
+
+def test_rate_one_keeps_every_row(spark):
+    """rate=1.0 / fractions-summing-to-1 must be keep-all / exhaustive even
+    for a row hashing to bucket 'ffffffff' (threshold is 'g', above all
+    hex), so the documented contracts hold exactly, not probabilistically."""
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    assert hash_sample(docs, F.col("doc_id"), 1.0).count() == n
+    labeled = docs.select(
+        split_column(F.col("doc_id"), {"all": 1.0}).alias("split")
+    )
+    assert labeled.filter("split IS NULL").count() == 0

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.text import tokens
+
 
 def chunk_tokens(
     df: DataFrame,
@@ -40,7 +42,7 @@ def chunk_tokens(
     if chunk_size <= 0 or overlap < 0 or overlap >= chunk_size:
         raise ValueError(f"need 0 <= overlap < chunk_size: {chunk_size=} {overlap=}")
     stride = chunk_size - overlap
-    toks = F.split(F.col(text_col), " ")
+    toks = tokens(F.col(text_col))  # the text stack's one tokenization
     n = F.size(toks)
     # ceil matches the oracle's ceil(x/stride.0): small-int doubles are exact
     n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(float(stride)))
@@ -81,6 +83,12 @@ def pack_greedy(
     deterministic single-pass packing a sequence-packing data loader does
     (each item lands in the bin where its offset starts; bins hold ~budget
     tokens). Adds ``bin_id``.
+
+    ``order_col`` must be UNIQUE within a shard (a row id, not a bare
+    timestamp): the running sum over a tied sort is order-arbitrary, so
+    ties would make bin assignment run-dependent — exactly the
+    nondeterminism this operator exists to remove. Append a unique
+    tiebreaker to a non-unique ordering before calling.
 
     Scale: a running-sum window is a SORT, and without ``shard_col`` it is
     one global sort — fine for a bounded eval set, wrong for 100 TB. Pass a

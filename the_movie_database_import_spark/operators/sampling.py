@@ -31,16 +31,32 @@ HASH_SPACE = 16**8  # first 8 md5 hex chars
 
 def hex_threshold(rate: float) -> str:
     """``floor(rate * 16^8)`` as 8 lowercase hex chars — the string a row's
-    hash bucket must stay below to be kept."""
+    hash bucket must stay below to be kept.
+
+    rate=1.0 returns ``"g"``: 'g' sorts above every hex char in both Spark
+    and DuckDB, so ``bucket < 'g'`` is keep-ALL. Clamping to 'ffffffff'
+    instead would strictly-exclude the 1-in-2^32 rows whose bucket is
+    exactly 'ffffffff' — making rate-1.0 not keep-all and sum-to-1 splits
+    not exhaustive (essentially certain to bite in a multi-billion-row
+    corpus)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1]: {rate}")
-    return format(min(int(rate * HASH_SPACE), HASH_SPACE - 1), "08x")
+    n = int(rate * HASH_SPACE)
+    if n >= HASH_SPACE:
+        return "g"
+    return format(n, "08x")
 
 
 def hash_bucket(key: Column) -> Column:
     """Uniform per-row draw: first 8 hex chars of md5 of the key rendered as
     a decimal string. Stringifying first keeps the draw portable — every
-    engine hashes the same UTF-8 bytes, so oracles can replay it."""
+    engine hashes the same UTF-8 bytes, so oracles can replay it.
+
+    The key must be an INTEGER or STRING column: engines agree on those
+    renderings, but float/decimal/timestamp cast-to-string formats diverge
+    (Spark '1.0E7' vs DuckDB '10000000.0'), which would silently break
+    cross-engine reproducibility. Normalize such keys to a string yourself
+    before hashing."""
     return F.md5(key.cast("string")).substr(1, 8)
 
 
@@ -92,6 +108,19 @@ def split_column(
     0.1 never moves a training row into val (no train/test leakage on
     re-splits).
     """
+    # Chain inside-out so the FIRST (smallest-threshold) split wins the CASE.
+    bucket = hash_bucket(key)
+    expr: Column = F.lit(otherwise)
+    for name, threshold in reversed(_split_thresholds(splits)):
+        expr = F.when(bucket < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def _split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """Validated (name, cumulative hex threshold) pairs — the single source
+    of the interval layout for both :func:`split_column` and its SQL twin
+    :func:`split_case_sql` (drift between the two would silently break
+    Spark/oracle parity)."""
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")
@@ -102,12 +131,7 @@ def split_column(
     for name, frac in splits.items():
         cumulative += frac
         conditions.append((name, hex_threshold(min(cumulative, 1.0))))
-    # Chain inside-out so the FIRST (smallest-threshold) split wins the CASE.
-    bucket = hash_bucket(key)
-    expr: Column = F.lit(otherwise)
-    for name, threshold in reversed(conditions):
-        expr = F.when(bucket < F.lit(threshold), F.lit(name)).otherwise(expr)
-    return expr
+    return conditions
 
 
 def sample_fixed_k(
@@ -144,11 +168,13 @@ def sample_fixed_k(
 def split_case_sql(key_sql: str, splits: dict[str, float], otherwise: str | None = None) -> str:
     """The ANSI-SQL twin of :func:`split_column`, for oracle queries: a CASE
     over the same hex thresholds on ``substr(md5(CAST(key AS VARCHAR)),1,8)``."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
     bucket = f"substr(md5(CAST({key_sql} AS VARCHAR)),1,8)"
-    arms = []
-    cumulative = 0.0
-    for name, frac in splits.items():
-        cumulative += frac
-        arms.append(f"WHEN {bucket} < '{hex_threshold(min(cumulative, 1.0))}' THEN '{name}'")
-    tail = "NULL" if otherwise is None else f"'{otherwise}'"
+    arms = [
+        f"WHEN {bucket} < {q(threshold)} THEN {q(name)}"
+        for name, threshold in _split_thresholds(splits)
+    ]
+    tail = "NULL" if otherwise is None else q(otherwise)
     return "CASE " + " ".join(arms) + f" ELSE {tail} END"

@@ -789,7 +789,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable. Nothing global: the widest shuffle key is (doc_id, bigram),
     which is near-unique, so AQE coalesces it freely at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     bigrams = toks.select(
         "doc_id",
         F.expr(
@@ -876,7 +876,7 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id",
         "lang",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     packed = pack_greedy(
         sized, F.col("n_tokens"), F.col("doc_id"), 256, shard_col=F.col("lang")
