@@ -52,3 +52,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_percentile_error_bound(spark):
+    """percentile_approx(accuracy=10000) guarantees rank error <= n/accuracy;
+    on l_quantity (integers 1..50, ~uniform) that is a value error well
+    under 1 quantity unit per quartile — asserted at a loose ±1.0 against
+    the exact twin so the bound never flakes while catching a broken
+    sketch."""
+    exact = {
+        r.l_returnflag: (r.qty_p25, r.qty_p50, r.qty_p75)
+        for r in REGISTRY["q_agg_percentiles"].spark_fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.qty_p25_approx, r.qty_p50_approx, r.qty_p75_approx)
+        for r in REGISTRY["q_agg_percentiles_approx"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, exact_qs in exact.items():
+        for e, a in zip(exact_qs, approx[flag]):
+            assert abs(e - a) <= 1.0, (flag, exact_qs, approx[flag])

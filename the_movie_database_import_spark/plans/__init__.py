@@ -21,10 +21,10 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-4 rotation (VERDICT r03 #1):
 # the driver regenerates /root/testdata between rounds, so the 27 queries
 # whose only driver rows predate the current generation (r01/r02 era — the
-# whole r03 tail) move in-window to earn fresh rows, and the eight new
+# whole r03 tail) move in-window to earn fresh rows, and the nine new
 # round-4 queries (sampling/splits/percentiles/repetition/chunking/
 # packing/stream-stream join — never driver-checked) take window slots;
-# 15 r03-green variants stay as family representatives.
+# 14 r03-green variants stay as family representatives.
 # Every rotated-out query keeps its r03 row (same testdata generation), so
 # no family loses current-generation driver evidence.
 DRIVER_WINDOW = [
@@ -61,6 +61,7 @@ DRIVER_WINDOW = [
     "q_sample_split",
     "q_sample_fixed_k",
     "q_agg_percentiles",
+    "q_agg_percentiles_approx",
     "q_text_repetition",
     "q_text_chunks",
     "q_pack_greedy",
@@ -76,7 +77,6 @@ DRIVER_WINDOW = [
     "q_similarity_ivf_topk",
     "q_dedup_embedding_cosine",
     "q_dedup_embedding_cosine_lsh",
-    "q_dedup_clusters",
     "q_corpus_curation",
     "q_multimodal_metadata",
     "q_multimodal_features",
@@ -88,7 +88,7 @@ DRIVER_WINDOW = [
 # the CURRENT testdata generation — and remains locally oracle-checked by
 # tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
 TAIL_PRIORITY = [
-    # r03-green representatives displaced by the eight new round-4 queries
+    # r03-green representatives displaced by the nine new round-4 queries
     "q_math_fns",
     "q_join_asof",
     "q_agg_first_nonnull",
@@ -97,6 +97,7 @@ TAIL_PRIORITY = [
     "q_agg_grouping_sets",
     "q_applyinpandas_group_pct",
     "q_dedup_exact",
+    "q_dedup_clusters",
     "q_union_all",
     "q_json_fns",
     "q_join_broadcast",

@@ -1020,3 +1020,21 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_price",
         )
     )
+
+
+@register("q_agg_percentiles_approx", oracle=None, tags=("agg", "approx"))
+def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch form of `q_agg_percentiles` ([ext]): `percentile_approx`
+    (Greenwald-Khanna, map-side combinable, bounded memory) — the form an
+    UNBOUNDED group at 100 TB wants, exactly as `q_agg_approx_count_distinct`
+    pairs with the exact COUNT(DISTINCT). Sketches differ across engines, so
+    this is rows-only for the driver; the estimate is pinned within the
+    configured accuracy's error bound against the exact twin in
+    tests/test_oracle_parity.py."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_quantity", F.lit([0.25, 0.5, 0.75]), F.lit(10_000))
+    return lineitem.groupBy("l_returnflag").agg(
+        F.element_at(q, 1).alias("qty_p25_approx"),
+        F.element_at(q, 2).alias("qty_p50_approx"),
+        F.element_at(q, 3).alias("qty_p75_approx"),
+    )
