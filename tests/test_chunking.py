@@ -96,3 +96,29 @@ def test_pack_greedy_bins_respect_offsets(spark):
             offset += r.n
     with pytest.raises(ValueError):
         pack_greedy(sized, F.col("n"), F.col("doc_id"), 0)
+
+
+def test_reserved_output_columns_rejected(spark):
+    """ADVICE r04: output names are reserved — a same-named input column
+    would be silently clobbered (withColumn) or duplicated ambiguously
+    (select('*', posexplode)). The operators must fail loudly instead."""
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="chunk_id"):
+        chunk_tokens(docs.withColumn("chunk_id", F.lit(0)))
+    with pytest.raises(ValueError, match="n_tokens"):
+        chunk_tokens(docs.withColumn("n_tokens", F.lit(0)))
+    sized = docs.select("doc_id", "lang", F.lit(5).cast("bigint").alias("n"))
+    with pytest.raises(ValueError, match="bin_id"):
+        pack_greedy(
+            sized.withColumn("bin_id", F.lit(0)), F.col("n"), F.col("doc_id"), 64
+        )
+
+
+def test_pack_greedy_bin_id_is_exact_integer_division(spark):
+    """bin = offset div budget on LONGS (ADVICE r04): no double round-trip,
+    so assignment is exact regardless of cumulative magnitude. Pin by
+    packing rows whose offsets sit exactly on and one below a bin boundary."""
+    rows = [(i, 64) for i in range(10)]  # offsets 0,64,128,... budget=128
+    df = spark.createDataFrame(rows, "id long, n long")
+    got = {r.id: r.bin_id for r in pack_greedy(df, F.col("n"), F.col("id"), 128).collect()}
+    assert got == {i: (i * 64) // 128 for i in range(10)}

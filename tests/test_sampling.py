@@ -155,3 +155,33 @@ def test_rate_one_keeps_every_row(spark):
         split_column(F.col("doc_id"), {"all": 1.0}).alias("split")
     )
     assert labeled.filter("split IS NULL").count() == 0
+
+
+def test_split_thresholds_snap_float_accumulation(spark):
+    """{0.7, 0.2, 0.1} accumulates to 0.9999999999999999 in floats; the last
+    threshold must still snap to the keep-all 'g' so sum-to-1 splits stay
+    exhaustive (ADVICE r04: without the snap a row with bucket exactly
+    'ffffffff' falls through to NULL, in both the Spark and SQL twins)."""
+    from the_movie_database_import_spark.operators.sampling import (
+        _split_thresholds,
+        split_case_sql,
+    )
+
+    thresholds = _split_thresholds({"train": 0.7, "val": 0.2, "test": 0.1})
+    assert thresholds[-1] == ("test", "g"), thresholds
+    assert "'g'" in split_case_sql("doc_id", {"train": 0.7, "val": 0.2, "test": 0.1})
+    docs = load_table(spark, SF_DIR, "documents")
+    labeled = docs.select(
+        split_column(
+            F.col("doc_id"), {"train": 0.7, "val": 0.2, "test": 0.1}
+        ).alias("split")
+    )
+    assert labeled.filter("split IS NULL").count() == 0
+
+
+def test_sample_fixed_k_rejects_reserved_column(spark):
+    from the_movie_database_import_spark.operators.sampling import sample_fixed_k
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn("_rk", F.lit(1))
+    with pytest.raises(ValueError, match="_rk"):
+        sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 3)

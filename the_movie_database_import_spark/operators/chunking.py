@@ -19,6 +19,19 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..functions.text import tokens
 
 
+def _require_absent(df: DataFrame, reserved: tuple[str, ...], op: str) -> None:
+    """Output columns are RESERVED names: ``withColumn`` silently replaces a
+    same-named input and ``select('*', posexplode(...).alias(...))`` produces
+    ambiguous duplicates — either way the caller's column is clobbered without
+    warning. Fail loudly instead; rename the input column before calling."""
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{op} writes reserved output column(s) {clash} which already "
+            f"exist in the input — rename them before calling"
+        )
+
+
 def chunk_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -41,6 +54,7 @@ def chunk_tokens(
     """
     if chunk_size <= 0 or overlap < 0 or overlap >= chunk_size:
         raise ValueError(f"need 0 <= overlap < chunk_size: {chunk_size=} {overlap=}")
+    _require_absent(df, ("_n", "chunk_id", "chunk_text", "n_tokens"), "chunk_tokens")
     stride = chunk_size - overlap
     toks = tokens(F.col(text_col))  # the text stack's one tokenization
     n = F.size(toks)
@@ -99,10 +113,16 @@ def pack_greedy(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
+    _require_absent(df, ("_pack_offset", "bin_id"), "pack_greedy")
     w = (
         Window.partitionBy(shard_col) if shard_col is not None else Window.partitionBy()
     ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offset = F.sum(size_col).over(w) - size_col
-    return df.withColumn(
-        "bin_id", F.floor(offset / F.lit(float(budget))).cast("bigint")
+    # `div` is exact long integer division — no double round-trip, so the
+    # determinism contract holds even past 2^53 cumulative tokens per shard
+    # (floor(x / float(budget)) would silently depend on fp rounding there).
+    return (
+        df.withColumn("_pack_offset", offset.cast("bigint"))
+        .withColumn("bin_id", F.expr(f"_pack_offset div {int(budget)}").cast("bigint"))
+        .drop("_pack_offset")
     )

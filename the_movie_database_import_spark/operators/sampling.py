@@ -130,7 +130,14 @@ def _split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
     conditions: list[tuple[str, str]] = []
     for name, frac in splits.items():
         cumulative += frac
-        conditions.append((name, hex_threshold(min(cumulative, 1.0))))
+        # Snap to exactly 1.0 inside the same tolerance the sum>1 validation
+        # uses: {0.7, 0.2, 0.1} accumulates to 0.9999999999999999, and without
+        # the snap the final threshold would be 'ffffffff' instead of the
+        # keep-all 'g' — dropping the 1-in-2^32 rows whose bucket is exactly
+        # 'ffffffff' and silently breaking sum-to-1 exhaustiveness (the same
+        # edge hex_threshold pins for rate=1.0).
+        snapped = 1.0 if cumulative >= 1.0 - 1e-9 else cumulative
+        conditions.append((name, hex_threshold(snapped)))
     return conditions
 
 
@@ -157,6 +164,11 @@ def sample_fixed_k(
     """
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
+    if "_rk" in df.columns:
+        raise ValueError(
+            "sample_fixed_k writes reserved output column '_rk' which already "
+            "exists in the input — rename it before calling"
+        )
     w = Window.partitionBy(strata).orderBy(hash_bucket(key), key)
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -850,8 +850,8 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT lang, n_tokens,
-               CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0)
+               CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
                     AS BIGINT) AS bin_id
         FROM c
     )

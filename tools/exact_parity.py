@@ -18,7 +18,12 @@ first again.
 """
 from __future__ import annotations
 
+import os
 import sys
+
+# Runnable from anywhere: `python tools/exact_parity.py` puts tools/ (not the
+# repo root) on sys.path, which silently breaks the package import.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
