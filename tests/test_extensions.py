@@ -547,3 +547,109 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.3, f"recall@10 {hits / total:.3f} < 0.3"
+
+
+def test_choose_minhash_params_math():
+    """MinHash chooser contract (VERDICT r04 #3): bands divide hashes, the
+    signature budget is respected, and the analytic recall 1-(1-j^r)^b at
+    the threshold meets the target. The per-component collision probability
+    for MinHash is the Jaccard threshold itself."""
+    from the_movie_database_import_spark.operators.dedup import choose_minhash_params
+
+    for threshold, target in [(0.8, 0.9), (0.6, 0.9), (0.4, 0.9), (0.8, 0.99)]:
+        num_hashes, bands = choose_minhash_params(threshold, target)
+        assert num_hashes % bands == 0 and num_hashes <= 32, (threshold, num_hashes, bands)
+        r = num_hashes // bands
+        recall = 1.0 - (1.0 - threshold**r) ** bands
+        assert recall >= target, (threshold, num_hashes, bands, recall)
+    with pytest.raises(ValueError):
+        choose_minhash_params(0.05, 0.999, max_hashes=2)
+    with pytest.raises(ValueError):
+        choose_minhash_params(1.5)
+
+
+def test_minhash_lsh_recall_with_chosen_params_second_threshold(spark):
+    """End-to-end recall pin at a SECOND threshold (0.6) with chooser-derived
+    (num_hashes, bands) — the fixed 32/8 geometry this replaces was tuned for
+    0.8 and models only 0.67 recall at 0.6; the chooser must restore >= 0.9.
+    Precision stays exact (LSH output subset of brute-force pairs)."""
+    docs = _docs(spark)
+    exact_all = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs_exact(
+            docs.withColumn("blk", F.lit(1)), block_col="blk", threshold=0.6
+        )
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b").collect()
+    }
+    assert got <= exact_all, "LSH must never emit a below-threshold pair"
+    assert exact_all, "fixture must contain pairs at jaccard >= 0.6"
+    recall = len(got & exact_all) / len(exact_all)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 at threshold 0.6"
+
+
+def test_connected_components_single_action_per_iteration(spark, monkeypatch):
+    """VERDICT r04 #4: convergence must be read from the Observation metric
+    folded into the round's localCheckpoint action — no separate per-round
+    count() job. Spy on DataFrame.count to prove the loop never calls it,
+    and pin the fixpoint labels on a 2-cluster path graph (diameter 3, so
+    the loop genuinely iterates multiple rounds)."""
+    from pyspark.sql import DataFrame
+    from the_movie_database_import_spark.operators.dedup import connected_components
+
+    calls: list[int] = []
+    orig = DataFrame.count
+    monkeypatch.setattr(DataFrame, "count", lambda self: calls.append(1) or orig(self))
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_rep for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+    assert not calls, "convergence check ran a separate count() job"
+
+
+def test_decontaminate_removes_exactly_flagged_docs(spark):
+    """`decontaminate` must drop precisely the docs `contamination_counts`
+    flags at min_grams, keep full rows, and be a no-op when n exceeds every
+    document length. Also pins the broadcast-probe plan: corpus rows reach
+    the anti-join without an Exchange."""
+    from the_movie_database_import_spark.operators.decontam import (
+        contamination_counts,
+        decontaminate,
+    )
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = {
+        r.doc_id for r in contamination_counts(corpus, bench, n=3).collect()
+    }
+    assert flagged, "fixture must contain 3-gram overlap"
+    clean = decontaminate(corpus, bench, n=3)
+    assert clean.columns == corpus.columns
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+    # n longer than any document: nothing can overlap, nothing is dropped
+    assert decontaminate(corpus, bench, n=10_000).count() == corpus.count()
+    with pytest.raises(ValueError):
+        contamination_counts(corpus, bench, n=0)
+    # corpus side never shuffles before the probe: the only Exchanges in the
+    # counts plan belong to the final per-doc aggregate, and the joins are
+    # broadcast
+    plan = (
+        contamination_counts(corpus, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

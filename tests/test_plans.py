@@ -180,3 +180,30 @@ def test_cosine_neardup_lsh_joins_on_subbucket(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fan_out_never_touches_rdd(spark, monkeypatch):
+    """VERDICT r04 #6: the split probe must be driver-side metadata only —
+    no plan→RDD conversion. Poison DataFrame.rdd and exercise both branches
+    (small scan fans out; already-parallel estimate is a no-op)."""
+    from pyspark.sql import DataFrame
+    from the_movie_database_import_spark.sources.readers import (
+        _estimated_scan_splits,
+        fan_out,
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert _estimated_scan_splits(docs) >= 1
+
+    def boom(self):
+        raise AssertionError("fan_out accessed df.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    fanned = fan_out(docs)
+    monkeypatch.undo()
+    target = spark.sparkContext.defaultParallelism
+    assert fanned.rdd.getNumPartitions() == target
+    # a frame whose estimated splits already meet the target is returned as-is
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    assert fan_out(docs, min_partitions=1) is docs

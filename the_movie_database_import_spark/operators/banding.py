@@ -24,6 +24,39 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def choose_banding(p_match: float, target_recall: float, max_sig: int) -> tuple[int, int]:
+    """Pick ``(signature_size, bands)`` from the banding recall formula,
+    given the per-component collision probability ``p_match`` AT the
+    similarity threshold (MinHash: p = jaccard; hyperplane LSH:
+    p = 1 - acos(cos)/pi).
+
+    A band of ``r`` components matches with ``p^r``; with ``b`` bands a
+    qualifying pair is emitted with ``recall = 1 - (1 - p^r)^b``. Recall is
+    monotone in the underlying similarity, so guaranteeing it AT the
+    threshold guarantees it above. Candidate cost falls as bands get WIDER
+    (larger ``r`` → more selective buckets), so take the largest ``r`` whose
+    required band count ``b = ceil(ln(1-target) / ln(1-p^r))`` still fits
+    ``r*b <= max_sig`` — the most selective geometry that meets the recall
+    target within the signature budget. Raises if even ``r=1`` cannot."""
+    import math
+
+    if not 0.0 < p_match <= 1.0:
+        raise ValueError(f"p_match must be in (0, 1]: {p_match}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1): {target_recall}")
+    for r in range(max_sig, 0, -1):
+        p_band = p_match**r
+        if p_band >= 1.0:  # p_match == 1: one band suffices
+            return r, 1
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        if r * b <= max_sig:
+            return r * b, b
+    raise ValueError(
+        f"no (signature, bands) within {max_sig} components reaches recall "
+        f"{target_recall} at per-component match probability {p_match}"
+    )
+
+
 def first_collision_band(n_bands: int, left: str = "a", right: str = "b") -> Column:
     """Predicate: the current row's ``band_id`` is the FIRST band on which
     the ``left`` and ``right`` join sides collide — i.e. no earlier band

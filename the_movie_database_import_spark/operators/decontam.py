@@ -1,0 +1,98 @@
+"""Benchmark decontamination ([ext] training-data pipeline, north star):
+flag or drop training documents that share any word n-gram with an
+evaluation benchmark, the standard guard against test-set leakage into a
+training corpus (the GPT-3 appendix-C / Llama family recipe: 13-gram
+overlap against each eval set).
+
+Scale design: the benchmark side is SMALL (eval sets are thousands of
+documents, the corpus is 100 TB), so its distinct n-gram set is hashed to
+64-bit longs and BROADCAST — the corpus side streams through a broadcast
+semi/anti probe with no shuffle of corpus rows at all. Corpus n-grams are
+built in-row (``word_shingles``: sequence + slice + array_join, all
+whole-stage codegen), exploded, hashed, probed; the only wide operation is
+the final per-doc count aggregate, keyed by doc id.
+
+The probe joins on ``xxhash64(gram)`` rather than the gram string: the
+broadcast map holds 8-byte longs instead of ~n-word strings (an order of
+magnitude smaller for 13-grams), and a false match needs a 2^-64 hash
+collision — negligible against corpus sizes; the SQL oracle joins on the
+gram strings themselves and must agree exactly.
+
+The reference (a load-everything ETL, `loader.py`) has no decontamination
+surface; this module is part of the north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import word_shingles
+
+
+def _gram_hashes(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` hashed to 64-bit longs, in-row."""
+    return F.transform(word_shingles(text, n), lambda g: F.xxhash64(g))
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-corpus-document count of DISTINCT benchmark n-grams it contains.
+
+    Returns ``(id_col, n_contaminated_grams)`` with one row per corpus doc
+    that matched at least one benchmark gram — the evidence table a curation
+    pipeline thresholds (≥1 distinct gram is the published decontamination
+    rule; keeping the count supports looser "k overlapping grams" policies).
+
+    Plan shape: benchmark grams explode → distinct → broadcast; corpus grams
+    explode in-row and probe the broadcast inner-join, then aggregate by doc
+    id. Corpus rows are never shuffled pre-aggregate, and the aggregate's
+    input is only the MATCHED (doc, gram) pairs — tiny unless the corpus is
+    thoroughly contaminated.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    bench_grams = (
+        benchmark.select(
+            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("gram_h")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(_gram_hashes(F.col(text_col), n)).alias("gram_h")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_grams: int = 1,
+) -> DataFrame:
+    """Remove corpus documents sharing ``>= min_grams`` distinct word
+    n-grams with the benchmark — the clean training corpus.
+
+    Implemented as a broadcast LEFT ANTI join against the contaminated-id
+    set (itself the output of :func:`contamination_counts`, which is tiny:
+    one id per contaminated doc). Corpus rows stream through unshuffled;
+    the full row survives, so this drops in anywhere in a pipeline.
+    """
+    contaminated = (
+        contamination_counts(corpus, benchmark, n, text_col, id_col, bench_text_col)
+        .filter(F.col("n_contaminated_grams") >= min_grams)
+        .select(id_col)
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")

@@ -251,25 +251,19 @@ def choose_lsh_params(
     takes the largest ``r`` whose required band count
     ``b = ceil(ln(1-target) / ln(1-p^r))`` still fits ``r*b <= max_planes``
     — the most selective geometry that meets the recall target within the
-    signature budget. Raises if even ``r = 1`` cannot meet the target."""
+    signature budget. Raises if even ``r = 1`` cannot meet the target.
+
+    The band-count math is shared with the MinHash chooser
+    (:func:`..banding.choose_banding`); only the per-component collision
+    probability differs (hyperplanes: ``1 - acos(c)/pi``; MinHash: ``j``)."""
     import math
+
+    from .banding import choose_banding
 
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1): {threshold}")
-    if not 0.0 < target_recall < 1.0:
-        raise ValueError(f"target_recall must be in (0, 1): {target_recall}")
     p = 1.0 - math.acos(threshold) / math.pi
-    for r in range(max_planes, 0, -1):
-        p_band = p**r
-        if p_band >= 1.0:  # threshold ~1: one band of r planes suffices
-            return r, 1
-        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
-        if r * b <= max_planes:
-            return r * b, b
-    raise ValueError(
-        f"no (planes, bands) within {max_planes} planes reaches recall "
-        f"{target_recall} at threshold {threshold}"
-    )
+    return choose_banding(p, target_recall, max_planes)
 
 
 def hyperplane_signature(vec: Column, planes: int = LSH_PLANES, dim: int = 64) -> Column:

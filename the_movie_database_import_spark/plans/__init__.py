@@ -18,77 +18,18 @@ from . import extensions  # noqa: F401,E402
 from . import sampling  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
-# First 50 = the driver-checked window. Round-4 rotation (VERDICT r03 #1):
-# the driver regenerates /root/testdata between rounds, so the 27 queries
-# whose only driver rows predate the current generation (r01/r02 era — the
-# whole r03 tail) move in-window to earn fresh rows, and the nine new
-# round-4 queries (sampling/splits/percentiles/repetition/chunking/
-# packing/stream-stream join — never driver-checked) take window slots;
-# 14 r03-green variants stay as family representatives.
-# Every rotated-out query keeps its r03 row (same testdata generation), so
-# no family loses current-generation driver evidence.
+# First 50 = the driver-checked window. Round-5 rotation (VERDICT r04 #1):
+# the driver regenerates /root/testdata between rounds, so the 36 queries
+# whose latest driver rows are r03-era rotate in to earn fresh rows on the
+# current generation; q_text_decontaminate (new this round, never
+# driver-checked) takes a slot; and 13 r04-green queries stay as family
+# representatives — preferring the ones whose IMPLEMENTATION changed this
+# round (split-threshold snap, integer bin packing, chooser-derived MinHash
+# geometry) so the changed code earns driver evidence, not just local tests.
+# Every rotated-out query keeps its r04 row, so no family loses
+# current-generation driver evidence.
 DRIVER_WINDOW = [
-    # --- refreshed: r01/r02-era rows, stale vs the current testdata ---
-    "q_flagship_star_revenue",
-    "q_pricing_summary",
-    "q_project_rename",
-    "q_filter_pred",
-    "q_safe_cast",
-    "q_positive_or_null",
-    "q_string_fns",
-    "q_date_fns",
-    "q_array_fns",
-    "q_join_inner_equi",
-    "q_join_left_outer",
-    "q_join_anti",
-    "q_join_range_binned",
-    "q_agg_collect_set",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_pivot",
-    "q_agg_approx_count_distinct",
-    "q_sort_multi_key",
-    "q_win_lag_lead",
-    "q_win_sliding_frame",
-    "q_win_ntile_pctrank",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_surrogate_keys",
-    "q_window_sliding",
-    # --- new round-4 queries: never driver-checked, must be in-window ---
-    "q_sample_stratified",
-    "q_sample_split",
-    "q_sample_fixed_k",
-    "q_agg_percentiles",
-    "q_agg_percentiles_approx",
-    "q_text_repetition",
-    "q_text_chunks",
-    "q_pack_greedy",
-    "q_stream_stream_join",
-    # --- r03-green family representatives kept in-window ---
-    "q_join_salted_skew",
-    "q_stateful_user_totals",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_text_tfidf_top_term",
-    "q_similarity_topk_cosine",
-    "q_similarity_lsh_topk",
-    "q_similarity_ivf_topk",
-    "q_dedup_embedding_cosine",
-    "q_dedup_embedding_cosine_lsh",
-    "q_corpus_curation",
-    "q_multimodal_metadata",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-]
-
-
-# Tail: everything here is r03-green in CORRECTNESS_r03.json — evidence from
-# the CURRENT testdata generation — and remains locally oracle-checked by
-# tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
-TAIL_PRIORITY = [
-    # r03-green representatives displaced by the nine new round-4 queries
+    # --- refreshed: latest driver rows are r03-era ---
     "q_math_fns",
     "q_join_asof",
     "q_agg_first_nonnull",
@@ -125,6 +66,66 @@ TAIL_PRIORITY = [
     "q_token_count",
     "q_doc_fingerprint",
     "q_multimodal_frame_sample",
+    # --- new round-5 query: never driver-checked, must be in-window ---
+    "q_text_decontaminate",
+    # --- r04-green family representatives kept in-window ---
+    "q_flagship_star_revenue",
+    "q_pricing_summary",
+    "q_join_range_binned",
+    "q_win_sliding_frame",
+    "q_sample_split",      # r05 code change: sum-to-1 threshold snap
+    "q_text_chunks",       # r05 code change: reserved-column guard
+    "q_pack_greedy",       # r05 code change: exact integer bin_id
+    "q_agg_percentiles",
+    "q_stream_stream_join",
+    "q_stateful_user_totals",
+    "q_dedup_minhash_lsh", # r05 code change: chooser-derived (30, 6) bands
+    "q_similarity_lsh_topk",
+    "q_multimodal_metadata",
+]
+
+
+# Tail: everything here is r04-green in CORRECTNESS_r04.json — evidence from
+# the PREVIOUS testdata generation — and remains locally oracle-checked by
+# tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
+TAIL_PRIORITY = [
+    "q_project_rename",
+    "q_filter_pred",
+    "q_safe_cast",
+    "q_positive_or_null",
+    "q_string_fns",
+    "q_date_fns",
+    "q_array_fns",
+    "q_join_inner_equi",
+    "q_join_left_outer",
+    "q_join_anti",
+    "q_agg_collect_set",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_pivot",
+    "q_agg_approx_count_distinct",
+    "q_sort_multi_key",
+    "q_win_lag_lead",
+    "q_win_ntile_pctrank",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_surrogate_keys",
+    "q_window_sliding",
+    "q_sample_stratified",
+    "q_sample_fixed_k",
+    "q_agg_percentiles_approx",
+    "q_text_repetition",
+    "q_join_salted_skew",
+    "q_dedup_simhash",
+    "q_text_tfidf_top_term",
+    "q_similarity_topk_cosine",
+    "q_similarity_ivf_topk",
+    "q_dedup_embedding_cosine",
+    "q_dedup_embedding_cosine_lsh",
+    "q_corpus_curation",
+    "q_multimodal_features",
+    "q_multimodal_resize",
 ]
 
 

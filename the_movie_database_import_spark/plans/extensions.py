@@ -22,6 +22,7 @@ from ..functions.text import (
     regex_token_count,
     tokens,
 )
+from ..operators.decontam import contamination_counts
 from ..operators.dedup import (
     canonical_dedup,
     connected_components,
@@ -885,3 +886,49 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@register(
+    "q_text_decontaminate",
+    oracle="""
+    WITH bt AS (
+        SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+        FROM bt, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    dt AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 97 <> 0
+    ),
+    dg AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+        FROM dt, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+    FROM dg JOIN bg USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("text", "decontam", "ext"),
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination evidence (north star `contamination_counts`):
+    per-document count of distinct eval-set n-grams it contains — the
+    test-set-leakage guard a training pipeline runs before every corpus
+    release (GPT-3/Llama-style n-gram overlap). Here the "benchmark" is the
+    doc_id % 97 == 0 slice of the corpus and n=3 (the synthetic corpus is
+    word soup, so published 13-grams never collide); the production call is
+    identical with a real eval set and n=13.
+
+    Scale shape: benchmark grams are hashed to longs and BROADCAST; corpus
+    grams are built in-row and probe the broadcast map — corpus rows are
+    never shuffled, the only exchange is the per-doc count aggregate over
+    matched pairs. The oracle joins on gram STRINGS; the Spark side joins on
+    xxhash64(gram) (2^-64 collision odds), and both must agree exactly."""
+    from ..operators.decontam import contamination_counts  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_counts(corpus, bench, n=3)
