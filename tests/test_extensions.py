@@ -653,3 +653,22 @@ def test_decontaminate_removes_exactly_flagged_docs(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_curation_with_benchmark_decontaminates_first(spark):
+    """curate_corpus(benchmark=...) must equal curate_corpus on the
+    pre-decontaminated corpus — decontamination composes as a prefix stage,
+    so no contaminated doc can appear in the output (even as a dedup
+    survivor)."""
+    from the_movie_database_import_spark.operators.curation import curate_corpus
+    from the_movie_database_import_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    kw = dict(quality_threshold=0.0, langs=("en", "de", "es", "fr", "zh"))
+    via_param = curate_corpus(corpus, benchmark=bench, decontam_n=3, **kw)
+    via_prefix = curate_corpus(decontaminate(corpus, bench, n=3), **kw)
+    a = sorted(map(tuple, via_param.collect()))
+    b = sorted(map(tuple, via_prefix.collect()))
+    assert a == b and a

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import canonical_token_text, langid, quality_metrics
+from .decontam import decontaminate
 from .dedup import jaccard_pairs_exact
 
 # Default skew cap for the near-dup stage: a token must appear in more
@@ -38,14 +39,24 @@ def curate_corpus(
     near_dup_threshold: float | None = None,
     block_col: str = "source",
     max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> DataFrame:
     """Quality-score, language-filter, and canonical-dedup ``docs``; with
     ``near_dup_threshold`` set, additionally flag near-duplicate documents
     (``is_near_dup``) via blocked exact-Jaccard pairing with the
-    ``max_token_df`` skew cap applied by default.
+    ``max_token_df`` skew cap applied by default. With ``benchmark`` set,
+    documents sharing any ``decontam_n``-gram with it are dropped FIRST
+    (broadcast probe, `operators/decontam.py`) — decontamination before
+    scoring, so a leaked eval doc can't survive as a dedup cluster's
+    representative.
 
     Near-dup flagging keeps the pair's LOWEST-id document unflagged (the
     survivor convention shared with canonical_dedup/minhash clustering)."""
+    if benchmark is not None:
+        docs = decontaminate(
+            docs, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+        )
     m = quality_metrics(F.col(text_col))
     base = docs.select(
         id_col,

@@ -32,11 +32,19 @@ def tracked_cache(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> int:
-    """Unpersist every tracked cache; returns how many were released."""
+    """Unpersist every tracked cache; returns how many were released.
+
+    ``blocking=True`` because the contract is "storage is free when this
+    returns": the default async unpersist leaves blocks (and the
+    getPersistentRDDs entries tests assert on) alive for an unbounded
+    moment after the call — under host load that moment stretches into the
+    next query's execution, which is exactly the overlap this function
+    exists to prevent. The wait is bounded by block-drop RPCs, paid once
+    per query boundary."""
     n = len(_TRACKED_CACHES)
     for df in _TRACKED_CACHES:
         try:
-            df.unpersist()
+            df.unpersist(blocking=True)
         except Exception:  # session already stopped — nothing to release
             pass
     _TRACKED_CACHES.clear()
