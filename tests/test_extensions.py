@@ -609,10 +609,24 @@ def test_connected_components_single_action_per_iteration(spark, monkeypatch):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long"
     )
-    got = {
-        r.doc_id: r.cluster_rep for r in connected_components(nodes, edges).collect()
-    }
+    # With AQE off, one action = one job, so the count is exact: 1 initial
+    # label checkpoint + 4 propagation rounds (path 1-2-3-4 converges on
+    # round 4) = 5. The old shape paid 2 actions per round (checkpoint +
+    # count) = 9. AQE merely splits each action into shuffle-stage jobs;
+    # the action count is the 100 TB-relevant quantity.
+    sc = spark.sparkContext
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("cc_jobcount", "cc")
+        result = connected_components(nodes, edges)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_jobcount"))
+        got = {r.doc_id: r.cluster_rep for r in result.collect()}
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+    assert n_jobs == 5, f"expected 1 init + 4 iteration jobs, saw {n_jobs}"
     assert not calls, "convergence check ran a separate count() job"
 
 
