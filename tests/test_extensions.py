@@ -686,3 +686,67 @@ def test_curation_with_benchmark_decontaminates_first(spark):
     a = sorted(map(tuple, via_param.collect()))
     b = sorted(map(tuple, via_prefix.collect()))
     assert a == b and a
+
+
+def test_redact_pii_counts_and_priority(spark):
+    """Hand-built fixture: each kind is redacted with its typed placeholder
+    and counted once; an IPv4 must be consumed by the ip pattern BEFORE the
+    phone pattern could half-eat it (priority order), and sum(counts) ==
+    number of placeholders in the redacted text."""
+    from the_movie_database_import_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "write to bob.smith+x@corp.example.org today"),
+        (2, "server at 192.168.254.7 rebooted"),
+        (3, "call +1 (555) 010-4477 now"),
+        (4, "a@b.io and 10.0.0.1 and +44 20 7946 0958"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    parts = redact_pii(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            parts["n_email"].alias("n_email"),
+            parts["n_ipv4"].alias("n_ipv4"),
+            parts["n_phone"].alias("n_phone"),
+            parts["redacted"].alias("redacted"),
+        ).collect()
+    }
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 0)
+    assert got[1].redacted == "write to <EMAIL> today"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 1, 0)
+    assert got[2].redacted == "server at <IP> rebooted"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 1)
+    assert got[3].redacted == "call <PHONE> now"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (1, 1, 1)
+    assert got[4].redacted == "<EMAIL> and <IP> and <PHONE>"
+    assert (got[5].n_email, got[5].n_ipv4, got[5].n_phone) == (0, 0, 0)
+    assert got[5].redacted == rows[4][1]
+
+
+def test_build_vocab_rank_and_coverage(spark):
+    """Hand-computable corpus: ranks order by count desc then token, and
+    cum_frac is the exact prefix-sum fraction; top_k truncation keeps
+    coverage relative to the FULL corpus; oov_rate agrees with the vocab."""
+    from the_movie_database_import_spark.operators.vocab import build_vocab, oov_rate
+
+    rows = [(1, "a a a b b c"), (2, "a b d")]  # a:4 b:3 c:1 d:1, total 9
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {r.token: r for r in build_vocab(df).collect()}
+    assert [(v.token, v.n_occurrences, v.rank) for v in sorted(vocab.values(), key=lambda r: r.rank)] == [
+        ("a", 4, 1), ("b", 3, 2), ("c", 1, 3), ("d", 1, 4),
+    ]
+    assert vocab["b"].cum_frac == pytest.approx(7 / 9)
+    assert vocab["d"].cum_frac == pytest.approx(1.0)
+    top2 = build_vocab(df, top_k=2).collect()
+    assert {r.token for r in top2} == {"a", "b"}
+    assert max(r.cum_frac for r in top2) == pytest.approx(7 / 9), (
+        "truncated table must keep full-corpus coverage"
+    )
+    oov = {r.doc_id: r for r in oov_rate(df, build_vocab(df, top_k=2)).collect()}
+    assert oov[1].oov_frac == pytest.approx(1 / 6)  # 'c' of 6 tokens
+    assert oov[2].oov_frac == pytest.approx(1 / 3)  # 'd' of 3 tokens
+    with pytest.raises(ValueError):
+        build_vocab(df, min_count=0)

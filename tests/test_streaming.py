@@ -250,3 +250,30 @@ def test_stream_stream_interval_join_parity(spark):
     ).toPandas()
     assert len(batch_out) > 0
     assert_frames_match(stream_out, batch_out, "stream_stream_join_parity")
+
+
+def test_hash_sample_stream_batch_parity(spark):
+    """Deterministic hash sampling composes with Structured Streaming
+    unchanged: membership is a pure row-local function, so the SAME
+    hash_sample() call applied to the event stream (availableNow) selects
+    the IDENTICAL row set as the batch twin — the property that lets a
+    streaming ingest pipeline and its batch backfill agree on every
+    sampling decision forever."""
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.sampling import hash_sample
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    stream_out = run_to_memory(
+        hash_sample(stream_events(spark, SF_DIR), F.col("event_id"), 0.3).select(
+            "event_id"
+        ),
+        "t_sample",
+        "append",
+    )
+    batch = hash_sample(
+        load_table(spark, SF_DIR, "events"), F.col("event_id"), 0.3
+    ).select("event_id")
+    got = sorted(r.event_id for r in stream_out.collect())
+    want = sorted(r.event_id for r in batch.collect())
+    assert got == want and got

@@ -159,3 +159,59 @@ def fingerprint(text: Column) -> Column:
             acc * FINGERPRINT_BASE + F.ascii(c), F.lit(FINGERPRINT_MOD)
         ).cast("bigint"),
     )
+
+
+# PII redaction patterns ([ext] curation stage): written in the regex subset
+# Java (Spark) and RE2 (DuckDB) agree on — character classes, bounded
+# quantifiers, \b, alternation; NO lookaround (RE2 has none) — so the SQL
+# oracle replays each pattern verbatim. Order matters: email before phone
+# (an email's digit runs must not be half-eaten as a phone number first).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Scrub the standard PII shapes (emails, IPv4s, phone-ish digit runs)
+    and count what was removed — the pre-release scrubbing pass a training
+    corpus gets, as pure ``regexp_replace``/``regexp_extract_all`` codegen
+    (no Python, cost = the scan).
+
+    Returns ``{"redacted": <text with typed placeholders>, "n_<kind>":
+    <count>, ...}``. Counts are taken on the ORIGINAL text per pattern in
+    the same priority order the replacements run, then each replacement is
+    applied to the previous stage's output, so a span can only be counted
+    and redacted once (email wins over phone on overlap).
+
+    Precision/recall here are pattern-bounded (a phone regex is a
+    heuristic, not a parser); the operator's contract is deterministic,
+    engine-portable scrubbing — swap patterns for a production-grade list
+    (or an NER stage via mapInPandas) without touching the plumbing."""
+    out: dict[str, Column] = {}
+    redacted = text
+    for kind, pat, placeholder in PII_PATTERNS:
+        # counts use the current (partially redacted) stage for the same
+        # reason replacement does: spans consumed by an earlier kind are
+        # no longer countable, so sum(counts) == number of placeholders.
+        out[f"n_{kind}"] = F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+        redacted = F.regexp_replace(redacted, pat, placeholder)
+    out["redacted"] = redacted
+    return out
+
+
+def redact_pii_oracle_sql(text_sql: str = "text") -> tuple[str, str]:
+    """DuckDB twin of :func:`redact_pii`: (count aliases, redacted expr),
+    replaying the same patterns in the same order with global replace."""
+    counts = []
+    redacted = text_sql
+    for kind, pat, placeholder in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({redacted}, '{esc}')) AS BIGINT) AS n_{kind}"
+        )
+        redacted = f"regexp_replace({redacted}, '{esc}', '{placeholder}', 'g')"
+    return ",\n        ".join(counts), f"{redacted} AS redacted"

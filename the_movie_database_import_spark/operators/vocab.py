@@ -1,0 +1,93 @@
+"""Corpus vocabulary building ([ext] training-data pipeline, north star):
+the token-frequency table with rank and cumulative coverage that seeds a
+tokenizer train run or an OOV/coverage analysis.
+
+Scale design: the heavy phase is the corpus-wide token count — one
+explode + hash aggregate with map-side partial counts, shuffling (token,
+partial_count) pairs, never documents. Everything after runs on the VOCAB
+table (distinct tokens), which is orders of magnitude smaller than the
+corpus (a 100 TB corpus yields a vocab in the millions of rows — a few
+hundred MB), so the single-partition rank/coverage window over it is a
+deliberate, bounded choice, not an accident: coverage is a prefix sum in
+GLOBAL frequency order, which is inherently a total order. The total token
+count rides the same window (an unbounded-following sum) so no second scan
+or driver round-trip is needed.
+
+The reference (a load-everything ETL, `loader.py`) has no vocabulary
+surface; this module is part of the north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import tokens
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Token frequency table: ``(token, n_occurrences, rank, cum_frac)``
+    where ``rank`` orders by descending count (token string breaking ties,
+    so the table is deterministic) and ``cum_frac`` is the fraction of ALL
+    corpus token occurrences covered by ranks ``1..rank`` — the curve a
+    tokenizer-budget decision reads ("64k tokens cover 99.2%").
+
+    ``top_k``/``min_count`` bound the output; ``cum_frac`` stays relative
+    to the FULL corpus occurrence count (computed before the cut), so a
+    truncated table still reports true coverage.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    everything = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = counts.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(order).cast("bigint").alias("rank"),
+        (
+            F.sum("n_occurrences").over(running)
+            / F.sum("n_occurrences").over(everything)
+        ).alias("cum_frac"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out
+
+
+def oov_rate(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a built vocab: the
+    fraction of the document's token OCCURRENCES not in ``vocab.token``.
+    The vocab broadcasts (it is small by construction); documents explode,
+    probe, and re-aggregate on their own id — corpus rows shuffle only as
+    (doc_id, counts) pairs."""
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    hit = tok.join(
+        F.broadcast(vocab.select("token").withColumn("_in_vocab", F.lit(1))),
+        "token",
+        "left",
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("oov_frac"),
+    )

@@ -66,8 +66,10 @@ DRIVER_WINDOW = [
     "q_token_count",
     "q_doc_fingerprint",
     "q_multimodal_frame_sample",
-    # --- new round-5 query: never driver-checked, must be in-window ---
+    # --- new round-5 queries: never driver-checked, must be in-window ---
     "q_text_decontaminate",
+    "q_text_redact_pii",
+    "q_text_vocab_coverage",
     # --- r04-green family representatives kept in-window ---
     "q_flagship_star_revenue",
     "q_pricing_summary",
@@ -80,8 +82,6 @@ DRIVER_WINDOW = [
     "q_stream_stream_join",
     "q_stateful_user_totals",
     "q_dedup_minhash_lsh", # r05 code change: chooser-derived (30, 6) bands
-    "q_similarity_lsh_topk",
-    "q_multimodal_metadata",
 ]
 
 
@@ -89,6 +89,8 @@ DRIVER_WINDOW = [
 # the PREVIOUS testdata generation — and remains locally oracle-checked by
 # tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
 TAIL_PRIORITY = [
+    "q_similarity_lsh_topk",
+    "q_multimodal_metadata",
     "q_project_rename",
     "q_filter_pred",
     "q_safe_cast",

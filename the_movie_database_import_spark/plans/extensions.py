@@ -932,3 +932,100 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return contamination_counts(corpus, bench, n=3)
+
+
+def _pii_augment(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Deterministically splice synthesizable PII into the synthetic corpus
+    (which is PII-free word soup) so the redaction query exercises every
+    pattern with nonzero counts; the SQL twin replays the same splice."""
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@mail.example.com ip 10.2."),
+        (doc_id % 256).cast("string"),
+        F.lit(".15 tel +1 555 0100 "),
+        doc_id.cast("string"),
+    )
+
+
+_PII_AUGMENT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com ip 10.2.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.15 tel +1 555 0100 ' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _redact_oracle() -> str:
+    from ..functions.text import redact_pii_oracle_sql
+
+    counts, redacted = redact_pii_oracle_sql(f"({_PII_AUGMENT_SQL})")
+    return f"""
+    SELECT doc_id,
+        {counts},
+        {redacted}
+    FROM documents
+    """
+
+
+@register(
+    "q_text_redact_pii",
+    oracle=_redact_oracle(),
+    tags=("text", "redact", "ext"),
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (north star `redact_pii`): emails, IPv4s, and phone-ish
+    digit runs replaced by typed placeholders with per-kind counts — the
+    pre-release scrub a training corpus gets. All regexp_replace/extract
+    codegen in the Java∩RE2 regex subset, so the DuckDB oracle replays the
+    patterns VERBATIM (including the priority order: ipv4 is consumed
+    before the phone pattern could half-eat it). The synthetic corpus has
+    no organic PII, so both sides splice the same deterministic PII into
+    each document first."""
+    from ..functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = redact_pii(_pii_augment(F.col("doc_id"), F.col("text")))
+    return docs.select(
+        "doc_id",
+        parts["n_email"].alias("n_email"),
+        parts["n_ipv4"].alias("n_ipv4"),
+        parts["n_phone"].alias("n_phone"),
+        parts["redacted"].alias("redacted"),
+    )
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+                AS BIGINT) AS rank,
+           CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             / CAST(SUM(n_occurrences) OVER () AS BIGINT) AS cum_frac
+    FROM counts
+    QUALIFY rank <= 100
+    """,
+    tags=("text", "vocab", "ext"),
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (north star `build_vocab`): top-100 tokens by
+    corpus frequency with rank and cumulative occurrence coverage — the
+    curve a tokenizer-budget decision reads. The corpus-wide phase is one
+    explode + partial-agg count shuffle of (token, count) pairs; the
+    rank/coverage window runs on the tiny vocab table (single bounded
+    partition BY DESIGN — coverage is a prefix sum in global frequency
+    order). cum_frac is a raw double quotient of identical longs on both
+    engines (float policy)."""
+    from ..operators.vocab import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, top_k=100)
