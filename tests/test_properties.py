@@ -349,3 +349,41 @@ def test_first_collision_band_matches_distinct_model(
         and nrm[a] * nrm[b] != 0.0
     }
     assert set(got) == want, (sorted(got), sorted(want))
+
+
+@given(
+    p=st.floats(0.2, 0.99),
+    target=st.floats(0.5, 0.99),
+    budget=st.integers(4, 64),
+)
+@settings(deadline=None)
+def test_choose_banding_is_feasible_and_most_selective(p, target, budget):
+    """For any feasible (p, target, budget): the returned geometry must
+    (1) satisfy its own analytic recall formula AT the threshold,
+    (2) fit the signature budget with bands dividing the signature, and
+    (3) be the MOST SELECTIVE feasible geometry — no larger rows-per-band
+    value can meet the target within the budget (wider bands = fewer
+    candidates, the whole point of the chooser)."""
+    import math
+
+    from the_movie_database_import_spark.operators.banding import choose_banding
+
+    try:
+        sig, bands = choose_banding(p, target, budget)
+    except ValueError:
+        # infeasible: even one-component bands can't reach the target
+        b1 = math.ceil(math.log(1.0 - target) / math.log(1.0 - p))
+        assert b1 > budget
+        return
+    r = sig // bands
+    assert sig == r * bands and sig <= budget
+    recall = 1.0 - (1.0 - p**r) ** bands
+    assert recall >= target - 1e-12, (p, target, sig, bands, recall)
+    for r2 in range(r + 1, budget + 1):
+        p_band = p**r2
+        if p_band >= 1.0 or 1.0 - p_band == 1.0:  # same underflow guard
+            continue
+        b2 = math.ceil(math.log(1.0 - target) / math.log(1.0 - p_band))
+        assert r2 * b2 > budget, (
+            f"chooser picked r={r} but r={r2} (bands={b2}) also fits"
+        )

@@ -48,6 +48,12 @@ def choose_banding(p_match: float, target_recall: float, max_sig: int) -> tuple[
         p_band = p_match**r
         if p_band >= 1.0:  # p_match == 1: one band suffices
             return r, 1
+        if 1.0 - p_band == 1.0:
+            # p^r underflows float resolution (~1e-16): the required band
+            # count is astronomical, and log(1-p_band) would be exactly 0
+            # (division by zero). This r can never fit any budget; narrower
+            # bands might.
+            continue
         b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
         if r * b <= max_sig:
             return r * b, b
