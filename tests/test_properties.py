@@ -387,3 +387,29 @@ def test_choose_banding_is_feasible_and_most_selective(p, target, budget):
         assert r2 * b2 > budget, (
             f"chooser picked r={r} but r={r2} (bands={b2}) also fits"
         )
+
+
+@given(
+    fracs=st.lists(
+        st.floats(0.0, 1.0, allow_nan=False), min_size=1, max_size=6
+    ).filter(lambda fs: sum(fs) <= 1.0)
+)
+@settings(deadline=None)
+def test_split_thresholds_properties(fracs):
+    """For any valid fraction list: thresholds are 8-char lowercase hex (or
+    the keep-all 'g'), nondecreasing, and the last one is 'g' exactly when
+    the fractions sum to ~1 (the float-drift snap, ADVICE r04) — so splits
+    are always disjoint and exhaustive-when-sum-to-1."""
+    from the_movie_database_import_spark.operators.sampling import (
+        _split_thresholds,
+    )
+
+    splits = {f"s{i}": f for i, f in enumerate(fracs)}
+    thresholds = [t for _, t in _split_thresholds(splits)]
+    for t in thresholds:
+        assert t == "g" or (len(t) == 8 and all(c in "0123456789abcdef" for c in t))
+    assert thresholds == sorted(thresholds), "intervals must be nondecreasing"
+    if sum(fracs) >= 1.0 - 1e-9:
+        assert thresholds[-1] == "g", "sum-to-1 must be exhaustive"
+    else:
+        assert thresholds[-1] != "g", "sum<1 must leave an otherwise-gap"
