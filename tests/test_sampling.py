@@ -185,3 +185,44 @@ def test_sample_fixed_k_rejects_reserved_column(spark):
     docs = load_table(spark, SF_DIR, "documents").withColumn("_rk", F.lit(1))
     with pytest.raises(ValueError, match="_rk"):
         sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 3)
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """Splitting on the cluster representative must put every member of a
+    near-dup cluster in the SAME split — the hygiene property doc_id-keyed
+    splitting lacks (a near-dup pair straddling train/test is test leakage).
+    Verified per-document against the pair graph."""
+    from the_movie_database_import_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_exact,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    edges = jaccard_pairs_exact(docs, threshold=0.8)
+    clusters = connected_components(docs.select("doc_id"), edges, node_col="doc_id")
+    labeled = clusters.select(
+        "doc_id",
+        "cluster_rep",
+        split_column(F.col("cluster_rep"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+            "split"
+        ),
+    )
+    rows = labeled.collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    assert all(r.split is not None for r in rows), "sum-to-1 split must label all"
+    for e in edges.collect():
+        assert split_of[e.doc_a] == split_of[e.doc_b], (
+            f"near-dup pair ({e.doc_a}, {e.doc_b}) straddles splits"
+        )
+    # and the naive doc_id-keyed split DOES straddle on this corpus — the
+    # operator exists because the hazard is real, not hypothetical
+    naive = {
+        r.doc_id: r.split
+        for r in clusters.select(
+            "doc_id",
+            split_column(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+                "split"
+            ),
+        ).collect()
+    }
+    assert any(naive[e.doc_a] != naive[e.doc_b] for e in edges.collect())

@@ -110,3 +110,72 @@ def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_fixed_k(docs, F.col("doc_id"), F.col("lang"), 25).select(
         "doc_id", "lang", "_rk"
     )
+
+
+@register(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM tok a
+        JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    ),
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, undirected.v AS r
+        FROM reach JOIN undirected ON undirected.u = reach.r
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node)
+    SELECT {split_case_sql("cluster_rep", SPLITS)} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters
+    FROM clusters
+    GROUP BY 1
+    """,
+    tags=("sampling", "dedup", "ext"),
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment hashes the near-dup
+    CLUSTER representative, not the document id, so near-duplicate documents
+    can never straddle train and test (the published dedup-then-split
+    hygiene rule — splitting before dedup leaks test content into training
+    through surviving near-dups). Composition of two oracle-checked
+    operators: connected components over the exact-Jaccard pair graph →
+    `split_column` on the cluster rep; output is the per-split census of
+    docs and clusters. Membership stays a pure function of (cluster_rep),
+    so re-runs and backfills agree; the whole-cluster property holds BY
+    CONSTRUCTION because every member shares the rep."""
+    from ..operators.dedup import connected_components, jaccard_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs_exact(docs, threshold=0.8)
+    clusters = connected_components(docs.select("doc_id"), edges, node_col="doc_id")
+    return (
+        clusters.select(
+            split_column(F.col("cluster_rep"), SPLITS).alias("split"), "cluster_rep"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_rep").alias("n_clusters"),
+        )
+    )
