@@ -69,22 +69,22 @@ def build_vocab(
 
 
 def oov_rate(
-    docs: DataFrame, vocab: DataFrame, text_col: str = "text"
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against a built vocab: the
     fraction of the document's token OCCURRENCES not in ``vocab.token``.
     The vocab broadcasts (it is small by construction); documents explode,
     probe, and re-aggregate on their own id — corpus rows shuffle only as
-    (doc_id, counts) pairs."""
+    (id, counts) pairs."""
     tok = docs.select(
-        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
     hit = tok.join(
         F.broadcast(vocab.select("token").withColumn("_in_vocab", F.lit(1))),
         "token",
         "left",
     )
-    return hit.groupBy("doc_id").agg(
+    return hit.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (
             F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
