@@ -17,14 +17,15 @@ from . import windows_sets  # noqa: F401,E402
 from . import streaming_batch  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import sampling  # noqa: F401,E402
+from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
 # First 50 = the driver-checked window. Round-5 rotation (VERDICT r04 #1):
 # the driver regenerates /root/testdata between rounds, so the 36 queries
 # whose latest driver rows are r03-era rotate in to earn fresh rows on the
-# current generation; the four new round-5 queries (decontamination, PII
-# redaction, vocabulary coverage, leakage-safe split — never
-# driver-checked) take slots; and 10 r04-green queries stay as family
+# current generation; the five new round-5 queries (decontamination, PII
+# redaction, vocabulary coverage, leakage-safe split, shared-text SQL —
+# never driver-checked) take slots; and 9 r04-green queries stay as family
 # representatives — preferring the ones whose IMPLEMENTATION changed this
 # round (split-threshold snap, integer bin packing, chooser-derived MinHash
 # geometry) so the changed code earns driver evidence, not just local tests.
@@ -73,10 +74,10 @@ DRIVER_WINDOW = [
     "q_text_redact_pii",
     "q_text_vocab_coverage",
     "q_split_leakage_safe",
+    "q_sql_shared_text",
     # --- r04-green family representatives kept in-window ---
     "q_flagship_star_revenue",
     "q_pricing_summary",
-    "q_join_range_binned",
     "q_sample_split",      # r05 code change: sum-to-1 threshold snap
     "q_text_chunks",       # r05 code change: reserved-column guard
     "q_pack_greedy",       # r05 code change: exact integer bin_id
@@ -91,6 +92,7 @@ DRIVER_WINDOW = [
 # the PREVIOUS testdata generation — and remains locally oracle-checked by
 # tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
 TAIL_PRIORITY = [
+    "q_join_range_binned",
     "q_win_sliding_frame",
     "q_similarity_lsh_topk",
     "q_multimodal_metadata",
