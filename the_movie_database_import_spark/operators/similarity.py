@@ -23,6 +23,23 @@ def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def probe_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality from a ONE-ROW probe (limit-1 scan — one
+    row group of one file; negligible at any corpus size).
+
+    The hyperplane-signature operators take ``dim`` as a Python-side
+    constant (the hyperplanes are literal arrays baked into the plan); if
+    it disagreed with the data, ``zip_with`` would NULL-pad the shorter
+    side and the sign bits would silently corrupt — recall would collapse
+    with no error anywhere. Probing at plan-build time turns a silent
+    wrong-answer mode into a loud one (and keeps the registered queries
+    correct if the test fixtures are ever regenerated at a new dim)."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot probe embedding dim from column {vec_col!r}")
+    return int(row.d)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Ordered left-fold dot product — reproducible float summation (matches
     a sequential SQL list_reduce, unlike engine-internal vectorized sums)."""
@@ -138,7 +155,7 @@ def cosine_neardup_pairs_lsh(
     vec_col: str = "embedding",
     planes: int = 16,
     bands: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding-cosine near-dup (VERDICT r02 #2): banded
     hyperplane LSH sub-buckets INSIDE each block, so the self-join key is
@@ -158,10 +175,15 @@ def cosine_neardup_pairs_lsh(
     lower thresholds want narrower bands — use :func:`choose_lsh_params`
     to derive (planes, bands) from (threshold, target recall) instead of
     hand-tuning; recall vs the exact twin is pinned at two thresholds with
-    chooser-derived parameters in tests/test_extensions.py."""
+    chooser-derived parameters in tests/test_extensions.py.
+
+    ``dim`` defaults to a one-row probe of the data (see :func:`probe_dim`);
+    pass it explicitly to skip the probe job."""
     band_bits = planes // bands
     if band_bits * bands != planes:
         raise ValueError(f"bands={bands} must divide planes={planes}")
+    if dim is None:
+        dim = probe_dim(embeddings, vec_col)
     base = fan_out(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col(block_col).alias("block"),
@@ -416,7 +438,7 @@ def lsh_bucket_topk(
     k: int = 10,
     planes: int = 16,
     bands: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -441,10 +463,15 @@ def lsh_bucket_topk(
     At 100 TB: (band_id, band_val) is the shuffle/cluster key for the
     corpus side; queries broadcast banded (|Q| x bands tiny rows); scoring
     stays whole-stage-codegen. Recall@10 vs brute force is pinned in
-    tests/test_extensions.py."""
+    tests/test_extensions.py.
+
+    ``dim`` defaults to a one-row probe of the corpus (see
+    :func:`probe_dim`); pass it explicitly to skip the probe job."""
     band_bits = planes // bands
     if band_bits * bands != planes:
         raise ValueError(f"bands={bands} must divide planes={planes}")
+    if dim is None:
+        dim = probe_dim(embeddings, vec_col)
 
     def banded_view(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         base = df.select(
