@@ -1029,3 +1029,138 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return build_vocab(docs, top_k=100)
+
+
+def _pipeline_oracle() -> str:
+    """Composite oracle for q_pipeline_end_to_end, assembled from the SAME
+    generated fragments the stage-level oracles use (langid scoring CASE,
+    stopword literals, split CASE), so stage drift is impossible."""
+    from ..functions.text import langid_oracle_sql
+    from ..operators.sampling import split_case_sql
+    from .sampling import SPLITS
+
+    aliases, case = langid_oracle_sql("text")
+    split_case = split_case_sql("doc_id", SPLITS)
+    return f"""
+    WITH bt AS (
+        SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+        FROM bt, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    clean AS (
+        SELECT * FROM corpus c WHERE NOT EXISTS (
+            SELECT 1 FROM bg,
+                 unnest(generate_series(1,
+                     greatest(len(string_split(c.text, ' ')) - 2, 0))) AS g(i)
+            WHERE array_to_string(
+                      list_slice(string_split(c.text, ' '), i, i + 2), ' ') = bg.gram
+        )
+    ),
+    scored AS (
+        SELECT doc_id, text,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' '))) * 0.5
+                 + (1 - CAST(len(list_filter(string_split(text, ' '),
+                         x -> list_contains([{_STOP_LITS}], x))) AS DOUBLE)
+                    / len(string_split(text, ' '))) * 0.3
+                 + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.2
+                   AS quality_score,
+               {aliases}
+        FROM clean
+    ),
+    filtered AS (
+        SELECT doc_id, text FROM scored
+        WHERE quality_score >= 0.6 AND ({case}) IN ('en', 'de')
+    ),
+    kept AS (
+        SELECT doc_id, text FROM filtered
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+    ),
+    labeled AS (
+        SELECT doc_id, text, {split_case} AS split FROM kept
+    ),
+    toks AS (
+        SELECT split, doc_id, len(string_split(text, ' ')) AS n FROM labeled
+    ),
+    chunks AS (
+        SELECT split, doc_id, i AS chunk_id,
+               CAST(least(n - i * 48, 64) AS BIGINT) AS n_tokens
+        FROM toks,
+             unnest(generate_series(0,
+                 CAST(ceil(greatest(n - 16, 1) / 48.0) AS BIGINT) - 1)) AS g(i)
+    ),
+    packed AS (
+        SELECT split, doc_id, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY split
+                         ORDER BY doc_id * 1048576 + chunk_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+                    AS BIGINT) AS bin_id
+        FROM chunks
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY split
+    """
+
+
+@register(
+    "q_pipeline_end_to_end",
+    oracle=_pipeline_oracle(),
+    tags=("pipeline", "ext", "composite"),
+)
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one declarative Spark plan:
+    benchmark decontamination (3-gram broadcast probe) → quality + language
+    filter (all scan-fused codegen) → exact dedup (keep-first by text) →
+    deterministic train/val/test split → token-window chunking (in-row
+    explode) → per-split greedy packing (one running-sum window per shard)
+    → per-split census. Six stages, every one an operator the registry
+    proves individually; the composite is hash-exact against a DuckDB
+    oracle assembled from the same generated SQL fragments.
+
+    Scale shape: one broadcast probe + one dedup window shuffle + one
+    per-shard packing sort + one census aggregate — the scan-side stages
+    (scoring, langid, split, chunking) all fuse. The packing order key is
+    doc_id * 2^20 + chunk_id (unique while documents stay under 2^20
+    chunks — enforce upstream for a corpus of books)."""
+    from ..operators.chunking import chunk_tokens, pack_greedy
+    from ..operators.decontam import decontaminate
+    from ..operators.sampling import split_column
+    from .sampling import SPLITS
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    clean = decontaminate(corpus, bench, n=3)
+    m = quality_metrics(F.col("text"))
+    filtered = clean.filter(
+        (m["quality_score"] >= 0.6) & langid(F.col("text")).isin("en", "de")
+    )
+    w = Window.partitionBy("text")
+    kept = (
+        filtered.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter("_keep")
+        .drop("_keep")
+    )
+    labeled = kept.withColumn("split", split_column(F.col("doc_id"), SPLITS))
+    chunks = chunk_tokens(labeled, chunk_size=64, overlap=16)
+    packed = pack_greedy(
+        chunks,
+        F.col("n_tokens"),
+        F.col("doc_id") * F.lit(1048576) + F.col("chunk_id"),
+        256,
+        shard_col=F.col("split"),
+    )
+    return packed.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
