@@ -236,3 +236,22 @@ def test_sql_shared_text_decorrelates_to_semi_join(spark):
     )
     assert "LeftSemi" in plan, plan
     assert "ExistenceJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_pipeline_end_to_end_plan_shape(spark):
+    """The six-stage composite's corpus-side wide operations are exactly:
+    the dedup window (partition by text), the per-split packing window, and
+    the census aggregate. Both decontamination joins broadcast (benchmark
+    side tiny by construction) and no stage leaves the JVM."""
+    plan = (
+        REGISTRY["q_pipeline_end_to_end"]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan  # gram probe + anti-join
+    assert "windowspecdefinition(text" in plan, "dedup window missing"
+    assert "windowspecdefinition(split" in plan, "packing window missing"
