@@ -773,3 +773,54 @@ def test_probe_dim_and_dim_mismatch_guard(spark):
     assert exact > 0 and good > 0
     with pytest.raises(ValueError):
         probe_dim(emb.limit(0))
+
+
+def test_contamination_counts_per_eval_set(spark):
+    """bench_set_col yields per-(doc, eval set) evidence; summing a doc's
+    per-set rows can exceed its unlabeled count only via grams shared
+    between sets, and the unlabeled output equals the per-set output with
+    one set."""
+    from the_movie_database_import_spark.operators.decontam import (
+        contamination_counts,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("setA", "alpha beta gamma"), ("setB", "beta gamma delta"),
+         ("setB", "eta theta iota")],
+        "eval_set string, text string",
+    )
+    per_set = {
+        (r.doc_id, r.eval_set): r.n_contaminated_grams
+        for r in contamination_counts(
+            corpus, bench, n=3, bench_set_col="eval_set"
+        ).collect()
+    }
+    # doc 1: setA contributes 'alpha beta gamma'; setB 'beta gamma delta'
+    assert per_set == {(1, "setA"): 1, (1, "setB"): 1}
+    flat = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_counts(corpus, bench, n=3).collect()
+    }
+    assert flat == {1: 2}
+
+
+def test_redact_pii_custom_patterns(spark):
+    """Caller-supplied pattern triples flow through both twins."""
+    from the_movie_database_import_spark.functions.text import (
+        redact_pii,
+        redact_pii_oracle_sql,
+    )
+
+    pats = (("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),)
+    df = spark.createDataFrame([(1, "ssn 123-45-6789 ok")], "id long, text string")
+    parts = redact_pii(F.col("text"), patterns=pats)
+    row = df.select(
+        parts["n_ssn"].alias("n_ssn"), parts["redacted"].alias("redacted")
+    ).first()
+    assert (row.n_ssn, row.redacted) == (1, "ssn <SSN> ok")
+    counts_sql, redacted_sql = redact_pii_oracle_sql("text", patterns=pats)
+    assert "n_ssn" in counts_sql and "<SSN>" in redacted_sql

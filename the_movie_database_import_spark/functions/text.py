@@ -173,7 +173,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def redact_pii(text: Column) -> dict[str, Column]:
+def redact_pii(
+    text: Column,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> dict[str, Column]:
     """Scrub the standard PII shapes (emails, IPv4s, phone-ish digit runs)
     and count what was removed — the pre-release scrubbing pass a training
     corpus gets, as pure ``regexp_replace``/``regexp_extract_all`` codegen
@@ -187,11 +190,13 @@ def redact_pii(text: Column) -> dict[str, Column]:
 
     Precision/recall here are pattern-bounded (a phone regex is a
     heuristic, not a parser); the operator's contract is deterministic,
-    engine-portable scrubbing — swap patterns for a production-grade list
-    (or an NER stage via mapInPandas) without touching the plumbing."""
+    engine-portable scrubbing — pass a production-grade ``patterns`` list
+    (same (kind, regex, placeholder) triples, Java-and-RE2-shared regex
+    subset) or swap in an NER stage via mapInPandas without touching the
+    plumbing."""
     out: dict[str, Column] = {}
     redacted = text
-    for kind, pat, placeholder in PII_PATTERNS:
+    for kind, pat, placeholder in patterns:
         # counts use the current (partially redacted) stage for the same
         # reason replacement does: spans consumed by an earlier kind are
         # no longer countable, so sum(counts) == number of placeholders.
@@ -203,12 +208,15 @@ def redact_pii(text: Column) -> dict[str, Column]:
     return out
 
 
-def redact_pii_oracle_sql(text_sql: str = "text") -> tuple[str, str]:
+def redact_pii_oracle_sql(
+    text_sql: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> tuple[str, str]:
     """DuckDB twin of :func:`redact_pii`: (count aliases, redacted expr),
     replaying the same patterns in the same order with global replace."""
     counts = []
     redacted = text_sql
-    for kind, pat, placeholder in PII_PATTERNS:
+    for kind, pat, placeholder in patterns:
         esc = pat.replace("'", "''")
         counts.append(
             f"CAST(len(regexp_extract_all({redacted}, '{esc}')) AS BIGINT) AS n_{kind}"

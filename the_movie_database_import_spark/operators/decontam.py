@@ -41,6 +41,7 @@ def contamination_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    bench_set_col: str | None = None,
 ) -> DataFrame:
     """Per-corpus-document count of DISTINCT benchmark n-grams it contains.
 
@@ -48,6 +49,13 @@ def contamination_counts(
     that matched at least one benchmark gram — the evidence table a curation
     pipeline thresholds (≥1 distinct gram is the published decontamination
     rule; keeping the count supports looser "k overlapping grams" policies).
+
+    A real release decontaminates against MANY eval sets and needs per-set
+    evidence ("which benchmark leaked into this doc"): pass
+    ``bench_set_col`` naming a label column on ``benchmark`` and the output
+    becomes one row per (doc, eval set) with that set's distinct-gram
+    count. A gram appearing in several sets is counted for each (the
+    distinct step is per set), so per-set evidence is complete.
 
     Plan shape: benchmark grams explode → distinct → broadcast; corpus grams
     explode in-row and probe the broadcast inner-join, then aggregate by doc
@@ -57,9 +65,11 @@ def contamination_counts(
     """
     if n <= 0:
         raise ValueError(f"n must be positive: {n}")
+    set_cols = [bench_set_col] if bench_set_col else []
     bench_grams = (
         benchmark.select(
-            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("gram_h")
+            *set_cols,
+            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("gram_h"),
         )
         .distinct()
     )
@@ -68,7 +78,7 @@ def contamination_counts(
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram_h")
-        .groupBy(id_col)
+        .groupBy(id_col, *set_cols)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
 
