@@ -926,8 +926,6 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled, the only exchange is the per-doc count aggregate over
     matched pairs. The oracle joins on gram STRINGS; the Spark side joins on
     xxhash64(gram) (2^-64 collision odds), and both must agree exactly."""
-    from ..operators.decontam import contamination_counts  # noqa: F811
-
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
