@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from conftest import SF_DIR
 
 from the_movie_database_import_spark.plans import REGISTRY
@@ -255,3 +257,36 @@ def test_pipeline_end_to_end_plan_shape(spark):
     assert plan.count("BroadcastHashJoin") == 2, plan  # gram probe + anti-join
     assert "windowspecdefinition(text" in plan, "dedup window missing"
     assert "windowspecdefinition(split" in plan, "packing window missing"
+
+
+def test_scan_jsonl_parses_and_quarantines(spark, tmp_path):
+    """JSONL source: explicit schema, good lines parse, malformed lines
+    carry their raw text in _corrupt_record with data columns NULL, and
+    the filter that quarantines them is exact."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.readers import scan_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "second"}\n'
+        '{"doc_id": "not-a-number", "text": "coerced"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = scan_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 4
+    good = {r.doc_id: r.text for r in rows if r._corrupt_record is None}
+    assert good == {1: "hello world", 2: "second"}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert "this is not json" in bad[0]
+    with pytest.raises(ValueError):
+        scan_jsonl(
+            spark,
+            str(p),
+            StructType([StructField("_corrupt_record", StringType())]),
+        )

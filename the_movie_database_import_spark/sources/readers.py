@@ -135,3 +135,39 @@ def scan_csv(
         .schema(schema)
     )
     return reader.csv(path)
+
+
+def scan_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with explicit schema and corrupt-line quarantine
+    ([ext]: JSONL is the de-facto interchange format for text corpora —
+    web-scrape dumps, eval sets — so a training-data engine needs it as a
+    first-class source alongside CSV/parquet).
+
+    Schema is explicit (no sampling pass — deterministic types, and column
+    pruning reaches the parser: Jackson skips unprojected fields). Lines
+    that fail to parse land with every data column NULL and the raw line in
+    ``corrupt_col`` — filter ``corrupt_col IS NOT NULL`` to quarantine/audit
+    them instead of silently dropping (a malformed-rate spike is a scraper
+    bug you want to SEE). The returned frame is line-splittable: Spark
+    splits large JSONL files at newlines, so one giant dump still scans at
+    full cluster parallelism (unlike multiLine JSON, which is one split
+    per file).
+    """
+    configure_session(spark)
+    if corrupt_col in {f.name for f in schema.fields}:
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    from pyspark.sql.types import StringType, StructField
+
+    full = StructType([*schema.fields, StructField(corrupt_col, StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
