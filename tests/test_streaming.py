@@ -277,3 +277,33 @@ def test_hash_sample_stream_batch_parity(spark):
     got = sorted(r.event_id for r in stream_out.collect())
     want = sorted(r.event_id for r in batch.collect())
     assert got == want and got
+
+
+def test_stream_jsonl_matches_batch_scan(spark, tmp_path):
+    """Streaming JSONL ingest (availableNow over a drop-folder) produces
+    exactly the batch scan_jsonl rows, malformed-line quarantine included."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.sources.readers import scan_jsonl
+    from the_movie_database_import_spark.streaming import run_to_memory, stream_jsonl
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "one"}\nnot json\n{"doc_id": 2, "text": "two"}\n'
+    )
+    (d / "b.jsonl").write_text('{"doc_id": 3, "text": "three"}\n')
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream_out = run_to_memory(
+        stream_jsonl(spark, str(d), schema, max_files_per_trigger=1),
+        "t_jsonl",
+        "append",
+    )
+    batch = scan_jsonl(spark, str(d), schema)
+    key = lambda r: (r.doc_id or -1, r.text or "", r._corrupt_record or "")
+    assert sorted(map(key, stream_out.collect())) == sorted(
+        map(key, batch.collect())
+    )
+    assert stream_out.filter("_corrupt_record IS NOT NULL").count() == 1

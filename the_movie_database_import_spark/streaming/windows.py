@@ -293,3 +293,38 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    dir_path: str,
+    schema,  # StructType
+    *,
+    corrupt_col: str = "_corrupt_record",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming JSONL ingest ([ext]): watch a corpus drop-folder and
+    process new dump files incrementally — the streaming twin of
+    ``sources.readers.scan_jsonl`` with the same explicit schema and
+    corrupt-line quarantine semantics, so the audit filter
+    (``corrupt_col IS NOT NULL``) works identically on both paths and a
+    batch backfill agrees row-for-row with the stream.
+
+    ``max_files_per_trigger`` bounds per-microbatch work when a producer
+    drops many files at once (backpressure on file count). Downstream
+    transforms are source-agnostic; swap for Kafka with the JSON lines as
+    values + ``from_json`` when ingest moves off files."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    configure_session(spark)
+    if corrupt_col in {f.name for f in schema.fields}:
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    full = StructType([*schema.fields, StructField(corrupt_col, StringType())])
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(dir_path)
