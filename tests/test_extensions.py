@@ -824,3 +824,38 @@ def test_redact_pii_custom_patterns(spark):
     assert (row.n_ssn, row.redacted) == (1, "ssn <SSN> ok")
     counts_sql, redacted_sql = redact_pii_oracle_sql("text", patterns=pats)
     assert "n_ssn" in counts_sql and "<SSN>" in redacted_sql
+
+
+def test_incremental_dedup_against_digest_table(spark):
+    """Incremental dedup: new docs duplicating the EXISTING corpus are
+    flagged dup_of_existing and never kept; within-batch exact dups keep
+    the smallest id; genuinely novel docs are kept — and the decision
+    needs only the existing corpus's digest column, not its text."""
+    from pyspark.sql import functions as SF
+    from the_movie_database_import_spark.operators.delta import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(100, "already in corpus"), (101, "also present")],
+        "doc_id long, text string",
+    )
+    seen = existing.select(SF.sha2("text", 256).alias("digest"))
+    new = spark.createDataFrame(
+        [
+            (1, "already in corpus"),   # dup of existing
+            (2, "fresh content"),       # novel, kept
+            (3, "fresh content"),       # within-batch dup of 2
+            (4, "other new text"),      # novel, kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_of_existing, r.is_kept)
+           for r in incremental_dedup(new, seen).collect()}
+    assert got == {
+        1: (True, False),
+        2: (False, True),
+        3: (False, False),
+        4: (False, True),
+    }
+    assert set(incremental_dedup(new, seen).columns) == {
+        "doc_id", "text", "dup_of_existing", "is_kept"
+    }

@@ -1,0 +1,106 @@
+"""Corpus snapshot deltas and incremental deduplication ([ext]
+training-data pipeline, north star): the operators a DAILY-maintained
+100 TB corpus runs between full rebuilds — diff today's crawl against
+yesterday's snapshot, and dedup only the NEW documents against the
+already-curated corpus instead of re-pairing the world.
+
+Scale design: everything is digest-keyed. Texts hash to sha256 once at
+scan time; joins and set membership run on 64-char digests (or ids), so
+shuffle rows stay small no matter how long the documents are, and the
+incremental path's cost is proportional to the DELTA, not the corpus.
+
+The reference (a load-everything ETL, `loader.py`) rebuilds from scratch
+every run; this module is part of the north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _digest(text: Column) -> Column:
+    return F.sha2(text, 256)
+
+
+def corpus_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff: one row per doc id present in either snapshot, with
+    ``status`` ∈ {'added', 'removed', 'changed', 'unchanged'} — the change
+    feed an incremental pipeline consumes (process added+changed, retire
+    removed, skip unchanged).
+
+    One full-outer hash join on the id, comparing content DIGESTS (not
+    texts): the shuffle carries (id, digest, presence) triples only, so
+    diffing two 100 TB snapshots moves bytes per doc, and 'changed' means
+    byte-different content. Presence comes from explicit side markers (not
+    digest nullness — a NULL-text doc legitimately exists with a NULL
+    digest), and two NULL-text versions of a doc compare 'unchanged'
+    (null-safe digest equality).
+    """
+    o = old.select(
+        F.col(id_col),
+        _digest(F.col(text_col)).alias("_old_digest"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        _digest(F.col(text_col)).alias("_new_digest"),
+        F.lit(True).alias("_in_new"),
+    )
+    status = (
+        F.when(
+            F.col("_in_old") & F.col("_in_new"),
+            F.when(
+                F.col("_old_digest").eqNullSafe(F.col("_new_digest")),
+                F.lit("unchanged"),
+            ).otherwise(F.lit("changed")),
+        )
+        .when(F.col("_in_new"), F.lit("added"))
+        .otherwise(F.lit("removed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn("_in_old", F.coalesce("_in_old", F.lit(False)))
+        .withColumn("_in_new", F.coalesce("_in_new", F.lit(False)))
+        .select(F.col(id_col), status.alias("status"))
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Dedup NEW documents against an existing corpus's digest set and
+    within themselves, without touching existing-corpus text: returns the
+    new docs' columns plus ``dup_of_existing`` (digest already in
+    ``seen_digests``) and ``is_kept`` (first new doc of a digest not
+    already seen — the rows to append to the corpus).
+
+    The existing corpus contributes only its digest column — the exact
+    materialization an incremental pipeline maintains as a side table
+    (append ``sha2(text)`` of every kept doc). The join is digest-keyed:
+    at 100 TB corpus / 1 TB daily delta, the shuffle is the delta's
+    digests against the digest table, never corpus text. Within-batch
+    dedup is the same keep-smallest-id convention as ``exact_dedup``.
+    """
+    seen = seen_digests.select(F.col(digest_col).alias("_seen_digest")).distinct()
+    base = new_docs.withColumn("_digest", _digest(F.col(text_col)))
+    flagged = base.join(
+        seen, base["_digest"] == seen["_seen_digest"], "left"
+    ).withColumn("dup_of_existing", F.col("_seen_digest").isNotNull())
+    w = Window.partitionBy("_digest")
+    return (
+        flagged.withColumn(
+            "is_kept",
+            (~F.col("dup_of_existing"))
+            & (F.col(id_col) == F.min(id_col).over(w)),
+        )
+        .drop("_seen_digest", "_digest")
+    )

@@ -23,10 +23,10 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-5 rotation (VERDICT r04 #1):
 # the driver regenerates /root/testdata between rounds, so the 36 queries
 # whose latest driver rows are r03-era rotate in to earn fresh rows on the
-# current generation; the six new round-5 queries (decontamination, PII
+# current generation; the seven new round-5 queries (decontamination, PII
 # redaction, vocabulary coverage, leakage-safe split, shared-text SQL,
-# end-to-end pipeline composite — never driver-checked) take slots; and 8
-# r04-green queries stay as family
+# end-to-end pipeline composite, corpus snapshot delta — never
+# driver-checked) take slots; and 7 r04-green queries stay as family
 # representatives — preferring the ones whose IMPLEMENTATION changed this
 # round (split-threshold snap, integer bin packing, chooser-derived MinHash
 # geometry) so the changed code earns driver evidence, not just local tests.
@@ -77,9 +77,9 @@ DRIVER_WINDOW = [
     "q_split_leakage_safe",
     "q_sql_shared_text",
     "q_pipeline_end_to_end",
+    "q_corpus_delta",
     # --- r04-green family representatives kept in-window ---
     "q_flagship_star_revenue",
-    "q_pricing_summary",
     "q_sample_split",      # r05 code change: sum-to-1 threshold snap
     "q_text_chunks",       # r05 code change: reserved-column guard
     "q_pack_greedy",       # r05 code change: exact integer bin_id
@@ -93,6 +93,7 @@ DRIVER_WINDOW = [
 # the PREVIOUS testdata generation — and remains locally oracle-checked by
 # tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
 TAIL_PRIORITY = [
+    "q_pricing_summary",
     "q_agg_percentiles",
     "q_join_range_binned",
     "q_win_sliding_frame",

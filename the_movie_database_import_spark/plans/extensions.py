@@ -1162,3 +1162,59 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bin_id").alias("n_bins"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def _delta_oracle() -> str:
+    from ..operators.sampling import hex_threshold
+
+    lo, hi = hex_threshold(0.1), hex_threshold(0.9)
+    return f"""
+    WITH o AS (
+        SELECT doc_id, text FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{hi}'
+    ),
+    n AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '{lo}'
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL THEN
+                    CASE WHEN o.text IS NOT DISTINCT FROM n.text
+                         THEN 'unchanged' ELSE 'changed' END
+                WHEN n.doc_id IS NOT NULL THEN 'added'
+                ELSE 'removed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
+
+@register(
+    "q_corpus_delta",
+    oracle=_delta_oracle(),
+    tags=("delta", "dedup", "ext"),
+)
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (north star `corpus_delta`): the change feed
+    between yesterday's corpus and today's crawl — added / removed /
+    changed / unchanged per doc id, computed from one digest-keyed
+    full-outer join (the shuffle carries (id, digest, presence), never
+    text — a two-snapshot diff at 100 TB moves bytes per doc). Snapshots
+    are deterministically synthesized from the documents table (old =
+    hash bucket < 0.9, new = bucket >= 0.1 with every 31st doc's text
+    edited), so both engines replay the identical scenario; the oracle
+    compares texts where Spark compares sha256 digests — identical
+    verdicts by construction."""
+    from ..operators.delta import corpus_delta
+    from ..operators.sampling import hash_bucket, hex_threshold
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    old = docs.filter(bucket < F.lit(hex_threshold(0.9))).select("doc_id", "text")
+    new = docs.filter(bucket >= F.lit(hex_threshold(0.1))).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_delta(old, new)
