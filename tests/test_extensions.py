@@ -859,3 +859,28 @@ def test_incremental_dedup_against_digest_table(spark):
     assert set(incremental_dedup(new, seen).columns) == {
         "doc_id", "text", "dup_of_existing", "is_kept"
     }
+
+
+def test_corpus_delta_null_text_and_membership(spark):
+    """Presence comes from join-side markers, not digest nullness: a
+    NULL-text doc present in both snapshots is 'unchanged' (null-safe
+    digest equality), NULL->text is 'changed', and add/remove classify by
+    side membership alone."""
+    from the_movie_database_import_spark.operators.delta import corpus_delta
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now has text"), (3, "same"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_delta(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        4: "removed",
+        5: "added",
+    }
