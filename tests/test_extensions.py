@@ -884,3 +884,34 @@ def test_corpus_delta_null_text_and_membership(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_python_udtf_matches_builtin_explode_twin(spark):
+    """Spark 4 Python UDTF surface: a lateral-join table function must
+    return exactly what the BUILT-IN posexplode/split twin returns — the
+    production path stays the codegen twin (UDTFs are row-at-a-time
+    Python, the documented slow path); the UDTF exists for logic the
+    built-ins can't express, and this parity pin gates its plumbing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id: bigint, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is not None:
+                for i, s in enumerate(text.split(". ")):
+                    yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = _docs(spark)
+    docs.createOrReplaceTempView("t_udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT doc_id, s.sent_id, s.sentence "
+        "FROM t_udtf_docs, LATERAL split_sentences(text) s"
+    )
+    via_builtin = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("sent_id", "sentence"),
+    ).withColumn("sent_id", F.col("sent_id").cast("bigint"))
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_builtin.collect()))
+    assert a == b and a
