@@ -62,28 +62,34 @@ def test_tracked_caches_released_on_next_query(spark):
     storage entirely (VERDICT r01 #8)."""
     from the_movie_database_import_spark.session import release_caches
 
+    import gc
     import time
 
-    def settled_size(jsc, deadline_s: float = 10.0) -> int:
-        """Storage entries can briefly linger from OTHER components' async
-        unpersists (MLlib's KMeans.fit, run by earlier tests in this shared
-        session, releases its internal RDDs with blocking=false). Our own
-        release_caches() is blocking, so a TRUE engine leak never drains —
-        the bounded wait only absorbs foreign stragglers."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def settled_size(target: int, deadline_s: float = 15.0) -> int:
+        """Foreign storage entries drain ASYNCHRONOUSLY: MLlib's KMeans.fit
+        unpersists its internals with blocking=false, and localCheckpoint
+        RDDs from earlier registry queries (connected components) are freed
+        only by the GC-driven ContextCleaner. Force gc and wait (bounded)
+        until the count reaches the target; our own release_caches() is
+        blocking, so a TRUE engine leak never drains and still fails."""
         deadline = time.time() + deadline_s
-        while jsc.getPersistentRDDs().size() > 0 and time.time() < deadline:
-            time.sleep(0.2)
+        while jsc.getPersistentRDDs().size() > target and time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
         return jsc.getPersistentRDDs().size()
 
     release_caches()
+    baseline = settled_size(0)  # whatever foreign residue refuses to drain
     REGISTRY["q_dedup_minhash_lsh"].spark_fn(spark, SF_DIR).count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0, "minhash run should have cached"
+    assert jsc.getPersistentRDDs().size() > baseline, "minhash should cache"
     # next query's invocation releases the minhash caches before running
     REGISTRY["q_filter_pred"].spark_fn(spark, SF_DIR).count()
-    assert settled_size(jsc) == 0, "previous caches must be freed"
+    assert settled_size(baseline) <= baseline, "previous caches must be freed"
     n = release_caches()
-    assert settled_size(jsc) == 0
+    assert settled_size(baseline) <= baseline
     assert n == 0, "no caches should remain tracked after the sweep"
 
 
