@@ -58,39 +58,39 @@ def test_json_fns_single_parse(spark):
 def test_tracked_caches_released_on_next_query(spark):
     """Engine caches (minhash collapse, ETL parse reuse) must not accumulate
     across a registry sweep: invoking any registry query releases the
-    previous query's tracked caches, and release_caches() empties executor
-    storage entirely (VERDICT r01 #8)."""
-    from the_movie_database_import_spark.session import release_caches
+    previous query's tracked caches, and release_caches() empties the
+    engine's registry entirely (VERDICT r01 #8).
 
-    import gc
-    import time
+    Asserts on the ENGINE's own ``_TRACKED_CACHES`` handles and their
+    ``storageLevel`` — never on a JVM-wide ``getPersistentRDDs()`` count,
+    which races foreign async unpersists (MLlib KMeans internals,
+    ContextCleaner-driven localCheckpoint frees) in a shared test session
+    and made this test flaky under host load (VERDICT r05 #1)."""
+    from the_movie_database_import_spark import session as eng_session
 
-    jsc = spark.sparkContext._jsc.sc()
+    def _is_cached(df) -> bool:
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
 
-    def settled_size(target: int, deadline_s: float = 15.0) -> int:
-        """Foreign storage entries drain ASYNCHRONOUSLY: MLlib's KMeans.fit
-        unpersists its internals with blocking=false, and localCheckpoint
-        RDDs from earlier registry queries (connected components) are freed
-        only by the GC-driven ContextCleaner. Force gc and wait (bounded)
-        until the count reaches the target; our own release_caches() is
-        blocking, so a TRUE engine leak never drains and still fails."""
-        deadline = time.time() + deadline_s
-        while jsc.getPersistentRDDs().size() > target and time.time() < deadline:
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(0.3)
-        return jsc.getPersistentRDDs().size()
+    eng_session.release_caches()
+    assert eng_session._TRACKED_CACHES == [], "registry must start empty"
 
-    release_caches()
-    baseline = settled_size(0)  # whatever foreign residue refuses to drain
     REGISTRY["q_dedup_minhash_lsh"].spark_fn(spark, SF_DIR).count()
-    assert jsc.getPersistentRDDs().size() > baseline, "minhash should cache"
+    held = list(eng_session._TRACKED_CACHES)
+    assert held, "minhash should register tracked caches"
+    assert all(_is_cached(df) for df in held), "tracked frames must be cached"
+
     # next query's invocation releases the minhash caches before running
     REGISTRY["q_filter_pred"].spark_fn(spark, SF_DIR).count()
-    assert settled_size(baseline) <= baseline, "previous caches must be freed"
-    n = release_caches()
-    assert settled_size(baseline) <= baseline
-    assert n == 0, "no caches should remain tracked after the sweep"
+    assert eng_session._TRACKED_CACHES == [], "previous caches must be freed"
+    # release_caches() is blocking=True, so the handles we captured are
+    # uncached the moment the registry wrapper returns — no settle-wait.
+    assert not any(_is_cached(df) for df in held), (
+        "released frames still report a storage level"
+    )
+    assert eng_session.release_caches() == 0, (
+        "no caches should remain tracked after the sweep"
+    )
 
 
 def test_corpus_curation_single_shuffle_no_python(spark):
@@ -228,6 +228,60 @@ def test_fan_out_never_touches_rdd(spark, monkeypatch):
     # a frame whose estimated splits already meet the target is returned as-is
     monkeypatch.setattr(DataFrame, "rdd", property(boom))
     assert fan_out(docs, min_partitions=1) is docs
+
+
+def test_split_estimate_gzip_counts_one_per_file(spark, tmp_path):
+    """ADVICE r05 #1: a large .jsonl.gz scans as ONE partition (gzip is not
+    splittable for text), so the estimate must count it as one split — not
+    ceil(size/maxPartitionBytes) — or fan_out skips the repartition and the
+    downstream stages run serial."""
+    from the_movie_database_import_spark.sources.readers import (
+        _estimated_scan_splits,
+        fan_out,
+        scan_jsonl,
+    )
+    import gzip
+    import json
+
+    # Big enough that bytes/maxPartitionBytes would estimate many splits.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536b")
+    try:
+        path = tmp_path / "dump.jsonl.gz"
+        with gzip.open(path, "wt") as fh:
+            import hashlib
+
+            for i in range(2000):
+                # incompressible payload so the .gz itself exceeds the limit
+                blob = hashlib.sha256(str(i).encode()).hexdigest() * 2
+                fh.write(json.dumps({"doc_id": i, "text": blob}) + "\n")
+        assert path.stat().st_size > 65536  # size-based estimate would be >1
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        df = scan_jsonl(spark, str(path), schema)
+        assert _estimated_scan_splits(df) == 1
+        target = spark.sparkContext.defaultParallelism
+        assert fan_out(df).rdd.getNumPartitions() == target
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728b")
+
+
+def test_split_estimate_local_relation_uses_partition_count(spark):
+    """ADVICE r05 #2: an in-memory relation has no inputFiles; the estimate
+    must fall back to the frame's actual partition count so composed
+    operators that each call fan_out don't re-shuffle an already-wide
+    frame — fan_out(fan_out(df)) must be a no-op the second time."""
+    from the_movie_database_import_spark.sources.readers import (
+        _estimated_scan_splits,
+        fan_out,
+    )
+
+    df = spark.range(0, 1000)  # local relation: inputFiles() == []
+    assert _estimated_scan_splits(df) == df.rdd.getNumPartitions()
+    fanned = fan_out(df, min_partitions=8)
+    assert fan_out(fanned, min_partitions=8) is fanned
 
 
 def test_sql_shared_text_decorrelates_to_semi_join(spark):

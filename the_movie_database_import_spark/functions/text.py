@@ -183,10 +183,12 @@ def redact_pii(
     (no Python, cost = the scan).
 
     Returns ``{"redacted": <text with typed placeholders>, "n_<kind>":
-    <count>, ...}``. Counts are taken on the ORIGINAL text per pattern in
-    the same priority order the replacements run, then each replacement is
-    applied to the previous stage's output, so a span can only be counted
-    and redacted once (email wins over phone on overlap).
+    <count>, ...}``. Counts and replacements both run on the PROGRESSIVELY
+    redacted text, pattern by pattern in priority order: a span consumed by
+    an earlier kind is neither counted nor re-redacted by a later one
+    (email wins over phone on overlap), so ``sum(counts)`` equals the
+    number of placeholders in ``redacted`` (ADVICE r05 #3 — the DuckDB
+    oracle replays the same staged semantics).
 
     Precision/recall here are pattern-bounded (a phone regex is a
     heuristic, not a parser); the operator's contract is deterministic,
