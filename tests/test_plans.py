@@ -301,10 +301,13 @@ def test_sql_shared_text_decorrelates_to_semi_join(spark):
 
 
 def test_pipeline_end_to_end_plan_shape(spark):
-    """The six-stage composite's corpus-side wide operations are exactly:
-    the dedup window (partition by text), the per-split packing window, and
-    the census aggregate. Both decontamination joins broadcast (benchmark
-    side tiny by construction) and no stage leaves the JVM."""
+    """The eight-stage daily composite's wide operations are exactly: the
+    delta/incremental prologue's joins, the within-batch dedup window
+    (partition by digest), the per-split packing window, and the census
+    aggregate. The deduped increment is CACHED and consumed twice by
+    decontamination (gram probe + anti-join) so the prologue's joins
+    materialize once; the decontamination joins themselves broadcast, no
+    stage leaves the JVM, and nothing degenerates to a cartesian product."""
     plan = (
         REGISTRY["q_pipeline_end_to_end"]
         .spark_fn(spark, SF_DIR)
@@ -312,10 +315,13 @@ def test_pipeline_end_to_end_plan_shape(spark):
         .executedPlan()
         .toString()
     )
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 2, plan  # gram probe + anti-join
-    assert "windowspecdefinition(text" in plan, "dedup window missing"
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # gram probe + anti-join
+    # both decontamination consumers must read the cached increment, not
+    # replay the delta + incremental-dedup prologue
+    assert plan.count("InMemoryTableScan") == 2, plan.count("InMemoryTableScan")
+    assert "windowspecdefinition(_digest" in plan, "incremental dedup window missing"
     assert "windowspecdefinition(split" in plan, "packing window missing"
 
 

@@ -20,79 +20,21 @@ from . import sampling  # noqa: F401,E402
 from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
-# First 50 = the driver-checked window. Round-5 rotation (VERDICT r04 #1):
-# the driver regenerates /root/testdata between rounds, so the 36 queries
-# whose latest driver rows are r03-era rotate in to earn fresh rows on the
-# current generation; the seven new round-5 queries (decontamination, PII
-# redaction, vocabulary coverage, leakage-safe split, shared-text SQL,
-# end-to-end pipeline composite, corpus snapshot delta — never
-# driver-checked) take slots; and 7 r04-green queries stay as family
+# First 50 = the driver-checked window. Round-6 rotation (VERDICT r05 #2):
+# the driver regenerates /root/testdata between rounds, so the 43 queries
+# whose latest driver rows are r04-era (previous testdata generation)
+# rotate in to earn fresh rows on the current generation; the two new
+# round-6 queries (incremental dedup, OOV rate — never driver-checked,
+# VERDICT r05 #4/#5) take slots; and 5 r05-green queries stay as family
 # representatives — preferring the ones whose IMPLEMENTATION changed this
-# round (split-threshold snap, integer bin packing, chooser-derived MinHash
-# geometry) so the changed code earns driver evidence, not just local tests.
-# Every rotated-out query keeps its r04 row, so no family loses
-# current-generation driver evidence.
+# round (chooser default recall 0.9→0.95 reshapes the MinHash geometry to
+# (24, 6); the pipeline composite gained redaction + incremental-dedup
+# stages) so the changed code earns driver evidence, not just local tests,
+# plus the flagship and a streaming representative. Every rotated-out
+# query keeps its r05 row, so no family loses current-generation driver
+# evidence.
 DRIVER_WINDOW = [
-    # --- refreshed: latest driver rows are r03-era ---
-    "q_math_fns",
-    "q_join_asof",
-    "q_agg_first_nonnull",
-    "q_topk_per_group",
-    "q_window_watermark",
-    "q_agg_grouping_sets",
-    "q_applyinpandas_group_pct",
-    "q_dedup_exact",
-    "q_dedup_clusters",
-    "q_union_all",
-    "q_json_fns",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_join_multiway_star",
-    "q_agg_avg_per_key",
-    "q_agg_multi",
-    "q_dedup_by_key",
-    "q_agg_count_by_value",
-    "q_agg_count_distinct",
-    "q_win_rank",
-    "q_win_running_sum",
-    "q_topk_global",
-    "q_window_tumbling",
-    "q_window_session",
-    "q_dedup_first_event",
-    "q_pandas_udf_scalar",
-    "q_pandas_udf_grouped_agg",
-    "q_dedup_canonical",
-    "q_text_jaccard_pairs",
-    "q_text_ngram_jaccard",
-    "q_text_langid",
-    "q_text_quality",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_multimodal_frame_sample",
-    # --- new round-5 queries: never driver-checked, must be in-window ---
-    "q_text_decontaminate",
-    "q_text_redact_pii",
-    "q_text_vocab_coverage",
-    "q_split_leakage_safe",
-    "q_sql_shared_text",
-    "q_pipeline_end_to_end",
-    "q_corpus_delta",
-    # --- r04-green family representatives kept in-window ---
-    "q_flagship_star_revenue",
-    "q_sample_split",      # r05 code change: sum-to-1 threshold snap
-    "q_text_chunks",       # r05 code change: reserved-column guard
-    "q_pack_greedy",       # r05 code change: exact integer bin_id
-    "q_stream_stream_join",
-    "q_stateful_user_totals",
-    "q_dedup_minhash_lsh", # r05 code change: chooser-derived (30, 6) bands
-]
-
-
-# Tail: everything here is r04-green in CORRECTNESS_r04.json — evidence from
-# the PREVIOUS testdata generation — and remains locally oracle-checked by
-# tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
-TAIL_PRIORITY = [
+    # --- refreshed: latest driver rows are r04-era ---
     "q_pricing_summary",
     "q_agg_percentiles",
     "q_join_range_binned",
@@ -136,6 +78,67 @@ TAIL_PRIORITY = [
     "q_corpus_curation",
     "q_multimodal_features",
     "q_multimodal_resize",
+    # --- new round-6 queries: never driver-checked, must be in-window ---
+    "q_incremental_dedup",  # VERDICT r05 #4: delta.py:73 earns a driver row
+    "q_oov_rate",           # VERDICT r05 #5: vocab.py:71 earns a driver row
+    # --- r05-green family representatives kept in-window ---
+    "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
+    "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
+    "q_flagship_star_revenue",
+    "q_window_tumbling",      # streaming family representative
+    "q_text_redact_pii",      # now also exercised inside the composite
+]
+
+
+# Tail: everything here is r05-green in CORRECTNESS_r05.json — evidence from
+# the CURRENT testdata generation — and remains locally oracle-checked by
+# tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
+TAIL_PRIORITY = [
+    "q_math_fns",
+    "q_join_asof",
+    "q_agg_first_nonnull",
+    "q_topk_per_group",
+    "q_window_watermark",
+    "q_agg_grouping_sets",
+    "q_applyinpandas_group_pct",
+    "q_dedup_exact",
+    "q_dedup_clusters",
+    "q_union_all",
+    "q_json_fns",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_join_multiway_star",
+    "q_agg_avg_per_key",
+    "q_agg_multi",
+    "q_dedup_by_key",
+    "q_agg_count_by_value",
+    "q_agg_count_distinct",
+    "q_win_rank",
+    "q_win_running_sum",
+    "q_topk_global",
+    "q_window_session",
+    "q_dedup_first_event",
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_dedup_canonical",
+    "q_text_jaccard_pairs",
+    "q_text_ngram_jaccard",
+    "q_text_langid",
+    "q_text_quality",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_multimodal_frame_sample",
+    "q_text_decontaminate",
+    "q_text_vocab_coverage",
+    "q_split_leakage_safe",
+    "q_sql_shared_text",
+    "q_corpus_delta",
+    "q_sample_split",
+    "q_text_chunks",
+    "q_pack_greedy",
+    "q_stream_stream_join",
+    "q_stateful_user_totals",
 ]
 
 

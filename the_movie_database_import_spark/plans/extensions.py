@@ -1031,25 +1031,57 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pipeline_oracle() -> str:
     """Composite oracle for q_pipeline_end_to_end, assembled from the SAME
-    generated fragments the stage-level oracles use (langid scoring CASE,
-    stopword literals, split CASE), so stage drift is impossible."""
-    from ..functions.text import langid_oracle_sql
-    from ..operators.sampling import split_case_sql
+    generated fragments the stage-level oracles use (snapshot/delta bucket
+    thresholds, redaction pattern chain, langid scoring CASE, stopword
+    literals, split CASE), so stage drift is impossible."""
+    from ..functions.text import langid_oracle_sql, redact_pii_oracle_sql
+    from ..operators.sampling import hex_threshold, split_case_sql
     from .sampling import SPLITS
 
     aliases, case = langid_oracle_sql("text")
     split_case = split_case_sql("doc_id", SPLITS)
+    t10, t90 = hex_threshold(0.1), hex_threshold(0.9)
+    bucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    _, redacted = redact_pii_oracle_sql(f"({_PII_AUGMENT_SQL})")
     return f"""
-    WITH bt AS (
+    WITH y AS (
+        SELECT doc_id, text FROM documents WHERE {bucket} < '{t90}'
+    ),
+    t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE {bucket} >= '{t10}'
+    ),
+    delta AS (
+        SELECT COALESCE(y.doc_id, t.doc_id) AS doc_id,
+               CASE WHEN y.doc_id IS NOT NULL AND t.doc_id IS NOT NULL THEN
+                        CASE WHEN y.text IS NOT DISTINCT FROM t.text
+                             THEN 'unchanged' ELSE 'changed' END
+                    WHEN t.doc_id IS NOT NULL THEN 'added'
+                    ELSE 'removed' END AS status
+        FROM y FULL OUTER JOIN t ON y.doc_id = t.doc_id
+    ),
+    inc AS (
+        SELECT t.doc_id, t.text FROM t
+        JOIN delta ON t.doc_id = delta.doc_id
+        WHERE delta.status IN ('added', 'changed') AND t.doc_id % 97 <> 0
+    ),
+    seen AS (SELECT DISTINCT text FROM y),
+    dd AS (
+        SELECT i.doc_id, i.text FROM inc i
+        LEFT JOIN seen s ON i.text = s.text
+        WHERE s.text IS NULL
+        QUALIFY i.doc_id = MIN(i.doc_id) OVER (PARTITION BY i.text)
+    ),
+    bt AS (
         SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
     ),
     bg AS (
         SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS gram
         FROM bt, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
     ),
-    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
     clean AS (
-        SELECT * FROM corpus c WHERE NOT EXISTS (
+        SELECT * FROM dd c WHERE NOT EXISTS (
             SELECT 1 FROM bg,
                  unnest(generate_series(1,
                      greatest(len(string_split(c.text, ' ')) - 2, 0))) AS g(i)
@@ -1057,6 +1089,10 @@ def _pipeline_oracle() -> str:
                       list_slice(string_split(c.text, ' '), i, i + 2), ' ') = bg.gram
         )
     ),
+    red AS (
+        SELECT doc_id, {redacted} FROM clean
+    ),
+    redtxt AS (SELECT doc_id, redacted AS text FROM red),
     scored AS (
         SELECT doc_id, text,
                (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -1067,18 +1103,14 @@ def _pipeline_oracle() -> str:
                  + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.2
                    AS quality_score,
                {aliases}
-        FROM clean
+        FROM redtxt
     ),
     filtered AS (
         SELECT doc_id, text FROM scored
         WHERE quality_score >= 0.6 AND ({case}) IN ('en', 'de')
     ),
-    kept AS (
-        SELECT doc_id, text FROM filtered
-        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
-    ),
     labeled AS (
-        SELECT doc_id, text, {split_case} AS split FROM kept
+        SELECT doc_id, text, {split_case} AS split FROM filtered
     ),
     toks AS (
         SELECT split, doc_id, len(string_split(text, ' ')) AS n FROM labeled
@@ -1114,40 +1146,76 @@ def _pipeline_oracle() -> str:
     tags=("pipeline", "ext", "composite"),
 )
 def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE training-data pipeline as one declarative Spark plan:
-    benchmark decontamination (3-gram broadcast probe) → quality + language
-    filter (all scan-fused codegen) → exact dedup (keep-first by text) →
-    deterministic train/val/test split → token-window chunking (in-row
-    explode) → per-split greedy packing (one running-sum window per shard)
-    → per-split census. Six stages, every one an operator the registry
-    proves individually; the composite is hash-exact against a DuckDB
-    oracle assembled from the same generated SQL fragments.
+    """The WHOLE training-data pipeline as one declarative Spark plan — now
+    the DAILY-maintenance variant (VERDICT r05 #6): corpus snapshot delta
+    (yesterday vs today, digest-keyed full-outer join) → incremental dedup
+    of the added/changed increment against yesterday's digest side-table
+    (plus within-batch keep-first — the exact-dedup stage in its
+    incremental form) → benchmark decontamination (3-gram broadcast probe)
+    → PII redaction (chained regexp_replace codegen, before quality
+    scoring) → quality + language filter (scan-fused) → deterministic
+    train/val/test split → token-window chunking (in-row explode) →
+    per-split greedy packing (one running-sum window per shard) → per-split
+    census. Eight stages, every one an operator the registry proves
+    individually; the composite is hash-exact against a DuckDB oracle
+    assembled from the same generated SQL fragments.
 
-    Scale shape: one broadcast probe + one dedup window shuffle + one
+    Scale shape: the delta/dedup prologue shuffles (id, digest, presence)
+    triples and the increment's digests — never corpus text (daily cost ∝
+    delta, not corpus); then one broadcast probe + one window shuffle + one
     per-shard packing sort + one census aggregate — the scan-side stages
-    (scoring, langid, split, chunking) all fuse. The packing order key is
-    doc_id * 2^20 + chunk_id (unique while documents stay under 2^20
-    chunks — enforce upstream for a corpus of books)."""
+    (redaction, scoring, langid, split, chunking) all fuse. The packing
+    order key is doc_id * 2^20 + chunk_id (unique while documents stay
+    under 2^20 chunks — enforce upstream for a corpus of books)."""
+    from ..functions.text import redact_pii
     from ..operators.chunking import chunk_tokens, pack_greedy
     from ..operators.decontam import decontaminate
-    from ..operators.sampling import split_column
+    from ..operators.delta import corpus_delta, incremental_dedup
+    from ..operators.sampling import hash_bucket, hex_threshold, split_column
+    from ..session import tracked_cache
     from .sampling import SPLITS
 
     docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    yesterday = docs.filter(bucket < F.lit(hex_threshold(0.9))).select(
+        "doc_id", "text"
+    )
+    today = docs.filter(bucket >= F.lit(hex_threshold(0.1))).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    delta = corpus_delta(yesterday, today)
+    increment = today.join(
+        delta.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+    ).filter(F.col("doc_id") % 97 != 0)
+    seen = yesterday.select(F.sha2(F.col("text"), 256).alias("digest"))
+    dd = (
+        incremental_dedup(increment, seen)
+        .filter("is_kept")
+        .select("doc_id", "text")
+    )
+    # decontaminate() consumes its corpus TWICE (gram probe + anti-join);
+    # with a cheap parquet scan upstream the re-read is free, but here the
+    # upstream is the delta + incremental-dedup prologue — cache the kept
+    # increment (delta-sized, bounded: the daily increment never exceeds the crawl)
+    # so the prologue's joins run once, not twice.
+    dd = tracked_cache(dd)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
-    clean = decontaminate(corpus, bench, n=3)
+    clean = decontaminate(dd, bench, n=3)
+    red = clean.select(
+        "doc_id",
+        redact_pii(_pii_augment(F.col("doc_id"), F.col("text")))["redacted"].alias(
+            "text"
+        ),
+    )
     m = quality_metrics(F.col("text"))
-    filtered = clean.filter(
+    filtered = red.filter(
         (m["quality_score"] >= 0.6) & langid(F.col("text")).isin("en", "de")
     )
-    w = Window.partitionBy("text")
-    kept = (
-        filtered.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
-        .filter("_keep")
-        .drop("_keep")
-    )
-    labeled = kept.withColumn("split", split_column(F.col("doc_id"), SPLITS))
+    labeled = filtered.withColumn("split", split_column(F.col("doc_id"), SPLITS))
     chunks = chunk_tokens(labeled, chunk_size=64, overlap=16)
     packed = pack_greedy(
         chunks,
@@ -1218,3 +1286,110 @@ def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return corpus_delta(old, new)
+
+
+def _incremental_dedup_oracle() -> str:
+    from ..operators.sampling import hex_threshold
+
+    t40, t50, t60, t70 = (hex_threshold(r) for r in (0.4, 0.5, 0.6, 0.7))
+    bucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    return f"""
+    WITH seen AS (
+        SELECT DISTINCT text FROM documents WHERE {bucket} < '{t50}'
+    ),
+    nd AS (
+        SELECT doc_id, text FROM documents WHERE {bucket} >= '{t40}'
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        WHERE {bucket} >= '{t60}' AND {bucket} < '{t70}'
+    ),
+    flagged AS (
+        SELECT nd.doc_id, nd.text,
+               (seen.text IS NOT NULL) AS dup_of_existing
+        FROM nd LEFT JOIN seen ON nd.text = seen.text
+    )
+    SELECT doc_id, dup_of_existing,
+           (NOT dup_of_existing)
+             AND doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_kept
+    FROM flagged
+    """
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    tags=("delta", "dedup", "ext"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (north star `incremental_dedup`, VERDICT r05 #4):
+    dedup a NEW batch against an existing corpus's digest side-table and
+    within itself, without touching corpus text — the daily-maintenance
+    path that replaces re-pairing the world. The existing corpus
+    contributes only sha256 digests; the join and the within-batch
+    keep-smallest-id window are digest-keyed, so at 100 TB corpus / 1 TB
+    delta the shuffle carries the delta's digests, never corpus text.
+
+    Scenario (deterministic in both engines): corpus = docs with hash
+    bucket < 0.5 (digests only); new batch = docs with bucket >= 0.4 (the
+    [0.4, 0.5) overlap re-submits already-seen text) plus a second copy of
+    [0.6, 0.7) under shifted ids (within-batch duplicates — only the
+    smaller id is kept). The oracle replays the scenario joining on raw
+    text where Spark joins on sha256(text) — identical verdicts by
+    construction (digest equality == byte equality)."""
+    from ..operators.delta import incremental_dedup
+    from ..operators.sampling import hash_bucket, hex_threshold
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    seen = (
+        docs.filter(bucket < F.lit(hex_threshold(0.5)))
+        .select(F.sha2(F.col("text"), 256).alias("digest"))
+    )
+    new_batch = docs.filter(bucket >= F.lit(hex_threshold(0.4))).select(
+        "doc_id", "text"
+    ).unionAll(
+        docs.filter(
+            (bucket >= F.lit(hex_threshold(0.6)))
+            & (bucket < F.lit(hex_threshold(0.7)))
+        ).select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    )
+    return incremental_dedup(new_batch, seen).select(
+        "doc_id", "dup_of_existing", "is_kept"
+    )
+
+
+@register(
+    "q_oov_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ),
+    vocab AS (
+        SELECT token FROM counts
+        QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, token) <= 500
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+    FROM tok LEFT JOIN vocab v ON tok.token = v.token
+    GROUP BY tok.doc_id
+    """,
+    tags=("text", "vocab", "ext"),
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against a built vocabulary (north star
+    `oov_rate`, VERDICT r05 #5): fraction of each document's token
+    occurrences not in the top-500 corpus vocabulary. The vocab phase is
+    the corpus-wide explode + count shuffle; the probe BROADCASTS the
+    (small by construction) vocab and re-aggregates on doc_id, so corpus
+    rows shuffle only as (id, counts) pairs — the coverage report a
+    tokenizer-budget decision reads, at corpus scale."""
+    from ..operators.vocab import build_vocab, oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_k=500)
+    return oov_rate(docs, vocab)
