@@ -39,6 +39,13 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # Host load bracketing (VERDICT r05 #2 nit): a loaded host inflates the
+    # totals ~15-20% UNIFORMLY, so the artifact must carry enough context to
+    # tell noise from regression without an out-of-band rerun. The r05 idle
+    # reference is 12.9 s at sf0.1 (documented band ~14-17 s); treat numbers
+    # recorded at load_1m >~ 3 with that inflation in mind.
+    load_before = os.getloadavg()
+
     spark = get_spark("tmdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,6 +71,7 @@ def main() -> None:
     timings = {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 4)
+    load_after = os.getloadavg()
     print(
         json.dumps(
             {
@@ -72,6 +80,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # 1/5/15-min load BEFORE session start and AFTER the timed
+                # passes: pre-existing background load (not our own Spark
+                # threads) shows up in load_before and the 15-min column.
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "load_note": (
+                    "host load >~3 inflates totals ~15-20% uniformly; "
+                    "idle-host reference band in BASELINE.md"
+                ),
             }
         )
     )
