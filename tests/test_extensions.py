@@ -915,3 +915,75 @@ def test_python_udtf_matches_builtin_explode_twin(spark):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_builtin.collect()))
     assert a == b and a
+
+
+def test_mix_corpus_hits_target_mixture(spark):
+    """mix_corpus must (a) drop zero-weight groups, (b) keep the binding
+    group (scarcest relative to its target) in full, (c) land each kept
+    group's achieved fraction within sampling noise of its target, and
+    (d) keep membership deterministic — a stable-id rerun returns the
+    identical id set."""
+    from the_movie_database_import_spark.operators.mixing import mix_corpus
+
+    docs = _docs(spark)
+    weights = {"en": 0.5, "de": 0.2, "fr": 0.15, "zh": 0.15}
+    mixed = mix_corpus(docs, weights, group_col="lang")
+    got = {r["lang"]: r["n"] for r in mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= set(weights), "zero-weight group leaked into the mix"
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    capacity = {g: n_by_lang[g] / w for g, w in weights.items()}
+    binding = min(capacity, key=capacity.get)
+    assert got[binding] == n_by_lang[binding], "binding group must keep all rows"
+    total = sum(got.values())
+    for g, w in weights.items():
+        # expected-rate sampling: binomial noise at these sizes is ~±5 pp
+        assert abs(got.get(g, 0) / total - w) < 0.08, (g, got, total)
+    again = mix_corpus(docs.repartition(7), weights, group_col="lang")
+    a = sorted(r["doc_id"] for r in mixed.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    assert a == b, "membership must be partitioning-independent"
+
+
+def test_mix_corpus_rejects_bad_weights(spark):
+    from the_movie_database_import_spark.operators.mixing import mix_corpus
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {})
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {"en": 0.5, "de": -0.1})
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {"en": 0.5, "de": 0.0})
+
+
+def test_shuffle_shards_contiguous_positions_and_determinism(spark):
+    """shuffle_shards: every input row appears exactly once, shards are in
+    [0, n), positions within each shard are exactly 1..k (contiguous, no
+    gaps or dups), the order is md5-pseudorandom (not id order), and the
+    assignment is partitioning-independent."""
+    from the_movie_database_import_spark.operators.mixing import shuffle_shards
+
+    docs = _docs(spark).select("doc_id")
+    out = shuffle_shards(docs, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # pseudorandom, not id order: within the largest shard the id sequence
+    # ordered by pos must not be monotonically increasing
+    largest = max(by_shard, key=lambda s: len(by_shard[s]))
+    ids_in_pos_order = [
+        r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])
+        if r["shard"] == largest
+    ]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
+    again = shuffle_shards(docs.repartition(5), n_shards=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        shuffle_shards(docs, n_shards=0)

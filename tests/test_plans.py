@@ -356,3 +356,28 @@ def test_scan_jsonl_parses_and_quarantines(spark, tmp_path):
             str(p),
             StructType([StructField("_corrupt_record", StringType())]),
         )
+
+
+def test_corpus_mix_filters_scan_side(spark):
+    """mix_corpus: corpus rows must never shuffle — the only exchange is
+    the per-group partial-count aggregate; the rate joins broadcast; the
+    corpus is scanned exactly twice (counts + filter), never more (the
+    crossJoin formulation re-evaluated the counts subtree per consumer)."""
+    plan = _plan(spark, "q_corpus_mix")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    groups = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert all(g.startswith("lang") for g in groups), groups
+    assert len(groups) == 1, groups
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """shuffle_shards: exactly one exchange, on the shard key — the
+    hash-partition shuffle a sharded write physically requires — and a
+    per-shard sort; no global total order (no rangepartitioning)."""
+    plan = _plan(spark, "q_shuffle_shards")
+    groups = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("shard"), groups
+    assert "rangepartitioning" not in plan, "global sort crept in"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

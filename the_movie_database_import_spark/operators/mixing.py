@@ -1,0 +1,150 @@
+"""Corpus mixture sampling and deterministic shuffle-sharding ([ext]
+training-data pipeline, north star): the two operators that turn a curated
+corpus into TRAINING INPUT — downsample per-domain to hit a target mixture
+distribution (the "data mixing" step every LLM recipe publishes weights
+for), and assign a reproducible pseudorandom training order partitioned
+into equal-expectation shards (the "global shuffle + shard write" step).
+
+Scale design: both are one-small-aggregate-plus-row-local-filter shapes.
+``mix_corpus`` shuffles only the per-group COUNT table (one row per
+domain/language — thousands at most) and derives every keep-rate inside
+the plan; corpus rows are then filtered scan-side by the same md5-bucket
+predicate the sampling module uses — no corpus shuffle at all.
+``shuffle_shards`` is one hash-partition shuffle plus a per-shard sort —
+the minimum physically required to write N training shards in a
+reproducible pseudorandom order (a global total-order sort would add a
+range-exchange for no benefit: cross-shard order is irrelevant to
+training, only within-shard order and shard balance matter).
+
+Determinism: membership and order are pure functions of the id (md5-based,
+engine-portable — see operators/sampling.py for why ``df.sample()``'s
+per-partition RNG is unusable for reproducible corpus work), so a re-run,
+a backfill, or a different cluster reproduces byte-identical shards.
+
+The reference (a load-everything ETL, `loader.py`) has no mixing or
+sharding surface; this module is part of the north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .sampling import HASH_SPACE, hash_bucket
+
+
+def _rate_threshold(rate: Column) -> Column:
+    """Column twin of :func:`..sampling.hex_threshold` for rates computed
+    IN-PLAN: lowercase 8-hex-char encoding of ``floor(rate * 16^8)``, with
+    the same rate>=1 → ``'g'`` keep-all sentinel ('g' sorts above every hex
+    char, so no row is excluded by the 1-in-2^32 'ffffffff' edge). DuckDB
+    replays it verbatim as ``CASE WHEN rate >= 1 THEN 'g' ELSE
+    printf('%08x', CAST(floor(rate * 16^8) AS BIGINT)) END`` — printf and
+    format_string agree on %08x for every value below 2^32."""
+    return F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x", F.floor(rate * F.lit(float(HASH_SPACE))).cast("long")
+        )
+    )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample per group so the output approximates the target mixture
+    ``weights`` at the LARGEST feasible total size, deterministically.
+
+    Given group sizes ``n_g`` and target fractions ``w_g``, the maximum
+    total respecting every fraction is ``T = min_g(n_g / w_g)`` (the
+    scarcest group relative to its target binds); each group then keeps an
+    expected ``rate_g = w_g * T / n_g`` of its rows via the md5-bucket
+    predicate (the binding group keeps everything). Groups absent from
+    ``weights`` are dropped — a zero-weight domain is excluded from the
+    mix, which is the published-recipe semantics.
+
+    Plan shape: one tiny aggregate (per-group counts — the shuffle carries
+    map-side partial counts, not corpus rows), the weights as a broadcast
+    local relation, the global min as an unbounded window over the tiny
+    per-group table, and a broadcast join of the per-group rate onto the
+    corpus — corpus rows are FILTERED in place, never shuffled, and the
+    corpus is scanned exactly once for the counts and once for the filter. Expected (not exact)
+    per-group sizes: exact-k would need a per-group sort at corpus scale
+    for a cosmetic gain no training run needs; the hash predicate keeps
+    membership stable under appends and re-runs instead.
+
+    Returns the kept rows with all original columns.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {g: w for g, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive (drop groups instead): {bad}")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in sorted(weights.items())], f"{group_col} string, _w double"
+    )
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    sized = counts.join(F.broadcast(wdf), group_col)  # inner: unweighted groups drop
+    # T = min(n/w) as an UNBOUNDED window over `sized` rather than a
+    # separate agg + crossJoin: the agg formulation re-evaluates the
+    # counts subtree (and therefore the corpus scan) once per consumer;
+    # the window keeps ONE scan and runs on the tiny per-group table — a
+    # single bounded partition of #groups rows, the same deliberate choice
+    # operators/vocab.py documents for its rank window.
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rates = sized.select(
+        group_col,
+        # left-assoc (w * T) / n — the oracle must multiply/divide in the
+        # same order for bit-identical doubles
+        (
+            F.col("_w")
+            * F.min(F.col("_n") / F.col("_w")).over(everything)
+            / F.col("_n")
+        ).alias("_rate"),
+    )
+    keep = hash_bucket(F.col(id_col)) < _rate_threshold(F.col("_rate"))
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(keep)
+        .drop("_rate")
+        .select(*docs.columns)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible pseudorandom training order in ``n_shards`` shards:
+    every row gets ``shard_col`` (md5-derived, uniform) and ``pos_col``
+    (its 1-based position within the shard in md5 order) — the exact
+    shape a sharded training-data write consumes (partition the output by
+    ``shard_col``, sort by ``pos_col``, one file per shard).
+
+    shard = first-8-hex-chars of md5(id) as an integer, mod ``n_shards``;
+    within-shard order = the FULL md5 digest (id as tiebreak against the
+    astronomically-unlikely collision, keeping the order total and the
+    output deterministic). Plan shape: one hash-partition shuffle + one
+    per-shard sort — no global total order, because cross-shard order is
+    irrelevant to a shuffled training epoch while a global sort would add
+    a range exchange and a sampling pass at 100 TB.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    if n_shards > HASH_SPACE:
+        raise ValueError(f"n_shards must be <= {HASH_SPACE}: {n_shards}")
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(h.substr(1, 8), 16, 10).cast("bigint") % n_shards).alias(
+        shard_col
+    )
+    w = Window.partitionBy(shard_col).orderBy(h, F.col(id_col))
+    return df.select(*df.columns, shard).withColumn(
+        pos_col, F.row_number().over(w).cast("bigint")
+    )

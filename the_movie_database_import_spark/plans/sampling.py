@@ -179,3 +179,77 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_rep").alias("n_clusters"),
         )
     )
+
+
+# Target mixture for q_corpus_mix: rebalance toward the published-recipe
+# shape (halve nothing outright, drop 'es' — a zero-weight domain is
+# excluded from the mix by contract).
+MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "zh": 0.15}
+
+
+@register(
+    "q_corpus_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    w(lang, w) AS (VALUES ('de', 0.2), ('en', 0.5), ('fr', 0.15), ('zh', 0.15)),
+    sized AS (SELECT counts.lang AS lang, n, w FROM counts JOIN w ON counts.lang = w.lang),
+    tot AS (SELECT MIN(n / w) AS t FROM sized),
+    rates AS (SELECT lang, w * t / n AS rate FROM sized, tot)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN r.rate >= 1 THEN 'g'
+               ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END
+    """,
+    tags=("sampling", "mixing", "ext"),
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture sampling (north star `corpus_mix`): downsample per
+    language so the output matches the target mixture {en .5, de .2,
+    fr .15, zh .15} at the largest feasible total ('es' has weight zero
+    and drops). The keep-rates are derived IN-PLAN from the per-group
+    counts (one tiny aggregate + an unbounded min window); corpus rows are
+    filtered scan-side by the same engine-portable md5 predicate the
+    sampling module uses — membership is exact in both engines, not just
+    in expectation, because floor(rate * 16^8) is computed from
+    bit-identical doubles on both sides."""
+    from ..operators.mixing import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_corpus(docs, MIX_WEIGHTS, group_col="lang").select("doc_id", "lang")
+
+
+@register(
+    "q_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS digest FROM documents
+    ),
+    s AS (
+        SELECT doc_id, digest,
+               (('0x' || substr(digest, 1, 8))::BIGINT % 8) AS shard
+        FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY digest, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+    tags=("sampling", "shuffle", "ext"),
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards (north star
+    `shuffle_shards`): every document gets a shard (md5 mod 8, uniform)
+    and a 1-based position within its shard in md5 order — the exact
+    shape a sharded training-data write consumes. One hash shuffle + one
+    per-shard sort; no global total order (cross-shard order is
+    irrelevant to a shuffled epoch, and a global sort would add a range
+    exchange + sampling pass at 100 TB). Reproducible: membership and
+    order are pure functions of doc_id, so a backfill or a different
+    cluster reproduces byte-identical shards."""
+    from ..operators.mixing import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=8).select("doc_id", "shard", "pos")
