@@ -987,3 +987,46 @@ def test_shuffle_shards_contiguous_positions_and_determinism(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     with pytest.raises(ValueError):
         shuffle_shards(docs, n_shards=0)
+
+
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    """dedup_paragraphs on a hand-built corpus: boilerplate repeated across
+    docs survives only in its first (id, pos) occurrence; docs rebuild
+    from surviving paragraphs in original order; an all-boilerplate doc
+    drops; NULL-text docs drop; counts are right."""
+    from the_movie_database_import_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "alpha\nBOILER\nbravo"),
+        (2, "BOILER\ncharlie"),          # BOILER already seen in doc 1 pos 1
+        (3, "BOILER"),                   # pure boilerplate -> doc drops
+        (4, "alpha\ndelta"),             # 'alpha' already seen in doc 1 pos 0
+        (5, None),                       # NULL text -> drops
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in dedup_paragraphs(docs, sep="\n").collect()
+    }
+    assert out == {
+        1: ("alpha\nBOILER\nbravo", 3, 3),
+        2: ("charlie", 2, 1),
+        4: ("delta", 2, 1),
+    }
+
+
+def test_dedup_paragraphs_custom_joiner_and_empty_paragraphs(spark):
+    """Empty paragraphs dedup like any value (split('a||b') has an empty
+    middle segment), and the joiner can differ from the separator."""
+    from the_movie_database_import_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "a||b"), (2, "c||d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(docs, sep="|", joiner=" ").collect()
+    }
+    # doc 1 keeps ('a', '', 'b'); doc 2's empty middle segment is a dup of
+    # doc 1's and drops
+    assert out == {1: "a  b", 2: "c d"}

@@ -381,3 +381,20 @@ def test_shuffle_shards_single_exchange(spark):
     assert len(groups) == 1 and groups[0].startswith("shard"), groups
     assert "rangepartitioning" not in plan, "global sort crept in"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_paragraphs_agg_not_window_over_text(spark):
+    """dedup_paragraphs: the global winner per paragraph must be a hash
+    AGGREGATE over (digest, id, pos) triples (map-side combine absorbs a
+    boilerplate paragraph repeated 10^9 times) — never a row_number window
+    partitioned by paragraph content, which would shuffle every copy of a
+    hot paragraph into one partition. Text joins back on the unique doc
+    id only."""
+    plan = _plan(spark, "q_dedup_paragraphs")
+    assert "windowspecdefinition" not in plan, "winner must be an agg, not a window"
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    # exchanges: the _h partial->final agg, the winner-pairs re-key by id,
+    # and the doc-side join key — none on paragraph text
+    assert groups and all(g.startswith(("_h", "doc_id")) for g in groups), groups
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan

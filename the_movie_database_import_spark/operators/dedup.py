@@ -458,3 +458,72 @@ def jaccard_pairs_exact(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    sep: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str | None = None,
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (north star `dedup_paragraphs`): split
+    every document on ``sep``, keep exactly ONE global occurrence of each
+    distinct paragraph (the first, by (id, position)), and reassemble each
+    document from its surviving paragraphs — the C4/RefinedWeb line-dedup
+    recipe that strips boilerplate (nav bars, cookie banners, license
+    headers) repeated across billions of pages.
+
+    Returns ``(id_col, text_col, n_paras, n_kept)`` with the rebuilt text
+    (``joiner`` between surviving paragraphs; defaults to ``sep``).
+    Documents whose every paragraph loses (pure boilerplate) drop out;
+    NULL-text documents drop (no paragraphs). Empty-string paragraphs
+    dedup like any other value — engines agree because both split "" into
+    one empty paragraph.
+
+    Scale design — document text is shuffled exactly ONCE, on the unique
+    document id:
+
+    1. paragraphs explode in-row and immediately reduce to (sha256, id,
+       pos) triples — the text itself is hashed at the scan and pruned;
+    2. the global winner per paragraph is ``min(struct(id, pos))`` by HASH
+       AGGREGATE, not a window: a boilerplate paragraph repeated 10^9
+       times map-side-combines to one row per input partition, where a
+       ``row_number`` window would shuffle all 10^9 copies into a single
+       hot partition (the skew hazard this shape exists to avoid);
+    3. the winner (id, pos) pairs re-key by id (small shuffle) and join
+       the ORIGINAL one-row-per-doc table, so the rebuild — filter the
+       re-split array by surviving positions, array_join — runs in-row on
+       the doc side of a uniform unique-key join.
+
+    The oracle twin joins on paragraph TEXT where this joins on sha256 —
+    identical verdicts (digest equality == byte equality).
+    """
+    import re as _re
+
+    joiner = sep if joiner is None else joiner
+    sep_rx = _re.escape(sep)  # F.split takes a Java regex; match literally
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("_pos", "_para"),
+    )
+    winners = (
+        paras.select(F.sha2(F.col("_para"), 256).alias("_h"), id_col, "_pos")
+        .groupBy("_h")
+        .agg(F.min(F.struct(id_col, "_pos")).alias("_w"))
+        .select(F.col(f"_w.{id_col}").alias(id_col), F.col("_w._pos").alias("_pos"))
+    )
+    keep_sets = winners.groupBy(id_col).agg(
+        F.collect_list("_pos").alias("_keep_pos")
+    )
+    split_again = F.split(F.col(text_col), sep_rx)
+    rebuilt = F.array_join(
+        F.filter(split_again, lambda x, i: F.array_contains(F.col("_keep_pos"), i)),
+        joiner,
+    )
+    return docs.join(keep_sets, id_col).select(
+        F.col(id_col),
+        rebuilt.alias(text_col),
+        F.size(split_again).cast("bigint").alias("n_paras"),
+        F.size(F.col("_keep_pos")).cast("bigint").alias("n_kept"),
+    )

