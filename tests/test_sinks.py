@@ -75,3 +75,37 @@ def test_sql_front_door_matches_dataframe_plan(spark):
         .collect()
     )
     assert sql_rows == df_rows
+
+
+def test_training_shards_sink_layout_order_and_determinism(spark, tmp_path):
+    """write_training_shards: one directory per shard; rows inside each
+    shard file are physically stored in training (pos) order so an epoch
+    reader needs no sort; every input row lands in exactly one shard; a
+    re-run writes identical shard contents (pure function of the ids)."""
+    import os
+
+    from the_movie_database_import_spark.sources.readers import load_table
+    from the_movie_database_import_spark.sources.writers import write_training_shards
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    total = 0
+    for d in dirs:
+        part = spark.read.parquet(f"{out}/{d}")
+        rows = part.collect()  # file order, no sort
+        total += len(rows)
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss), f"{d} not stored in training order"
+        assert poss == list(range(1, len(poss) + 1))
+    assert total == n
+
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=4)
+    a = spark.read.parquet(out).select("shard", "pos", "doc_id").collect()
+    b = spark.read.parquet(out2).select("shard", "pos", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

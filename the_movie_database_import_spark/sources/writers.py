@@ -9,7 +9,7 @@ on (deviation D4), and batching maps to the JDBC writer's ``batchsize``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 # FK-safe write order (contrast ref B3: bridges-before-dims under disabled
 # triggers): dims → fact → bridges.
@@ -256,3 +256,37 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Sharded training-set sink ([ext] 100 TB posture): materialize
+    :func:`..operators.mixing.shuffle_shards`'s reproducible pseudorandom
+    order as one parquet directory per shard, each shard's rows stored in
+    training order — the layout an epoch reader streams shard-by-shard
+    without any shuffle or sort at TRAINING time.
+
+    Plan shape: shuffle_shards' single hash exchange on the shard id is
+    also the write partitioning — ``repartition(shard)`` feeds
+    ``partitionBy(shard)`` so each task writes exactly one shard directory
+    (no small-file explosion from N tasks x M shards), and
+    ``sortWithinPartitions(pos)`` rides the same exchange. Determinism:
+    the whole layout is a pure function of the ids, so a re-run or a
+    backfill writes byte-identical shard contents.
+    """
+    from ..operators.mixing import shuffle_shards
+
+    sharded = shuffle_shards(df, n_shards, id_col=id_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
