@@ -1030,3 +1030,43 @@ def test_dedup_paragraphs_custom_joiner_and_empty_paragraphs(spark):
     # doc 1 keeps ('a', '', 'b'); doc 2's empty middle segment is a dup of
     # doc 1's and drops
     assert out == {1: "a  b", 2: "c d"}
+
+
+def test_dedup_paragraphs_identity_when_all_unique(spark):
+    """A corpus with no repeated paragraphs must round-trip exactly:
+    rebuilt text == original text for every doc (split+filter+join is
+    lossless when nothing drops), n_kept == n_paras."""
+    from the_movie_database_import_spark.operators.dedup import dedup_paragraphs
+
+    docs = _docs(spark).filter("text IS NOT NULL").limit(50)
+    # make paragraphs globally unique by prefixing each doc's segments
+    # with the doc id via a separator that never splits
+    out = dedup_paragraphs(
+        docs.select("doc_id", F.concat(F.col("doc_id"), F.lit("#"), F.col("text")).alias("text")),
+        sep="<never-present>",
+    ).collect()
+    originals = {
+        r["doc_id"]: f'{r["doc_id"]}#{r["text"]}'
+        for r in docs.collect()
+    }
+    assert len(out) == len(originals)
+    for r in out:
+        assert r["text"] == originals[r["doc_id"]]
+        assert r["n_paras"] == r["n_kept"] == 1
+
+
+def test_mix_corpus_ignores_weighted_groups_absent_from_corpus(spark):
+    """A weight for a group with zero corpus rows must not poison the
+    feasibility computation (no 0-count capacity, no NULL rates): T is
+    the min over PRESENT groups, and the result equals the same call
+    without the phantom group."""
+    from the_movie_database_import_spark.operators.mixing import mix_corpus
+
+    docs = _docs(spark)
+    with_phantom = mix_corpus(
+        docs, {"en": 0.5, "de": 0.3, "xx": 0.2}, group_col="lang"
+    )
+    without = mix_corpus(docs, {"en": 0.5, "de": 0.3}, group_col="lang")
+    a = sorted(r["doc_id"] for r in with_phantom.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in without.select("doc_id").collect())
+    assert a == b and a
