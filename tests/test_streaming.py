@@ -307,3 +307,75 @@ def test_stream_jsonl_matches_batch_scan(spark, tmp_path):
         map(key, batch.collect())
     )
     assert stream_out.filter("_corrupt_record IS NOT NULL").count() == 1
+
+
+def test_stream_incremental_dedup_cross_batch_first_wins(spark, tmp_path):
+    """Streaming incremental dedup: docs whose digest is in the static
+    corpus table never emit; a digest novel in micro-batch 1 suppresses
+    its copy in micro-batch 2 (cross-batch dropDuplicates state); the
+    emitted set equals the batch operator's is_kept rows over the same
+    files."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.operators.delta import incremental_dedup
+    from the_movie_database_import_spark.sources.readers import scan_jsonl
+    from the_movie_database_import_spark.streaming import (
+        run_to_memory,
+        stream_incremental_dedup,
+        stream_jsonl,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    # corpus already contains "known"; batch1 brings one known + two novel
+    # (one duplicated within the batch); batch2 repeats a batch1 novel and
+    # adds one new
+    (d / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 10, "text": "known"},
+                {"doc_id": 11, "text": "novel-a"},
+                {"doc_id": 12, "text": "novel-a"},
+                {"doc_id": 13, "text": "novel-b"},
+            ]
+        )
+        + "\n"
+    )
+    (d / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 20, "text": "novel-a"},
+                {"doc_id": 21, "text": "novel-c"},
+            ]
+        )
+        + "\n"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    from pyspark.sql import functions as F
+
+    seen = spark.createDataFrame([("known",)], "text string").select(
+        F.sha2("text", 256).alias("digest")
+    )
+    stream = stream_jsonl(spark, str(d), schema, max_files_per_trigger=1)
+    out = run_to_memory(
+        stream_incremental_dedup(stream.select("doc_id", "text"), seen),
+        "t_inc_dedup",
+        "append",
+    )
+    got_texts = sorted(r["text"] for r in out.collect())
+    assert got_texts == ["novel-a", "novel-b", "novel-c"]
+    # within/cross-batch first-wins kept ids; exact winner of the novel-a
+    # group depends on micro-batch arrival order, so compare against the
+    # batch operator modulo the in-group choice: same digest GROUPS kept
+    batch_kept = incremental_dedup(
+        scan_jsonl(spark, str(d), schema).select("doc_id", "text"), seen
+    ).filter("is_kept")
+    assert sorted(r["text"] for r in batch_kept.collect()) == got_texts
+    # the corpus-known digest must never emit on either path
+    assert "known" not in got_texts

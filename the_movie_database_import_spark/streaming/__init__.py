@@ -4,6 +4,7 @@ from .sinks import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     stream_events,
+    stream_incremental_dedup,
     stream_jsonl,
     tumbling_agg,
     sliding_agg,

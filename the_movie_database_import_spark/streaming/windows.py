@@ -328,3 +328,37 @@ def stream_jsonl(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(dir_path)
+
+
+def stream_incremental_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Streaming twin of ``operators.delta.incremental_dedup`` ([ext]
+    training-data pipeline): continuously ingest new documents (e.g. a
+    ``stream_jsonl`` drop-folder), drop everything already in the corpus's
+    STATIC digest side-table, and keep only the first occurrence of each
+    new digest ACROSS micro-batches — the corpus-append feed, computed
+    incrementally instead of by a nightly batch diff.
+
+    Mechanics: the corpus membership test is a stream-static LEFT ANTI
+    join on the sha256 digest (the static side is the same digest table
+    the batch operator consumes — re-read per micro-batch, so a compaction
+    that appends yesterday's accepted digests is picked up without a
+    restart); within-stream first-wins is ``dropDuplicates`` on the
+    digest, whose state holds one digest per NOVEL document seen — the
+    exact side-table the pipeline maintains anyway, so state size equals
+    the data structure the batch design already budgets for. For
+    event-time sources, swap in ``dropDuplicatesWithinWatermark`` to bound
+    state by ingest recency instead.
+
+    Returns the kept stream rows (original columns + ``digest_col``),
+    ready for ``foreachBatch`` append into the corpus + digest table.
+    """
+    base = new_docs.withColumn(digest_col, F.sha2(F.col(text_col), 256))
+    seen = seen_digests.select(F.col(digest_col)).distinct()
+    fresh = base.join(seen, [digest_col], "left_anti")
+    return fresh.dropDuplicates([digest_col])
