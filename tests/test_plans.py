@@ -321,7 +321,13 @@ def test_pipeline_end_to_end_plan_shape(spark):
     # both decontamination consumers must read the cached increment, not
     # replay the delta + incremental-dedup prologue
     assert plan.count("InMemoryTableScan") == 2, plan.count("InMemoryTableScan")
-    assert "windowspecdefinition(_digest" in plan, "incremental dedup window missing"
+    # the within-batch dedup winner is a min AGGREGATE on the digest (skew-
+    # proof: map-side combine), never a window partitioned by digest — AQE
+    # can split skewed join partitions but not window partitions
+    assert "windowspecdefinition(_digest" not in plan, "digest window crept back"
+    assert re.search(r"partial_min\([^)]*doc_id", plan) or re.search(
+        r"min\([^)]*doc_id", plan
+    ), "within-batch min-id winner aggregate missing"
     assert "windowspecdefinition(split" in plan, "packing window missing"
 
 

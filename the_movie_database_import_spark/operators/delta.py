@@ -89,18 +89,41 @@ def incremental_dedup(
     at 100 TB corpus / 1 TB daily delta, the shuffle is the delta's
     digests against the digest table, never corpus text. Within-batch
     dedup is the same keep-smallest-id convention as ``exact_dedup``.
+
+    The within-batch winner is a map-side-combined MIN AGGREGATE joined
+    back on the unique (digest, id) pair — not ``min over (partition by
+    digest)``: a viral page duplicated 10^6 times in one day's crawl
+    would funnel every copy into a single window partition, and AQE can
+    split skewed JOIN partitions but never window partitions. The two
+    digest-keyed left joins that remain (seen-set membership, win-marker)
+    are AQE-skew-splittable; the aggregate absorbs the hot digest
+    map-side before any shuffle.
     """
     seen = seen_digests.select(F.col(digest_col).alias("_seen_digest")).distinct()
     base = new_docs.withColumn("_digest", _digest(F.col(text_col)))
+    # one row per distinct digest: the winning (smallest) id plus a marker.
+    # NULL-text docs form the NULL-digest group (groupBy keeps it), so the
+    # win-marker join below must be NULL-SAFE on the digest to give that
+    # group the same keep-smallest convention the window formulation had.
+    wins = (
+        base.groupBy("_digest")
+        .agg(F.min(id_col).alias("_win_id"))
+        .withColumn("_is_win", F.lit(True))
+        .withColumnRenamed("_digest", "_win_digest")
+    )
     flagged = base.join(
         seen, base["_digest"] == seen["_seen_digest"], "left"
     ).withColumn("dup_of_existing", F.col("_seen_digest").isNotNull())
-    w = Window.partitionBy("_digest")
     return (
-        flagged.withColumn(
-            "is_kept",
-            (~F.col("dup_of_existing"))
-            & (F.col(id_col) == F.min(id_col).over(w)),
+        flagged.join(
+            wins,
+            F.col("_digest").eqNullSafe(F.col("_win_digest"))
+            & (F.col(id_col) == F.col("_win_id")),
+            "left",
         )
-        .drop("_seen_digest", "_digest")
+        .withColumn(
+            "is_kept",
+            (~F.col("dup_of_existing")) & F.coalesce("_is_win", F.lit(False)),
+        )
+        .drop("_seen_digest", "_digest", "_win_digest", "_win_id", "_is_win")
     )
