@@ -96,11 +96,14 @@ def test_tracked_caches_released_on_next_query(spark):
 def test_corpus_curation_single_shuffle_no_python(spark):
     """The composed curation pipeline (quality score -> lang filter ->
     canonical dedup flag) must stay one fused scan-side projection plus
-    exactly one exchange (the dedup window) with zero Python stages."""
+    exactly one hash exchange — now the map-side-combined canonical-digest
+    winner AGGREGATE (skew-proof: a boilerplate text duplicated 10^6 times
+    combines map-side instead of funneling into one window partition) —
+    with zero Python stages and no content-partitioned window."""
     plan = _plan(spark, "q_corpus_curation")
-    assert plan.count("Exchange hashpartitioning") == 1, plan.count(
-        "Exchange hashpartitioning"
-    )
+    groups = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("_ckey"), groups
+    assert "windowspecdefinition" not in plan, "content window crept back"
     for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_stage not in plan
 

@@ -69,14 +69,31 @@ def curate_corpus(
         (F.col("quality_score") >= quality_threshold)
         & F.col("lang_pred").isin(*langs)
     )
-    w = Window.partitionBy(canonical_token_text(F.col(text_col)))
-    curated = base.select(
-        id_col,
-        *([block_col] if near_dup_threshold is not None else []),
-        "lang_pred",
-        "n_tokens",
-        "quality_score",
-        (F.col(id_col) == F.min(id_col).over(w)).alias("is_kept"),
+    # Canonical-dedup winner as a map-side-combined MIN AGGREGATE on the
+    # canonical digest, joined back on the UNIQUE winner id — never a
+    # window partitioned by canonical text: a boilerplate text duplicated
+    # 10^6 times would funnel every copy into one window partition, and
+    # AQE can split skewed join partitions but not window partitions. The
+    # id-only join-back is sufficient because a winner id belongs to
+    # exactly one canonical group (its own); see
+    # operators/delta.incremental_dedup for the same construction.
+    ckey = F.sha2(canonical_token_text(F.col(text_col)), 256)
+    wins = (
+        base.select(ckey.alias("_ckey"), id_col)
+        .groupBy("_ckey")
+        .agg(F.min(id_col).alias("_win_id"))
+        .select("_win_id", F.lit(True).alias("_is_win"))
+    )
+    curated = (
+        base.join(wins, F.col(id_col) == F.col("_win_id"), "left")
+        .select(
+            id_col,
+            *([block_col] if near_dup_threshold is not None else []),
+            "lang_pred",
+            "n_tokens",
+            "quality_score",
+            F.coalesce("_is_win", F.lit(False)).alias("is_kept"),
+        )
     )
     if near_dup_threshold is None:
         return curated

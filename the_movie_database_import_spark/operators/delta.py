@@ -91,39 +91,31 @@ def incremental_dedup(
     dedup is the same keep-smallest-id convention as ``exact_dedup``.
 
     The within-batch winner is a map-side-combined MIN AGGREGATE joined
-    back on the unique (digest, id) pair — not ``min over (partition by
-    digest)``: a viral page duplicated 10^6 times in one day's crawl
-    would funnel every copy into a single window partition, and AQE can
-    split skewed JOIN partitions but never window partitions. The two
-    digest-keyed left joins that remain (seen-set membership, win-marker)
-    are AQE-skew-splittable; the aggregate absorbs the hot digest
-    map-side before any shuffle.
+    back on the winner ID — not ``min over (partition by digest)``: a
+    viral page duplicated 10^6 times in one day's crawl would funnel
+    every copy into a single window partition, and AQE can split skewed
+    JOIN partitions but never window partitions. The aggregate absorbs
+    the hot digest map-side before its (tiny) shuffle, and the join-back
+    keys on the UNIQUE id alone — sufficient because a winner id belongs
+    to exactly one digest group (its own), including the NULL-digest
+    group of NULL-text docs, which keeps the same smallest-id convention
+    with no null-safe condition needed.
     """
     seen = seen_digests.select(F.col(digest_col).alias("_seen_digest")).distinct()
     base = new_docs.withColumn("_digest", _digest(F.col(text_col)))
-    # one row per distinct digest: the winning (smallest) id plus a marker.
-    # NULL-text docs form the NULL-digest group (groupBy keeps it), so the
-    # win-marker join below must be NULL-SAFE on the digest to give that
-    # group the same keep-smallest convention the window formulation had.
     wins = (
         base.groupBy("_digest")
         .agg(F.min(id_col).alias("_win_id"))
-        .withColumn("_is_win", F.lit(True))
-        .withColumnRenamed("_digest", "_win_digest")
+        .select("_win_id", F.lit(True).alias("_is_win"))
     )
     flagged = base.join(
         seen, base["_digest"] == seen["_seen_digest"], "left"
     ).withColumn("dup_of_existing", F.col("_seen_digest").isNotNull())
     return (
-        flagged.join(
-            wins,
-            F.col("_digest").eqNullSafe(F.col("_win_digest"))
-            & (F.col(id_col) == F.col("_win_id")),
-            "left",
-        )
+        flagged.join(wins, F.col(id_col) == F.col("_win_id"), "left")
         .withColumn(
             "is_kept",
             (~F.col("dup_of_existing")) & F.coalesce("_is_win", F.lit(False)),
         )
-        .drop("_seen_digest", "_digest", "_win_digest", "_win_id", "_is_win")
+        .drop("_seen_digest", "_digest", "_win_id", "_is_win")
     )
