@@ -1070,3 +1070,31 @@ def test_mix_corpus_ignores_weighted_groups_absent_from_corpus(spark):
     a = sorted(r["doc_id"] for r in with_phantom.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in without.select("doc_id").collect())
     assert a == b and a
+
+
+def test_unigram_nll_grid_safety():
+    """The 1e-6 floor grid for unigram log-probs is only hash-safe if no
+    distinct ln(c/C) value sits within engine-rounding distance of a grid
+    boundary: a 1-ulp Java-vs-libm ln() difference (~1e-8 after the 1e6
+    scale) could otherwise flip the floored integer. Verify the full
+    distinct (c, C) value set at every test SF keeps >100x that margin."""
+    import math
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM '/root/testdata/{sf}/documents.parquet'
+            ),
+            counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)
+            SELECT DISTINCT c, SUM(c) OVER () AS total FROM counts
+            """
+        ).fetchall()
+        assert rows
+        for c, total in rows:
+            v = 1e6 * math.log(c / total)
+            dist = abs(v - round(v))
+            assert dist > 1e-6, (sf, c, total, v, dist)

@@ -91,3 +91,50 @@ def oov_rate(
             / F.count(F.lit(1))
         ).alias("oov_frac"),
     )
+
+
+def unigram_nll(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own unigram
+    LM ([ext] training-data pipeline) — the CCNet-style "perplexity
+    filter" signal: documents whose tokens are unusually improbable under
+    the corpus distribution (junk, boilerplate codes, wrong-language
+    fragments) score HIGH and can be threshold-filtered.
+
+    Returns ``(id_col, n_tokens, nll_q_sum, avg_nll_q)`` where each
+    token's log-probability ``ln(c_t / C)`` is FLOOR-QUANTIZED to a 1e-6
+    grid as a BIGINT before summing: a distributed sum of raw doubles is
+    addition-order-dependent (different partitionings — or a different
+    engine — sum in different orders and disagree in the last bits), while
+    the integer sum is exact and order-independent, so the result is
+    bit-reproducible and oracle-hashable. ``avg_nll_q`` divides two exact
+    integers — deterministic IEEE. The quantized value depends only on the
+    (token count, corpus total) pair, so the 1-ulp Java-vs-libm ``ln``
+    hazard is checkable: tests verify no distinct ``ln(c/C)`` value sits
+    near a grid boundary at every test SF.
+
+    Scale shape: one explode + (token, count) partial-agg shuffle builds
+    the LM; the corpus total rides an unbounded window over the tiny count
+    table (single bounded partition BY DESIGN — vocab ≪ corpus, same
+    choice as :func:`build_vocab`); the probe broadcasts the per-token
+    quantized log-probs (a few hundred MB for a trillion-token corpus's
+    multi-million-token vocab) and re-aggregates on the doc id — corpus
+    rows shuffle only as (id, int-sum) pairs.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    logp_q = F.floor(
+        F.lit(1e6) * F.log(F.col("c") / F.sum("c").over(everything))
+    ).cast("bigint")
+    lm = counts.select("token", logp_q.alias("_logp_q"))
+    return tok.join(F.broadcast(lm), "token").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("_logp_q")).alias("nll_q_sum"),
+        (-F.sum("_logp_q") / F.count(F.lit(1))).alias("avg_nll_q"),
+    )

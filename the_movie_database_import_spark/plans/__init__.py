@@ -23,10 +23,12 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-6 rotation (VERDICT r05 #2):
 # the driver regenerates /root/testdata between rounds, so the 43 queries
 # whose latest driver rows are r04-era (previous testdata generation)
-# rotate in to earn fresh rows on the current generation; the five new
+# rotate in to earn fresh rows on the current generation; the six new
 # round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 —
-# mixture sampling, shuffle-sharding, and paragraph dedup, all never
-# driver-checked) take slots; and 2 r05-green queries stay as family
+# mixture sampling, shuffle-sharding, paragraph dedup, and the unigram
+# perplexity signal, all never driver-checked) take slots
+# (q_agg_percentiles_approx waits a round — its family rep
+# q_agg_percentiles is in-window); and 2 r05-green queries stay as family
 # representatives — the ones whose IMPLEMENTATION changed this round
 # (chooser default recall 0.9→0.95 reshapes the MinHash geometry to
 # (24, 6); the pipeline composite gained delta/incremental-dedup/redaction
@@ -66,7 +68,6 @@ DRIVER_WINDOW = [
     "q_window_sliding",
     "q_sample_stratified",
     "q_sample_fixed_k",
-    "q_agg_percentiles_approx",
     "q_text_repetition",
     "q_join_salted_skew",
     "q_dedup_simhash",
@@ -84,6 +85,7 @@ DRIVER_WINDOW = [
     "q_corpus_mix",         # new: domain mixture sampling
     "q_shuffle_shards",     # new: deterministic shuffle-sharding
     "q_dedup_paragraphs",   # new: C4-style paragraph-level dedup
+    "q_text_unigram_nll",   # new: CCNet-style perplexity quality signal
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -142,6 +144,7 @@ TAIL_PRIORITY = [
     "q_window_tumbling",
     "q_text_redact_pii",
     "q_flagship_star_revenue",
+    "q_agg_percentiles_approx",  # displaced r06: family rep q_agg_percentiles is in-window
 ]
 
 

@@ -1441,3 +1441,42 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_paragraphs(docs, sep=" the ")
+
+
+@register(
+    "q_text_unigram_nll",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ),
+    lm AS (
+        SELECT token,
+               CAST(floor(1e6 * ln(c / SUM(c) OVER ())) AS BIGINT) AS logp_q
+        FROM counts
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(-SUM(lm.logp_q) AS BIGINT) AS nll_q_sum,
+           CAST(-SUM(lm.logp_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_nll_q
+    FROM tok JOIN lm ON tok.token = lm.token
+    GROUP BY tok.doc_id
+    """,
+    tags=("text", "lm", "ext"),
+)
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity signal (north star `unigram_nll`): per-doc
+    negative log-likelihood under the corpus's own unigram distribution —
+    the CCNet-style quality filter. Token log-probs are floor-quantized
+    to a 1e-6 integer grid BEFORE summing so the distributed sum is exact
+    and order-independent (raw double sums disagree across partitionings
+    and engines in the last bits); the grid-boundary safety of the 1-ulp
+    ln() difference between Java and libm is pinned by
+    tests/test_extensions.py::test_unigram_nll_grid_safety at every SF."""
+    from ..operators.vocab import unigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_nll(docs)
