@@ -527,3 +527,42 @@ def dedup_paragraphs(
         F.size(split_again).cast("bigint").alias("n_paras"),
         F.size(F.col("_keep_pos")).cast("bigint").alias("n_kept"),
     )
+
+
+def boilerplate_census(
+    docs: DataFrame,
+    sep: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document paragraph frequency census (north star
+    `boilerplate_census`): which paragraphs repeat across ``min_docs`` or
+    more documents, and how often — the evidence table a curator reads
+    before deciding paragraph-dedup policy (is that repeated span a
+    license header to strip, or a legitimate quotation to keep?), and the
+    blocklist input for targeted boilerplate removal.
+
+    Returns ``(paragraph, n_docs, n_occurrences)``. One explode + one
+    hash aggregate: the paragraph string is the group key, so a
+    boilerplate span repeated 10^9 times map-side-combines to one row per
+    input partition before the shuffle — the shuffle carries (paragraph,
+    partial counts) with cardinality bounded by DISTINCT paragraphs, and
+    the ``min_docs`` filter prunes the long unique tail from the output.
+    """
+    import re as _re
+
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    paras = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), _re.escape(sep))).alias("paragraph"),
+    )
+    return (
+        paras.groupBy("paragraph")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1480,3 +1480,36 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_nll(docs)
+
+
+@register(
+    "q_boilerplate_census",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' the ') AS ps
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id, ps[i] AS paragraph
+        FROM t, unnest(generate_series(1, len(ps))) AS g(i)
+    )
+    SELECT paragraph,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p
+    GROUP BY paragraph
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "text", "ext"),
+)
+def q_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate census (north star `boilerplate_census`):
+    paragraphs appearing in >= 2 distinct documents with their document
+    and occurrence counts — the evidence table behind paragraph-dedup
+    policy. Same synthetic ' the ' separator as q_dedup_paragraphs; one
+    explode + one map-side-combined aggregate, shuffle cardinality
+    bounded by distinct paragraphs."""
+    from ..operators.dedup import boilerplate_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_census(docs, sep=" the ")
