@@ -1098,3 +1098,40 @@ def test_unigram_nll_grid_safety():
             v = 1e6 * math.log(c / total)
             dist = abs(v - round(v))
             assert dist > 1e-6, (sf, c, total, v, dist)
+
+
+def test_mix_corpus_epochs_upsamples_binding_group(spark):
+    """Epoch mixing: the binding group (scarcest vs target at max_epochs)
+    emits exactly max_epochs copies of every row; no row exceeds
+    max_epochs copies; epoch indexes are 1..n per doc; with max_epochs=1
+    the emitted id set equals mix_corpus's."""
+    from the_movie_database_import_spark.operators.mixing import (
+        mix_corpus,
+        mix_corpus_epochs,
+    )
+
+    docs = _docs(spark)
+    weights = {"en": 0.3, "de": 0.4, "fr": 0.3}
+    out = mix_corpus_epochs(docs, weights, max_epochs=3).collect()
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    binding = min(weights, key=lambda g: n_by_lang[g] * 3 / weights[g])
+    per_doc: dict = {}
+    for r in out:
+        per_doc.setdefault((r["lang"], r["doc_id"]), []).append(r["epoch"])
+    for (lang, doc), epochs in per_doc.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1)), (lang, doc)
+        assert len(epochs) <= 3
+        if lang == binding:
+            assert len(epochs) == 3, (doc, epochs)
+    assert {lang for lang, _ in per_doc} <= set(weights)
+    one = sorted(
+        r["doc_id"] for r in mix_corpus_epochs(docs, weights, max_epochs=1)
+        .select("doc_id").collect()
+    )
+    plain = sorted(
+        r["doc_id"] for r in mix_corpus(docs, weights).select("doc_id").collect()
+    )
+    assert one == plain and one
+    with pytest.raises(ValueError):
+        mix_corpus_epochs(docs, weights, max_epochs=0.5)

@@ -148,3 +148,77 @@ def shuffle_shards(
     return df.select(*df.columns, shard).withColumn(
         pos_col, F.row_number().over(w).cast("bigint")
     )
+
+
+def mix_corpus_epochs(
+    docs: DataFrame,
+    weights: dict[str, float],
+    max_epochs: float = 1.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture sampling with UPSAMPLING: like :func:`mix_corpus`, but a
+    scarce group may be repeated up to ``max_epochs`` times to hit its
+    target fraction — the published-recipe move of running high-quality
+    scarce domains (Wikipedia, books) for multiple epochs while a huge
+    web crawl runs under one.
+
+    Feasibility: ``capacity_g = n_g * max_epochs / w_g``; the total is
+    ``T = min_g(capacity_g)`` and each group's expected emission rate is
+    ``rate_g = w_g * T / n_g ∈ (0, max_epochs]``. Every row emits
+    ``floor(rate)`` full copies plus one more when its md5 bucket falls
+    under the fractional remainder — deterministic, engine-portable, and
+    stable under re-runs like every sampler in this module. Output rows
+    carry ``epoch`` (1-based copy index) so a downstream shuffle-shard
+    write can separate epochs; with ``max_epochs=1`` the emitted id set
+    is exactly :func:`mix_corpus`'s.
+
+    Plan shape: identical to :func:`mix_corpus` (tiny count aggregate,
+    unbounded min window over the per-group table, broadcast rate join)
+    plus an IN-ROW ``explode(sequence(1, n_copies))`` — upsampling never
+    shuffles; the duplication happens scan-side where the write consumes
+    it.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {g: w for g, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive (drop groups instead): {bad}")
+    if max_epochs < 1.0:
+        raise ValueError(f"max_epochs must be >= 1: {max_epochs}")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in sorted(weights.items())],
+        f"{group_col} string, _w double",
+    )
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    sized = counts.join(F.broadcast(wdf), group_col)
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # left-assoc orders are load-bearing for oracle double parity:
+    # capacity = ((n * max_epochs) / w), T = min(capacity),
+    # rate = ((w * T) / n)
+    rates = sized.select(
+        group_col,
+        (
+            F.col("_w")
+            * F.min(F.col("_n") * F.lit(float(max_epochs)) / F.col("_w")).over(
+                everything
+            )
+            / F.col("_n")
+        ).alias("_rate"),
+    )
+    frac = F.col("_rate") - F.floor(F.col("_rate"))
+    n_copies = F.floor(F.col("_rate")).cast("long") + F.when(
+        hash_bucket(F.col(id_col)) < _rate_threshold(frac), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    # sequence(1, 0) generates a DESCENDING [1, 0] in Spark, not an empty
+    # array (the same trap word_shingles guards against) — a doc with zero
+    # copies must explode an explicitly empty array to drop.
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.join(F.broadcast(rates), group_col).select(
+        *docs.columns, F.explode(copies).alias("epoch")
+    )

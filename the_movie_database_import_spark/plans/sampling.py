@@ -253,3 +253,43 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shuffle_shards(docs, n_shards=8).select("doc_id", "shard", "pos")
+
+
+@register(
+    "q_corpus_mix_epochs",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    w(lang, w) AS (VALUES ('de', 0.4), ('en', 0.3), ('fr', 0.3)),
+    sized AS (SELECT counts.lang AS lang, n, w FROM counts JOIN w ON counts.lang = w.lang),
+    tot AS (SELECT MIN(n * 3.0 / w) AS t FROM sized),
+    rates AS (SELECT lang, w * t / n AS rate FROM sized, tot),
+    emit AS (
+        SELECT d.doc_id, d.lang,
+               CAST(floor(r.rate) AS BIGINT)
+                 + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+                        CASE WHEN r.rate - floor(r.rate) >= 1 THEN 'g'
+                             ELSE printf('%08x', CAST(floor((r.rate - floor(r.rate))
+                                      * 4294967296.0) AS BIGINT)) END
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN rates r ON d.lang = r.lang
+    )
+    SELECT doc_id, lang, e.epoch
+    FROM emit, unnest(generate_series(1, n_copies)) AS e(epoch)
+    """,
+    tags=("sampling", "mixing", "ext"),
+)
+def q_corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture sampling (north star `mix_corpus_epochs`):
+    scarce groups repeat up to 3 epochs to hit the target mixture
+    {en .3, de .4, fr .3} — the published-recipe upsampling of scarce
+    high-quality domains. Emission counts (full copies + one
+    hash-fractional extra) are derived in-plan and replayed exactly by
+    the oracle; the duplication is an in-row explode, never a shuffle."""
+    from ..operators.mixing import mix_corpus_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_corpus_epochs(
+        docs, {"en": 0.3, "de": 0.4, "fr": 0.3}, max_epochs=3
+    ).select("doc_id", "lang", "epoch")
