@@ -1,0 +1,75 @@
+"""Benchmark the training-pipeline extension queries (the ops outside
+bench.py's frozen 16-query headline set) at $SPARK_GRAFT_SF_DIR — same
+methodology as bench.py (noop sink, untimed warmup, median of 3 passes,
+loadavg bracketing) so rounds are comparable.
+
+The headline set stays frozen for cross-round comparability; this tool
+gives the NEW operators their own recorded cost series (BASELINE.md).
+
+Usage: python tools/bench_extensions.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q_incremental_dedup",
+    "q_oov_rate",
+    "q_corpus_mix",
+    "q_corpus_mix_epochs",
+    "q_shuffle_shards",
+    "q_dedup_paragraphs",
+    "q_boilerplate_census",
+    "q_text_unigram_nll",
+    "q_corpus_delta",
+    "q_pipeline_end_to_end",
+]
+
+
+def main() -> None:
+    from the_movie_database_import_spark.plans import REGISTRY
+    from the_movie_database_import_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_before = os.getloadavg()
+    spark = get_spark("tmdb-spark-bench-ext")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> None:
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    for name in QUERIES:  # untimed warmup
+        run(name)
+    samples: dict[str, list[float]] = {n: [] for n in QUERIES}
+    for _ in range(3):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            run(name)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "extension_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf_dir": sf_dir,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
