@@ -1135,3 +1135,31 @@ def test_mix_corpus_epochs_upsamples_binding_group(spark):
     assert one == plain and one
     with pytest.raises(ValueError):
         mix_corpus_epochs(docs, weights, max_epochs=0.5)
+
+
+def test_rate_snap_restores_keep_all_threshold(spark):
+    """The binding group's derived rate is w*(n/w)/n, which floats can
+    round to 0.9999999999999999 (e.g. w=0.7) — below 1, so without the
+    snap the keep predicate uses 'fffffffb...' instead of the keep-all
+    'g' sentinel and the 1-in-2^32 bucket tail silently drops. Pin the
+    mechanism directly: snap+threshold yields 'g' for the dirty value,
+    and the raw threshold (no snap) does not."""
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.mixing import (
+        _rate_threshold,
+        _snap_rate,
+    )
+
+    dirty = 0.7 * (3 / 0.7) / 3
+    assert dirty < 1.0  # the float hazard this test exists for
+    row = spark.range(1).select(
+        _rate_threshold(_snap_rate(F.lit(dirty))).alias("snapped"),
+        _rate_threshold(F.lit(dirty)).alias("raw"),
+        _snap_rate(F.lit(2.9999999999999996)).alias("epochs_snapped"),
+        _snap_rate(F.lit(0.4)).alias("untouched"),
+    ).collect()[0]
+    assert row["snapped"] == "g"
+    assert row["raw"] != "g"
+    assert row["epochs_snapped"] == 3.0
+    assert row["untouched"] == 0.4

@@ -47,6 +47,21 @@ def _rate_threshold(rate: Column) -> Column:
     )
 
 
+def _snap_rate(rate: Column) -> Column:
+    """Snap a derived rate to the nearest integer when float error leaves
+    it within 1e-9: the binding group's rate is ``w * (n/w) / n`` which
+    rounds to 0.99999... instead of exactly 1 (and ``max_epochs - 1e-16``
+    instead of ``max_epochs`` in the epoch variant), silently demoting
+    "keep everything" to "keep all but the 1-in-2^32 tail" — the same
+    float-drift edge the split-threshold snap fixes in
+    operators/sampling.py (ADVICE r05 precedent). Both engines compute the
+    identical doubles, so the oracle replays the snap verbatim; inside the
+    1e-9 window no value sits near a .5 boundary, so Spark HALF_UP and
+    DuckDB half-away rounding agree."""
+    nearest = F.round(rate, 0)
+    return F.when(F.abs(rate - nearest) < 1e-9, nearest).otherwise(rate)
+
+
 def mix_corpus(
     docs: DataFrame,
     weights: dict[str, float],
@@ -69,8 +84,8 @@ def mix_corpus(
     local relation, the global min as an unbounded window over the tiny
     per-group table, and a broadcast join of the per-group rate onto the
     corpus — corpus rows are FILTERED in place, never shuffled, and the
-    corpus is scanned exactly once for the counts and once for the filter. Expected (not exact)
-    per-group sizes: exact-k would need a per-group sort at corpus scale
+    corpus is scanned exactly once for the counts and once for the filter.
+    Expected (not exact) per-group sizes: exact-k would need a sort at scale
     for a cosmetic gain no training run needs; the hash predicate keeps
     membership stable under appends and re-runs instead.
 
@@ -100,7 +115,7 @@ def mix_corpus(
         group_col,
         # left-assoc (w * T) / n — the oracle must multiply/divide in the
         # same order for bit-identical doubles
-        (
+        _snap_rate(
             F.col("_w")
             * F.min(F.col("_n") / F.col("_w")).over(everything)
             / F.col("_n")
@@ -201,7 +216,7 @@ def mix_corpus_epochs(
     # rate = ((w * T) / n)
     rates = sized.select(
         group_col,
-        (
+        _snap_rate(
             F.col("_w")
             * F.min(F.col("_n") * F.lit(float(max_epochs)) / F.col("_w")).over(
                 everything

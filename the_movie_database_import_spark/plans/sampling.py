@@ -196,7 +196,13 @@ MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "zh": 0.15}
     w(lang, w) AS (VALUES ('de', 0.2), ('en', 0.5), ('fr', 0.15), ('zh', 0.15)),
     sized AS (SELECT counts.lang AS lang, n, w FROM counts JOIN w ON counts.lang = w.lang),
     tot AS (SELECT MIN(n / w) AS t FROM sized),
-    rates AS (SELECT lang, w * t / n AS rate FROM sized, tot)
+    rates0 AS (SELECT lang, w * t / n AS rate0 FROM sized, tot),
+    rates AS (
+        SELECT lang,
+               CASE WHEN abs(rate0 - round(rate0)) < 1e-9
+                    THEN round(rate0) ELSE rate0 END AS rate
+        FROM rates0
+    )
     SELECT d.doc_id, d.lang
     FROM documents d JOIN rates r ON d.lang = r.lang
     WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
@@ -264,7 +270,13 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     w(lang, w) AS (VALUES ('de', 0.4), ('en', 0.3), ('fr', 0.3)),
     sized AS (SELECT counts.lang AS lang, n, w FROM counts JOIN w ON counts.lang = w.lang),
     tot AS (SELECT MIN(n * 3.0 / w) AS t FROM sized),
-    rates AS (SELECT lang, w * t / n AS rate FROM sized, tot),
+    rates0 AS (SELECT lang, w * t / n AS rate0 FROM sized, tot),
+    rates AS (
+        SELECT lang,
+               CASE WHEN abs(rate0 - round(rate0)) < 1e-9
+                    THEN round(rate0) ELSE rate0 END AS rate
+        FROM rates0
+    ),
     emit AS (
         SELECT d.doc_id, d.lang,
                CAST(floor(r.rate) AS BIGINT)
