@@ -23,13 +23,15 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-6 rotation (VERDICT r05 #2):
 # the driver regenerates /root/testdata between rounds, so the 43 queries
 # whose latest driver rows are r04-era (previous testdata generation)
-# rotate in to earn fresh rows on the current generation; the eight new
+# rotate in to earn fresh rows on the current generation; the nine new
 # round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 —
 # mixture sampling, shuffle-sharding, paragraph dedup, the unigram
-# perplexity signal, the boilerplate census, and epoch-weighted mixing,
-# all never driver-checked) take slots (q_agg_percentiles_approx and the
-# no-oracle q_dedup_embedding_cosine_lsh / q_multimodal_features wait a
-# round — each family's exact rep is in-window); and 2 r05-green queries stay as family
+# perplexity signal, the boilerplate census, epoch-weighted mixing,
+# and media payload dedup, all never driver-checked) take slots
+# (q_agg_percentiles_approx and the no-oracle rows-only
+# q_dedup_embedding_cosine_lsh / q_multimodal_features /
+# q_multimodal_resize wait a round — each family's exact rep is
+# in-window); and 2 r05-green queries stay as family
 # representatives — the ones whose IMPLEMENTATION changed this round
 # (chooser default recall 0.9→0.95 reshapes the MinHash geometry to
 # (24, 6); the pipeline composite gained delta/incremental-dedup/redaction
@@ -77,7 +79,6 @@ DRIVER_WINDOW = [
     "q_similarity_ivf_topk",
     "q_dedup_embedding_cosine",
     "q_corpus_curation",
-    "q_multimodal_resize",
     # --- new round-6 queries: never driver-checked, must be in-window ---
     "q_incremental_dedup",  # VERDICT r05 #4: delta.py:73 earns a driver row
     "q_oov_rate",           # VERDICT r05 #5: vocab.py:71 earns a driver row
@@ -87,6 +88,7 @@ DRIVER_WINDOW = [
     "q_text_unigram_nll",   # new: CCNet-style perplexity quality signal
     "q_boilerplate_census", # new: cross-doc paragraph frequency census
     "q_corpus_mix_epochs",  # new: epoch-weighted upsampling mixture
+    "q_multimodal_dedup",   # new: exact media dedup by payload digest
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -147,7 +149,8 @@ TAIL_PRIORITY = [
     "q_flagship_star_revenue",
     "q_agg_percentiles_approx",  # displaced r06: family rep q_agg_percentiles is in-window
     "q_dedup_embedding_cosine_lsh",  # displaced r06: no-oracle row; exact twin q_dedup_embedding_cosine is in-window
-    "q_multimodal_features",  # displaced r06: no-oracle row; family reps metadata+resize in-window
+    "q_multimodal_features",  # displaced r06: no-oracle row; family rep metadata in-window
+    "q_multimodal_resize",    # displaced r06: no-oracle row; family rep metadata in-window
 ]
 
 

@@ -1513,3 +1513,35 @@ def q_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_census(docs, sep=" the ")
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT sha256(text) AS payload_sha,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_asset_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("multimodal", "dedup", "ext"),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload content digest (north star
+    `multimodal_columns` × `dedup_exact`): the standard first pass over an
+    image/audio corpus — byte-identical assets collapse to one row keyed
+    by sha256(payload), keeping the smallest asset id. The digest group
+    key keeps shuffle rows at 64 chars no matter how large the media
+    payloads are — the binary twin of the text exact-dedup contract. The
+    oracle hashes the same UTF-8 bytes (the asset fixture's payload is
+    encode(text)), so digests agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs)
+    return (
+        assets.select("asset_id", F.sha2("payload", 256).alias("payload_sha"))
+        .groupBy("payload_sha")
+        .agg(
+            F.min("asset_id").alias("keep_asset_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
