@@ -23,11 +23,12 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-6 rotation (VERDICT r05 #2):
 # the driver regenerates /root/testdata between rounds, so the 43 queries
 # whose latest driver rows are r04-era (previous testdata generation)
-# rotate in to earn fresh rows on the current generation; the nine new
+# rotate in to earn fresh rows on the current generation; the ten new
 # round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 —
 # mixture sampling, shuffle-sharding, paragraph dedup, the unigram
 # perplexity signal, the boilerplate census, epoch-weighted mixing,
-# and media payload dedup, all never driver-checked) take slots
+# media payload dedup, and the shared-text window front door, all
+# never driver-checked) take slots
 # (q_agg_percentiles_approx and the no-oracle rows-only
 # q_dedup_embedding_cosine_lsh / q_multimodal_features /
 # q_multimodal_resize wait a round — each family's exact rep is
@@ -43,7 +44,6 @@ DRIVER_WINDOW = [
     "q_pricing_summary",
     "q_agg_percentiles",
     "q_join_range_binned",
-    "q_win_sliding_frame",
     "q_similarity_lsh_topk",
     "q_multimodal_metadata",
     "q_project_rename",
@@ -89,6 +89,7 @@ DRIVER_WINDOW = [
     "q_boilerplate_census", # new: cross-doc paragraph frequency census
     "q_corpus_mix_epochs",  # new: epoch-weighted upsampling mixture
     "q_multimodal_dedup",   # new: exact media dedup by payload digest
+    "q_sql_shared_window",  # new: shared-text ANSI window front door
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -151,6 +152,7 @@ TAIL_PRIORITY = [
     "q_dedup_embedding_cosine_lsh",  # displaced r06: no-oracle row; exact twin q_dedup_embedding_cosine is in-window
     "q_multimodal_features",  # displaced r06: no-oracle row; family rep metadata in-window
     "q_multimodal_resize",    # displaced r06: no-oracle row; family rep metadata in-window
+    "q_win_sliding_frame",    # displaced r06: window family has 3 other in-window reps
 ]
 
 

@@ -46,3 +46,35 @@ def q_sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine runs."""
     register_views(spark, sf_dir)
     return spark.sql(SHARED_SQL)
+
+
+# CTE + join + ranked window in the shared ANSI subset: certifies window
+# semantics (partition/order, ties broken deterministically) cross-engine
+# with zero translation, complementing SHARED_SQL's correlated-EXISTS
+# coverage. ROW_NUMBER() is INTEGER in Spark and BIGINT in DuckDB, so the
+# shared text casts it explicitly — the one dtype trap in this subset.
+SHARED_SQL_WINDOW = """
+WITH ranked AS (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked
+WHERE rn <= 3
+"""
+
+
+@register("q_sql_shared_window", oracle=SHARED_SQL_WINDOW, tags=("sql", "window"))
+def q_sql_shared_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second shared-text front-door query: top-3 orders per market
+    segment via a CTE + join + ranked window, the literal string executed
+    by both engines (see module docstring). Catalyst plans it as the same
+    single segment-keyed exchange + in-partition rank filter the
+    DataFrame top-k-per-group plan produces."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_SQL_WINDOW)
