@@ -413,3 +413,71 @@ def test_split_thresholds_properties(fracs):
         assert thresholds[-1] == "g", "sum-to-1 must be exhaustive"
     else:
         assert thresholds[-1] != "g", "sum<1 must leave an otherwise-gap"
+
+
+# Small synthetic corpora with forced duplicate paragraphs: texts drawn
+# from a tiny paragraph alphabet joined with '|', so cross-document and
+# within-document repeats are common.
+_para = st.sampled_from(["a", "bb", "ccc", "", "dd d"])
+_ptext = st.lists(_para, min_size=1, max_size=5).map(lambda ps: "|".join(ps))
+
+
+@SETTINGS
+@given(texts=st.lists(_ptext, min_size=1, max_size=12))
+def test_dedup_paragraphs_matches_python_model(spark, texts):
+    """dedup_paragraphs vs an independent Python model: each distinct
+    paragraph survives exactly once globally at its first (id, pos)
+    occurrence; docs rebuild as the subsequence of surviving positions;
+    all-loser docs drop."""
+    from the_movie_database_import_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in dedup_paragraphs(docs, sep="|").collect()
+    }
+
+    seen: set[str] = set()
+    expected = {}
+    for i, t in rows:
+        paras = t.split("|")
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            expected[i] = ("|".join(kept), len(paras), len(kept))
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True),
+    n_shards=st.integers(1, 5),
+)
+def test_shuffle_shards_matches_python_model(spark, ids, n_shards):
+    """shuffle_shards vs an independent Python model of the md5 ordering:
+    same shard assignment, same within-shard positions."""
+    import hashlib
+
+    from the_movie_database_import_spark.operators.mixing import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(
+        map(tuple, shuffle_shards(docs, n_shards).select(
+            "doc_id", "shard", "pos").collect())
+    )
+
+    def digest(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    model = []
+    by_shard: dict = {}
+    for i in ids:
+        by_shard.setdefault(int(digest(i)[:8], 16) % n_shards, []).append(i)
+    for shard, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda x: (digest(x), x)), 1):
+            model.append((i, shard, pos))
+    assert got == sorted(model)
