@@ -136,6 +136,7 @@ def shuffle_shards(
     id_col: str = "doc_id",
     shard_col: str = "shard",
     pos_col: str = "pos",
+    key: Column | None = None,
 ) -> DataFrame:
     """Reproducible pseudorandom training order in ``n_shards`` shards:
     every row gets ``shard_col`` (md5-derived, uniform) and ``pos_col``
@@ -155,11 +156,18 @@ def shuffle_shards(
         raise ValueError(f"n_shards must be positive: {n_shards}")
     if n_shards > HASH_SPACE:
         raise ValueError(f"n_shards must be <= {HASH_SPACE}: {n_shards}")
-    h = F.md5(F.col(id_col).cast("string"))
+    # ``key`` overrides the hashed identity — REQUIRED when rows repeat
+    # under one id (epoch-upsampled corpora: hash (id, epoch) so a doc's
+    # epochs spread across shards instead of sitting adjacent, and so the
+    # within-shard order has no equal-key ties whose row_number assignment
+    # would be nondeterministic across runs). The key must be unique per
+    # row and engine-portably stringable (see hash_bucket's contract).
+    key = F.col(id_col).cast("string") if key is None else key.cast("string")
+    h = F.md5(key)
     shard = (F.conv(h.substr(1, 8), 16, 10).cast("bigint") % n_shards).alias(
         shard_col
     )
-    w = Window.partitionBy(shard_col).orderBy(h, F.col(id_col))
+    w = Window.partitionBy(shard_col).orderBy(h, key)
     return df.select(*df.columns, shard).withColumn(
         pos_col, F.row_number().over(w).cast("bigint")
     )

@@ -23,12 +23,13 @@ from . import udfs  # noqa: F401,E402
 # First 50 = the driver-checked window. Round-6 rotation (VERDICT r05 #2):
 # the driver regenerates /root/testdata between rounds, so the 43 queries
 # whose latest driver rows are r04-era (previous testdata generation)
-# rotate in to earn fresh rows on the current generation; the ten new
+# rotate in to earn fresh rows on the current generation; the eleven new
 # round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 —
 # mixture sampling, shuffle-sharding, paragraph dedup, the unigram
 # perplexity signal, the boilerplate census, epoch-weighted mixing,
-# media payload dedup, and the shared-text window front door, all
-# never driver-checked) take slots
+# media payload dedup, the shared-text window front door, and the
+# epoch-mix->shard training-order composite, all never driver-checked)
+# take slots
 # (q_agg_percentiles_approx and the no-oracle rows-only
 # q_dedup_embedding_cosine_lsh / q_multimodal_features /
 # q_multimodal_resize wait a round — each family's exact rep is
@@ -58,7 +59,6 @@ DRIVER_WINDOW = [
     "q_join_anti",
     "q_agg_collect_set",
     "q_agg_rollup",
-    "q_agg_cube",
     "q_agg_pivot",
     "q_agg_approx_count_distinct",
     "q_sort_multi_key",
@@ -90,6 +90,7 @@ DRIVER_WINDOW = [
     "q_corpus_mix_epochs",  # new: epoch-weighted upsampling mixture
     "q_multimodal_dedup",   # new: exact media dedup by payload digest
     "q_sql_shared_window",  # new: shared-text ANSI window front door
+    "q_training_order",     # new: epoch-mix -> shard composite
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -153,6 +154,7 @@ TAIL_PRIORITY = [
     "q_multimodal_features",  # displaced r06: no-oracle row; family rep metadata in-window
     "q_multimodal_resize",    # displaced r06: no-oracle row; family rep metadata in-window
     "q_win_sliding_frame",    # displaced r06: window family has 3 other in-window reps
+    "q_agg_cube",             # displaced r06: grouping family reps rollup+pivot in-window
 ]
 
 

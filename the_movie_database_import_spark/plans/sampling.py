@@ -305,3 +305,73 @@ def q_corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus_epochs(
         docs, {"en": 0.3, "de": 0.4, "fr": 0.3}, max_epochs=3
     ).select("doc_id", "lang", "epoch")
+
+
+@register(
+    "q_training_order",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    w(lang, w) AS (VALUES ('de', 0.4), ('en', 0.3), ('fr', 0.3)),
+    sized AS (SELECT counts.lang AS lang, n, w FROM counts JOIN w ON counts.lang = w.lang),
+    tot AS (SELECT MIN(n * 3.0 / w) AS t FROM sized),
+    rates0 AS (SELECT lang, w * t / n AS rate0 FROM sized, tot),
+    rates AS (
+        SELECT lang,
+               CASE WHEN abs(rate0 - round(rate0)) < 1e-9
+                    THEN round(rate0) ELSE rate0 END AS rate
+        FROM rates0
+    ),
+    emit AS (
+        SELECT d.doc_id, d.lang,
+               CAST(floor(r.rate) AS BIGINT)
+                 + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+                        CASE WHEN r.rate - floor(r.rate) >= 1 THEN 'g'
+                             ELSE printf('%08x', CAST(floor((r.rate - floor(r.rate))
+                                      * 4294967296.0) AS BIGINT)) END
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN rates r ON d.lang = r.lang
+    ),
+    mixed AS (
+        SELECT doc_id, lang, e.epoch,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+                 AS digest
+        FROM emit, unnest(generate_series(1, n_copies)) AS e(epoch)
+    ),
+    sharded AS (
+        SELECT doc_id, lang, epoch,
+               (('0x' || substr(digest, 1, 8))::BIGINT % 8) AS shard, digest
+        FROM mixed
+    )
+    SELECT doc_id, lang, epoch, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY digest,
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+    tags=("sampling", "mixing", "shuffle", "ext", "composite"),
+)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepare-training-run composite (north star `training_order`):
+    epoch-weighted mixture ({en .3, de .4, fr .3}, scarce groups repeated
+    up to 3 epochs) shuffled into 8 reproducible shards — the two final
+    pipeline stages composed into one plan. The shard key hashes
+    (doc_id, epoch) so a document's epochs SPREAD across shards instead
+    of sitting adjacent, and the within-shard order has no equal-key ties
+    (a bare doc_id key would leave row_number's assignment among epoch
+    copies nondeterministic). In-row explode duplication + one hash
+    shuffle + per-shard sort; the oracle replays every stage from the
+    same fragments."""
+    from ..operators.mixing import mix_corpus_epochs, shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_corpus_epochs(
+        docs, {"en": 0.3, "de": 0.4, "fr": 0.3}, max_epochs=3
+    ).select("doc_id", "lang", "epoch")
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string")
+    )
+    return shuffle_shards(mixed, n_shards=8, key=key).select(
+        "doc_id", "lang", "epoch", "shard", "pos"
+    )
