@@ -29,6 +29,9 @@ QUERIES = [
     "q_boilerplate_census",
     "q_text_unigram_nll",
     "q_corpus_delta",
+    "q_multimodal_dedup",
+    "q_sql_shared_window",
+    "q_training_order",
     "q_pipeline_end_to_end",
 ]
 
