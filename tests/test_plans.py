@@ -407,3 +407,22 @@ def test_dedup_paragraphs_agg_not_window_over_text(spark):
     assert groups and all(g.startswith(("_h", "doc_id")) for g in groups), groups
     for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_stage not in plan
+
+
+def test_sql_shared_window_single_exchange_rank_filter(spark):
+    """The shared-text window query must plan exactly like the DataFrame
+    top-k-per-group: the rank predicate stays a post-window filter (one
+    segment-keyed exchange for the window; the join broadcasts the
+    customer dim), never a cartesian or a python stage."""
+    plan = (
+        REGISTRY["q_sql_shared_window"]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, "customer dim must broadcast"
+    assert "CartesianProduct" not in plan
+    groups = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("c_mktsegment"), groups
+    assert "windowspecdefinition(c_mktsegment" in plan
