@@ -359,6 +359,10 @@ def stream_incremental_dedup(
     ready for ``foreachBatch`` append into the corpus + digest table.
     """
     base = new_docs.withColumn(digest_col, F.sha2(F.col(text_col), 256))
-    seen = seen_digests.select(F.col(digest_col)).distinct()
+    # no .distinct() on the static side: LEFT ANTI join results are
+    # invariant to right-side duplicates, and the digest side-table is
+    # unique by construction anyway — a defensive distinct would re-run a
+    # full aggregate over the corpus-sized table EVERY micro-batch.
+    seen = seen_digests.select(F.col(digest_col))
     fresh = base.join(seen, [digest_col], "left_anti")
     return fresh.dropDuplicates([digest_col])
