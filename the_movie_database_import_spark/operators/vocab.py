@@ -120,7 +120,10 @@ def unigram_nll(
     choice as :func:`build_vocab`); the probe broadcasts the per-token
     quantized log-probs (a few hundred MB for a trillion-token corpus's
     multi-million-token vocab) and re-aggregates on the doc id — corpus
-    rows shuffle only as (id, int-sum) pairs.
+    rows shuffle only as (id, int-sum) pairs. If a pathological vocab ever
+    exceeds the broadcast budget (Spark's 8 GB hard cap), drop the
+    ``F.broadcast`` hint and let the probe plan as a shuffle join — the
+    semantics are identical.
     """
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
