@@ -379,3 +379,57 @@ def test_stream_incremental_dedup_cross_batch_first_wins(spark, tmp_path):
     assert sorted(r["text"] for r in batch_kept.collect()) == got_texts
     # the corpus-known digest must never emit on either path
     assert "known" not in got_texts
+
+
+def test_stream_incremental_dedup_state_survives_restart(spark, tmp_path):
+    """The within-stream dropDuplicates state must persist across a query
+    RESTART via the checkpoint: a text accepted as novel before the stop
+    must still be suppressed when its copy arrives after the restart, and
+    the parquet sink's exactly-once commit protocol must not re-emit the
+    pre-restart output."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.streaming import (
+        stream_incremental_dedup,
+        stream_jsonl,
+    )
+    from the_movie_database_import_spark.streaming.windows import run_to_parquet
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    seen = spark.createDataFrame([("known",)], "text string").select(
+        F.sha2("text", 256).alias("digest")
+    )
+
+    def run():
+        stream = stream_jsonl(spark, str(d), schema)
+        run_to_parquet(
+            stream_incremental_dedup(stream.select("doc_id", "text"), seen)
+            .select("doc_id", "text"),
+            out,
+            ckpt,
+        )
+
+    (d / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "novel-a"}) + "\n"
+        + json.dumps({"doc_id": 2, "text": "known"}) + "\n"
+    )
+    run()  # first incarnation: accepts novel-a, suppresses known
+    first = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert first == {(1, "novel-a")}
+
+    (d / "b.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": "novel-a"}) + "\n"
+        + json.dumps({"doc_id": 4, "text": "novel-b"}) + "\n"
+    )
+    run()  # restart from the same checkpoint: state must remember novel-a
+    rows = [(r.doc_id, r.text) for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == [(1, "novel-a"), (4, "novel-b")], rows
