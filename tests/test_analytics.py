@@ -1,0 +1,264 @@
+"""Event-sequence analytics (funnel, retention) and BM25 ranking:
+independent-python-model parity on the real testdata plus synthetic edge
+cases the generated data can't produce (zero-count stages, same-timestamp
+ties, out-of-order stage events), and the BM25 quantization-grid safety
+pin (the discipline test_unigram_nll_grid_safety established)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from the_movie_database_import_spark.operators.analytics import (
+    funnel_counts,
+    retention_cohorts,
+)
+from the_movie_database_import_spark.operators.ranking import (
+    QUANT,
+    bm25_scores,
+    bm25_topk,
+)
+from the_movie_database_import_spark.plans.analytics import (
+    BM25_TERMS,
+    FUNNEL_STAGES,
+)
+
+from conftest import SF_DIR
+
+
+def _events_pdf():
+    return duckdb.sql(
+        f"SELECT user_id, ts, event_type FROM '{SF_DIR}/events.parquet' "
+        "WHERE ts IS NOT NULL"
+    ).fetchdf()
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def _python_funnel(pdf, stages):
+    """Greedy-earliest fold over each user's (ts, type)-sorted events —
+    the same semantics the Spark in-row fold implements."""
+    reached_per_user = {}
+    for user, grp in pdf.groupby("user_id"):
+        evs = sorted(zip(grp["ts"], grp["event_type"]))
+        reached, last_ts = 0, None
+        for ts, et in evs:
+            if (
+                reached < len(stages)
+                and et == stages[reached]
+                and (reached == 0 or ts > last_ts)
+            ):
+                reached, last_ts = reached + 1, ts
+        reached_per_user[user] = reached
+    return {
+        i + 1: sum(1 for r in reached_per_user.values() if r >= i + 1)
+        for i in range(len(stages))
+    }
+
+
+def test_funnel_matches_python_model(spark):
+    pdf = _events_pdf()
+    expected = _python_funnel(pdf, list(FUNNEL_STAGES))
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in funnel_counts(sdf, FUNNEL_STAGES).collect()
+    }
+    assert got == expected
+    # a funnel is non-increasing by construction
+    counts = [got[i] for i in sorted(got)]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0  # the generated log reaches at least stage 1
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_funnel_emits_zero_count_stages(spark):
+    sdf = spark.createDataFrame(
+        [(1, _ts(0), "view"), (2, _ts(1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        r["stage_idx"]: (r["stage"], r["n_users"])
+        for r in funnel_counts(sdf, FUNNEL_STAGES).collect()
+    }
+    assert rows == {1: ("view", 2), 2: ("click", 0), 3: ("purchase", 0)}
+
+
+def test_funnel_requires_strictly_increasing_ts(spark):
+    sdf = spark.createDataFrame(
+        # user 1: stages present but in REVERSE time order -> stage 1 only
+        [(1, _ts(2), "view"), (1, _ts(1), "click"), (1, _ts(0), "purchase")]
+        # user 2: click shares view's timestamp -> strict > rejects stage 2
+        + [(2, _ts(0), "view"), (2, _ts(0), "click")]
+        # user 3: clean progression, interleaved with noise types
+        + [
+            (3, _ts(0), "view"),
+            (3, _ts(1), "signup"),
+            (3, _ts(2), "click"),
+            (3, _ts(3), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["stage_idx"]: r["n_users"] for r in funnel_counts(sdf, FUNNEL_STAGES).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_funnel_duplicate_stages_raise(spark):
+    sdf = spark.createDataFrame(
+        [(1, _ts(0), "view")], "user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(sdf, ["view", "view"])
+
+
+# ------------------------------------------------------------- retention
+
+
+def test_retention_matches_python_model(spark):
+    pdf = _events_pdf()
+    pdf = pdf.assign(day=pdf["ts"].dt.date)
+    first = pdf.groupby("user_id")["day"].min()
+    expected: dict = {}
+    for (user, day), _ in pdf.groupby(["user_id", "day"]):
+        key = (first[user], (day - first[user]).days)
+        expected[key] = expected.get(key, 0) + 1
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in retention_cohorts(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == expected
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    pdf = _events_pdf()
+    sdf = spark.createDataFrame(pdf)
+    out = retention_cohorts(sdf)
+    sizes = {
+        r["cohort_day"]: r["n_users"]
+        for r in out.filter(F.col("offset_days") == 0).collect()
+    }
+    first = (
+        sdf.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d")).collect()
+    )
+    expected: dict = {}
+    for r in first:
+        expected[r["d"]] = expected.get(r["d"], 0) + 1
+    assert sizes == expected
+    # every cell's count is bounded by its cohort's size
+    for r in out.collect():
+        assert 0 < r["n_users"] <= sizes[r["cohort_day"]], r
+
+
+# ------------------------------------------------------------------ bm25
+
+
+def _python_bm25(k1=1.2, b=0.75):
+    """Independent model with the SAME arithmetic shapes (Python floats are
+    C doubles; inside the grid tolerance the engines agree)."""
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        "WHERE text IS NOT NULL"
+    ).fetchall()
+    toks = {i: t.split(" ") for i, t in docs}
+    n_docs = len(toks)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n_docs
+    scores = {}
+    for i, tv in toks.items():
+        score_q = 0
+        for term in BM25_TERMS:
+            tf = sum(1 for x in tv if x == term)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            sat = (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (len(tv) / avgdl))
+            )
+            score_q += math.floor(QUANT * (idf * sat))
+        scores[i] = score_q
+    return scores
+
+
+def test_bm25_matches_python_model(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r["score_q"] for r in bm25_scores(docs, BM25_TERMS).collect()
+    }
+    expected = _python_bm25()
+    assert got == expected
+    assert any(v > 0 for v in got.values())
+    # score is the quantized integer re-scaled
+    for r in bm25_scores(docs, BM25_TERMS).collect()[:5]:
+        assert r["score"] == r["score_q"] / QUANT
+
+
+def test_bm25_topk_is_deterministic_total_order(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    top = bm25_topk(docs, BM25_TERMS, k=10).collect()
+    assert len(top) == 10
+    keys = [(-r["score_q"], r["doc_id"]) for r in top]
+    assert keys == sorted(keys)
+    expected = sorted(
+        ((-q, i) for i, q in _python_bm25().items())
+    )[:10]
+    assert keys == expected
+
+
+def test_bm25_duplicate_terms_raise(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_scores(docs, ["a", "a"])
+
+
+def test_bm25_grid_safety():
+    """The 1e-6 floor grid is only hash-safe if no term contribution sits
+    within engine-rounding distance of an integer: a 1-ulp Java-vs-libm
+    ln() difference (~1e-9 after the 1e6 scale at these magnitudes) could
+    otherwise flip the floored BIGINT. Check every realized (tf, dl) pair
+    of every query term at every test SF keeps a >100x margin."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        per_doc = duckdb.sql(
+            f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM '/root/testdata/{sf}/documents.parquet'
+            )
+            SELECT doc_id, COUNT(*) AS dl,
+              {", ".join(
+                  f"SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+                  for i, t in enumerate(BM25_TERMS)
+              )}
+            FROM tok GROUP BY doc_id
+            """
+        ).fetchdf()
+        n_docs = len(per_doc)
+        avgdl = int(per_doc["dl"].sum()) / n_docs
+        k1, b = 1.2, 0.75
+        checked = 0
+        for i in range(len(BM25_TERMS)):
+            df = int((per_doc[f"tf_{i}"] > 0).sum())
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for tf, dl in set(
+                zip(per_doc[f"tf_{i}"].astype(int), per_doc["dl"].astype(int))
+            ):
+                if tf == 0:
+                    continue
+                sat = (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+                )
+                v = QUANT * (idf * sat)
+                dist = abs(v - round(v))
+                assert dist > 1e-6, (sf, BM25_TERMS[i], tf, dl, v, dist)
+                checked += 1
+        assert checked > 0

@@ -1,0 +1,163 @@
+"""Event-sequence analytics: funnel conversion and cohort retention ([ext]
+product-analytics operators over the `events` stream table).
+
+These are the two classic event-log rollups every analytics engine ships
+(funnel: how many users progressed view -> click -> purchase in timestamp
+order; retention: of the users whose first activity fell on day D, how many
+came back on day D+k). The reference pipeline (`loader.py`) has no event
+log at all — both operators belong to the north-star extension set, using
+the driver-generated `events` table.
+
+Scale design: both operators are ONE user-keyed shuffle wide.
+
+- ``funnel_counts`` never self-joins the event log per stage (the textbook
+  k-stage formulation is k joins = k shuffles and re-reads): it collects
+  each user's stage-relevant events into an in-row array (bounded by that
+  user's own activity, the same per-key envelope every sessionizer
+  assumes), sorts it in-row, and walks it with ``F.aggregate`` — a
+  whole-stage-codegen fold, no Python. The follow-up rollup aggregates a
+  one-int-per-user frame.
+- ``retention_cohorts`` folds the classic two-pass (first-day agg + join
+  back to the raw log) into one pass: per user, MIN(day) and the DISTINCT
+  day set come out of the same hash aggregate, and the explode that
+  follows emits at most one row per (user, active day) — already
+  user-deduped, so the final census is a plain COUNT, not a
+  COUNT(DISTINCT) re-shuffle of raw events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel: for each prefix of ``stages``, the number of
+    users with events of those types at STRICTLY INCREASING timestamps
+    (the standard product-analytics conversion funnel). Returns one row
+    per stage — ``(stage_idx, stage, n_users)`` — including zero-count
+    stages, with ``n_users`` non-increasing in ``stage_idx``.
+
+    Semantics: a user reaches stage k+1 iff after the EARLIEST qualifying
+    completion of stage k there is a stage-(k+1) event with ``ts`` strictly
+    greater. Greedy-earliest is optimal here (taking the earliest
+    qualifying event at each stage can only widen what remains reachable),
+    so the in-row fold below computes exactly the classic chained
+    ``MIN(ts) > prev`` SQL — the registered oracle replays that chain.
+    Events with NULL timestamps are excluded (they cannot be ordered);
+    ``stages`` must not repeat a type (one event advances at most one
+    stage).
+
+    One shuffle on the user key: events are pre-filtered to the stage
+    types (a scan-level IN filter), collected per user, ``array_sort``-ed
+    in-row (ties on identical timestamps break by type name; tie order
+    cannot change how FAR a user progresses because progression demands
+    strictly increasing ts), and folded JVM-side. The per-user rollup that
+    follows shuffles one int per user, and the final stage census is
+    ``len(stages)`` rows joined against a literal stage table.
+    """
+    stages = list(stages)
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"funnel stages must be distinct, got {stages}")
+    n = len(stages)
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+
+    per_user = (
+        events.filter(F.col(type_col).isin(stages) & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+                )
+            ).alias("evs")
+        )
+    )
+
+    init = F.struct(
+        F.lit(0).alias("reached"), F.lit(None).cast("timestamp").alias("last_ts")
+    )
+
+    def step(acc, ev):
+        advance = (
+            (acc["reached"] < F.lit(n))
+            & (ev["et"] == F.element_at(stage_arr, acc["reached"] + 1))
+            & ((acc["reached"] == 0) | (ev["ts"] > acc["last_ts"]))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["reached"] + 1).alias("reached"), ev["ts"].alias("last_ts")
+            ),
+        ).otherwise(acc)
+
+    reached = per_user.select(
+        F.aggregate("evs", init, step).getField("reached").alias("reached")
+    )
+    counts = (
+        reached.filter(F.col("reached") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("reached"))).alias("_idx"))
+        .groupBy("_idx")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    spark = events.sparkSession
+    stage_table = spark.range(1).select(
+        F.posexplode(stage_arr).alias("_pos", "stage")
+    )
+    return (
+        stage_table.join(
+            F.broadcast(counts), stage_table["_pos"] + 1 == counts["_idx"], "left"
+        )
+        .select(
+            (F.col("_pos") + 1).cast("long").alias("stage_idx"),
+            F.col("stage"),
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-cohort retention matrix: users are cohorted by the calendar day
+    of their FIRST event, and each (cohort_day, offset_days) cell counts
+    the distinct users of that cohort active ``offset_days`` days later —
+    the table behind every retention curve. ``offset_days = 0`` rows give
+    cohort sizes; cells with no returning users are absent (sparse form).
+
+    One user-keyed shuffle: ``MIN(day)`` and ``collect_set(day)`` come out
+    of the same per-user hash aggregate (the set is bounded by the span of
+    the log in days, not by event count — the map-side combine collapses
+    each user's repeat visits within a day before anything shuffles). The
+    explode emits one row per (user, active day) — already distinct — so
+    the final census is a plain map-side-combinable COUNT on (cohort_day,
+    offset_days), never a COUNT(DISTINCT) over raw events.
+    """
+    day = F.to_date(F.col(ts_col))
+    per_user = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.min(day).alias("cohort_day"),
+            F.collect_set(day).alias("_days"),
+        )
+    )
+    return (
+        per_user.select("cohort_day", F.explode("_days").alias("_day"))
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -17,6 +17,7 @@ from . import windows_sets  # noqa: F401,E402
 from . import streaming_batch  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import sampling  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402
 from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
@@ -27,9 +28,9 @@ from . import udfs  # noqa: F401,E402
 # round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 —
 # mixture sampling, shuffle-sharding, paragraph dedup, the unigram
 # perplexity signal, the boilerplate census, epoch-weighted mixing,
-# media payload dedup, the shared-text window front door, and the
-# epoch-mix->shard training-order composite, all never driver-checked)
-# take slots
+# media payload dedup, the shared-text window front door, the
+# epoch-mix->shard training-order composite, and the late-r06
+# funnel/retention/BM25 trio, all never driver-checked) take slots
 # (q_agg_percentiles_approx and the no-oracle rows-only
 # q_dedup_embedding_cosine_lsh / q_multimodal_features /
 # q_multimodal_resize wait a round — each family's exact rep is
@@ -46,7 +47,6 @@ DRIVER_WINDOW = [
     "q_agg_percentiles",
     "q_join_range_binned",
     "q_similarity_lsh_topk",
-    "q_multimodal_metadata",
     "q_project_rename",
     "q_filter_pred",
     "q_safe_cast",
@@ -64,13 +64,11 @@ DRIVER_WINDOW = [
     "q_sort_multi_key",
     "q_win_lag_lead",
     "q_win_ntile_pctrank",
-    "q_union_distinct",
     "q_intersect",
     "q_except",
     "q_surrogate_keys",
     "q_window_sliding",
     "q_sample_stratified",
-    "q_sample_fixed_k",
     "q_text_repetition",
     "q_join_salted_skew",
     "q_dedup_simhash",
@@ -91,6 +89,9 @@ DRIVER_WINDOW = [
     "q_multimodal_dedup",   # new: exact media dedup by payload digest
     "q_sql_shared_window",  # new: shared-text ANSI window front door
     "q_training_order",     # new: epoch-mix -> shard composite
+    "q_events_funnel",      # new: strict-order conversion funnel
+    "q_retention_cohorts",  # new: day-cohort retention matrix
+    "q_bm25_topk",          # new: Okapi BM25 lexical top-k
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -151,10 +152,16 @@ TAIL_PRIORITY = [
     "q_flagship_star_revenue",
     "q_agg_percentiles_approx",  # displaced r06: family rep q_agg_percentiles is in-window
     "q_dedup_embedding_cosine_lsh",  # displaced r06: no-oracle row; exact twin q_dedup_embedding_cosine is in-window
-    "q_multimodal_features",  # displaced r06: no-oracle row; family rep metadata in-window
-    "q_multimodal_resize",    # displaced r06: no-oracle row; family rep metadata in-window
+    "q_multimodal_features",  # displaced r06: no-oracle row; family reps frame_sample (r05) + dedup (in-window)
+    "q_multimodal_resize",    # displaced r06: no-oracle row; family reps frame_sample (r05) + dedup (in-window)
     "q_win_sliding_frame",    # displaced r06: window family has 3 other in-window reps
     "q_agg_cube",             # displaced r06: grouping family reps rollup+pivot in-window
+    # Displaced late-r06 to make room for the funnel/retention/BM25 trio
+    # (never driver-checked -> must be in-window). Each keeps its r04 row
+    # and its family keeps CURRENT-generation evidence:
+    "q_union_distinct",       # set-op family: q_union_all is r05-green
+    "q_sample_fixed_k",       # sampling family: q_sample_split r05-green + stratified in-window
+    "q_multimodal_metadata",  # multimodal family: frame_sample r05-green + dedup in-window
 ]
 
 

@@ -1,0 +1,129 @@
+"""Event-sequence analytics + lexical-retrieval queries ([ext]): funnel
+conversion, cohort retention (operators/analytics.py) and BM25 top-k
+ranking (operators/ranking.py). All three are fully SQL-expressible and
+oracle-checked; the reference (`loader.py`) has no event-log or
+text-ranking surface, so these extend the north-star set the same way the
+dedup/similarity/curation families do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.analytics import funnel_counts, retention_cohorts
+from ..operators.ranking import bm25_oracle_sql, bm25_topk
+from ..sources.readers import load_table
+from .registry import register
+
+# Stage sequence for the funnel query: the driver-generated event log's
+# natural conversion path. Types are drawn uniformly, so each successive
+# stage loses users only through ordering, which keeps all three counts
+# large and the query discriminative.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+# Query-term bag for the BM25 query: frequent-but-not-universal tokens of
+# the synthetic vocabulary, so idf and tf-saturation both move the scores.
+BM25_TERMS = ("vector", "stream", "merge", "window")
+
+
+@register(
+    "q_events_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = '{FUNNEL_STAGES[0]}' AND ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t
+        GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), '{FUNNEL_STAGES[1]}',
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), '{FUNNEL_STAGES[2]}',
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+    tags=("events", "analytics", "ext"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view -> click -> purchase over the
+    event log (north star `events_funnel`): per stage, how many users have
+    completed the stage prefix at strictly increasing timestamps. ONE
+    user-keyed shuffle — per-user events are collected, sorted, and folded
+    in-row with `F.aggregate` (whole-stage codegen, no per-stage
+    self-joins); the oracle replays the textbook chained-MIN(ts)
+    formulation, which greedy-earliest folding provably equals (see
+    operators/analytics.funnel_counts)."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, FUNNEL_STAGES)
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, d.active_day) AS BIGINT)
+             AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d JOIN f ON d.user_id = f.user_id
+    GROUP BY f.cohort_day, offset_days
+    """,
+    tags=("events", "analytics", "ext"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix (north star `retention_cohorts`): users
+    cohorted by first-activity day; each (cohort_day, offset_days) cell
+    counts distinct cohort users active that many days later. ONE
+    user-keyed shuffle — MIN(day) and the distinct-day set come from the
+    same hash aggregate, the explode is already user-deduped, so the final
+    census is a plain map-side-combinable COUNT (the oracle's
+    DISTINCT-then-join formulation, collapsed). The cohort day is emitted
+    as an ISO string — DuckDB date32 and Spark DateType round-trip to
+    different pandas dtypes (q_date_fns precedent)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_cohorts(events).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "offset_days",
+        "n_users",
+    )
+
+
+@register(
+    "q_bm25_topk",
+    oracle=bm25_oracle_sql(BM25_TERMS),
+    tags=("text", "ranking", "ext"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents table for a 4-term query
+    (north star `bm25_topk`): the lexical-retrieval baseline beside the
+    embedding ANN operators. One corpus shuffle — per-term tfs are
+    conditional aggregate columns of the same groupBy that counts document
+    length, corpus stats broadcast back as one row, and per-term
+    contributions are floor-quantized onto the 1e-6 grid BEFORE summing so
+    the score is an exact BIGINT on both engines (grid safety pinned at
+    every SF by tests/test_analytics.py). Top-k runs as
+    TakeOrderedAndProject with an id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=10)
