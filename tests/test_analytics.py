@@ -262,3 +262,59 @@ def test_bm25_grid_safety():
                 assert dist > 1e-6, (sf, BM25_TERMS[i], tf, dl, v, dist)
                 checked += 1
         assert checked > 0
+
+
+# ------------------------------------------------------------------ scd2
+
+
+def test_scd2_matches_python_model(spark):
+    from the_movie_database_import_spark.operators.analytics import scd2_history
+
+    pdf = duckdb.sql(
+        f"SELECT user_id, ts, event_type, event_id FROM '{SF_DIR}/events.parquet' "
+        "WHERE ts IS NOT NULL"
+    ).fetchdf()
+    expected = []
+    for user, grp in pdf.groupby("user_id"):
+        evs = sorted(zip(grp["ts"], grp["event_id"], grp["event_type"]))
+        runs = [
+            (ts, et) for i, (ts, _eid, et) in enumerate(evs)
+            if i == 0 or et != evs[i - 1][2]
+        ]
+        for v, (ts, et) in enumerate(runs):
+            valid_to = runs[v + 1][0] if v + 1 < len(runs) else None
+            expected.append((user, et, ts, valid_to, v + 1, valid_to is None))
+    got = [
+        (r["user_id"], r["value"], r["valid_from"].to_pydatetime()
+         if hasattr(r["valid_from"], "to_pydatetime") else r["valid_from"],
+         r["valid_to"].to_pydatetime()
+         if r["valid_to"] is not None and hasattr(r["valid_to"], "to_pydatetime")
+         else r["valid_to"],
+         r["version"], r["is_current"])
+        for r in scd2_history(spark.createDataFrame(pdf)).collect()
+    ]
+    assert sorted(got, key=lambda t: (t[0], t[4])) == sorted(
+        expected, key=lambda t: (t[0], t[4])
+    )
+
+
+def test_scd2_interval_invariants(spark):
+    """Per key: versions are 1..n contiguous, intervals chain exactly
+    (valid_to == next version's valid_from), and exactly one row is
+    current (NULL valid_to)."""
+    from the_movie_database_import_spark.operators.analytics import scd2_history
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = scd2_history(events.withColumn("ts", F.col("ts").cast("timestamp"))).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r["is_current"]) == 1
+        assert rs[-1]["valid_to"] is None and rs[-1]["is_current"]
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+            assert a["value"] != b["value"], "consecutive runs must differ"

@@ -1163,3 +1163,55 @@ def test_rate_snap_restores_keep_all_threshold(spark):
     assert row["raw"] != "g"
     assert row["epochs_snapped"] == 3.0
     assert row["untouched"] == 0.4
+
+
+def test_apply_delta_roundtrips_corpus_delta_scenario(spark):
+    """apply_delta is the inverse of corpus_delta: replaying
+    q_apply_delta's synthesized feed (inserts >= bucket 0.9, edits on
+    every 31st doc, deletes < bucket 0.1) over the old snapshot must
+    reconstruct the new snapshot EXACTLY — the same 'new' frame
+    q_corpus_delta diffs against."""
+    from the_movie_database_import_spark.operators.sampling import (
+        hash_bucket,
+        hex_threshold,
+    )
+    from the_movie_database_import_spark.plans import REGISTRY
+
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in REGISTRY["q_apply_delta"].spark_fn(spark, SF_DIR).collect()
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter(
+        hash_bucket(F.col("doc_id")) >= F.lit(hex_threshold(0.1))
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    expected = sorted((r["doc_id"], r["text"]) for r in new.collect())
+    assert got == expected and got
+
+
+def test_apply_delta_insert_update_delete_semantics(spark):
+    from the_movie_database_import_spark.operators.delta import apply_delta
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    ups = spark.createDataFrame(
+        [(2, "b2"), (4, "d")], "doc_id long, text string"
+    )
+    dels = spark.createDataFrame([(3,)], "doc_id long")
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in apply_delta(snap, ups, dels).collect()
+    )
+    assert got == [(1, "a"), (2, "b2"), (4, "d")]
+    # delete of an absent id and upsert colliding with delete: upsert wins
+    # its own id (replace), delete only removes what exists
+    dels2 = spark.createDataFrame([(99,)], "doc_id long")
+    got2 = sorted(
+        (r["doc_id"], r["text"]) for r in apply_delta(snap, ups, dels2).collect()
+    )
+    assert got2 == [(1, "a"), (2, "b2"), (3, "c"), (4, "d")]

@@ -426,3 +426,67 @@ def test_sql_shared_window_single_exchange_rank_filter(spark):
     groups = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
     assert len(groups) == 1 and groups[0].startswith("c_mktsegment"), groups
     assert "windowspecdefinition(c_mktsegment" in plan
+
+
+def test_events_funnel_one_user_shuffle_no_self_joins(spark):
+    """The funnel must read the event log ONCE and walk stages with the
+    in-row fold — the textbook k-stage formulation re-joins the log per
+    stage (k scans + k shuffles). Exchanges: the per-user collect_list
+    aggregate and the len(stages)-row census; the stage table broadcasts."""
+    plan = _plan(spark, "q_events_funnel")
+    assert plan.count("Scan parquet") == 1, "event log must be scanned once"
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert sorted(g.split("#")[0] for g in groups) == ["_idx", "user_id"], groups
+    assert "BroadcastExchange" in plan  # tiny census joins the literal stages
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_retention_one_user_shuffle_count_not_distinct(spark):
+    """Retention: min(day) and the distinct-day set come from the SAME
+    per-user aggregate (one event-log scan, one user-keyed exchange); the
+    final census is a plain COUNT on (cohort, offset) — never a
+    COUNT(DISTINCT) re-expansion of raw events (no Expand node)."""
+    plan = _plan(spark, "q_retention_cohorts")
+    assert plan.count("Scan parquet") == 1
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert sorted(g.split("#")[0] for g in groups) == ["cohort_day", "user_id"], groups
+    assert "Expand" not in plan, "census must be a plain count, not count-distinct"
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_bm25_caches_per_doc_and_heaps_topk(spark):
+    """BM25: the per-doc (dl, tf_*) frame feeds two consumers (corpus-stats
+    scalar + scoring) and must be CACHED, not recomputed — two
+    InMemoryTableScans, so the corpus is tokenized once; top-k must run as
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    plan = _plan(spark, "q_bm25_topk")
+    assert plan.count("InMemoryTableScan") >= 2, "per_doc must be cached"
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan, "global sort crept in"
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_scd2_single_window_exchange(spark):
+    """SCD2: the lag change-point filter and the lead/row_number interval
+    builder share partitioning and sort order — ONE user-keyed exchange,
+    one event-log scan, no Python stages."""
+    plan = _plan(spark, "q_scd2_history")
+    assert plan.count("Scan parquet") == 1
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("user_id"), groups
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_apply_delta_broadcasts_victims_no_snapshot_shuffle(spark):
+    """MERGE plan: the victim-id set broadcasts, so the snapshot side
+    streams through a broadcast LEFT ANTI join — corpus rows never hit an
+    exchange (the only hash exchange is the tiny victim-id distinct)."""
+    plan = _plan(spark, "q_apply_delta")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert all(g.startswith("doc_id") for g in groups) and len(groups) <= 2, groups
+    assert "SortMergeJoin" not in plan

@@ -1,5 +1,6 @@
-"""Event-sequence analytics: funnel conversion and cohort retention ([ext]
-product-analytics operators over the `events` stream table).
+"""Event-sequence analytics: funnel conversion, cohort retention, and
+SCD2 interval history ([ext] product-analytics / warehouse operators over
+the `events` stream table).
 
 These are the two classic event-log rollups every analytics engine ships
 (funnel: how many users progressed view -> click -> purchase in timestamp
@@ -29,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_counts(
@@ -160,4 +161,46 @@ def retention_cohorts(
             .alias("offset_days"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse an append-only
+    attribute log into validity intervals — one row per (key, consecutive
+    value run) with ``valid_from`` / ``valid_to`` (NULL = still current),
+    a per-key ``version`` counter, and ``is_current`` — the standard
+    warehouse structure for "what was this entity's value at time T"
+    (answerable with ``valid_from <= T AND (valid_to IS NULL OR T <
+    valid_to)``).
+
+    ONE key-partitioned shuffle: the change-point filter (``lag`` over
+    (ts, tiebreak) order) and the interval builder (``lead`` +
+    ``row_number`` over the filtered rows) use the SAME partitioning and
+    sort order, so Catalyst plans a single window exchange and the filter
+    runs between the two window stages without re-shuffling (pinned in
+    tests/test_plans.py). Per-key window width is bounded by that
+    entity's own change count — the same per-key envelope every
+    sessionizer assumes; entity keys are many and fine-grained, so the
+    shuffle spreads. NULL timestamps are excluded (unorderable); the
+    tiebreak column makes the order total and both engines deterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+    )
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
     )

@@ -119,3 +119,35 @@ def incremental_dedup(
         )
         .drop("_seen_digest", "_digest", "_win_id", "_is_win")
     )
+
+
+def apply_delta(
+    snapshot: DataFrame,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """MERGE a change feed into a snapshot: rows whose id appears in
+    ``upserts`` are replaced, ids in ``deletes`` are dropped, new upsert
+    ids are inserted — the inverse of :func:`corpus_delta`, closing the
+    maintenance loop (diff yesterday/today -> apply the feed to the
+    warehouse copy). ``upserts`` must carry the snapshot's columns;
+    ``deletes`` needs only the id.
+
+    Scale: a daily feed is orders of magnitude smaller than the corpus,
+    so by default the victim-id set (upsert ∪ delete ids, deduped — it is
+    the SMALL side) BROADCASTS and the snapshot streams through a
+    broadcast LEFT ANTI join with ZERO shuffle of corpus rows — the plan
+    a MERGE INTO on a 100 TB table must have. Set
+    ``broadcast_changes=False`` for a backfill-sized feed; the anti join
+    then shuffles both sides on the id and AQE handles skew.
+    """
+    victims = (
+        upserts.select(F.col(id_col))
+        .unionByName(deletes.select(F.col(id_col)))
+        .distinct()
+    )
+    if broadcast_changes:
+        victims = F.broadcast(victims)
+    return snapshot.join(victims, id_col, "left_anti").unionByName(upserts)

@@ -56,10 +56,8 @@ DRIVER_WINDOW = [
     "q_array_fns",
     "q_join_inner_equi",
     "q_join_left_outer",
-    "q_join_anti",
     "q_agg_collect_set",
     "q_agg_rollup",
-    "q_agg_pivot",
     "q_agg_approx_count_distinct",
     "q_sort_multi_key",
     "q_win_lag_lead",
@@ -92,6 +90,8 @@ DRIVER_WINDOW = [
     "q_events_funnel",      # new: strict-order conversion funnel
     "q_retention_cohorts",  # new: day-cohort retention matrix
     "q_bm25_topk",          # new: Okapi BM25 lexical top-k
+    "q_scd2_history",       # new: type-2 SCD validity intervals
+    "q_apply_delta",        # new: MERGE change feed into snapshot
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -162,6 +162,8 @@ TAIL_PRIORITY = [
     "q_union_distinct",       # set-op family: q_union_all is r05-green
     "q_sample_fixed_k",       # sampling family: q_sample_split r05-green + stratified in-window
     "q_multimodal_metadata",  # multimodal family: frame_sample r05-green + dedup in-window
+    "q_join_anti",            # semi/anti family: q_join_semi is r05-green
+    "q_agg_pivot",            # grouping family: grouping_sets r05-green + rollup in-window
 ]
 
 

@@ -127,3 +127,51 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with an id tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, BM25_TERMS, k=10)
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE ts IS NOT NULL
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("events", "analytics", "scd", "ext"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (north star `scd2_history`): the event
+    log's per-user attribute stream collapsed into validity intervals
+    (valid_from/valid_to, version, is_current) — the warehouse structure
+    for as-at queries. One user-keyed window exchange: the change-point
+    lag filter and the lead/row_number interval builder share partitioning
+    and sort order (plan-pinned). Timestamps emit as seconds-resolution
+    strings (q_dedup_first_event precedent); the (ts, event_id) tiebreak
+    makes both engines' orders total and identical."""
+    from ..operators.analytics import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    out = scd2_history(events)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "user_id",
+        "value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version",
+        "is_current",
+    )

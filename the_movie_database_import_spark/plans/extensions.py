@@ -1288,6 +1288,70 @@ def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_delta(old, new)
 
 
+def _apply_delta_oracle() -> str:
+    from ..operators.sampling import hex_threshold
+
+    t10, t90 = hex_threshold(0.1), hex_threshold(0.9)
+    bucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    return f"""
+    WITH old AS (
+        SELECT doc_id, text FROM documents WHERE {bucket} < '{t90}'
+    ),
+    ups AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents
+        WHERE {bucket} >= '{t90}' OR (doc_id % 31 = 0 AND {bucket} >= '{t10}')
+    ),
+    dels AS (
+        SELECT doc_id FROM documents WHERE {bucket} < '{t10}'
+    ),
+    victims AS (
+        SELECT doc_id FROM ups UNION SELECT doc_id FROM dels
+    )
+    SELECT doc_id, text FROM old
+    WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+    UNION ALL
+    SELECT doc_id, text FROM ups
+    """
+
+
+@register(
+    "q_apply_delta",
+    oracle=_apply_delta_oracle(),
+    tags=("delta", "ext"),
+)
+def q_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a change feed into a snapshot (north star `apply_delta`, the
+    inverse of `corpus_delta`): yesterday's snapshot plus today's
+    upserts + deletes reconstructs today's snapshot. The scenario reuses
+    q_corpus_delta's synthesized snapshots (old = bucket < 0.9; feed =
+    inserts at bucket >= 0.9, edits on every 31st doc, deletes below
+    bucket 0.1), so the output is exactly the 'new' snapshot both engines
+    can independently derive — tests/test_extensions.py pins that
+    round-trip identity. Scale: the victim-id set BROADCASTS, so the
+    snapshot streams through a broadcast LEFT ANTI join with zero shuffle
+    of corpus rows — the physical plan a MERGE INTO on a 100 TB table
+    needs (pinned in tests/test_plans.py)."""
+    from ..operators.delta import apply_delta
+    from ..operators.sampling import hash_bucket, hex_threshold
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    t10, t90 = F.lit(hex_threshold(0.1)), F.lit(hex_threshold(0.9))
+    old = docs.filter(bucket < t90).select("doc_id", "text")
+    ups = docs.filter(
+        (bucket >= t90) | ((F.col("doc_id") % 31 == 0) & (bucket >= t10))
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    dels = docs.filter(bucket < t10).select("doc_id")
+    return apply_delta(old, ups, dels)
+
+
 def _incremental_dedup_oracle() -> str:
     from ..operators.sampling import hex_threshold
 

@@ -32,6 +32,11 @@ QUERIES = [
     "q_multimodal_dedup",
     "q_sql_shared_window",
     "q_training_order",
+    "q_events_funnel",
+    "q_retention_cohorts",
+    "q_bm25_topk",
+    "q_scd2_history",
+    "q_apply_delta",
     "q_pipeline_end_to_end",
 ]
 

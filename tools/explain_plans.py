@@ -91,6 +91,30 @@ SHOWCASES = [
         "run once); redaction/scoring/langid/split/chunking all fuse "
         "scan-side; zero Python stages.",
     ),
+    (
+        "q_events_funnel",
+        "Strict-order conversion funnel: ONE user-keyed exchange (the "
+        "collect_list aggregate); the stage walk is an in-row array_sort + "
+        "aggregate fold — no per-stage self-joins of the event log; the "
+        "final stage census aggregates one int per user and broadcasts "
+        "against a literal stage table.",
+    ),
+    (
+        "q_bm25_topk",
+        "BM25 lexical top-k: per-term tfs are conditional aggregate columns "
+        "of the SAME exchange that counts document length (one corpus "
+        "shuffle); the per-doc frame is cached once and read by both the "
+        "stats scalar and the scoring pass (two InMemoryTableScans); the "
+        "one-row corpus stats broadcast back; top-k is "
+        "TakeOrderedAndProject, never a global sort.",
+    ),
+    (
+        "q_apply_delta",
+        "MERGE a change feed into a snapshot: the victim-id set (upsert + "
+        "delete ids, deduped) BROADCASTS, so the snapshot streams through a "
+        "broadcast LEFT ANTI join and corpus rows never hit an exchange — "
+        "daily maintenance of a 100 TB table moves only the feed.",
+    ),
 ]
 
 
