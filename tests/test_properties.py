@@ -481,3 +481,95 @@ def test_shuffle_shards_matches_python_model(spark, ids, n_shards):
         for pos, i in enumerate(sorted(members, key=lambda x: (digest(x), x)), 1):
             model.append((i, shard, pos))
     assert got == sorted(model)
+
+
+# --- event-sequence analytics vs pure-Python models (random tiny logs) ---
+
+_event_logs = st.lists(
+    st.tuples(
+        st.integers(1, 4),                       # user_id
+        st.integers(0, 20),                      # ts seconds offset (collisions likely)
+        st.sampled_from(["view", "click", "purchase", "noise"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _events_df(spark, rows):
+    import datetime
+
+    data = [
+        (u, datetime.datetime(2024, 1, 1, 0, 0, s), et, i)
+        for i, (u, s, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+
+
+@SETTINGS
+@given(rows=_event_logs)
+def test_funnel_matches_model_on_random_logs(spark, rows):
+    """Random tiny logs with heavy ts collisions and noise types: the
+    Spark in-row fold must equal the greedy-earliest Python model,
+    including zero-count stages and strict-> ties (ties sort by type name
+    in both)."""
+    from the_movie_database_import_spark.operators.analytics import funnel_counts
+
+    stages = ["view", "click", "purchase"]
+    reached_per_user: dict = {}
+    by_user: dict = {}
+    for u, s, et in rows:
+        by_user.setdefault(u, []).append((s, et))
+    for u, evs in by_user.items():
+        reached, last = 0, None
+        for s, et in sorted(evs):
+            if reached < 3 and et == stages[reached] and (reached == 0 or s > last):
+                reached, last = reached + 1, s
+        reached_per_user[u] = reached
+    expected = {
+        k: sum(1 for r in reached_per_user.values() if r >= k) for k in (1, 2, 3)
+    }
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in funnel_counts(_events_df(spark, rows), stages).collect()
+    }
+    assert got == expected
+
+
+@SETTINGS
+@given(rows=_event_logs)
+def test_scd2_matches_model_on_random_logs(spark, rows):
+    """Random tiny logs: SCD2 runs must equal the Python run-length model
+    under the same (ts, event_id) total order — versions contiguous,
+    intervals chained, one current row per key."""
+    from the_movie_database_import_spark.operators.analytics import scd2_history
+
+    by_user: dict = {}
+    for i, (u, s, et) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i, et))
+    expected = []
+    for u, evs in by_user.items():
+        evs.sort()
+        runs = [
+            (s, et)
+            for j, (s, _i, et) in enumerate(evs)
+            if j == 0 or et != evs[j - 1][2]
+        ]
+        for v, (s, et) in enumerate(runs):
+            to = runs[v + 1][0] if v + 1 < len(runs) else None
+            expected.append((u, et, s, to, v + 1, to is None))
+    got = [
+        (
+            r["user_id"],
+            r["value"],
+            r["valid_from"].second + r["valid_from"].minute * 60,
+            None if r["valid_to"] is None
+            else r["valid_to"].second + r["valid_to"].minute * 60,
+            r["version"],
+            r["is_current"],
+        )
+        for r in scd2_history(_events_df(spark, rows)).collect()
+    ]
+    assert sorted(got) == sorted(expected)

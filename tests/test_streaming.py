@@ -433,3 +433,58 @@ def test_stream_incremental_dedup_state_survives_restart(spark, tmp_path):
     run()  # restart from the same checkpoint: state must remember novel-a
     rows = [(r.doc_id, r.text) for r in spark.read.parquet(out).collect()]
     assert sorted(rows) == [(1, "novel-a"), (4, "novel-b")], rows
+
+
+def test_stream_funnel_time_ordered_replay_matches_batch(spark, tmp_path):
+    """Incremental stateful funnel: replay the event log as 4 time-range
+    micro-batches (the per-user ordered arrival the one-pass fold
+    requires) and assert the final per-user progress aggregates to EXACTLY
+    the batch funnel's stage census, with users advancing across multiple
+    micro-batches along the way."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.analytics import funnel_counts
+    from the_movie_database_import_spark.plans.analytics import FUNNEL_STAGES
+    from the_movie_database_import_spark.streaming import stream_funnel
+    from the_movie_database_import_spark.streaming.windows import _events_raw_schema
+
+    ev = load_table(spark, SF_DIR, "events")
+    quart = ev.withColumn(
+        "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    src = str(tmp_path / "events_by_time")
+    os.makedirs(src)
+    for i in range(1, 5):  # sequential writes -> increasing mtimes -> replay order
+        stage_dir = str(tmp_path / f"q{i}")
+        quart.filter(F.col("_q") == i).drop("_q").coalesce(1).write.parquet(stage_dir)
+        part = glob.glob(stage_dir + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, f"{i:03d}.parquet"))
+        time.sleep(0.05)
+
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long=False))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_memory(
+        stream_funnel(raw, FUNNEL_STAGES), "t_funnel", "update"
+    ).toPandas()
+    assert (out.groupby("user_id").size() > 1).any(), (
+        "expected multiple emissions per user across micro-batches"
+    )
+    final = out.sort_values("reached").groupby("user_id", as_index=False).last()
+    census = {
+        k: int((final["reached"] >= k).sum())
+        for k in range(1, len(FUNNEL_STAGES) + 1)
+    }
+    batch = {
+        r["stage_idx"]: r["n_users"]
+        for r in funnel_counts(_batch_events(spark), FUNNEL_STAGES).collect()
+    }
+    assert census == batch

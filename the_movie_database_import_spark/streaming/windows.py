@@ -366,3 +366,69 @@ def stream_incremental_dedup(
     seen = seen_digests.select(F.col(digest_col))
     fresh = base.join(seen, [digest_col], "left_anti")
     return fresh.dropDuplicates([digest_col])
+
+
+def stream_funnel(
+    events: DataFrame,
+    stages,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incremental strict-order conversion funnel ([ext] streaming twin of
+    ``operators/analytics.funnel_counts``): per-user funnel progress
+    maintained in explicit ``applyInPandasWithState`` state across
+    micro-batches — the real-time form of the batch fold, emitting each
+    user's NEW ``reached`` count whenever their batch slice advances it.
+    A live dashboard gets stage counts by aggregating the latest emission
+    per user.
+
+    State per key is two longs (reached, last event-time as int64), so
+    state size is O(users), independent of event volume. Within a batch
+    the user's events are sorted by (ts, type) and folded exactly like the
+    batch operator (greedy-earliest; strict ts increase between stages).
+
+    ORDERED-ARRIVAL REQUIREMENT: a one-pass stateful funnel cannot rewind
+    — if a micro-batch delivers an event EARLIER than a stage the state
+    already consumed, that event is (correctly, for a stream) ignored.
+    Cross-batch parity with the batch fold therefore holds when per-user
+    arrival respects event time (time-partitioned replay, a log-compacted
+    topic, or any source with per-key ordering). tests/test_streaming.py
+    replays time-range-split files in order and asserts the final stage
+    census equals ``funnel_counts`` on the full log.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stages = list(stages)
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"funnel stages must be distinct, got {stages}")
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("reached", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("reached", LongType()), StructField("last_t", LongType())]
+    )
+    sentinel = -(2**63)
+
+    def update(key, pdfs, state: GroupState):
+        reached, last_t = state.get if state.exists else (0, sentinel)
+        for pdf in pdfs:
+            pdf = pdf[pdf[type_col].isin(stages) & pdf[ts_col].notna()]
+            if not len(pdf):
+                continue
+            evs = sorted(zip(pdf[ts_col].astype("int64"), pdf[type_col]))
+            for t, et in evs:
+                if (
+                    reached < len(stages)
+                    and et == stages[reached]
+                    and (reached == 0 or t > last_t)
+                ):
+                    reached, last_t = reached + 1, int(t)
+        state.update((reached, last_t))
+        yield pd.DataFrame({"user_id": [key[0]], "reached": [reached]})
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
