@@ -318,3 +318,80 @@ def test_scd2_interval_invariants(spark):
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"], (user, a, b)
             assert a["value"] != b["value"], "consecutive runs must differ"
+
+
+# --------------------------------------------------------------- quality
+
+
+def test_audit_counts_violations_and_passes(spark):
+    from the_movie_database_import_spark.operators.quality import (
+        audit,
+        check_accepted_values,
+        check_not_null,
+        check_range,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (1, 99, "A"), (2, None, "X"), (None, 5, "N")],
+        "k long, v long, f string",
+    )
+    rows = {
+        r["check_name"]: (r["violations"], r["total"], r["passed"])
+        for r in audit(
+            df,
+            [
+                check_not_null("k"),
+                check_range("v", 1, 50),
+                check_accepted_values("f", ["A", "N"]),
+            ],
+            unique_keys=[["k"]],
+        ).collect()
+    }
+    assert rows == {
+        "not_null(k)": (1, 4, False),
+        "range(v,1,50)": (2, 4, False),  # 99 out of range + NULL
+        "accepted_values(f,[A,N])": (1, 4, False),
+        "unique(k)": (1, 4, False),  # k=1 twice (NULL counts as a value)
+    }
+
+
+def test_audit_empty_input_passes_everything(spark):
+    from the_movie_database_import_spark.operators.quality import (
+        audit,
+        check_not_null,
+    )
+
+    df = spark.createDataFrame([], "k long")
+    rows = audit(df, [check_not_null("k")], unique_keys=[["k"]]).collect()
+    assert [(r["violations"], r["total"], r["passed"]) for r in rows] == [
+        (0, 0, True),
+        (0, 0, True),
+    ]
+
+
+def test_scd2_as_at_returns_one_value_per_key(spark):
+    """as_at over the SCD2 history: at any probed instant, at most one
+    interval covers each user, and the value agrees with a direct replay
+    of the log up to that instant."""
+    import datetime
+
+    from the_movie_database_import_spark.operators.analytics import (
+        as_at,
+        scd2_history,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = scd2_history(events)
+    probe = datetime.datetime(2024, 1, 15, 12, 0, 0)
+    snap = as_at(hist, probe).collect()
+    per_user = {}
+    for r in snap:
+        assert r["user_id"] not in per_user, "overlapping intervals"
+        per_user[r["user_id"]] = r["value"]
+    # replay model: last change-point value at or before the probe
+    rows = events.filter(F.col("ts") <= F.lit(probe)).orderBy("ts", "event_id").collect()
+    last: dict = {}
+    for r in rows:
+        last[r["user_id"]] = r["event_type"]
+    assert per_user == last

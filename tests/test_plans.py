@@ -490,3 +490,19 @@ def test_apply_delta_broadcasts_victims_no_snapshot_shuffle(spark):
     groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
     assert all(g.startswith("doc_id") for g in groups) and len(groups) <= 2, groups
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_audit_single_scan_no_driver_loop(spark):
+    """The audit must evaluate every check in one scan: predicate checks
+    are conditional sums in one global aggregate, the uniqueness check
+    rides the same scan as an Expand-based distinct — never one job per
+    check, never a driver-side loop, no Python stages."""
+    plan = _plan(spark, "q_data_quality_audit")
+    assert plan.count("Scan parquet") == 1, "all checks must share one scan"
+    # the count-distinct rides the same scan as a pre-grouped partial agg
+    # (map-side dedup on the key struct), then one SinglePartition merge —
+    # two exchanges total, and the second moves one row per partition
+    assert plan.count("Exchange") == 2 and "SinglePartition" in plan
+    assert "CollectLimit" not in plan
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan

@@ -204,3 +204,16 @@ def scd2_history(
         F.row_number().over(w).cast("long").alias("version"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def as_at(history: DataFrame, at, ts_fmt: str | None = None) -> DataFrame:
+    """Point-in-time view over an SCD2 history (:func:`scd2_history`
+    output): the rows whose validity interval covers ``at`` —
+    ``valid_from <= at AND (valid_to IS NULL OR at < valid_to)``. A pure
+    scan-side filter (zero shuffle); at most one row per key by the
+    non-overlapping-interval invariant (tested)."""
+    at_lit = F.lit(at) if ts_fmt is None else F.to_timestamp(F.lit(at), ts_fmt)
+    return history.filter(
+        (F.col("valid_from") <= at_lit)
+        & (F.col("valid_to").isNull() | (at_lit < F.col("valid_to")))
+    )

@@ -65,7 +65,6 @@ DRIVER_WINDOW = [
     "q_intersect",
     "q_except",
     "q_surrogate_keys",
-    "q_window_sliding",
     "q_sample_stratified",
     "q_text_repetition",
     "q_join_salted_skew",
@@ -92,6 +91,7 @@ DRIVER_WINDOW = [
     "q_bm25_topk",          # new: Okapi BM25 lexical top-k
     "q_scd2_history",       # new: type-2 SCD validity intervals
     "q_apply_delta",        # new: MERGE change feed into snapshot
+    "q_data_quality_audit", # new: Deequ-style one-pass constraint audit
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -164,6 +164,7 @@ TAIL_PRIORITY = [
     "q_multimodal_metadata",  # multimodal family: frame_sample r05-green + dedup in-window
     "q_join_anti",            # semi/anti family: q_join_semi is r05-green
     "q_agg_pivot",            # grouping family: grouping_sets r05-green + rollup in-window
+    "q_window_sliding",       # streaming-twin family: tumbling/session/watermark r05-green
 ]
 
 

@@ -175,3 +175,68 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "is_current",
     )
+
+
+@register(
+    "q_data_quality_audit",
+    oracle="""
+    WITH one AS (
+        SELECT COUNT(*) AS total,
+          SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+          SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                     OR l_quantity > 50 THEN 1 ELSE 0 END) AS v1,
+          SUM(CASE WHEN l_extendedprice IS NULL
+                     OR l_extendedprice < 0 THEN 1 ELSE 0 END) AS v2,
+          SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+                     OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v3,
+          SUM(CASE WHEN l_returnflag IS NULL
+                     OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v4,
+          COUNT(DISTINCT (l_orderkey, l_linenumber)) AS u0
+        FROM lineitem
+    )
+    SELECT 'not_null(l_orderkey)' AS check_name, CAST(v0 AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total, v0 = 0 AS passed FROM one
+    UNION ALL SELECT 'range(l_quantity,1,50)', CAST(v1 AS BIGINT),
+           CAST(total AS BIGINT), v1 = 0 FROM one
+    UNION ALL SELECT 'non_negative(l_extendedprice)', CAST(v2 AS BIGINT),
+           CAST(total AS BIGINT), v2 = 0 FROM one
+    UNION ALL SELECT 'range(l_discount,0,0.1)', CAST(v3 AS BIGINT),
+           CAST(total AS BIGINT), v3 = 0 FROM one
+    UNION ALL SELECT 'accepted_values(l_returnflag,[A,N,R])', CAST(v4 AS BIGINT),
+           CAST(total AS BIGINT), v4 = 0 FROM one
+    UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST(total - u0 AS BIGINT), CAST(total AS BIGINT), total - u0 = 0
+    FROM one
+    """,
+    tags=("quality", "audit", "ext"),
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over lineitem (north star
+    `data_quality_audit`): five predicate constraints plus a composite-key
+    uniqueness check evaluated Deequ-style in one pass — the load gate the
+    reference delegates to PostgreSQL FK triggers (`loader.py:67-78`),
+    generalized engine-side. All predicate checks share ONE global
+    aggregate (conditional sums, no shuffle of data rows); the uniqueness
+    check rides the same aggregate as a count-distinct; the 6-row report
+    explodes in-row from the one-row aggregate — nothing collects to the
+    driver (plan-pinned in tests/test_plans.py)."""
+    from ..operators.quality import (
+        audit,
+        check_accepted_values,
+        check_non_negative,
+        check_not_null,
+        check_range,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return audit(
+        li,
+        [
+            check_not_null("l_orderkey"),
+            check_range("l_quantity", 1, 50),
+            check_non_negative("l_extendedprice"),
+            check_range("l_discount", 0, 0.1),
+            check_accepted_values("l_returnflag", ["A", "N", "R"]),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+    )

@@ -37,6 +37,7 @@ QUERIES = [
     "q_bm25_topk",
     "q_scd2_history",
     "q_apply_delta",
+    "q_data_quality_audit",
     "q_pipeline_end_to_end",
 ]
 
