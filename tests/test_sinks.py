@@ -109,3 +109,54 @@ def test_training_shards_sink_layout_order_and_determinism(spark, tmp_path):
     a = spark.read.parquet(out).select("shard", "pos", "doc_id").collect()
     b = spark.read.parquet(out2).select("shard", "pos", "doc_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_zordered_layout_prunes_multi_dim(spark, tmp_path):
+    """Z-order vs single-column sort at row-group granularity: a selective
+    box on the SECOND dimension must let the z-ordered layout skip row
+    groups the single-column sort cannot (its suppkey min/max spans
+    everything), and the two-dimension box must prune on both layouts.
+    Uses the same footer-stats overlap rule Spark's parquet reader applies
+    per row group (via tools/zorder_showcase.py's measurement helper)."""
+    import importlib.util
+    import os
+
+    from the_movie_database_import_spark.sources.writers import write_zordered
+
+    spec = importlib.util.spec_from_file_location(
+        "zorder_showcase",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools",
+                     "zorder_showcase.py"),
+    )
+    zs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(zs)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    sk_hi = li.agg(F.max("l_suppkey")).first()[0]
+    box = {"l_suppkey": (0.45 * sk_hi, 0.55 * sk_hi)}
+
+    sorted_p = str(tmp_path / "sorted_pk")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.option("parquet.block.size", str(64 * 1024))
+        .parquet(sorted_p)
+    )
+    z_p = str(tmp_path / "zordered")
+    write_zordered(
+        li, z_p, ["l_partkey", "l_suppkey"], n_files=8,
+        parquet_block_bytes=64 * 1024,
+    )
+
+    f_sorted = zs.overlap_fraction(sorted_p, box)
+    f_z = zs.overlap_fraction(z_p, box)
+    assert f_sorted > 0.9, f_sorted  # single-col sort cannot prune dim 2
+    assert f_z < 0.6 * f_sorted, (f_z, f_sorted)
+
+    # round-trip integrity: same rows come back, no helper columns leak
+    back = spark.read.parquet(z_p)
+    assert sorted(back.columns) == sorted(li.columns)
+    assert back.count() == li.count()
+    a = back.agg(F.sum("l_extendedprice")).first()[0]
+    b = li.agg(F.sum("l_extendedprice")).first()[0]
+    assert abs(a - b) < 1e-6

@@ -290,3 +290,94 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def zorder_value(bucket_cols, bits_per_col: int = 8):
+    """Morton (Z-order) interleave of per-column bucket ids — bit i of each
+    bucket id lands at bit ``i * n_cols + col_index`` of the combined
+    value, so files sorted by it stay clustered in EVERY participating
+    dimension at once. Pure JVM bit arithmetic (shiftleft / bitwise and),
+    whole-stage-codegen."""
+    from pyspark.sql import functions as F
+
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(bucket_cols):
+        for bit in range(bits_per_col):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * n + ci,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    *,
+    n_files: int = 16,
+    bits_per_col: int = 8,
+    mode: str = "overwrite",
+    parquet_block_bytes: int | None = None,
+) -> None:
+    """Z-ordered parquet sink ([ext] 100 TB posture): cluster the layout on
+    a Morton interleave of the z-order columns so parquet row-group
+    min/max statistics prune MULTI-dimensional predicates — the Delta
+    Lake / Iceberg `OPTIMIZE ZORDER BY` technique, built from Spark
+    primitives.
+
+    A single-column sort gives perfect pruning on that column and none on
+    any other; the Z-curve trades a little per-column locality for
+    locality in EVERY listed column, so a selective filter on ANY of them
+    (or a box on several) skips most row groups storage-side.
+    `tools/zorder_showcase.py` measures the effect and
+    tests/test_sinks.py pins it structurally.
+
+    Scale shape: per-column equal-width bucket ids come from one tiny
+    min/max aggregate (2 scalars per column, broadcast back in-plan via a
+    one-row crossJoin — the corpus never moves for statistics);
+    `repartitionByRange` on the z-value range-samples exactly like any
+    global sort (one shuffle, the same cost bucketing pays once at
+    ingest); files are written sorted within range so row groups get
+    tight min/max bounds."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[
+            a
+            for c in zorder_by
+            for a in (
+                F.min(c).cast("double").alias(f"_min_{c}"),
+                F.max(c).cast("double").alias(f"_max_{c}"),
+            )
+        ]
+    )
+    n_buckets = (1 << bits_per_col) - 1
+    with_stats = df.crossJoin(F.broadcast(stats))
+    buckets = []
+    for c in zorder_by:
+        lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        frac = (F.col(c).cast("double") - lo) / span
+        buckets.append(
+            F.least(
+                F.lit(n_buckets),
+                F.greatest(F.lit(0), F.floor(frac * n_buckets).cast("long")),
+            )
+        )
+    zval = zorder_value(buckets, bits_per_col)
+    writer = (
+        with_stats.withColumn("_z", zval)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_min_{c}" for c in zorder_by], *[f"_max_{c}" for c in zorder_by])
+        .write.mode(mode)
+    )
+    if parquet_block_bytes is not None:
+        # smaller row groups = finer min/max pruning granularity; a 100 TB
+        # table has thousands of row groups regardless of this knob
+        writer = writer.option("parquet.block.size", str(parquet_block_bytes))
+    writer.parquet(path)
