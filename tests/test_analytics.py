@@ -395,3 +395,97 @@ def test_scd2_as_at_returns_one_value_per_key(spark):
     for r in rows:
         last[r["user_id"]] = r["event_type"]
     assert per_user == last
+
+
+# ----------------------------------------------------------- weighted k
+
+
+def _python_weighted_keys(sf):
+    """Independent model of the A-ES key (same md5-uniform + pow + grid)."""
+    import hashlib
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '/root/testdata/{sf}/documents.parquet' "
+        "WHERE n_chars > 0"
+    ).fetchall()
+    out = {}
+    for doc_id, w in rows:
+        h = hashlib.md5(f"wk:{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 4294967296.0
+        out[doc_id] = (math.floor(1e9 * (u ** (1.0 / w))), w)
+    return out
+
+
+def test_weighted_sample_matches_python_model(spark):
+    from the_movie_database_import_spark.operators.sampling import sample_weighted_k
+
+    sf = SF_DIR.rstrip("/").rsplit("/", 1)[1]
+    model = _python_weighted_keys(sf)
+    expected = sorted(((-q, i) for i, (q, _w) in model.items()))[:50]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [
+        (-r["wkey_q"], r["doc_id"])
+        for r in sample_weighted_k(docs, 50, F.col("n_chars"), F.col("doc_id"))
+        .orderBy(F.col("wkey_q").desc(), "doc_id")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity: with weights 1000 vs 1 on two equal halves, the
+    heavy half must take the overwhelming share of a half-sized sample."""
+    from the_movie_database_import_spark.operators.sampling import sample_weighted_k
+
+    df = spark.range(400).select(
+        F.col("id"),
+        F.when(F.col("id") < 200, F.lit(1000)).otherwise(F.lit(1)).alias("w"),
+    )
+    picked = sample_weighted_k(df, 200, F.col("w"), F.col("id")).collect()
+    heavy = sum(1 for r in picked if r["id"] < 200)
+    assert heavy >= 190, heavy
+    # zero/negative weights never selected
+    df2 = df.withColumn("w", F.when(F.col("id") < 200, F.lit(0)).otherwise(F.lit(1)))
+    picked2 = sample_weighted_k(df2, 100, F.col("w"), F.col("id")).collect()
+    assert all(r["id"] >= 200 for r in picked2)
+
+
+def test_weighted_sample_partition_invariant(spark):
+    from the_movie_database_import_spark.operators.sampling import sample_weighted_k
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = [
+        r["doc_id"]
+        for r in sample_weighted_k(docs, 25, F.col("n_chars"), F.col("doc_id"))
+        .orderBy("doc_id").collect()
+    ]
+    b = [
+        r["doc_id"]
+        for r in sample_weighted_k(
+            docs.repartition(13), 25, F.col("n_chars"), F.col("doc_id")
+        ).orderBy("doc_id").collect()
+    ]
+    assert a == b and len(a) == 25
+
+
+def test_weighted_sample_grid_safety():
+    """pow is the one cross-engine-soft primitive in the A-ES key: a
+    few-ulp disagreement on the base key (~1e-16 relative) scales to
+    ~3e-7 absolute on the 1e9 grid. Verify every realized key at every SF
+    keeps a >100x margin (1e-5) to its floor boundary."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        keys = _python_weighted_keys(sf)
+        import hashlib
+
+        worst = 1.0
+        rows = duckdb.sql(
+            f"SELECT doc_id, n_chars FROM '/root/testdata/{sf}/documents.parquet' "
+            "WHERE n_chars > 0"
+        ).fetchall()
+        for doc_id, w in rows:
+            h = hashlib.md5(f"wk:{doc_id}".encode()).hexdigest()[:8]
+            u = (int(h, 16) + 0.5) / 4294967296.0
+            v = 1e9 * (u ** (1.0 / w))
+            worst = min(worst, abs(v - round(v)) / 1.0)
+        assert worst > 1e-5, (sf, worst)
+        assert keys

@@ -190,3 +190,49 @@ def split_case_sql(key_sql: str, splits: dict[str, float], otherwise: str | None
     ]
     tail = "NULL" if otherwise is None else q(otherwise)
     return "CASE " + " ".join(arms) + f" ELSE {tail} END"
+
+
+def weighted_sample_key(
+    key: Column, weight: Column, salt: str = "wk", grid: float = 1e9
+) -> Column:
+    """Efraimidis–Spirakis A-ES sampling key, grid-quantized: rank rows by
+    ``u^(1/w)`` (u = the row's salted md5 uniform) and the top-k are a
+    weighted sample WITHOUT replacement — selection probability
+    proportional to weight, deterministic in the key, one expression on
+    the scan. The salt decorrelates this draw from every other
+    hash-sampling use of the same key.
+
+    ``pow`` is the one primitive here without a cross-engine bit-exactness
+    guarantee (Java Math.pow vs libm may differ in the last ulps), so the
+    key is floor-quantized onto a 1e9 integer grid before ranking — the
+    unigram-NLL/BM25 discipline; realized-value margins are pinned at
+    every SF by tests/test_analytics.py::test_weighted_sample_grid_safety,
+    and ranking ties on the grid break by the row key.
+    """
+    bucket = F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string"))).substr(1, 8)
+    u = (F.conv(bucket, 16, 10).cast("long") + F.lit(0.5)) / F.lit(float(HASH_SPACE))
+    return F.floor(F.lit(grid) * F.pow(u, F.lit(1.0) / weight.cast("double"))).cast(
+        "long"
+    )
+
+
+def sample_weighted_k(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key: Column,
+    salt: str = "wk",
+) -> DataFrame:
+    """Top-``k`` weighted sample without replacement (A-ES): deterministic,
+    partition-independent, and idempotent like every sampler in this
+    module — the weighted counterpart of ``sample_fixed_k`` (e.g. draw an
+    eval set biased toward long or high-quality documents). Rows with
+    non-positive or NULL weight are excluded (they have probability 0).
+    Runs as TakeOrderedAndProject on a scan-side expression — per-partition
+    heaps, no shuffle, no global sort."""
+    return (
+        df.filter(weight > 0)
+        .withColumn("wkey_q", weighted_sample_key(key, weight, salt))
+        .orderBy(F.col("wkey_q").desc(), key)
+        .limit(k)
+    )

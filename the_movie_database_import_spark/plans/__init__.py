@@ -63,7 +63,6 @@ DRIVER_WINDOW = [
     "q_win_lag_lead",
     "q_win_ntile_pctrank",
     "q_intersect",
-    "q_except",
     "q_surrogate_keys",
     "q_sample_stratified",
     "q_text_repetition",
@@ -92,6 +91,7 @@ DRIVER_WINDOW = [
     "q_scd2_history",       # new: type-2 SCD validity intervals
     "q_apply_delta",        # new: MERGE change feed into snapshot
     "q_data_quality_audit", # new: Deequ-style one-pass constraint audit
+    "q_sample_weighted_k",  # new: A-ES weighted sample without replacement
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -165,6 +165,7 @@ TAIL_PRIORITY = [
     "q_join_anti",            # semi/anti family: q_join_semi is r05-green
     "q_agg_pivot",            # grouping family: grouping_sets r05-green + rollup in-window
     "q_window_sliding",       # streaming-twin family: tumbling/session/watermark r05-green
+    "q_except",               # set-op family: q_intersect stays in-window
 ]
 
 

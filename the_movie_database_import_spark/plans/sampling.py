@@ -375,3 +375,39 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(mixed, n_shards=8, key=key).select(
         "doc_id", "lang", "epoch", "shard", "pos"
     )
+
+
+@register(
+    "q_sample_weighted_k",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(floor(1e9 * pow(
+               (('0x' || substr(md5('wk:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0,
+               1.0 / n_chars)) AS BIGINT) AS wkey_q
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY wkey_q DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("sampling", "ext"),
+)
+def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted top-k sample without replacement (north star
+    `sample_weighted_k`, Efraimidis–Spirakis A-ES): 50 documents drawn
+    with probability proportional to length — the weighted counterpart of
+    the fixed-k eval draw, for curation passes that bias toward long or
+    high-quality docs. Deterministic in (salt, doc_id), so re-runs and
+    backfills agree; the ranking key is grid-quantized (pow is the one
+    primitive without a cross-engine bit guarantee — see
+    operators/sampling.weighted_sample_key) and runs as
+    TakeOrderedAndProject on a scan-side expression."""
+    from ..operators.sampling import sample_weighted_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_weighted_k(
+        docs.select("doc_id", F.col("n_chars").alias("weight")),
+        50,
+        F.col("weight"),
+        F.col("doc_id"),
+    ).select("doc_id", "weight", "wkey_q")

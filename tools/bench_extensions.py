@@ -38,6 +38,7 @@ QUERIES = [
     "q_scd2_history",
     "q_apply_delta",
     "q_data_quality_audit",
+    "q_sample_weighted_k",
     "q_pipeline_end_to_end",
 ]
 
