@@ -115,6 +115,15 @@ SHOWCASES = [
         "broadcast LEFT ANTI join and corpus rows never hit an exchange — "
         "daily maintenance of a 100 TB table moves only the feed.",
     ),
+    (
+        "q_data_quality_audit",
+        "Declarative constraint audit: five predicate checks as conditional "
+        "sums in ONE global aggregate over one scan; the composite-key "
+        "uniqueness count-distinct rides the same scan as a pre-grouped "
+        "partial aggregate (map-side dedup), and the per-check report "
+        "explodes in-row from the one-row aggregate — never a job per "
+        "check, nothing collected to the driver.",
+    ),
 ]
 
 
