@@ -43,3 +43,23 @@ def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
         )
     )
     assert a == b
+
+
+def test_corpus_cli_audit_gate(spark, tmp_path, capsys):
+    """--audit writes <out>/audit.json over the WRITTEN shards and gates
+    the exit code: the curated pool (deduped, keyed by doc_id) must pass
+    all three checks; the report is the scheduler's load-gate artifact."""
+    from the_movie_database_import_spark.corpus.__main__ import main
+
+    out = str(tmp_path / "curated_audited")
+    rc = main([SF_DIR, "--out", out, "--n-shards", "2", "--audit"])
+    assert rc == 0
+    census = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert census["audit_passed"] is True
+    report = json.load(open(f"{out}/audit.json"))
+    assert {r["check"] for r in report} == {
+        "not_null(doc_id)",
+        "not_null(text)",
+        "unique(doc_id)",
+    }
+    assert all(r["passed"] and r["total"] == census["docs_kept"] for r in report)

@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--quality", type=float, default=0.6)
     parser.add_argument("--langs", default="en,de")
     parser.add_argument("--n-shards", type=int, default=8)
+    parser.add_argument(
+        "--audit",
+        action="store_true",
+        help="run a data-quality audit on the written shards (not-null "
+        "doc_id/text, unique doc_id) and write <out>/audit.json; exit 1 "
+        "if any check fails — the load-gate a scheduler keys on",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -87,20 +94,42 @@ def main(argv: list[str] | None = None) -> int:
     kept = filtered.join(keep_ids, "doc_id")
 
     write_training_shards(kept, f"{args.out}/shards", args.n_shards)
-    n_kept = spark.read.parquet(f"{args.out}/shards").count()
-    release_caches()
-    print(
-        json.dumps(
+    shards = spark.read.parquet(f"{args.out}/shards")
+    n_kept = shards.count()
+
+    audit_ok = True
+    if args.audit:
+        from ..operators.quality import audit, check_not_null
+
+        report = [
             {
-                "docs_in": n_in,
-                "docs_kept": n_kept,
-                "n_shards": args.n_shards,
-                "out": args.out,
-                "seconds": round(time.time() - t0, 2),
+                "check": r["check_name"],
+                "violations": r["violations"],
+                "total": r["total"],
+                "passed": r["passed"],
             }
-        )
-    )
-    return 0
+            for r in audit(
+                shards,
+                [check_not_null("doc_id"), check_not_null("text")],
+                unique_keys=[["doc_id"]],
+            ).collect()
+        ]
+        audit_ok = all(r["passed"] for r in report)
+        with open(f"{args.out}/audit.json", "w") as f:
+            json.dump(report, f, indent=1)
+
+    release_caches()
+    census = {
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "n_shards": args.n_shards,
+        "out": args.out,
+        "seconds": round(time.time() - t0, 2),
+    }
+    if args.audit:
+        census["audit_passed"] = audit_ok
+    print(json.dumps(census))
+    return 0 if audit_ok else 1
 
 
 if __name__ == "__main__":
