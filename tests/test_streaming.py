@@ -488,3 +488,51 @@ def test_stream_funnel_time_ordered_replay_matches_batch(spark, tmp_path):
         for r in funnel_counts(_batch_events(spark), FUNNEL_STAGES).collect()
     }
     assert census == batch
+
+
+def test_stream_funnel_state_survives_restart(spark, tmp_path):
+    """Funnel state (reached, last event time) must persist across a query
+    RESTART via the checkpoint: progress earned before the stop carries
+    forward (user 1's view lets a later click+purchase finish the funnel),
+    and the remembered last-timestamp still rejects an out-of-order event
+    after the restart (user 2's stale purchase). Without recovery, batch 2
+    alone would leave user 1 at 0 and user 2 unchanged at 2."""
+    import datetime
+
+    from the_movie_database_import_spark.streaming import stream_funnel
+    from the_movie_database_import_spark.streaming.windows import run_to_parquet
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        raw = spark.readStream.schema(schema).parquet(src)
+        run_to_parquet(
+            stream_funnel(raw, ["view", "click", "purchase"], output_mode="append"),
+            out,
+            ckpt,
+        )
+
+    write_batch([(1, t(0), "view"), (2, t(0), "view"), (2, t(1), "click")])
+    run()
+    first = {(r.user_id, r.reached) for r in spark.read.parquet(out).collect()}
+    assert first == {(1, 1), (2, 2)}
+
+    # batch 2: user 1 completes IF state recovered; user 2's purchase is
+    # OLDER than the remembered click timestamp -> must not advance
+    write_batch([(1, t(2), "click"), (1, t(3), "purchase"), (2, t(0), "purchase")])
+    run()
+    latest: dict = {}
+    for r in spark.read.parquet(out).collect():
+        latest[r.user_id] = max(latest.get(r.user_id, 0), r.reached)
+    assert latest == {1: 3, 2: 2}, latest

@@ -374,6 +374,7 @@ def stream_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    output_mode: str = "update",
 ) -> DataFrame:
     """Incremental strict-order conversion funnel ([ext] streaming twin of
     ``operators/analytics.funnel_counts``): per-user funnel progress
@@ -396,6 +397,13 @@ def stream_funnel(
     topic, or any source with per-key ordering). tests/test_streaming.py
     replays time-range-split files in order and asserts the final stage
     census equals ``funnel_counts`` on the full log.
+
+    ``output_mode`` is the ``applyInPandasWithState`` operator mode:
+    "update" for dashboard sinks (memory/foreachBatch), "append" when the
+    query feeds an append-only file sink (``run_to_parquet``) — each
+    batch then appends that batch's progress snapshots, and per-key state
+    persists across restarts via the checkpoint
+    (tests/test_streaming.py::test_stream_funnel_state_survives_restart).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -430,5 +438,5 @@ def stream_funnel(
         yield pd.DataFrame({"user_id": [key[0]], "reached": [reached]})
 
     return events.groupBy(user_col).applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )
