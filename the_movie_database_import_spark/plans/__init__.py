@@ -50,7 +50,6 @@ DRIVER_WINDOW = [
     "q_project_rename",
     "q_filter_pred",
     "q_safe_cast",
-    "q_positive_or_null",
     "q_string_fns",
     "q_date_fns",
     "q_array_fns",
@@ -92,6 +91,7 @@ DRIVER_WINDOW = [
     "q_apply_delta",        # new: MERGE change feed into snapshot
     "q_data_quality_audit", # new: Deequ-style one-pass constraint audit
     "q_sample_weighted_k",  # new: A-ES weighted sample without replacement
+    "q_fuzzy_name_pairs",   # new: symmetric-delete edit-distance-1 join
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -166,6 +166,7 @@ TAIL_PRIORITY = [
     "q_agg_pivot",            # grouping family: grouping_sets r05-green + rollup in-window
     "q_window_sliding",       # streaming-twin family: tumbling/session/watermark r05-green
     "q_except",               # set-op family: q_intersect stays in-window
+    "q_positive_or_null",     # cleansing family: ETL golden + hypothesis property tests cover the semantics independently
 ]
 
 

@@ -8,7 +8,7 @@ dedup/similarity/curation families do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.analytics import funnel_counts, retention_cohorts
 from ..operators.ranking import bm25_oracle_sql, bm25_topk
@@ -240,3 +240,50 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_keys=[["l_orderkey", "l_linenumber"]],
     )
+
+
+@register(
+    "q_fuzzy_name_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT c_custkey AS id, c_name AS name,
+               CASE WHEN i = 0 THEN c_name
+                    ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+               END AS variant
+        FROM customer, unnest(generate_series(0, len(c_name))) AS g(i)
+    ),
+    cnt AS (SELECT variant, COUNT(*) AS n FROM v GROUP BY variant),
+    kept AS (
+        SELECT v.id, v.name, v.variant
+        FROM v JOIN cnt ON v.variant = cnt.variant WHERE cnt.n <= 64
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.name AS name_a, b.name AS name_b
+        FROM kept a JOIN kept b ON a.variant = b.variant AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+    tags=("fuzzy", "dedup", "ext"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (north star `fuzzy_pairs_edit1`): all customer
+    name pairs within Levenshtein distance 1, via symmetric-delete
+    blocking — each name explodes into its deletion neighborhood IN-ROW,
+    candidates come from one variant-keyed equi-join (8-byte xxhash64
+    keys; the oracle joins the variant strings — identical verdicts up to
+    astronomically unlikely hash collisions, which verification would
+    remove anyway), and the exact integer Levenshtein DP verifies. Never
+    all-pairs; the >64-per-variant hot-block cap is mirrored in the
+    oracle and is a no-op on this data. Distance-0 (exact duplicates) and
+    distance-1 (one typo) both surface — the string-side counterpart of
+    the MinHash document pipeline."""
+    from ..operators.fuzzy import fuzzy_pairs_edit1
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return fuzzy_pairs_edit1(cust, "id", "name")

@@ -39,6 +39,7 @@ QUERIES = [
     "q_apply_delta",
     "q_data_quality_audit",
     "q_sample_weighted_k",
+    "q_fuzzy_name_pairs",
     "q_pipeline_end_to_end",
 ]
 
