@@ -506,3 +506,15 @@ def test_quality_audit_single_scan_no_driver_loop(spark):
     assert "CollectLimit" not in plan
     for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_stage not in plan
+
+
+def test_fuzzy_pairs_blocked_join_no_cartesian(spark):
+    """Fuzzy matching must stay a variant-keyed equi-join over the CACHED
+    explode (three consumers: census + both sides -> one scan+explode),
+    with no cartesian/nested-loop pairing and no Python stages."""
+    plan = _plan(spark, "q_fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 3, "variant stream must be cached"
+    assert "levenshtein" in plan  # exact verification fused in-plan
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan

@@ -59,14 +59,21 @@ def fuzzy_pairs_edit1(
     guard; exact-duplicate pairs still surface through their OTHER
     variants, and natural name data never hits the cap).
     """
+    from ..session import tracked_cache
+
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(name_col).alias("_name"),
         deletion_variants(name_col).alias("_vars"),
     )
-    sides = base.select(
-        "_id", "_name", F.explode("_vars").alias("_v")
-    ).select("_id", "_name", F.xxhash64("_v").alias("_vh"))
+    # the exploded variant stream feeds THREE consumers (the hot-variant
+    # census and both join sides) — cache it so the table is scanned and
+    # exploded once (the tracked-cache discipline bm25/pipeline use)
+    sides = tracked_cache(
+        base.select("_id", "_name", F.explode("_vars").alias("_v")).select(
+            "_id", "_name", F.xxhash64("_v").alias("_vh")
+        )
+    )
     counts = sides.groupBy("_vh").agg(F.count(F.lit(1)).alias("_n"))
     kept = sides.join(
         F.broadcast(counts.filter(F.col("_n") > max_block)), "_vh", "left_anti"
