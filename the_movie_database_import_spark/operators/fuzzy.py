@@ -58,38 +58,44 @@ def fuzzy_pairs_edit1(
     variants shared by more than that many rows from blocking (hot-key
     guard; exact-duplicate pairs still surface through their OTHER
     variants, and natural name data never hits the cap).
+
+    Names never ride the candidate stream: the variant join and the
+    pair-distinct carry (id, variant-hash) pairs only — 16-byte shuffle
+    rows however long the names — and the two name lookups join back on
+    the unique ids for verification (the shuffle-digests-never-text
+    principle the dedup/delta operators follow).
     """
     from ..session import tracked_cache
 
     base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(name_col).alias("_name"),
-        deletion_variants(name_col).alias("_vars"),
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
     )
     # the exploded variant stream feeds THREE consumers (the hot-variant
     # census and both join sides) — cache it so the table is scanned and
     # exploded once (the tracked-cache discipline bm25/pipeline use)
     sides = tracked_cache(
-        base.select("_id", "_name", F.explode("_vars").alias("_v")).select(
-            "_id", "_name", F.xxhash64("_v").alias("_vh")
-        )
+        base.select("_id", deletion_variants("_name").alias("_vars"))
+        .select("_id", F.explode("_vars").alias("_v"))
+        .select("_id", F.xxhash64("_v").alias("_vh"))
     )
     counts = sides.groupBy("_vh").agg(F.count(F.lit(1)).alias("_n"))
     kept = sides.join(
         F.broadcast(counts.filter(F.col("_n") > max_block)), "_vh", "left_anti"
     )
-    a = kept.select(
-        F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "_vh"
-    )
-    b = kept.select(
-        F.col("_id").alias("id_b"), F.col("_name").alias("name_b"), "_vh"
-    )
+    a = kept.select(F.col("_id").alias("id_a"), "_vh")
+    b = kept.select(F.col("_id").alias("id_b"), "_vh")
     cands = (
         a.join(b, "_vh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return cands.withColumn(
-        "dist", F.levenshtein("name_a", "name_b").cast("long")
-    ).filter(F.col("dist") <= 1)
+    na = base.select(F.col("_id").alias("id_a"), F.col("_name").alias("name_a"))
+    nb = base.select(F.col("_id").alias("id_b"), F.col("_name").alias("name_b"))
+    return (
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

@@ -116,6 +116,14 @@ SHOWCASES = [
         "daily maintenance of a 100 TB table moves only the feed.",
     ),
     (
+        "q_fuzzy_name_pairs",
+        "Fuzzy edit-distance-1 matching: the deletion-variant stream is "
+        "cached once (census + both join sides read InMemoryTableScans), "
+        "candidates come from a variant-hash equi-join — no cartesian, no "
+        "nested loop — and the exact Levenshtein verification is fused "
+        "into the post-join projection.",
+    ),
+    (
         "q_data_quality_audit",
         "Declarative constraint audit: five predicate checks as conditional "
         "sums in ONE global aggregate over one scan; the composite-key "
