@@ -571,3 +571,44 @@ def test_fuzzy_pairs_hot_block_cap(spark):
     )
     assert fuzzy_pairs_edit1(df, "id", "name", max_block=2).count() == 0
     assert fuzzy_pairs_edit1(df, "id", "name").count() == 10  # C(5,2)
+
+
+# ------------------------------------------------ events ts encodings
+
+
+def test_event_ops_survive_nanos_encoding(spark, tmp_path):
+    """The driver regenerates events.parquet between rounds and has used
+    BOTH TIMESTAMP(MICROS) and TIMESTAMP(NANOS) encodings (readers.py
+    probes and adapts). Rewrite the current events table as NANOS and
+    assert load_table normalizes to identical microsecond instants, and
+    that a representative event-time operator (the funnel) returns
+    byte-identical results on both encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    src = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts_idx = src.schema.get_field_index("ts")
+    ns_type = pa.timestamp("ns")
+    ns_col = src.column("ts").cast(ns_type)
+    ns_table = src.set_column(ts_idx, pa.field("ts", ns_type), ns_col)
+    d = str(tmp_path / "ns_sf")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(ns_table, f"{d}/events.parquet", coerce_timestamps=None)
+    # confirm the file really is NANOS on disk (else this test guards nothing)
+    assert pa.types.is_timestamp(pq.read_schema(f"{d}/events.parquet").field("ts").type)
+    assert pq.read_schema(f"{d}/events.parquet").field("ts").type.unit == "ns"
+
+    a = load_table(spark, d, "events")
+    b = load_table(spark, SF_DIR, "events")
+    assert dict(a.dtypes)["ts"] == "timestamp_ntz"
+    ra = sorted((r["event_id"], r["ts"]) for r in a.select("event_id", "ts").collect())
+    rb = sorted((r["event_id"], r["ts"]) for r in b.select("event_id", "ts").collect())
+    assert ra == rb
+
+    fa = sorted(map(tuple, funnel_counts(a, FUNNEL_STAGES).collect()))
+    fb = sorted(map(tuple, funnel_counts(b, FUNNEL_STAGES).collect()))
+    assert fa == fb

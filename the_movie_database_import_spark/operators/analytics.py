@@ -82,8 +82,12 @@ def funnel_counts(
         )
     )
 
+    # the init NULL takes the ts column's OWN type (TIMESTAMP_NTZ from
+    # load_table in either parquet encoding, TIMESTAMP for synthetic
+    # frames) — no implicit NTZ/LTZ unification inside the fold's when()
     init = F.struct(
-        F.lit(0).alias("reached"), F.lit(None).cast("timestamp").alias("last_ts")
+        F.lit(0).alias("reached"),
+        F.lit(None).cast(events.schema[ts_col].dataType).alias("last_ts"),
     )
 
     def step(acc, ev):
