@@ -573,3 +573,88 @@ def test_scd2_matches_model_on_random_logs(spark, rows):
         for r in scd2_history(_events_df(spark, rows)).collect()
     ]
     assert sorted(got) == sorted(expected)
+
+
+_tokens = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+_docs = st.lists(
+    st.lists(_tokens, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(texts=_docs)
+def test_bm25_matches_model_on_random_corpora(spark, texts):
+    """Random tiny corpora (repeated tokens, empty docs, duplicate texts):
+    the grid-quantized BM25 integer score must equal the Python model
+    exactly — including the empty-string doc, which tokenizes to one
+    empty token on both sides."""
+    import math
+
+    from the_movie_database_import_spark.operators.ranking import (
+        QUANT,
+        bm25_scores,
+    )
+
+    terms = ["a", "ccc"]
+    k1, b = 1.2, 0.75
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    n_docs = len(toks)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n_docs
+    expected = {}
+    for i, tv in toks.items():
+        score_q = 0
+        for term in terms:
+            tf = sum(1 for x in tv if x == term)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            sat = (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (len(tv) / avgdl))
+            )
+            score_q += math.floor(QUANT * (idf * sat))
+        expected[i] = score_q
+    df_in = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score_q"] for r in bm25_scores(df_in, terms).collect()
+    }
+    assert got == expected
+
+
+_change_sets = st.tuples(
+    st.dictionaries(st.integers(0, 9), st.text("xy", max_size=2), max_size=8),
+    st.dictionaries(st.integers(0, 9), st.text("xy", max_size=2), max_size=5),
+    st.sets(st.integers(0, 9), max_size=5),
+)
+
+
+@SETTINGS
+@given(chg=_change_sets)
+def test_apply_delta_matches_dict_merge(spark, chg):
+    """apply_delta == the dict model: delete, then upsert (upsert wins over
+    delete on the same id because its id is re-inserted), over random
+    overlapping snapshots/feeds including empty frames."""
+    snap_d, ups_d, dels = chg
+    from the_movie_database_import_spark.operators.delta import apply_delta
+
+    expected = dict(snap_d)
+    for k in dels:
+        expected.pop(k, None)
+    for k in set(ups_d):
+        expected.pop(k, None)
+    expected.update(ups_d)
+
+    schema = "doc_id long, text string"
+    snap = spark.createDataFrame(list(snap_d.items()), schema)
+    ups = spark.createDataFrame(list(ups_d.items()), schema)
+    del_df = spark.createDataFrame([(k,) for k in dels], "doc_id long")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in apply_delta(snap, ups, del_df).collect()
+    }
+    assert got == expected
