@@ -612,3 +612,44 @@ def test_event_ops_survive_nanos_encoding(spark, tmp_path):
     fa = sorted(map(tuple, funnel_counts(a, FUNNEL_STAGES).collect()))
     fb = sorted(map(tuple, funnel_counts(b, FUNNEL_STAGES).collect()))
     assert fa == fb
+
+
+# ------------------------------------------------------------- histogram
+
+
+def test_histogram_matches_python_model(spark):
+    from the_movie_database_import_spark.operators.quality import numeric_histogram
+
+    vals = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT l_extendedprice FROM '{SF_DIR}/lineitem.parquet' "
+            "WHERE l_extendedprice IS NOT NULL"
+        ).fetchall()
+    ]
+    lo, hi, n = min(vals), max(vals), 20
+    expected: dict = {}
+    for x in vals:
+        b = min(n - 1, math.floor((x - lo) * n / (hi - lo))) if hi > lo else 0
+        expected[b] = expected.get(b, 0) + 1
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = numeric_histogram(li, "l_extendedprice", n_bins=n).collect()
+    got = {r["bin_id"]: r["n"] for r in rows}
+    assert got == expected
+    assert sum(got.values()) == len(vals)
+    for r in rows:  # edges bracket the bin and agree with the model
+        assert r["bin_lo"] == lo + r["bin_id"] * (hi - lo) / n
+        assert r["bin_hi"] == lo + (r["bin_id"] + 1) * (hi - lo) / n
+
+
+def test_histogram_degenerate_and_nulls(spark):
+    from the_movie_database_import_spark.operators.quality import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(7.0,), (7.0,), (None,)], "x double"
+    )
+    rows = numeric_histogram(df, "x", n_bins=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bin_id"], r["n"]) == (0, 2)  # NULL excluded, min==max -> bin 0
+    assert r["bin_lo"] == r["bin_hi"] == 7.0  # zero-width edges

@@ -94,3 +94,47 @@ def audit(
             (F.col("_e.violations") == 0).alias("passed"),
         )
     )
+
+
+def numeric_histogram(
+    df: DataFrame, column: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram — the numeric-profiling companion of
+    :func:`audit`: ``(bin_id BIGINT, bin_lo DOUBLE, bin_hi DOUBLE,
+    n BIGINT)`` over ``n_bins`` equal-width bins spanning [min, max],
+    NULLs excluded, the max value folded into the last bin. Empty bins
+    are absent (sparse form).
+
+    One tiny min/max aggregate broadcasts back in-plan (the zorder /
+    bm25 one-row-stats pattern — data never moves for statistics); the
+    bin id is pure +,-,*,/ floor arithmetic — IEEE-identical across
+    engines when written in the same shape, so the oracle needs NO
+    quantization grid (unlike the ln/pow-based scores) — and the census
+    is one map-side-combined aggregate on the bin id. Degenerate input
+    (min == max) lands everything in bin 0 with a zero-width edge pair.
+    """
+    c = F.col(column)
+    stats = df.filter(c.isNotNull()).agg(
+        F.min(c).cast("double").alias("_lo"), F.max(c).cast("double").alias("_hi")
+    )
+    lo, hi = F.col("_lo"), F.col("_hi")
+    width_bin = F.least(
+        F.lit(n_bins - 1),
+        F.floor((c.cast("double") - lo) * F.lit(n_bins) / (hi - lo)),
+    )
+    bin_id = F.when(hi > lo, width_bin).otherwise(F.lit(0)).cast("long")
+    return (
+        df.filter(c.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bin_id.alias("bin_id"), "_lo", "_hi")
+        .groupBy("bin_id", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin_id",
+            (lo + F.col("bin_id") * (hi - lo) / F.lit(n_bins)).alias("bin_lo"),
+            (lo + (F.col("bin_id") + 1) * (hi - lo) / F.lit(n_bins)).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )

@@ -49,7 +49,6 @@ DRIVER_WINDOW = [
     "q_similarity_lsh_topk",
     "q_project_rename",
     "q_filter_pred",
-    "q_safe_cast",
     "q_string_fns",
     "q_date_fns",
     "q_array_fns",
@@ -92,6 +91,7 @@ DRIVER_WINDOW = [
     "q_data_quality_audit", # new: Deequ-style one-pass constraint audit
     "q_sample_weighted_k",  # new: A-ES weighted sample without replacement
     "q_fuzzy_name_pairs",   # new: symmetric-delete edit-distance-1 join
+    "q_numeric_histogram",  # new: equi-width profiling histogram
     # --- r05-green family representatives kept in-window ---
     "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
     "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
@@ -167,6 +167,7 @@ TAIL_PRIORITY = [
     "q_window_sliding",       # streaming-twin family: tumbling/session/watermark r05-green
     "q_except",               # set-op family: q_intersect stays in-window
     "q_positive_or_null",     # cleansing family: ETL golden + hypothesis property tests cover the semantics independently
+    "q_safe_cast",            # cleansing family: same ETL golden + property-test coverage
 ]
 
 

@@ -287,3 +287,43 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
     return fuzzy_pairs_edit1(cust, "id", "name")
+
+
+@register(
+    "q_numeric_histogram",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    b AS (
+        SELECT CASE WHEN s.hi > s.lo
+                    THEN LEAST(19, CAST(floor(
+                        (CAST(l_extendedprice AS DOUBLE) - s.lo) * 20
+                          / (s.hi - s.lo)) AS BIGINT))
+                    ELSE 0 END AS bin_id,
+               s.lo AS lo, s.hi AS hi
+        FROM lineitem, s WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           lo + bin_id * (hi - lo) / 20 AS bin_lo,
+           lo + (bin_id + 1) * (hi - lo) / 20 AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin_id, lo, hi
+    """,
+    tags=("quality", "profiling", "ext"),
+)
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of lineitem prices (north star
+    `numeric_histogram`): the numeric-profiling companion of the
+    constraint audit. One tiny min/max aggregate broadcasts back in-plan
+    and the census is one map-side-combined aggregate on the bin id; the
+    bin arithmetic is pure +,-,*,/ floor in IDENTICAL shapes on both
+    engines, so the hash comparison is exact with no quantization grid
+    (library-function-free arithmetic is bit-deterministic across
+    engines)."""
+    from ..operators.quality import numeric_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_histogram(li, "l_extendedprice", n_bins=20)

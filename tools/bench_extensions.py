@@ -40,6 +40,7 @@ QUERIES = [
     "q_data_quality_audit",
     "q_sample_weighted_k",
     "q_fuzzy_name_pairs",
+    "q_numeric_histogram",
     "q_pipeline_end_to_end",
 ]
 
