@@ -573,6 +573,22 @@ def test_fuzzy_pairs_hot_block_cap(spark):
     assert fuzzy_pairs_edit1(df, "id", "name").count() == 10  # C(5,2)
 
 
+def test_fuzzy_hot_variants_census_reports_the_drop(spark):
+    """hot_variants surfaces exactly the buckets fuzzy_pairs_edit1 drops:
+    the 5x-repeated name's whole deletion neighborhood ("a" plus its
+    single deletion "") at max_block=2, and nothing at the default cap —
+    so a pipeline can gate/report the recall trade instead of eating it
+    silently."""
+    from the_movie_database_import_spark.operators.fuzzy import hot_variants
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(5)] + [(9, "b")], "id long, name string"
+    )
+    hot = hot_variants(df, "id", "name", max_block=2).collect()
+    assert sorted(r["n_rows"] for r in hot) == [5, 6]  # "a" x5; "" x6
+    assert hot_variants(df, "id", "name").count() == 0
+
+
 # ------------------------------------------------ events ts encodings
 
 

@@ -861,6 +861,31 @@ def test_incremental_dedup_against_digest_table(spark):
     }
 
 
+def test_incremental_dedup_duplicate_id_cannot_cross_digests(spark):
+    """The winner join-back keys on (digest, id), not id alone: an id
+    reused for two DIFFERENT texts wins only its own digest group — the
+    id-only formulation would match that id against every group it won
+    and multiply/over-keep rows. NULL text stays its own (null-safe)
+    digest group under the same smallest-id convention."""
+    from the_movie_database_import_spark.operators.delta import incremental_dedup
+
+    seen = spark.createDataFrame([], "digest string")
+    new = spark.createDataFrame(
+        [
+            (1, "text A"),   # id 1 wins digest(A)
+            (1, "text B"),   # same id, different text: wins digest(B) too
+            (2, "text B"),   # loses digest(B) to id 1
+            (3, None),       # NULL-text group, kept
+            (4, None),       # loses NULL group to id 3
+        ],
+        "doc_id long, text string",
+    )
+    rows = incremental_dedup(new, seen).collect()
+    assert len(rows) == 5  # no join-multiplicity row blowup
+    kept = sorted((r.doc_id, r.text) for r in rows if r.is_kept)
+    assert kept == [(1, "text A"), (1, "text B"), (3, None)]
+
+
 def test_corpus_delta_null_text_and_membership(spark):
     """Presence comes from join-side markers, not digest nullness: a
     NULL-text doc present in both snapshots is 'unchanged' (null-safe

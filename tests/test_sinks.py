@@ -110,6 +110,26 @@ def test_training_shards_sink_layout_order_and_determinism(spark, tmp_path):
     b = spark.read.parquet(out2).select("shard", "pos", "doc_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    # plan pin: the pre-write frame carries an EXPLICIT Sort on
+    # (shard, pos) — the (shard,...) prefix satisfies the partitioned
+    # write's required ordering, so the writer inserts no implicit sort
+    # and within-shard pos order is plan-guaranteed (not an accident of
+    # spill-merge stability at scale)
+    from the_movie_database_import_spark.sources.writers import training_shard_frame
+
+    plan = (
+        training_shard_frame(docs, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    sorts = re.findall(r"Sort \[([^\]]*)\]", plan)
+    assert any(
+        "shard" in s.split(",")[0] and "pos" in s for s in sorts
+    ), f"expected explicit Sort [shard, pos] in plan, got sorts={sorts}"
+
 
 def test_zordered_layout_prunes_multi_dim(spark, tmp_path):
     """Z-order vs single-column sort at row-group granularity: a selective

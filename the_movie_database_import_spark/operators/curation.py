@@ -70,22 +70,28 @@ def curate_corpus(
         & F.col("lang_pred").isin(*langs)
     )
     # Canonical-dedup winner as a map-side-combined MIN AGGREGATE on the
-    # canonical digest, joined back on the UNIQUE winner id — never a
+    # canonical digest, joined back on (digest, winner id) — never a
     # window partitioned by canonical text: a boilerplate text duplicated
     # 10^6 times would funnel every copy into one window partition, and
-    # AQE can split skewed join partitions but not window partitions. The
-    # id-only join-back is sufficient because a winner id belongs to
-    # exactly one canonical group (its own); see
+    # AQE can split skewed join partitions but not window partitions.
+    # The composite (null-safe digest, id) key keeps duplicate-id inputs
+    # from over-keeping across canonical groups; see
     # operators/delta.incremental_dedup for the same construction.
     ckey = F.sha2(canonical_token_text(F.col(text_col)), 256)
     wins = (
         base.select(ckey.alias("_ckey"), id_col)
         .groupBy("_ckey")
         .agg(F.min(id_col).alias("_win_id"))
-        .select("_win_id", F.lit(True).alias("_is_win"))
+        .select("_ckey", "_win_id", F.lit(True).alias("_is_win"))
     )
     curated = (
-        base.join(wins, F.col(id_col) == F.col("_win_id"), "left")
+        base.withColumn("_row_ckey", ckey)
+        .join(
+            wins,
+            F.col("_row_ckey").eqNullSafe(F.col("_ckey"))
+            & (F.col(id_col) == F.col("_win_id")),
+            "left",
+        )
         .select(
             id_col,
             *([block_col] if near_dup_threshold is not None else []),

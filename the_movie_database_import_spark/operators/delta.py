@@ -91,33 +91,47 @@ def incremental_dedup(
     dedup is the same keep-smallest-id convention as ``exact_dedup``.
 
     The within-batch winner is a map-side-combined MIN AGGREGATE joined
-    back on the winner ID — not ``min over (partition by digest)``: a
-    viral page duplicated 10^6 times in one day's crawl would funnel
-    every copy into a single window partition, and AQE can split skewed
-    JOIN partitions but never window partitions. The aggregate absorbs
-    the hot digest map-side before its (tiny) shuffle, and the join-back
-    keys on the UNIQUE id alone — sufficient because a winner id belongs
-    to exactly one digest group (its own), including the NULL-digest
-    group of NULL-text docs, which keeps the same smallest-id convention
-    with no null-safe condition needed.
+    back on ``(digest, winner id)`` — not ``min over (partition by
+    digest)``: a viral page duplicated 10^6 times in one day's crawl
+    would funnel every copy into a single window partition, and AQE can
+    split skewed JOIN partitions but never window partitions. The
+    aggregate absorbs the hot digest map-side before its (tiny) shuffle.
+    The join-back keys on the digest (null-safe, so NULL-text docs form
+    their own group under the same smallest-id convention) AND the id:
+    keying on id alone would be correct only while ids are unique in the
+    batch — an id reused for two different texts wins one digest group
+    yet would mark BOTH its rows kept. With the composite key a row is
+    kept only when its own digest's winner is its own id, so duplicate
+    ids can never over-keep across digests (only full ``(id, digest)``
+    row duplicates — which a batch should not contain — tie; ids unique
+    per batch remains the documented contract).
     """
     seen = seen_digests.select(F.col(digest_col).alias("_seen_digest")).distinct()
     base = new_docs.withColumn("_digest", _digest(F.col(text_col)))
     wins = (
         base.groupBy("_digest")
         .agg(F.min(id_col).alias("_win_id"))
-        .select("_win_id", F.lit(True).alias("_is_win"))
+        .select(
+            F.col("_digest").alias("_win_digest"),
+            "_win_id",
+            F.lit(True).alias("_is_win"),
+        )
     )
     flagged = base.join(
         seen, base["_digest"] == seen["_seen_digest"], "left"
     ).withColumn("dup_of_existing", F.col("_seen_digest").isNotNull())
     return (
-        flagged.join(wins, F.col(id_col) == F.col("_win_id"), "left")
+        flagged.join(
+            wins,
+            F.col("_digest").eqNullSafe(F.col("_win_digest"))
+            & (F.col(id_col) == F.col("_win_id")),
+            "left",
+        )
         .withColumn(
             "is_kept",
             (~F.col("dup_of_existing")) & F.coalesce("_is_win", F.lit(False)),
         )
-        .drop("_seen_digest", "_digest", "_win_id", "_is_win")
+        .drop("_seen_digest", "_digest", "_win_digest", "_win_id", "_is_win")
     )
 
 

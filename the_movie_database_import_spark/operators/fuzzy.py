@@ -19,8 +19,15 @@ makes.
 A hot variant bucket (many strings deleting to the same key) would
 square inside its bucket; ``max_block`` caps participation exactly like
 ``max_token_df`` caps hot tokens in the Jaccard index — capped variants
-are dropped from BLOCKING only, trading recall (reported, not silent)
-for a bound, and the cap is a no-op on natural name data.
+are dropped from blocking, trading recall for a bound. NOTE the recall
+cost is not uniform: a name repeated more than ``max_block`` times
+shares its ENTIRE deletion neighborhood with its copies, so every one
+of its variants is hot and its exact-duplicate pairs are dropped
+entirely (pinned: tests/test_analytics.py::test_fuzzy_pairs_hot_block_cap)
+— exact duplicates above the cap belong to :func:`..operators.dedup`'s
+digest group-by, not to edit-distance blocking. Callers that need the
+drop surfaced run :func:`hot_variants` (the same census the cap uses)
+and report its rows; the cap is a no-op on natural name data.
 """
 
 from __future__ import annotations
@@ -56,8 +63,11 @@ def fuzzy_pairs_edit1(
     a pair-distinct (a pair can collide on several deletion positions),
     and the exact integer Levenshtein verification. ``max_block`` drops
     variants shared by more than that many rows from blocking (hot-key
-    guard; exact-duplicate pairs still surface through their OTHER
-    variants, and natural name data never hits the cap).
+    guard). Recall under the cap: a name with > ``max_block`` exact
+    copies loses ALL its pairs (identical names share every variant, so
+    every variant is hot) — use :func:`hot_variants` to surface capped
+    buckets, and route mass exact duplicates through the digest dedup
+    family first. Natural name data never hits the cap.
 
     Names never ride the candidate stream: the variant join and the
     pair-distinct carry (id, variant-hash) pairs only — 16-byte shuffle
@@ -72,7 +82,11 @@ def fuzzy_pairs_edit1(
     )
     # the exploded variant stream feeds THREE consumers (the hot-variant
     # census and both join sides) — cache it so the table is scanned and
-    # exploded once (the tracked-cache discipline bm25/pipeline use)
+    # exploded once (the tracked-cache discipline bm25/pipeline use).
+    # Cache budget at 100 TB: the stream is ~(len+1) x 16 bytes per input
+    # row; past executor memory prefer StorageLevel.MEMORY_AND_DISK (or
+    # drop the cache and recompute — the upstream is scan+explode, cheap
+    # to replay, the vocab-style recompute-vs-cache trade)
     sides = tracked_cache(
         base.select("_id", deletion_variants("_name").alias("_vars"))
         .select("_id", F.explode("_vars").alias("_v"))
@@ -98,4 +112,28 @@ def fuzzy_pairs_edit1(
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+def hot_variants(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_block: int = 64,
+) -> DataFrame:
+    """The variant buckets :func:`fuzzy_pairs_edit1` DROPS at the same
+    ``max_block`` — ``(variant_hash, n_rows)``, one row per capped bucket
+    — so a pipeline can report the recall trade instead of eating it
+    silently (e.g. count() == 0 as a load-gate assertion, or route the
+    offending ids through digest dedup). Same census aggregate the cap
+    itself uses: one explode + one map-side-combined count, K rows out."""
+    variants = (
+        df.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_name"))
+        .select("_id", F.explode(deletion_variants("_name")).alias("_v"))
+        .select(F.xxhash64("_v").alias("variant_hash"))
+    )
+    return (
+        variants.groupBy("variant_hash")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > max_block)
     )

@@ -276,19 +276,35 @@ def write_training_shards(
     also the write partitioning — ``repartition(shard)`` feeds
     ``partitionBy(shard)`` so each task writes exactly one shard directory
     (no small-file explosion from N tasks x M shards), and
-    ``sortWithinPartitions(pos)`` rides the same exchange. Determinism:
+    ``sortWithinPartitions(shard, pos)`` rides the same exchange.
+    Sorting on ``(shard, pos)`` — not ``pos`` alone — matters: the V1
+    write path REQUIRES an ordering on the partition column and inserts
+    its own Sort when the child ordering doesn't satisfy it, which would
+    leave within-shard pos order at the mercy of spill-merge stability.
+    The explicit ``(shard, pos)`` prefix satisfies the writer's required
+    ordering, so no implicit sort is added and the training order is
+    guaranteed by the plan, not by an implementation accident (a
+    ``Sort [shard, pos]`` directly under the write, pinned in
+    tests/test_sinks.py). Determinism:
     the whole layout is a pure function of the ids, so a re-run or a
     backfill writes byte-identical shard contents.
     """
+    frame = training_shard_frame(df, n_shards, id_col=id_col)
+    frame.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def training_shard_frame(
+    df: DataFrame, n_shards: int, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """The exact pre-write frame :func:`write_training_shards` hands to the
+    parquet writer — exposed so tests can pin its physical plan (one
+    exchange on shard, one explicit ``Sort [shard, pos]`` satisfying the
+    partitioned write's required ordering)."""
     from ..operators.mixing import shuffle_shards
 
     sharded = shuffle_shards(df, n_shards, id_col=id_col)
-    (
-        sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("pos")
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(path)
+    return sharded.repartition(n_shards, F.col("shard")).sortWithinPartitions(
+        "shard", "pos"
     )
 
 

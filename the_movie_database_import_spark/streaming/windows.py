@@ -412,8 +412,10 @@ def stream_funnel(
     if len(set(stages)) != len(stages):
         raise ValueError(f"funnel stages must be distinct, got {stages}")
 
+    # the output key column is named after the CALLER's grouping column —
+    # hardcoding "user_id" would mislabel the key for any other user_col
     out_schema = StructType(
-        [StructField("user_id", LongType()), StructField("reached", LongType())]
+        [StructField(user_col, LongType()), StructField("reached", LongType())]
     )
     state_schema = StructType(
         [StructField("reached", LongType()), StructField("last_t", LongType())]
@@ -435,7 +437,7 @@ def stream_funnel(
                 ):
                     reached, last_t = reached + 1, int(t)
         state.update((reached, last_t))
-        yield pd.DataFrame({"user_id": [key[0]], "reached": [reached]})
+        yield pd.DataFrame({user_col: [key[0]], "reached": [reached]})
 
     return events.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
