@@ -566,3 +566,108 @@ def boilerplate_census(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def dedup_substring_spans(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact SUBSTRING-span dedup (north star generalizing
+    `dedup_paragraphs` below paragraph alignment): remove every token
+    span of length >= ``k`` whose text appears earlier elsewhere in the
+    corpus — the Lee et al. ExactSubstr recipe ("Deduplicating Training
+    Data Makes Language Models Better"), catching duplication that is NOT
+    paragraph-aligned (quoted passages, syndicated article bodies with
+    local edits, template prose mid-paragraph).
+
+    Token-level contract via rolling k-gram cover: a duplicated span of
+    length L >= k contains exactly L-k+1 duplicated k-grams whose
+    occurrences cover all L tokens, so "drop every token covered by a
+    LOSING k-gram occurrence" removes precisely the maximal duplicated
+    spans (and, within one document, the repeats of any k-token
+    repetition loop — self-duplication loses to its own first
+    occurrence). The global winner per gram is the lexicographically
+    smallest (id, pos) occurrence; winners keep their tokens, so one copy
+    of every duplicated span survives corpus-wide, in the same
+    first-occurrence convention the paragraph operator uses.
+
+    Returns ``(id_col, text_col, n_tokens, n_kept)`` — text rebuilt from
+    surviving tokens (single-space joined), ``n_kept`` surviving token
+    count. Documents shorter than ``k`` tokens pass through whole;
+    NULL-text documents are dropped (no tokens, same as
+    `dedup_paragraphs`).
+
+    Scale design — document text shuffles exactly once, on the unique id:
+
+    1. k-grams hash IN-ROW at the scan (sequence + slice + array_join +
+       sha256 — whole-stage codegen); the exploded stream carries
+       (digest, id, pos) only, never gram text;
+    2. winner per digest = map-side-combined ``min(struct(id, pos))``
+       HASH AGGREGATE — a boilerplate gram repeated 10^9 times combines
+       to one row per input partition; never a window over the digest
+       (AQE splits skewed JOIN partitions, not window partitions);
+    3. losing occurrences come from the digest-keyed winner join (skew
+       AQE-splittable), then collapse per document in ONE aggregate:
+       ``collect_list(pos)`` of losing gram starts, expanded to the
+       covered-position set IN-ROW (sequence + flatten + distinct) — no
+       k-fold row explosion, list size bounded by the document's own
+       token count;
+    4. the rebuild — filter the re-split token array by uncovered
+       positions, array_join — runs in-row on the doc side of a uniform
+       unique-key left join.
+
+    The oracle twin joins on gram TEXT where this joins on sha256 —
+    identical verdicts (digest equality == byte equality).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (k=1 would drop every repeated token): {k}")
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.sha2(F.array_join(F.slice(toks, i + 1, k), " "), 256),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.filter(F.col(text_col).isNotNull())
+    occ = base.select(
+        F.col(id_col), F.posexplode(grams).alias("_pos", "_h")
+    )
+    winners = (
+        occ.groupBy("_h")
+        .agg(F.min(F.struct(id_col, "_pos")).alias("_w"))
+        .select(
+            "_h",
+            F.col(f"_w.{id_col}").alias("_win_id"),
+            F.col("_w._pos").alias("_win_pos"),
+        )
+    )
+    covered = (
+        occ.join(winners, "_h")
+        .filter(
+            ~((F.col(id_col) == F.col("_win_id")) & (F.col("_pos") == F.col("_win_pos")))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_lose_pos"))
+        .select(
+            id_col,
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "_lose_pos", lambda p: F.sequence(p, p + F.lit(k - 1))
+                    )
+                )
+            ).alias("_covered"),
+        )
+    )
+    cov = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
+    return base.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(toks, lambda x, i: ~F.array_contains(cov, i)), " "
+        ).alias(text_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(cov)).cast("bigint").alias("n_kept"),
+    )

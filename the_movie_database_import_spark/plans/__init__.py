@@ -21,28 +21,90 @@ from . import analytics  # noqa: F401,E402
 from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
-# First 50 = the driver-checked window. Round-6 rotation (VERDICT r05 #2):
-# the driver regenerates /root/testdata between rounds, so the 43 queries
-# whose latest driver rows are r04-era (previous testdata generation)
-# rotate in to earn fresh rows on the current generation; the eleven new
-# round-6 queries (incremental dedup + OOV rate — VERDICT r05 #4/#5 —
-# mixture sampling, shuffle-sharding, paragraph dedup, the unigram
-# perplexity signal, the boilerplate census, epoch-weighted mixing,
-# media payload dedup, the shared-text window front door, the
-# epoch-mix->shard training-order composite, and the late-r06
-# funnel/retention/BM25 trio, all never driver-checked) take slots
-# (q_agg_percentiles_approx and the no-oracle rows-only
-# q_dedup_embedding_cosine_lsh / q_multimodal_features /
-# q_multimodal_resize wait a round — each family's exact rep is
-# in-window); and 2 r05-green queries stay as family
-# representatives — the ones whose IMPLEMENTATION changed this round
-# (chooser default recall 0.9→0.95 reshapes the MinHash geometry to
-# (24, 6); the pipeline composite gained delta/incremental-dedup/redaction
-# stages) so the changed code earns driver evidence, not just local tests.
-# Every rotated-out query keeps its r05 row, so no family loses
-# current-generation driver evidence.
+# First 50 = the driver-checked window. Round-7 rotation (VERDICT r06 #1):
+# the 15 queries displaced late-r06 to make room for the funnel/retention/
+# BM25 trio rotate back in (their newest driver rows are r04-era — the
+# oldest evidence in the registry); the new exact substring-span dedup
+# (never driver-checked) takes a slot; the three queries whose
+# IMPLEMENTATION changed this round stay/rotate in so the changed code
+# earns driver evidence (incremental_dedup + corpus_curation: winner
+# join-back now keys on (digest, id); the pipeline composite consumes the
+# changed incremental-dedup stage); each r06-new family keeps ONE
+# representative (the rest hold r06 rows + exact_parity coverage); one
+# exact similarity rep stays in (the whole exact-cosine family would
+# otherwise leave the window); and the remaining 21 slots refresh
+# r05-row queries across every operator family (joins, aggs, windows,
+# streaming twins, UDFs, dedup, text, delta, flagship). Every rotated-out
+# query keeps its r05/r06 row and an in-window family representative, and
+# tools/exact_parity.py re-proves the full registry on the current
+# testdata generation each round.
 DRIVER_WINDOW = [
-    # --- refreshed: latest driver rows are r04-era ---
+    # --- displaced late-r06, back in (newest rows r04-era) ---
+    "q_agg_percentiles_approx",
+    "q_dedup_embedding_cosine_lsh",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_metadata",
+    "q_win_sliding_frame",
+    "q_agg_cube",
+    "q_union_distinct",
+    "q_sample_fixed_k",
+    "q_join_anti",
+    "q_agg_pivot",
+    "q_window_sliding",
+    "q_except",
+    "q_positive_or_null",
+    "q_safe_cast",
+    # --- new round-7 query: never driver-checked, must be in-window ---
+    "q_dedup_substring_spans",  # Lee et al. ExactSubstr span dedup
+    # --- r07 code changes earn driver evidence on the new code ---
+    "q_incremental_dedup",      # winner join-back now (digest, id)-keyed
+    "q_corpus_curation",        # same join-back change in curate_corpus
+    "q_pipeline_end_to_end",    # composite consumes the changed dedup stage
+    # --- r06-new family representatives kept in-window ---
+    "q_training_order",         # mixing/sharding composite (mix+epochs+shards)
+    "q_text_unigram_nll",       # vocab/LM-signal family (oov_rate r06-green)
+    "q_events_funnel",          # analytics family (retention/scd2 r06-green)
+    "q_data_quality_audit",     # quality family (numeric_histogram r06-green)
+    "q_multimodal_dedup",
+    "q_sql_shared_window",
+    "q_bm25_topk",
+    "q_sample_weighted_k",
+    "q_fuzzy_name_pairs",
+    # --- exact similarity family representative ---
+    "q_similarity_topk_cosine",
+    # --- refreshed: newest driver rows are r05-era ---
+    "q_math_fns",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_join_multiway_star",
+    "q_agg_first_nonnull",
+    "q_agg_grouping_sets",
+    "q_agg_count_distinct",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_window_watermark",
+    "q_window_session",
+    "q_stream_stream_join",
+    "q_pandas_udf_scalar",
+    "q_applyinpandas_group_pct",
+    "q_dedup_exact",
+    "q_text_langid",
+    "q_text_decontaminate",
+    "q_corpus_delta",
+    "q_flagship_star_revenue",
+]
+
+
+# Tail: every entry holds a green driver row from r04/r05/r06 (r06 rows are
+# the current testdata generation) and remains locally oracle-checked by
+# tests/test_oracle_parity.py + tools/exact_parity.py at every SF. Listed
+# r06-rows first (freshest evidence), then r05-rows awaiting the r08
+# rotation.
+TAIL_PRIORITY = [
+    # r06 rows (current generation)
     "q_pricing_summary",
     "q_agg_percentiles",
     "q_join_range_binned",
@@ -67,107 +129,47 @@ DRIVER_WINDOW = [
     "q_join_salted_skew",
     "q_dedup_simhash",
     "q_text_tfidf_top_term",
-    "q_similarity_topk_cosine",
     "q_similarity_ivf_topk",
     "q_dedup_embedding_cosine",
-    "q_corpus_curation",
-    # --- new round-6 queries: never driver-checked, must be in-window ---
-    "q_incremental_dedup",  # VERDICT r05 #4: delta.py:73 earns a driver row
-    "q_oov_rate",           # VERDICT r05 #5: vocab.py:71 earns a driver row
-    "q_corpus_mix",         # new: domain mixture sampling
-    "q_shuffle_shards",     # new: deterministic shuffle-sharding
-    "q_dedup_paragraphs",   # new: C4-style paragraph-level dedup
-    "q_text_unigram_nll",   # new: CCNet-style perplexity quality signal
-    "q_boilerplate_census", # new: cross-doc paragraph frequency census
-    "q_corpus_mix_epochs",  # new: epoch-weighted upsampling mixture
-    "q_multimodal_dedup",   # new: exact media dedup by payload digest
-    "q_sql_shared_window",  # new: shared-text ANSI window front door
-    "q_training_order",     # new: epoch-mix -> shard composite
-    "q_events_funnel",      # new: strict-order conversion funnel
-    "q_retention_cohorts",  # new: day-cohort retention matrix
-    "q_bm25_topk",          # new: Okapi BM25 lexical top-k
-    "q_scd2_history",       # new: type-2 SCD validity intervals
-    "q_apply_delta",        # new: MERGE change feed into snapshot
-    "q_data_quality_audit", # new: Deequ-style one-pass constraint audit
-    "q_sample_weighted_k",  # new: A-ES weighted sample without replacement
-    "q_fuzzy_name_pairs",   # new: symmetric-delete edit-distance-1 join
-    "q_numeric_histogram",  # new: equi-width profiling histogram
-    # --- r05-green family representatives kept in-window ---
-    "q_dedup_minhash_lsh",    # r06 code change: default recall → (24, 6)
-    "q_pipeline_end_to_end",  # r06 code change: + redact + incremental
-]
-
-
-# Tail: everything here is r05-green in CORRECTNESS_r05.json — evidence from
-# the CURRENT testdata generation — and remains locally oracle-checked by
-# tests/test_oracle_parity.py + tools/exact_parity.py at every SF.
-TAIL_PRIORITY = [
-    "q_math_fns",
-    "q_join_asof",
-    "q_agg_first_nonnull",
-    "q_topk_per_group",
-    "q_window_watermark",
-    "q_agg_grouping_sets",
-    "q_applyinpandas_group_pct",
-    "q_dedup_exact",
-    "q_dedup_clusters",
-    "q_union_all",
+    "q_oov_rate",             # vocab family rep unigram_nll in-window
+    "q_corpus_mix",           # mixing family rep training_order in-window
+    "q_shuffle_shards",
+    "q_corpus_mix_epochs",
+    "q_dedup_paragraphs",     # span-dedup generalization in-window
+    "q_boilerplate_census",
+    "q_retention_cohorts",    # analytics family rep events_funnel in-window
+    "q_scd2_history",
+    "q_apply_delta",          # delta family rep incremental_dedup in-window
+    "q_numeric_histogram",    # quality family rep data_quality_audit in-window
+    "q_dedup_minhash_lsh",    # no-oracle + pinned recall/precision tests
+    # r05 rows (rotate in r08)
     "q_json_fns",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_join_multiway_star",
+    "q_topk_global",
+    "q_window_tumbling",
+    "q_dedup_first_event",
+    "q_stateful_user_totals",
     "q_agg_avg_per_key",
     "q_agg_multi",
     "q_dedup_by_key",
     "q_agg_count_by_value",
-    "q_agg_count_distinct",
-    "q_win_rank",
     "q_win_running_sum",
-    "q_topk_global",
-    "q_window_session",
-    "q_dedup_first_event",
-    "q_pandas_udf_scalar",
     "q_pandas_udf_grouped_agg",
     "q_dedup_canonical",
+    "q_dedup_clusters",
+    "q_union_all",
     "q_text_jaccard_pairs",
     "q_text_ngram_jaccard",
-    "q_text_langid",
     "q_text_quality",
     "q_token_count",
     "q_doc_fingerprint",
     "q_multimodal_frame_sample",
-    "q_text_decontaminate",
     "q_text_vocab_coverage",
     "q_split_leakage_safe",
     "q_sql_shared_text",
-    "q_corpus_delta",
     "q_sample_split",
     "q_text_chunks",
     "q_pack_greedy",
-    "q_stream_stream_join",
-    "q_stateful_user_totals",
-    "q_window_tumbling",
     "q_text_redact_pii",
-    "q_flagship_star_revenue",
-    "q_agg_percentiles_approx",  # displaced r06: family rep q_agg_percentiles is in-window
-    "q_dedup_embedding_cosine_lsh",  # displaced r06: no-oracle row; exact twin q_dedup_embedding_cosine is in-window
-    "q_multimodal_features",  # displaced r06: no-oracle row; family reps frame_sample (r05) + dedup (in-window)
-    "q_multimodal_resize",    # displaced r06: no-oracle row; family reps frame_sample (r05) + dedup (in-window)
-    "q_win_sliding_frame",    # displaced r06: window family has 3 other in-window reps
-    "q_agg_cube",             # displaced r06: grouping family reps rollup+pivot in-window
-    # Displaced late-r06 to make room for the funnel/retention/BM25 trio
-    # (never driver-checked -> must be in-window). Each keeps its r04 row
-    # and its family keeps CURRENT-generation evidence:
-    "q_union_distinct",       # set-op family: q_union_all is r05-green
-    "q_sample_fixed_k",       # sampling family: q_sample_split r05-green + stratified in-window
-    "q_multimodal_metadata",  # multimodal family: frame_sample r05-green + dedup in-window
-    "q_join_anti",            # semi/anti family: q_join_semi is r05-green
-    "q_agg_pivot",            # grouping family: grouping_sets r05-green + rollup in-window
-    "q_window_sliding",       # streaming-twin family: tumbling/session/watermark r05-green
-    "q_except",               # set-op family: q_intersect stays in-window
-    "q_positive_or_null",     # cleansing family: ETL golden + hypothesis property tests cover the semantics independently
-    "q_safe_cast",            # cleansing family: same ETL golden + property-test coverage
 ]
 
 

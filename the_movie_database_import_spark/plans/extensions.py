@@ -1609,3 +1609,70 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)
+        WHERE len(toks) >= 8
+    ),
+    losers AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM g
+        ) WHERE rn > 1
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + j AS cpos
+        FROM losers, unnest(generate_series(0, 7)) AS u(j)
+    ),
+    tok AS (
+        SELECT doc_id, i - 1 AS tpos, toks[i] AS token
+        FROM t, unnest(generate_series(1, len(toks))) AS s(i)
+    ),
+    surv AS (
+        SELECT tok.doc_id,
+               string_agg(tok.token, ' ' ORDER BY tok.tpos) AS text,
+               COUNT(*) AS n_kept
+        FROM tok
+        LEFT JOIN covered
+          ON tok.doc_id = covered.doc_id AND tok.tpos = covered.cpos
+        WHERE covered.doc_id IS NULL
+        GROUP BY tok.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(surv.text, '') AS text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(surv.n_kept, 0) AS BIGINT) AS n_kept
+    FROM t LEFT JOIN surv ON t.doc_id = surv.doc_id
+    """,
+    tags=("dedup", "text", "ext"),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (north star; Lee et al. ExactSubstr):
+    strip every >= 8-token span whose text occurred earlier elsewhere in
+    the corpus — duplication that is NOT paragraph-aligned and so slips
+    past `q_dedup_paragraphs` (quoted passages, syndicated bodies with
+    local edits). Rolling 8-gram sha256 digests hash in-row at the scan;
+    the global first-occurrence winner per gram is a map-side-combined
+    min(struct(id,pos)) hash aggregate (never a window over digests — the
+    paragraph operator's skew argument); losing occurrences collapse to a
+    per-doc covered-position set in ONE aggregate with the k-fold
+    expansion done in-row; the rebuild joins back on the unique doc id.
+    ~4.6% of 8-gram occurrences at sf0.01 are cross/self duplicates, so
+    the stage does real work. The oracle replays the cover semantics on
+    gram TEXT where Spark joins on sha256 — identical verdicts (digest
+    equality == byte equality)."""
+    from ..operators.dedup import dedup_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_substring_spans(docs, k=8)
