@@ -321,9 +321,13 @@ def test_pipeline_end_to_end_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan  # gram probe + anti-join
-    # both decontamination consumers must read the cached increment, not
-    # replay the delta + incremental-dedup prologue
-    assert plan.count("InMemoryTableScan") == 2, plan.count("InMemoryTableScan")
+    # every decontamination consumer must read the CACHED increment
+    # (doc_id, text), not replay the delta + incremental-dedup prologue;
+    # the r07 broadcast-budget guard adds its own small cached sides
+    # (gram table, contaminated ids), so pin the increment's cache reads
+    # specifically rather than a global InMemoryTableScan count
+    inc_reads = len(re.findall(r"InMemoryTableScan \[doc_id#\d+L, text#\d+\]", plan))
+    assert inc_reads >= 2, f"increment cache reads: {inc_reads}\n{plan}"
     # the within-batch dedup winner is a min AGGREGATE on the digest (skew-
     # proof: map-side combine), never a window partitioned by digest — AQE
     # can split skewed join partitions but not window partitions
@@ -518,3 +522,70 @@ def test_fuzzy_pairs_blocked_join_no_cartesian(spark):
     assert "levenshtein" in plan  # exact verification fused in-plan
     for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_stage not in plan
+
+
+def test_maybe_broadcast_budget_guard_both_paths(spark):
+    """maybe_broadcast (VERDICT r06 #3): within budget the side carries the
+    broadcast hint (BroadcastHashJoin even with the auto threshold off);
+    past budget the hint is withheld and the join plans as a shuffle join.
+    Both paths return identical rows, and the probe path registers its
+    cache with the engine's release discipline."""
+    from the_movie_database_import_spark import session as S
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(5000).withColumnRenamed("id", "k")
+        small = spark.range(0, 5000, 7).withColumnRenamed("id", "k")
+
+        before = len(S._TRACKED_CACHES)
+        hinted = big.join(S.maybe_broadcast(small), "k", "left_anti")
+        p1 = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p1, p1
+        assert len(S._TRACKED_CACHES) == before + 1  # probe cached + tracked
+
+        fallback = big.join(
+            S.maybe_broadcast(small, budget_rows=10), "k", "left_anti"
+        )
+        p2 = fallback._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p2, p2
+
+        assert sorted(r.k for r in hinted.collect()) == sorted(
+            r.k for r in fallback.collect()
+        )
+
+        # known-size path: no probe job, no cache registered
+        n_before = len(S._TRACKED_CACHES)
+        hinted2 = big.join(S.maybe_broadcast(small, n_rows=715), "k", "left_anti")
+        assert len(S._TRACKED_CACHES) == n_before
+        assert "BroadcastHashJoin" in hinted2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        S.release_caches()
+
+
+def test_apply_delta_budget_guard_site(spark):
+    """apply_delta default (broadcast_changes=None) routes the victim set
+    through the budget guard: a daily-sized feed broadcasts (zero snapshot
+    shuffle); a backfill-sized feed (budget forced to zero via
+    broadcast_changes=False, the documented escape hatch) shuffles — and
+    the two MERGE results agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.delta import apply_delta
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    snap = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ups = snap.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "text", F.lit("updated")
+    )
+    dels = snap.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+
+    guarded = apply_delta(snap, ups, dels)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    shuffled = apply_delta(snap, ups, dels, broadcast_changes=False)
+    a = sorted(map(tuple, guarded.collect()))
+    b = sorted(map(tuple, shuffled.collect()))
+    assert a == b

@@ -61,8 +61,14 @@ def contamination_counts(
     explode in-row and probe the broadcast inner-join, then aggregate by doc
     id. Corpus rows are never shuffled pre-aggregate, and the aggregate's
     input is only the MATCHED (doc, gram) pairs — tiny unless the corpus is
-    thoroughly contaminated.
+    thoroughly contaminated. The gram-table broadcast is budget-guarded
+    (:func:`..session.maybe_broadcast`): a pathological "benchmark" the
+    size of a corpus falls back to a shuffle join instead of blowing the
+    broadcast, and the probe's count materializes the cached gram table
+    the join reads anyway.
     """
+    from ..session import maybe_broadcast
+
     if n <= 0:
         raise ValueError(f"n must be positive: {n}")
     set_cols = [bench_set_col] if bench_set_col else []
@@ -77,7 +83,7 @@ def contamination_counts(
         F.col(id_col), F.explode(_gram_hashes(F.col(text_col), n)).alias("gram_h")
     )
     return (
-        corpus_grams.join(F.broadcast(bench_grams), "gram_h")
+        corpus_grams.join(maybe_broadcast(bench_grams), "gram_h")
         .groupBy(id_col, *set_cols)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
@@ -98,11 +104,15 @@ def decontaminate(
     Implemented as a broadcast LEFT ANTI join against the contaminated-id
     set (itself the output of :func:`contamination_counts`, which is tiny:
     one id per contaminated doc). Corpus rows stream through unshuffled;
-    the full row survives, so this drops in anywhere in a pipeline.
+    the full row survives, so this drops in anywhere in a pipeline. The
+    id-set broadcast is budget-guarded like the gram table: a corpus that
+    turns out thoroughly contaminated falls back to a shuffle anti join.
     """
+    from ..session import maybe_broadcast
+
     contaminated = (
         contamination_counts(corpus, benchmark, n, text_col, id_col, bench_text_col)
         .filter(F.col("n_contaminated_grams") >= min_grams)
         .select(id_col)
     )
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    return corpus.join(maybe_broadcast(contaminated), id_col, "left_anti")

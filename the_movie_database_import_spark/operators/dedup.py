@@ -435,9 +435,14 @@ def jaccard_pairs_exact(
             .filter(F.col("df") > max_token_df)
             .select("block", "tok")
         )
-        # Broadcast anti-join: the hot-token list is tiny by construction
-        # (only tokens above the cap), so pruning costs no extra shuffle.
-        inv = inv.join(F.broadcast(hot), ["block", "tok"], "left_anti")
+        # Budget-guarded broadcast anti-join: the hot-token list is
+        # normally tiny (only tokens above the cap), but its size is
+        # data-dependent — the guard falls back to a shuffle anti-join on
+        # a corpus where most tokens are hot instead of blowing the
+        # broadcast.
+        from ..session import maybe_broadcast
+
+        inv = inv.join(maybe_broadcast(hot), ["block", "tok"], "left_anti")
     inter = (
         inv.alias("a")
         .join(

@@ -140,7 +140,7 @@ def apply_delta(
     upserts: DataFrame,
     deletes: DataFrame,
     id_col: str = "doc_id",
-    broadcast_changes: bool = True,
+    broadcast_changes: bool | None = None,
 ) -> DataFrame:
     """MERGE a change feed into a snapshot: rows whose id appears in
     ``upserts`` are replaced, ids in ``deletes`` are dropped, new upsert
@@ -150,18 +150,25 @@ def apply_delta(
     ``deletes`` needs only the id.
 
     Scale: a daily feed is orders of magnitude smaller than the corpus,
-    so by default the victim-id set (upsert ∪ delete ids, deduped — it is
-    the SMALL side) BROADCASTS and the snapshot streams through a
-    broadcast LEFT ANTI join with ZERO shuffle of corpus rows — the plan
-    a MERGE INTO on a 100 TB table must have. Set
-    ``broadcast_changes=False`` for a backfill-sized feed; the anti join
-    then shuffles both sides on the id and AQE handles skew.
+    so the victim-id set (upsert ∪ delete ids, deduped — it is the SMALL
+    side) BROADCASTS and the snapshot streams through a broadcast LEFT
+    ANTI join with ZERO shuffle of corpus rows — the plan a MERGE INTO on
+    a 100 TB table must have. By default (``broadcast_changes=None``) the
+    hint is BUDGET-GUARDED: :func:`..session.maybe_broadcast` counts the
+    victim set (cheap — ids only) and falls back to an unhinted shuffle
+    anti join for a backfill-sized feed instead of assuming feed ≪ corpus
+    forever. ``True`` forces the hint (feed known small, skip the probe);
+    ``False`` forces the shuffle form.
     """
+    from ..session import maybe_broadcast
+
     victims = (
         upserts.select(F.col(id_col))
         .unionByName(deletes.select(F.col(id_col)))
         .distinct()
     )
-    if broadcast_changes:
+    if broadcast_changes is None:
+        victims = maybe_broadcast(victims)
+    elif broadcast_changes:
         victims = F.broadcast(victims)
     return snapshot.join(victims, id_col, "left_anti").unionByName(upserts)

@@ -75,7 +75,7 @@ def fuzzy_pairs_edit1(
     the unique ids for verification (the shuffle-digests-never-text
     principle the dedup/delta operators follow).
     """
-    from ..session import tracked_cache
+    from ..session import maybe_broadcast, tracked_cache
 
     base = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
@@ -93,8 +93,12 @@ def fuzzy_pairs_edit1(
         .select("_id", F.xxhash64("_v").alias("_vh"))
     )
     counts = sides.groupBy("_vh").agg(F.count(F.lit(1)).alias("_n"))
+    # budget-guarded hint: the hot census is normally a handful of rows,
+    # but a pathological corpus (everything hot) would blow a blind
+    # broadcast; the guard's count also warms the variant-stream cache
+    # the join sides read next
     kept = sides.join(
-        F.broadcast(counts.filter(F.col("_n") > max_block)), "_vh", "left_anti"
+        maybe_broadcast(counts.filter(F.col("_n") > max_block)), "_vh", "left_anti"
     )
     a = kept.select(F.col("_id").alias("id_a"), "_vh")
     b = kept.select(F.col("_id").alias("id_b"), "_vh")

@@ -101,7 +101,15 @@ def mix_corpus(
         [(g, float(w)) for g, w in sorted(weights.items())], f"{group_col} string, _w double"
     )
     counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    sized = counts.join(F.broadcast(wdf), group_col)  # inner: unweighted groups drop
+    # both small sides have STATICALLY known row bounds — the weights
+    # local relation is len(weights) rows and the rate table (counts
+    # inner-joined to it) is at most len(weights) rows — so the budget
+    # guard needs no probe job (n_rows passed from the caller's dict)
+    from ..session import maybe_broadcast
+
+    sized = counts.join(
+        maybe_broadcast(wdf, n_rows=len(weights)), group_col
+    )  # inner: unweighted groups drop
     # T = min(n/w) as an UNBOUNDED window over `sized` rather than a
     # separate agg + crossJoin: the agg formulation re-evaluates the
     # counts subtree (and therefore the corpus scan) once per consumer;
@@ -123,7 +131,7 @@ def mix_corpus(
     )
     keep = hash_bucket(F.col(id_col)) < _rate_threshold(F.col("_rate"))
     return (
-        docs.join(F.broadcast(rates), group_col)
+        docs.join(maybe_broadcast(rates, n_rows=len(weights)), group_col)
         .filter(keep)
         .drop("_rate")
         .select(*docs.columns)
@@ -215,7 +223,11 @@ def mix_corpus_epochs(
         f"{group_col} string, _w double",
     )
     counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    sized = counts.join(F.broadcast(wdf), group_col)
+    # statically bounded small sides (<= len(weights) rows) — see
+    # mix_corpus: the budget guard takes n_rows, no probe job
+    from ..session import maybe_broadcast
+
+    sized = counts.join(maybe_broadcast(wdf, n_rows=len(weights)), group_col)
     everything = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -242,6 +254,6 @@ def mix_corpus_epochs(
     copies = F.when(
         n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
     ).otherwise(F.array().cast("array<bigint>"))
-    return docs.join(F.broadcast(rates), group_col).select(
+    return docs.join(maybe_broadcast(rates, n_rows=len(weights)), group_col).select(
         *docs.columns, F.explode(copies).alias("epoch")
     )

@@ -34,7 +34,13 @@ def assign_surrogate_ids(
 def attach_surrogate_ids(
     df: DataFrame, natural_key: str, id_col: str = "surrogate_id"
 ) -> DataFrame:
-    """Join surrogate ids back onto the full input (broadcast — the distinct
-    key set is dimension-sized by construction)."""
+    """Join surrogate ids back onto the full input. The distinct key set is
+    dimension-sized for the intended workloads, but its cardinality is
+    DATA-dependent (a near-unique "natural key" would be corpus-sized), so
+    the broadcast hint is budget-guarded: within budget the join
+    broadcasts, past it the join shuffles on the key — same result, and
+    the guard's count materializes the cached id map the join reads."""
+    from ..session import maybe_broadcast
+
     ids = assign_surrogate_ids(df, natural_key, id_col)
-    return df.join(F.broadcast(ids), natural_key, "left")
+    return df.join(maybe_broadcast(ids), natural_key, "left")

@@ -73,14 +73,17 @@ def oov_rate(
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against a built vocab: the
     fraction of the document's token OCCURRENCES not in ``vocab.token``.
-    The vocab broadcasts (it is small by construction); documents explode,
-    probe, and re-aggregate on their own id — corpus rows shuffle only as
-    (id, counts) pairs."""
+    The vocab probe is a budget-guarded broadcast (small for every sane
+    vocab; a pathological one falls back to a shuffle join); documents
+    explode, probe, and re-aggregate on their own id — corpus rows shuffle
+    only as (id, counts) pairs."""
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
+    from ..session import maybe_broadcast
+
     hit = tok.join(
-        F.broadcast(vocab.select("token").withColumn("_in_vocab", F.lit(1))),
+        maybe_broadcast(vocab.select("token").withColumn("_in_vocab", F.lit(1))),
         "token",
         "left",
     )
@@ -120,10 +123,12 @@ def unigram_nll(
     choice as :func:`build_vocab`); the probe broadcasts the per-token
     quantized log-probs (a few hundred MB for a trillion-token corpus's
     multi-million-token vocab) and re-aggregates on the doc id — corpus
-    rows shuffle only as (id, int-sum) pairs. If a pathological vocab ever
-    exceeds the broadcast budget (Spark's 8 GB hard cap), drop the
-    ``F.broadcast`` hint and let the probe plan as a shuffle join — the
-    semantics are identical.
+    rows shuffle only as (id, int-sum) pairs. The hint is BUDGET-GUARDED
+    (:func:`..session.maybe_broadcast`): a vocab past the row budget
+    plans the probe as a shuffle join — identical semantics — instead of
+    approaching Spark's 8 GB broadcast hard cap, and the guard's count
+    materializes the cached LM the probe join reads, so the corpus-side
+    token aggregate still runs exactly once.
     """
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
@@ -135,8 +140,10 @@ def unigram_nll(
     logp_q = F.floor(
         F.lit(1e6) * F.log(F.col("c") / F.sum("c").over(everything))
     ).cast("bigint")
+    from ..session import maybe_broadcast
+
     lm = counts.select("token", logp_q.alias("_logp_q"))
-    return tok.join(F.broadcast(lm), "token").groupBy(id_col).agg(
+    return tok.join(maybe_broadcast(lm), "token").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.sum("_logp_q")).alias("nll_q_sum"),
         (-F.sum("_logp_q") / F.count(F.lit(1))).alias("avg_nll_q"),

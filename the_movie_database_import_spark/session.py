@@ -31,6 +31,42 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+# Budget for data-dependent broadcast sides, in ROWS: at the ~64 B/row
+# digest/id/rate rows these sides carry, 8M rows ≈ 512 MB resident per
+# executor — comfortably under Spark's 8 GB broadcast hard cap and a
+# sensible slice of a typical executor's memory. Sites with wider rows
+# pass a smaller budget.
+BROADCAST_BUDGET_ROWS = 8_000_000
+
+
+def maybe_broadcast(df: DataFrame, *, budget_rows: int = BROADCAST_BUDGET_ROWS,
+                    n_rows: int | None = None, cache: bool = True) -> DataFrame:
+    """Budget-guarded broadcast hint (VERDICT r06 #3): return
+    ``F.broadcast(df)`` when the side is verifiably within budget, else
+    ``df`` unhinted so the join plans as a shuffle join (identical
+    semantics; AQE handles skew, and its runtime
+    ``autoBroadcastJoinThreshold`` can still promote the join if the side
+    turns out small). Every data-dependent broadcast site in the engine
+    routes through this instead of assuming "delta/eval-set ≪ corpus"
+    holds forever.
+
+    When ``n_rows`` is known from pipeline metadata, pass it — zero extra
+    work. Otherwise the side is ``tracked_cache``'d and counted: one extra
+    job whose work the subsequent join re-reads from cache, so a side
+    computed by an expensive aggregate is NOT computed twice (the corpus
+    scan count stays what it was; only K cached rows are retained, and
+    the registry/bench release discipline frees them at the next query).
+    ``cache=False`` skips the cache for sides that are pure scans
+    (recompute is cheaper than retention)."""
+    from pyspark.sql import functions as F
+
+    if n_rows is None:
+        if cache:
+            df = tracked_cache(df)
+        n_rows = df.count()
+    return F.broadcast(df) if n_rows <= budget_rows else df
+
+
 def release_caches() -> int:
     """Unpersist every tracked cache; returns how many were released.
 
