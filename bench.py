@@ -27,6 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from the_movie_database_import_spark import metrics  # noqa: E402
 from the_movie_database_import_spark.plans import REGISTRY  # noqa: E402
 from the_movie_database_import_spark.session import get_spark  # noqa: E402
 
@@ -62,13 +63,29 @@ def main() -> None:
         run(name)
 
     samples: dict[str, list[float]] = {n: [] for n in names}
+    cpu_samples: dict[str, list[float]] = {n: [] for n in names}
+    task_samples: dict[str, list[int]] = {n: [] for n in names}
     for _ in range(passes):
         for name in names:
+            snap0 = metrics.stage_totals(spark.sparkContext)
             t0 = time.perf_counter()
             run(name)
             samples[name].append(time.perf_counter() - t0)
+            d = metrics.delta(snap0, metrics.stage_totals(spark.sparkContext))
+            cpu_samples[name].append(d.cpu_ns / 1e9)
+            task_samples[name].append(d.tasks)
 
     timings = {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
+    # Executor CPU seconds (VERDICT r06 #4): load-INVARIANT to first order —
+    # background load stretches wall time, not the cycles our tasks burn —
+    # so this is the artifact's machine-checkable regression gate
+    # (BASELINE.md states the CPU band). Task counts pin plan shape: a
+    # partitioning/shuffle regression changes them even when timings hide
+    # in noise.
+    cpu_timings = {
+        name: round(statistics.median(cs), 4) for name, cs in cpu_samples.items()
+    }
+    tasks = {name: int(statistics.median(ts)) for name, ts in task_samples.items()}
 
     total = round(sum(timings.values()), 4)
     load_after = os.getloadavg()
@@ -79,6 +96,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cpu_sec_total": round(sum(cpu_timings.values()), 4),
+                "queries_cpu_sec": cpu_timings,
+                "queries_tasks": tasks,
                 "sf": sf_val,
                 # 1/5/15-min load BEFORE session start and AFTER the timed
                 # passes: pre-existing background load (not our own Spark

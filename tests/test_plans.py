@@ -589,3 +589,18 @@ def test_apply_delta_budget_guard_site(spark):
     a = sorted(map(tuple, guarded.collect()))
     b = sorted(map(tuple, shuffled.collect()))
     assert a == b
+
+
+def test_stage_totals_snapshot_delta(spark):
+    """metrics.stage_totals (VERDICT r06 #4): an AppStatusStore snapshot
+    pair brackets a query's executor CPU time and task count — both must
+    be positive for real work, and snapshots must be monotonic."""
+    from the_movie_database_import_spark import metrics
+
+    a = metrics.stage_totals(spark.sparkContext)
+    spark.range(2_000_000).selectExpr("sum(id * id)").collect()
+    b = metrics.stage_totals(spark.sparkContext)
+    d = metrics.delta(a, b)
+    assert d.tasks >= 1
+    assert d.cpu_ns > 0
+    assert d.run_ms >= 0

@@ -58,15 +58,27 @@ def main() -> None:
         df = REGISTRY[name].spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
+    from the_movie_database_import_spark import metrics
+
     for name in QUERIES:  # untimed warmup
         run(name)
     samples: dict[str, list[float]] = {n: [] for n in QUERIES}
+    cpu_samples: dict[str, list[float]] = {n: [] for n in QUERIES}
+    task_samples: dict[str, list[int]] = {n: [] for n in QUERIES}
     for _ in range(3):
         for name in QUERIES:
+            snap0 = metrics.stage_totals(spark.sparkContext)
             t0 = time.perf_counter()
             run(name)
             samples[name].append(time.perf_counter() - t0)
+            d = metrics.delta(snap0, metrics.stage_totals(spark.sparkContext))
+            cpu_samples[name].append(d.cpu_ns / 1e9)
+            task_samples[name].append(d.tasks)
     timings = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    cpu_timings = {
+        n: round(statistics.median(cs), 4) for n, cs in cpu_samples.items()
+    }
+    tasks = {n: int(statistics.median(ts)) for n, ts in task_samples.items()}
     print(
         json.dumps(
             {
@@ -74,6 +86,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "cpu_sec_total": round(sum(cpu_timings.values()), 4),
+                "queries_cpu_sec": cpu_timings,
+                "queries_tasks": tasks,
                 "sf_dir": sf_dir,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
