@@ -57,9 +57,19 @@ def test_corpus_cli_audit_gate(spark, tmp_path, capsys):
     census = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert census["audit_passed"] is True
     report = json.load(open(f"{out}/audit.json"))
-    assert {r["check"] for r in report} == {
+    assert {r["check"] for r in report["checks"]} == {
         "not_null(doc_id)",
         "not_null(text)",
         "unique(doc_id)",
     }
-    assert all(r["passed"] and r["total"] == census["docs_kept"] for r in report)
+    assert all(
+        r["passed"] and r["total"] == census["docs_kept"]
+        for r in report["checks"]
+    )
+    # drift profile (VERDICT r06 #6): the gate artifact carries per-column
+    # histograms whose bin counts sum to the written pool size
+    assert set(report["histograms"]) == {"text_chars", "n_tokens"}
+    for col, bins in report["histograms"].items():
+        assert bins, f"{col} histogram empty"
+        assert sum(b["n"] for b in bins) == census["docs_kept"]
+        assert all(b["bin_hi"] >= b["bin_lo"] for b in bins)

@@ -99,7 +99,7 @@ def main(argv: list[str] | None = None) -> int:
 
     audit_ok = True
     if args.audit:
-        from ..operators.quality import audit, check_not_null
+        from ..operators.quality import audit, check_not_null, numeric_histogram
 
         report = [
             {
@@ -115,8 +115,34 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
         ]
         audit_ok = all(r["passed"] for r in report)
+        # Drift profile (VERDICT r06 #6): per-column equi-width histograms
+        # over the written pool's profile metrics, so the load-gate
+        # artifact doubles as the distribution snapshot a scheduler diffs
+        # day-over-day (a sudden shift in length/token-count shape is the
+        # classic upstream-crawler-change symptom that per-check booleans
+        # can't see). K-row collect per column — report-sized, not data-
+        # sized; the histogram itself is one broadcast + one map-side-
+        # combined census (operators/quality.numeric_histogram).
+        profile = shards.select(
+            F.length("text").cast("double").alias("text_chars"),
+            F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens"),
+        )
+        histograms = {
+            col: [
+                {
+                    "bin_id": r["bin_id"],
+                    "bin_lo": r["bin_lo"],
+                    "bin_hi": r["bin_hi"],
+                    "n": r["n"],
+                }
+                for r in numeric_histogram(profile, col, n_bins=20)
+                .orderBy("bin_id")
+                .collect()
+            ]
+            for col in ("text_chars", "n_tokens")
+        }
         with open(f"{args.out}/audit.json", "w") as f:
-            json.dump(report, f, indent=1)
+            json.dump({"checks": report, "histograms": histograms}, f, indent=1)
 
     release_caches()
     census = {
