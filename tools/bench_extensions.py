@@ -41,6 +41,7 @@ QUERIES = [
     "q_sample_weighted_k",
     "q_fuzzy_name_pairs",
     "q_numeric_histogram",
+    "q_dedup_substring_spans",
     "q_pipeline_end_to_end",
 ]
 
