@@ -1332,3 +1332,51 @@ def test_dedup_substring_spans_property_vs_model(spark):
     for doc_id, (text, n_tokens, n_kept) in got.items():
         assert 0 <= n_kept <= n_tokens
         assert n_kept == (len(text.split(" ")) if text else 0)
+
+
+def test_dedup_spans_incremental_corpus_always_wins(spark):
+    """Incremental span dedup: a batch span already in the corpus's gram
+    side table is stripped even from the batch's FIRST occurrence (the
+    corpus copy wins — incremental_dedup's dup_of_existing convention);
+    batch-only duplication keeps the batch-first copy; and the composed
+    semantics equal running the FULL operator over corpus+batch and
+    keeping the batch rows, whenever corpus ids precede batch ids."""
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_substring_spans,
+        dedup_substring_spans_incremental,
+        substring_gram_digests,
+    )
+
+    span = "q w e r t"
+    corpus = spark.createDataFrame(
+        [(1, f"intro {span} outro")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"a b {span} c d"),     # span already in corpus: stripped
+            (11, "fresh u v w x y z"),   # batch-first of a new span: kept
+            (12, "no fresh u v w x y z"),# repeats doc 11's whole text
+            (13, "tiny"),                # < k tokens: untouched
+        ],
+        "doc_id long, text string",
+    )
+    seen = substring_gram_digests(corpus, k=5)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in dedup_substring_spans_incremental(batch, seen, k=5).collect()
+    }
+    assert got[10] == ("a b c d", 9, 4)
+    assert got[11] == ("fresh u v w x y z", 7, 7)
+    # doc 12 loses every gram it shares with doc 11 ("fresh u v w x" at
+    # pos 1 through "v w x y z" at pos 3), covering tokens 1..7; only the
+    # leading "no" survives
+    assert got[12] == ("no", 8, 1)
+    assert got[13] == ("tiny", 1, 1)
+
+    # composition identity vs the full batch+corpus operator
+    full = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in dedup_substring_spans(corpus.unionByName(batch), k=5).collect()
+        if r["doc_id"] >= 10
+    }
+    assert got == full

@@ -628,28 +628,7 @@ def dedup_substring_spans(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (k=1 would drop every repeated token): {k}")
-    toks = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.sha2(F.array_join(F.slice(toks, i + 1, k), " "), 256),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    from ..session import tracked_cache
-
-    base = docs.filter(F.col(text_col).isNotNull())
-    # the hashed occurrence stream feeds TWO consumers (winner aggregate +
-    # the losing-occurrence join) and its upstream is the expensive part
-    # of the whole operator (k-token gram assembly + sha256 per position)
-    # — cache it so the grams hash once (measured -35% CPU at sf0.1).
-    # Cache budget at 100 TB: ~(2x digest + pos) per token of corpus;
-    # past executor memory prefer MEMORY_AND_DISK or drop the cache and
-    # recompute (the paragraph operator's choice — its per-unit hashing
-    # is an order of magnitude cheaper).
-    occ = tracked_cache(
-        base.select(F.col(id_col), F.posexplode(grams).alias("_pos", "_h"))
-    )
+    occ, base = _span_gram_occurrences(docs, k, text_col, id_col)
     winners = (
         occ.groupBy("_h")
         .agg(F.min(F.struct(id_col, "_pos")).alias("_w"))
@@ -659,12 +638,61 @@ def dedup_substring_spans(
             F.col("_w._pos").alias("_win_pos"),
         )
     )
-    covered = (
-        occ.join(winners, "_h")
-        .filter(
-            ~((F.col(id_col) == F.col("_win_id")) & (F.col("_pos") == F.col("_win_pos")))
+    lose = occ.join(winners, "_h").filter(
+        ~((F.col(id_col) == F.col("_win_id")) & (F.col("_pos") == F.col("_win_pos")))
+    )
+    return _rebuild_without_covered(base, lose, k, text_col, id_col)
+
+
+def span_gram_digests(text: Column, k: int) -> Column:
+    """Rolling k-token-gram sha256 digests of ``text``, one per start
+    position, as a pure-codegen array expression (sequence + slice +
+    array_join + sha2). Documents shorter than ``k`` tokens yield an
+    EMPTY array (the ``when`` guard matters: ``sequence(0, negative)``
+    would generate a DESCENDING sequence, not an empty one — the
+    word_shingles trap)."""
+    toks = F.split(text, " ")
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.sha2(F.array_join(F.slice(toks, i + 1, k), " "), 256),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _span_gram_occurrences(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(occurrence stream, non-null-text base) shared by the span-dedup
+    family. The hashed occurrence stream (id, _pos, _h) feeds TWO
+    consumers in every caller (winner aggregate + the losing-occurrence
+    join) and its upstream is the dominant cost of the operator (k-token
+    gram assembly + sha256 per position) — cache it so the grams hash
+    once (measured -35% CPU at sf0.1). Cache budget at 100 TB: ~(2x
+    digest + pos) per token of corpus; past executor memory prefer
+    MEMORY_AND_DISK or drop the cache and recompute (the paragraph
+    operator's choice — its per-unit hashing is an order of magnitude
+    cheaper)."""
+    base = docs.filter(F.col(text_col).isNotNull())
+    occ = tracked_cache(
+        base.select(
+            F.col(id_col),
+            F.posexplode(span_gram_digests(F.col(text_col), k)).alias("_pos", "_h"),
         )
-        .groupBy(id_col)
+    )
+    return occ, base
+
+
+def _rebuild_without_covered(
+    base: DataFrame, lose: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Collapse losing gram-start positions per document (ONE aggregate;
+    the k-fold expansion to covered token positions happens IN-ROW via
+    sequence + flatten + distinct, never as a row explosion) and rebuild
+    each document from its uncovered tokens on a unique-id left join."""
+    covered = (
+        lose.groupBy(id_col)
         .agg(F.collect_list("_pos").alias("_lose_pos"))
         .select(
             id_col,
@@ -677,6 +705,7 @@ def dedup_substring_spans(
             ).alias("_covered"),
         )
     )
+    toks = F.split(F.col(text_col), " ")
     cov = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
     return base.join(covered, id_col, "left").select(
         F.col(id_col),
@@ -686,3 +715,82 @@ def dedup_substring_spans(
         F.size(toks).cast("bigint").alias("n_tokens"),
         (F.size(toks) - F.size(cov)).cast("bigint").alias("n_kept"),
     )
+
+
+def substring_gram_digests(
+    docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The gram-digest side table an incremental span-dedup pipeline
+    maintains: one row per DISTINCT k-gram digest in ``docs`` —
+    append :func:`dedup_substring_spans_incremental`'s kept output's
+    digests after each batch (the span twin of the exact-dedup digest
+    side table ``operators/delta.incremental_dedup`` consumes). Store it
+    bucketed on ``gram_digest`` (``sources.writers.write_bucketed``) and
+    the daily probe join is co-located — no shuffle of the corpus-scale
+    side table at maintenance time."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(span_gram_digests(F.col(text_col), k)).alias("gram_digest")
+        )
+        .distinct()
+    )
+
+
+def dedup_substring_spans_incremental(
+    new_docs: DataFrame,
+    seen_grams: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "gram_digest",
+) -> DataFrame:
+    """Incremental ExactSubstr span dedup: strip from NEW documents every
+    >= ``k``-token span that already exists in the CORPUS (represented
+    only by its gram-digest side table — corpus text is never touched)
+    or earlier in the batch — the daily-maintenance form of
+    :func:`dedup_substring_spans`, completing the incremental family
+    (``delta.incremental_dedup`` is the whole-document analogue).
+
+    Cover rule: a batch gram occurrence is a loser when its digest is in
+    ``seen_grams`` (the corpus copy always wins — same convention as
+    ``incremental_dedup``'s ``dup_of_existing``) OR when it is not the
+    batch-first (id, pos) occurrence of its digest. Tokens covered by any
+    losing occurrence are removed; output shape matches
+    :func:`dedup_substring_spans`.
+
+    Scale: the probe join is digest-keyed — at 100 TB corpus / 1 TB daily
+    delta, the delta's gram digests join the side table; keep the side
+    table BUCKETED on the digest and the corpus-scale side never
+    shuffles at maintenance time (the bucketed-join strategy
+    ``sources/writers.write_bucketed`` provides). The within-batch winner
+    is the same map-side-combined min(struct) aggregate as the full
+    operator.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (k=1 would drop every repeated token): {k}")
+    occ, base = _span_gram_occurrences(new_docs, k, text_col, id_col)
+    seen = seen_grams.select(F.col(digest_col).alias("_seen_h")).distinct()
+    flagged = occ.join(seen, occ["_h"] == seen["_seen_h"], "left").withColumn(
+        "_hit", F.col("_seen_h").isNotNull()
+    )
+    winners = (
+        occ.groupBy("_h")
+        .agg(F.min(F.struct(id_col, "_pos")).alias("_w"))
+        .select(
+            "_h",
+            F.col(f"_w.{id_col}").alias("_win_id"),
+            F.col("_w._pos").alias("_win_pos"),
+        )
+    )
+    lose = (
+        flagged.join(winners, "_h")
+        .filter(
+            F.col("_hit")
+            | ~(
+                (F.col(id_col) == F.col("_win_id"))
+                & (F.col("_pos") == F.col("_win_pos"))
+            )
+        )
+    )
+    return _rebuild_without_covered(base, lose, k, text_col, id_col)

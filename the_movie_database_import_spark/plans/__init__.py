@@ -55,8 +55,9 @@ DRIVER_WINDOW = [
     "q_except",
     "q_positive_or_null",
     "q_safe_cast",
-    # --- new round-7 query: never driver-checked, must be in-window ---
-    "q_dedup_substring_spans",  # Lee et al. ExactSubstr span dedup
+    # --- new round-7 queries: never driver-checked, must be in-window ---
+    "q_dedup_substring_spans",   # Lee et al. ExactSubstr span dedup
+    "q_dedup_spans_incremental", # its daily-maintenance (side-table) form
     # --- r07 code changes earn driver evidence on the new code ---
     "q_incremental_dedup",      # winner join-back now (digest, id)-keyed
     "q_corpus_curation",        # same join-back change in curate_corpus
@@ -77,7 +78,6 @@ DRIVER_WINDOW = [
     "q_math_fns",
     "q_join_asof",
     "q_join_broadcast",
-    "q_join_semi",
     "q_join_theta_range",
     "q_join_multiway_star",
     "q_agg_first_nonnull",
@@ -144,6 +144,7 @@ TAIL_PRIORITY = [
     "q_dedup_minhash_lsh",    # no-oracle + pinned recall/precision tests
     # r05 rows (rotate in r08)
     "q_json_fns",
+    "q_join_semi",
     "q_topk_global",
     "q_window_tumbling",
     "q_dedup_first_event",

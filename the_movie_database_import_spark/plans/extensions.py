@@ -1676,3 +1676,82 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_substring_spans(docs, k=8)
+
+
+@register(
+    "q_dedup_spans_incremental",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 0
+    ),
+    seen AS (
+        SELECT DISTINCT array_to_string(list_slice(s.toks, i, i + 7), ' ') AS gram
+        FROM (
+            SELECT string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+        ) s, unnest(generate_series(1, len(s.toks) - 7)) AS u(i)
+        WHERE len(s.toks) >= 8
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        WHERE len(toks) >= 8
+    ),
+    flagged AS (
+        SELECT g.doc_id, g.pos, g.gram,
+               (seen.gram IS NOT NULL) AS hit,
+               ROW_NUMBER() OVER (PARTITION BY g.gram
+                                  ORDER BY g.doc_id, g.pos) AS rn
+        FROM g LEFT JOIN seen ON g.gram = seen.gram
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + j AS cpos
+        FROM flagged, unnest(generate_series(0, 7)) AS u(j)
+        WHERE hit OR rn > 1
+    ),
+    tok AS (
+        SELECT doc_id, i - 1 AS tpos, toks[i] AS token
+        FROM t, unnest(generate_series(1, len(toks))) AS s(i)
+    ),
+    surv AS (
+        SELECT tok.doc_id,
+               string_agg(tok.token, ' ' ORDER BY tok.tpos) AS text,
+               COUNT(*) AS n_kept
+        FROM tok
+        LEFT JOIN covered
+          ON tok.doc_id = covered.doc_id AND tok.tpos = covered.cpos
+        WHERE covered.doc_id IS NULL
+        GROUP BY tok.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(surv.text, '') AS text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(surv.n_kept, 0) AS BIGINT) AS n_kept
+    FROM t LEFT JOIN surv ON t.doc_id = surv.doc_id
+    """,
+    tags=("dedup", "text", "delta", "ext"),
+)
+def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr span dedup (daily-maintenance form of
+    q_dedup_substring_spans): docs with doc_id % 10 == 0 stand in for the
+    EXISTING corpus — represented only by its gram-digest side table
+    (operators/dedup.substring_gram_digests, the materialization an
+    incremental pipeline appends after each batch) — and the rest are the
+    new batch. Any >= 8-token span already in the corpus, or duplicated
+    earlier within the batch, is stripped from the batch docs; corpus
+    text never participates. The probe join is digest-keyed (bucket the
+    side table on the digest and the corpus-scale side never shuffles);
+    the within-batch winner is the same map-side-combined min(struct)
+    aggregate as the full operator. The oracle replays the cover rule on
+    gram TEXT — identical verdicts (digest equality == byte equality)."""
+    from ..operators.dedup import (
+        dedup_substring_spans_incremental,
+        substring_gram_digests,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = substring_gram_digests(docs.filter(F.col("doc_id") % 10 == 0), k=8)
+    new = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup_substring_spans_incremental(new, seen, k=8)
