@@ -8,6 +8,8 @@ import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from conftest import SF_DIR
 
 from the_movie_database_import_spark.plans import REGISTRY
@@ -178,6 +180,54 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_spans_incremental_bucketed_side_no_exchange(spark, tmp_path):
+    """The incremental span-dedup probe's corpus side must NOT shuffle when
+    the gram-digest side table is bucketed on the digest (VERDICT r07 #4):
+    the operator trusts the side table's distinctness (no defensive
+    re-aggregation), so the only operations on that branch are scan ->
+    project(alias) -> sort-merge probe, and the bucketed scan's
+    HashPartitioning(gram_digest) satisfies the join's distribution through
+    the alias. Pinned as: no ``Exchange hashpartitioning(_seen_h...)``
+    anywhere in the plan — every other exchange in the operator keys on the
+    batch-side ``_h``/doc-id columns."""
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_substring_spans_incremental,
+        substring_gram_digests,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+    from the_movie_database_import_spark.sources.writers import write_bucketed
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    try:
+        write_bucketed(
+            substring_gram_digests(corpus, k=20),
+            "seen_grams_bkt",
+            str(tmp_path / "grams"),
+            bucket_by=["gram_digest"],
+            n_buckets=8,
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # disable broadcast so the probe exercises the co-located merge path
+        # (at 100 TB the side table is corpus-scale and never broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = dedup_substring_spans_incremental(
+                batch, spark.table("seen_grams_bkt"), k=20
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert not re.search(r"Exchange hashpartitioning\(_seen_h", plan), (
+                f"bucketed gram side table still shuffles:\n{plan}"
+            )
+            # sanity: the probe actually runs on the bucketed table
+            assert out.count() == batch.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_grams_bkt")
 
 
 def test_range_join_binned_avoids_nested_loop(spark):

@@ -28,11 +28,18 @@ class StageTotals(NamedTuple):
 
 
 def stage_totals(sc) -> StageTotals:
-    """Snapshot cumulative executor metrics from the AppStatusStore."""
+    """Snapshot cumulative executor metrics from the AppStatusStore.
+
+    Only COMPLETE stage attempts are summed (ADVICE r07: an empty status
+    list means ALL statuses, so ACTIVE/PENDING/FAILED stages — mid-run
+    snapshots and CPU from failed or retried attempts — would leak into
+    bench deltas and drift between the before/after reads)."""
     jvm = sc._jvm
     store = sc._jsc.sc().statusStore()
+    statuses = jvm.java.util.ArrayList()
+    statuses.add(jvm.org.apache.spark.status.api.v1.StageStatus.COMPLETE)
     stages = store.stageList(
-        jvm.java.util.ArrayList(),           # all statuses
+        statuses,                            # COMPLETE attempts only
         False,                               # details
         False,                               # withSummaries
         sc._gateway.new_array(jvm.double, 0),  # quantiles
@@ -49,8 +56,12 @@ def stage_totals(sc) -> StageTotals:
 
 
 def delta(before: StageTotals, after: StageTotals) -> StageTotals:
+    """Per-query delta between two snapshots, clamped at 0: store eviction
+    past spark.ui.retainedStages can shrink the cumulative totals between
+    snapshots, and a negative "CPU spent" is always a store artifact, not
+    a measurement (ADVICE r07)."""
     return StageTotals(
-        after.cpu_ns - before.cpu_ns,
-        after.run_ms - before.run_ms,
-        after.tasks - before.tasks,
+        max(0, after.cpu_ns - before.cpu_ns),
+        max(0, after.run_ms - before.run_ms),
+        max(0, after.tasks - before.tasks),
     )

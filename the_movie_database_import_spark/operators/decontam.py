@@ -65,7 +65,8 @@ def contamination_counts(
     (:func:`..session.maybe_broadcast`): a pathological "benchmark" the
     size of a corpus falls back to a shuffle join instead of blowing the
     broadcast, and the probe's count materializes the cached gram table
-    the join reads anyway.
+    the join reads anyway. NOTE the probe is EAGER: calling this runs the
+    guard's count() job at DataFrame-construction time (ADVICE r07).
     """
     from ..session import maybe_broadcast
 
@@ -107,6 +108,8 @@ def decontaminate(
     the full row survives, so this drops in anywhere in a pipeline. The
     id-set broadcast is budget-guarded like the gram table: a corpus that
     turns out thoroughly contaminated falls back to a shuffle anti join.
+    NOTE the guard's count probe is EAGER — calling this runs Spark jobs
+    (the contamination counts) at DataFrame-construction time.
     """
     from ..session import maybe_broadcast
 

@@ -439,7 +439,7 @@ def jaccard_pairs_exact(
         # normally tiny (only tokens above the cap), but its size is
         # data-dependent — the guard falls back to a shuffle anti-join on
         # a corpus where most tokens are hot instead of blowing the
-        # broadcast.
+        # broadcast. The guard's count probe runs EAGERLY here.
         from ..session import maybe_broadcast
 
         inv = inv.join(maybe_broadcast(hot), ["block", "tok"], "left_anti")
@@ -650,15 +650,28 @@ def span_gram_digests(text: Column, k: int) -> Column:
     array_join + sha2). Documents shorter than ``k`` tokens yield an
     EMPTY array (the ``when`` guard matters: ``sequence(0, negative)``
     would generate a DESCENDING sequence, not an empty one — the
-    word_shingles trap)."""
-    toks = F.split(text, " ")
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.sha2(F.array_join(F.slice(toks, i + 1, k), " "), 256),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    word_shingles trap).
+
+    The token array is bound ONCE as a lambda variable
+    (``transform(array(split(text)), toks -> ...)``): non-lambda
+    subexpressions inside a higher-order-function lambda are re-evaluated
+    PER ELEMENT, so referencing ``split(text)`` directly in the per-position
+    lambda would re-split the whole document for every gram start —
+    O(L^2) characters for an L-token doc, ~2.5x10^9 for one 50k-token
+    document. A named lambda variable is an O(1) attribute read, making
+    gram assembly O(L x k) total (pinned by
+    tests/test_extensions.py::test_span_rebuild_long_doc_linear)."""
+
+    def _grams(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.sha2(F.array_join(F.slice(toks, i + 1, k), " "), 256),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(F.split(text, " ")), _grams), 1)
 
 
 def _span_gram_occurrences(
@@ -690,7 +703,23 @@ def _rebuild_without_covered(
     """Collapse losing gram-start positions per document (ONE aggregate;
     the k-fold expansion to covered token positions happens IN-ROW via
     sequence + flatten + distinct, never as a row explosion) and rebuild
-    each document from its uncovered tokens on a unique-id left join."""
+    each document from its uncovered tokens on a unique-id left join.
+
+    The uncovered-position set is computed with ``array_except(all
+    positions, covered)`` — Spark's ArrayExcept builds a hash set of the
+    right operand, so the rebuild is O(L + |covered|) per document, NOT
+    the O(L x |covered|) a per-token ``array_contains(covered, i)`` scan
+    would cost (quadratic for a long mostly-duplicated document — a
+    100k-token 90%-covered doc would be ~10^10 comparisons in one row;
+    pinned by tests/test_extensions.py::test_span_rebuild_long_doc_linear).
+    ``array_except`` preserves the left operand's order and the position
+    sequence is ascending + distinct, so token order survives; covered
+    positions always lie inside [0, L-1] (gram starts <= L-k expanded by
+    k-1), so ``n_kept = L - |covered|`` exactly as before. Tokens are
+    then recovered by O(1) array indexing (``element_at`` on a token
+    array bound ONCE as a lambda variable — referencing ``split(text)``
+    inside the per-position lambda would re-split the document per kept
+    token, the same O(L^2) trap :func:`span_gram_digests` documents)."""
     covered = (
         lose.groupBy(id_col)
         .agg(F.collect_list("_pos").alias("_lose_pos"))
@@ -707,11 +736,16 @@ def _rebuild_without_covered(
     )
     toks = F.split(F.col(text_col), " ")
     cov = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
+
+    def _rebuilt(t: Column) -> Column:
+        kept_pos = F.array_except(F.sequence(F.lit(0), F.size(t) - 1), cov)
+        return F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at(t, p + 1)), " "
+        )
+
     return base.join(covered, id_col, "left").select(
         F.col(id_col),
-        F.array_join(
-            F.filter(toks, lambda x, i: ~F.array_contains(cov, i)), " "
-        ).alias(text_col),
+        F.element_at(F.transform(F.array(toks), _rebuilt), 1).alias(text_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         (F.size(toks) - F.size(cov)).cast("bigint").alias("n_kept"),
     )
@@ -744,6 +778,7 @@ def dedup_substring_spans_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     digest_col: str = "gram_digest",
+    dedup_seen: bool = False,
 ) -> DataFrame:
     """Incremental ExactSubstr span dedup: strip from NEW documents every
     >= ``k``-token span that already exists in the CORPUS (represented
@@ -766,11 +801,25 @@ def dedup_substring_spans_incremental(
     ``sources/writers.write_bucketed`` provides). The within-batch winner
     is the same map-side-combined min(struct) aggregate as the full
     operator.
+
+    ``seen_grams`` is TRUSTED to be digest-distinct — it is exactly what
+    :func:`substring_gram_digests` emits (already ``.distinct()``) and
+    what the maintenance loop appends batch-disjoint digests to. A
+    defensive re-distinct here would be a corpus-scale aggregation at
+    every maintenance run, defeating the bucketed no-shuffle contract
+    (and duplicate digests would not even change verdicts — the probe's
+    left join only asks existence, though dup rows WOULD fan out the
+    joined occurrence stream). Set ``dedup_seen=True`` only for an
+    untrusted ad-hoc side table; the bucketed-plan pin
+    (tests/test_plans.py::test_spans_incremental_bucketed_side_no_exchange)
+    asserts the default path adds no Exchange above the side-table scan.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (k=1 would drop every repeated token): {k}")
     occ, base = _span_gram_occurrences(new_docs, k, text_col, id_col)
-    seen = seen_grams.select(F.col(digest_col).alias("_seen_h")).distinct()
+    seen = seen_grams.select(F.col(digest_col).alias("_seen_h"))
+    if dedup_seen:
+        seen = seen.distinct()
     flagged = occ.join(seen, occ["_h"] == seen["_seen_h"], "left").withColumn(
         "_hit", F.col("_seen_h").isNotNull()
     )

@@ -158,7 +158,8 @@ def apply_delta(
     victim set (cheap — ids only) and falls back to an unhinted shuffle
     anti join for a backfill-sized feed instead of assuming feed ≪ corpus
     forever. ``True`` forces the hint (feed known small, skip the probe);
-    ``False`` forces the shuffle form.
+    ``False`` forces the shuffle form. NOTE the default's probe is EAGER:
+    constructing the result runs the victim-set count() job immediately.
     """
     from ..session import maybe_broadcast
 

@@ -95,8 +95,8 @@ def fuzzy_pairs_edit1(
     counts = sides.groupBy("_vh").agg(F.count(F.lit(1)).alias("_n"))
     # budget-guarded hint: the hot census is normally a handful of rows,
     # but a pathological corpus (everything hot) would blow a blind
-    # broadcast; the guard's count also warms the variant-stream cache
-    # the join sides read next
+    # broadcast; the guard's count (EAGER — runs at construction time)
+    # also warms the variant-stream cache the join sides read next
     kept = sides.join(
         maybe_broadcast(counts.filter(F.col("_n") > max_block)), "_vh", "left_anti"
     )

@@ -39,7 +39,8 @@ def attach_surrogate_ids(
     DATA-dependent (a near-unique "natural key" would be corpus-sized), so
     the broadcast hint is budget-guarded: within budget the join
     broadcasts, past it the join shuffles on the key — same result, and
-    the guard's count materializes the cached id map the join reads."""
+    the guard's count materializes the cached id map the join reads
+    (EAGER: the id-map job runs at construction time, ADVICE r07)."""
     from ..session import maybe_broadcast
 
     ids = assign_surrogate_ids(df, natural_key, id_col)

@@ -74,7 +74,8 @@ def oov_rate(
     """Per-document out-of-vocabulary rate against a built vocab: the
     fraction of the document's token OCCURRENCES not in ``vocab.token``.
     The vocab probe is a budget-guarded broadcast (small for every sane
-    vocab; a pathological one falls back to a shuffle join); documents
+    vocab; a pathological one falls back to a shuffle join — and the
+    guard's count() probe runs EAGERLY at construction time); documents
     explode, probe, and re-aggregate on their own id — corpus rows shuffle
     only as (id, counts) pairs."""
     tok = docs.select(
@@ -128,7 +129,8 @@ def unigram_nll(
     plans the probe as a shuffle join — identical semantics — instead of
     approaching Spark's 8 GB broadcast hard cap, and the guard's count
     materializes the cached LM the probe join reads, so the corpus-side
-    token aggregate still runs exactly once.
+    token aggregate still runs exactly once. NOTE that count makes this
+    call EAGER — the LM aggregate runs at construction time.
     """
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")

@@ -57,14 +57,36 @@ def maybe_broadcast(df: DataFrame, *, budget_rows: int = BROADCAST_BUDGET_ROWS,
     scan count stays what it was; only K cached rows are retained, and
     the registry/bench release discipline frees them at the next query).
     ``cache=False`` skips the cache for sides that are pure scans
-    (recompute is cheaper than retention)."""
+    (recompute is cheaper than retention).
+
+    NOTE the count probe is EAGER: without ``n_rows``, calling this runs a
+    Spark job at DataFrame-CONSTRUCTION time, so operators that route a
+    side through the guard (decontaminate, oov_rate, unigram_nll,
+    apply_delta's default victims, attach_surrogate_ids,
+    fuzzy_pairs_edit1) trigger jobs when built, not only when their result
+    executes — each such caller documents this. On the OVER-budget path
+    the probe cache is released immediately (ADVICE r07): a side that
+    failed the budget is by definition large, and retaining a corpus-sized
+    cache until the next release_caches() is exactly the resource pressure
+    the guard exists to avoid; the fallback shuffle join recomputes the
+    side once from lineage instead."""
     from pyspark.sql import functions as F
 
+    cached_here = False
     if n_rows is None:
         if cache:
             df = tracked_cache(df)
+            cached_here = True
         n_rows = df.count()
-    return F.broadcast(df) if n_rows <= budget_rows else df
+    if n_rows <= budget_rows:
+        return F.broadcast(df)
+    if cached_here:
+        try:
+            df.unpersist(blocking=False)
+            _TRACKED_CACHES.remove(df)
+        except Exception:  # already released / session stopped
+            pass
+    return df
 
 
 def release_caches() -> int:

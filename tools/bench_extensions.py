@@ -42,6 +42,7 @@ QUERIES = [
     "q_fuzzy_name_pairs",
     "q_numeric_histogram",
     "q_dedup_substring_spans",
+    "q_dedup_spans_incremental",
     "q_pipeline_end_to_end",
 ]
 

@@ -116,9 +116,14 @@ def main() -> int:
         try:
             if name in orc:
                 errs = compare(fn(spark, sf).toPandas(), con.execute(orc[name]).df())
-            else:  # vanilla mode: rows-only, like the driver's weak check
-                errs = [] if len(fn(spark, sf).toPandas()) >= 0 else ["no rows"]
-                print(f"ok   {name} (rows-only)")
+            else:
+                # vanilla mode: execute-only, like the driver's weak check —
+                # only an exception can fail this branch (ADVICE r07: don't
+                # dress it up as a row-count assertion; len() >= 0 was a
+                # tautology). The full result is still materialized so any
+                # executor-side error surfaces.
+                fn(spark, sf).toPandas()
+                print(f"ok   {name} (execute-only)")
                 continue
         except Exception as e:  # noqa: BLE001
             errs = [f"EXCEPTION {e!r}"]
