@@ -20,6 +20,13 @@ def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
     census = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert census["docs_in"] > census["docs_kept"] > 0
     assert census["n_shards"] == 4
+    # span-dedup census (VERDICT r07 #6): the stage ran and reported
+    # token conservation; a fresh pool may or may not contain >= k-token
+    # duplicated spans, so stripped is only bounded, not required > 0
+    assert census["span_tokens_in"] >= census["span_tokens_kept"] > 0
+    assert census["span_tokens_stripped"] == (
+        census["span_tokens_in"] - census["span_tokens_kept"]
+    )
 
     shard_dirs = sorted(
         d for d in os.listdir(f"{out}/shards") if d.startswith("shard=")
@@ -43,6 +50,38 @@ def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
         )
     )
     assert a == b
+
+
+def test_corpus_cli_span_side_table_loop(spark, tmp_path, capsys):
+    """The daily span-dedup maintenance loop: run 1 writes
+    <out>/span_grams (the gram-digest side table of the kept pool); run 2
+    over the SAME input with --span-grams-in pointing at it must strip
+    every >= k-token span (all of them are now 'already in the corpus'),
+    leaving each kept doc with fewer than k surviving tokens' worth of
+    any duplicated run — concretely: strictly fewer kept tokens than run
+    1 whenever run 1 kept any >= k-token content, and a side table that
+    gains no digests from run 2's stripped pool."""
+    from the_movie_database_import_spark.corpus.__main__ import main
+
+    out1 = str(tmp_path / "day1")
+    assert main([SF_DIR, "--out", out1, "--n-shards", "2"]) == 0
+    c1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.isdir(f"{out1}/span_grams")
+    grams1 = spark.read.parquet(f"{out1}/span_grams")
+    n_grams1 = grams1.count()
+    assert n_grams1 > 0
+    assert grams1.distinct().count() == n_grams1, "side table must be distinct"
+
+    out2 = str(tmp_path / "day2")
+    assert main(
+        [SF_DIR, "--out", out2, "--n-shards", "2",
+         "--span-grams-in", f"{out1}/span_grams"]
+    ) == 0
+    c2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # same curated pool arrives at the span stage; now every one of its
+    # >= k-token spans is in the side table, so kept tokens drop strictly
+    assert c2["span_tokens_in"] == c1["span_tokens_in"]
+    assert c2["span_tokens_kept"] < c1["span_tokens_kept"]
 
 
 def test_corpus_cli_audit_gate(spark, tmp_path, capsys):

