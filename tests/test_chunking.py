@@ -122,3 +122,27 @@ def test_pack_greedy_bin_id_is_exact_integer_division(spark):
     df = spark.createDataFrame(rows, "id long, n long")
     got = {r.id: r.bin_id for r in pack_greedy(df, F.col("n"), F.col("id"), 128).collect()}
     assert got == {i: (i * 64) // 128 for i in range(10)}
+
+
+def test_long_doc_hof_lambdas_are_linear(spark):
+    """Long-doc stress for the bound-token-array pattern (r08): expressions
+    inside higher-order-function lambdas re-evaluate PER ELEMENT, so
+    word_shingles and chunk_tokens must bind split(text) once as a lambda
+    variable instead of re-splitting the document per shingle/chunk start.
+    The pre-fix forms took 152s (shingles) / 3.6s (chunks) on this 50k-token
+    doc; the bound forms run in ~1s. Correctness is pinned exactly."""
+    import time
+
+    from the_movie_database_import_spark.functions.text import word_shingles
+
+    text = " ".join(f"w{i}" for i in range(50_000))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.monotonic()
+    n_shingles = df.select(
+        F.size(word_shingles(F.col("text"), 3)).alias("n")
+    ).first()["n"]
+    n_chunks = chunk_tokens(df, chunk_size=64, overlap=16).count()
+    elapsed = time.monotonic() - t0
+    assert n_shingles == 49_998  # all distinct: L - n + 1
+    assert n_chunks == -(-(50_000 - 16) // 48)  # ceil((L - overlap)/stride)
+    assert elapsed < 60, f"long-doc shingle+chunk took {elapsed:.1f}s"

@@ -47,16 +47,27 @@ def word_shingles(text: Column, n: int) -> Column:
     EMPTY array (the `when` guard matters: `sequence(0, negative)` would
     generate a descending sequence, not an empty one). All-builtin —
     sequence + slice + array_join whole-stage-codegen; no explode until the
-    consumer asks for one."""
-    toks = tokens(text)
-    return F.array_distinct(
-        F.when(
+    consumer asks for one.
+
+    The token array is bound ONCE as a lambda variable
+    (``transform(array(split(text)), toks -> ...)``): non-lambda
+    subexpressions inside a higher-order-function lambda re-evaluate PER
+    ELEMENT, so referencing ``split(text)`` directly in the per-position
+    lambda would re-split the whole document for every shingle start —
+    O(L^2) characters per doc (the r08 span-dedup finding,
+    operators/dedup.span_gram_digests)."""
+
+    def _shingles(toks: Column) -> Column:
+        return F.when(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - n),
                 lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(tokens(text)), _shingles), 1)
     )
 
 

@@ -58,20 +58,30 @@ def chunk_tokens(
     stride = chunk_size - overlap
     toks = tokens(F.col(text_col))  # the text stack's one tokenization
     n = F.size(toks)
-    # ceil matches the oracle's ceil(x/stride.0): small-int doubles are exact
-    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(float(stride)))
-    starts = F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+
+    # The token array is bound ONCE as a lambda variable: referencing the
+    # split expression directly inside the per-chunk lambda would re-split
+    # the whole document for every chunk start — O(L^2 / stride) chars per
+    # doc (the r08 span-dedup finding, operators/dedup.span_gram_digests).
+    def _chunks(t: Column) -> Column:
+        # ceil matches the oracle's ceil(x/stride.0): small-int doubles
+        # are exact
+        n_chunks = F.ceil(
+            F.greatest(F.size(t) - overlap, F.lit(1)) / F.lit(float(stride))
+        )
+        return F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(t, (i * stride + 1).cast("int"), chunk_size), " "
+            ),
+        )
+
     return (
         df.withColumn("_n", n)
         .select(
             "*",
             F.posexplode(
-                F.transform(
-                    starts,
-                    lambda i: F.array_join(
-                        F.slice(toks, (i * stride + 1).cast("int"), chunk_size), " "
-                    ),
-                )
+                F.element_at(F.transform(F.array(toks), _chunks), 1)
             ).alias("chunk_id", "chunk_text"),
         )
         .withColumn("chunk_id", F.col("chunk_id").cast("bigint"))

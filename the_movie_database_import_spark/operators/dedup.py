@@ -522,13 +522,26 @@ def dedup_paragraphs(
         F.collect_list("_pos").alias("_keep_pos")
     )
     split_again = F.split(F.col(text_col), sep_rx)
-    rebuilt = F.array_join(
-        F.filter(split_again, lambda x, i: F.array_contains(F.col("_keep_pos"), i)),
-        joiner,
-    )
+
+    # Rebuild from the SORTED winner positions by O(1) element_at indexing
+    # on a paragraph array bound once as a lambda variable — NOT a
+    # per-paragraph array_contains(_keep_pos) scan, which is
+    # O(paragraphs x |kept|) per document (quadratic for a
+    # many-paragraph doc; the r08 span-rebuild finding). _keep_pos holds
+    # distinct positions, so the ascending sort reproduces the original
+    # paragraph order exactly as the positional filter did.
+    def _rebuilt(parts: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.col("_keep_pos")),
+                lambda p: F.element_at(parts, p + 1),
+            ),
+            joiner,
+        )
+
     return docs.join(keep_sets, id_col).select(
         F.col(id_col),
-        rebuilt.alias(text_col),
+        F.element_at(F.transform(F.array(split_again), _rebuilt), 1).alias(text_col),
         F.size(split_again).cast("bigint").alias("n_paras"),
         F.size(F.col("_keep_pos")).cast("bigint").alias("n_kept"),
     )

@@ -39,7 +39,15 @@ def deletion_variants(name_sql: str) -> Column:
     """Deletion neighborhood ``array_distinct([s, delete(s,1), …,
     delete(s,len)])`` as a pure-codegen expression over the column named
     ``name_sql`` (repeated characters yield identical deletions — the
-    in-row distinct collapses them)."""
+    in-row distinct collapses them).
+
+    The per-position lambda re-reads ``{name_sql}`` — per-element
+    re-evaluation of an ATTRIBUTE is an O(1) field read, unlike the
+    O(len) re-splits the span/shingle operators had to bind away; the
+    two substrings themselves make each variant O(len), so the
+    neighborhood is O(len^2) characters per NAME — fine for the
+    short-string (entity name) contract this operator serves, by design
+    not for documents (use the gram-digest dedup family for those)."""
     return F.expr(
         f"array_distinct(concat(array({name_sql}), "
         f"transform(sequence(1, length({name_sql})), "

@@ -5,7 +5,7 @@ first 50 ``queries()`` entries, so DRIVER_WINDOW pins one query per
 SURVEY.md §2 component (including every LLM-pipeline / UDF / extension
 operator) into that window. The tail past 50 holds redundant variants of
 components already covered in-window — each tail entry was driver-green in
-a recent CORRECTNESS_r*.json (r04 for the current layout) and remains
+a recent CORRECTNESS_r*.json (r06/r07 for the current layout) and remains
 locally oracle-checked by tests/test_oracle_parity.py and
 tools/exact_parity.py at every SF.
 """
@@ -21,128 +21,28 @@ from . import analytics  # noqa: F401,E402
 from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 
-# First 50 = the driver-checked window. Round-7 rotation (VERDICT r06 #1):
-# the 15 queries displaced late-r06 to make room for the funnel/retention/
-# BM25 trio rotate back in (their newest driver rows are r04-era — the
-# oldest evidence in the registry); the new exact substring-span dedup
-# (never driver-checked) takes a slot; the three queries whose
-# IMPLEMENTATION changed this round stay/rotate in so the changed code
-# earns driver evidence (incremental_dedup + corpus_curation: winner
-# join-back now keys on (digest, id); the pipeline composite consumes the
-# changed incremental-dedup stage); each r06-new family keeps ONE
-# representative (the rest hold r06 rows + exact_parity coverage); one
-# exact similarity rep stays in (the whole exact-cosine family would
-# otherwise leave the window); and the remaining 21 slots refresh
-# r05-row queries across every operator family (joins, aggs, windows,
-# streaming twins, UDFs, dedup, text, delta, flagship). Every rotated-out
-# query keeps its r05/r06 row and an in-window family representative, and
-# tools/exact_parity.py re-proves the full registry on the current
-# testdata generation each round.
+# First 50 = the driver-checked window. Round-8 rotation (VERDICT r07 #1):
+# the 28 tail queries whose newest driver rows were r05-era — two testdata
+# generations stale, the oldest evidence in the registry — all rotate in;
+# the three queries whose IMPLEMENTATION changed this round keep slots so
+# the changed code earns driver evidence (the span-dedup pair: lambda-bound
+# token arrays + array_except rebuild + trusted side-table distinctness;
+# the pipeline composite: new incremental span-dedup stage); and the
+# remaining 19 slots refresh the oldest r06-row tail queries across the
+# relational/join/agg/window/similarity/sampling families. Every
+# rotated-out query keeps its r06/r07 row and an in-window family
+# representative (dedup → spans/canonical/clusters/by_key; analytics →
+# r06/r07 rows with funnel/retention in tail; multimodal →
+# frame_sample in-window, metadata/features/resize r07 rows; streaming →
+# tumbling/stateful/first_event in-window, sliding/session/watermark r07
+# rows), and tools/exact_parity.py re-proves the full registry on the
+# current testdata generation each round.
 DRIVER_WINDOW = [
-    # --- displaced late-r06, back in (newest rows r04-era) ---
-    "q_agg_percentiles_approx",
-    "q_dedup_embedding_cosine_lsh",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_multimodal_metadata",
-    "q_win_sliding_frame",
-    "q_agg_cube",
-    "q_union_distinct",
-    "q_sample_fixed_k",
-    "q_join_anti",
-    "q_agg_pivot",
-    "q_window_sliding",
-    "q_except",
-    "q_positive_or_null",
-    "q_safe_cast",
-    # --- new round-7 queries: never driver-checked, must be in-window ---
-    "q_dedup_substring_spans",   # Lee et al. ExactSubstr span dedup
-    "q_dedup_spans_incremental", # its daily-maintenance (side-table) form
-    # --- r07 code changes earn driver evidence on the new code ---
-    "q_incremental_dedup",      # winner join-back now (digest, id)-keyed
-    "q_corpus_curation",        # same join-back change in curate_corpus
-    "q_pipeline_end_to_end",    # composite consumes the changed dedup stage
-    # --- r06-new family representatives kept in-window ---
-    "q_training_order",         # mixing/sharding composite (mix+epochs+shards)
-    "q_text_unigram_nll",       # vocab/LM-signal family (oov_rate r06-green)
-    "q_events_funnel",          # analytics family (retention/scd2 r06-green)
-    "q_data_quality_audit",     # quality family (numeric_histogram r06-green)
-    "q_multimodal_dedup",
-    "q_sql_shared_window",
-    "q_bm25_topk",
-    "q_sample_weighted_k",
-    "q_fuzzy_name_pairs",
-    # --- exact similarity family representative ---
-    "q_similarity_topk_cosine",
-    # --- refreshed: newest driver rows are r05-era ---
-    "q_math_fns",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_theta_range",
-    "q_join_multiway_star",
-    "q_agg_first_nonnull",
-    "q_agg_grouping_sets",
-    "q_agg_count_distinct",
-    "q_win_rank",
-    "q_topk_per_group",
-    "q_window_watermark",
-    "q_window_session",
-    "q_stream_stream_join",
-    "q_pandas_udf_scalar",
-    "q_applyinpandas_group_pct",
-    "q_dedup_exact",
-    "q_text_langid",
-    "q_text_decontaminate",
-    "q_corpus_delta",
-    "q_flagship_star_revenue",
-]
-
-
-# Tail: every entry holds a green driver row from r04/r05/r06 (r06 rows are
-# the current testdata generation) and remains locally oracle-checked by
-# tests/test_oracle_parity.py + tools/exact_parity.py at every SF. Listed
-# r06-rows first (freshest evidence), then r05-rows awaiting the r08
-# rotation.
-TAIL_PRIORITY = [
-    # r06 rows (current generation)
-    "q_pricing_summary",
-    "q_agg_percentiles",
-    "q_join_range_binned",
-    "q_similarity_lsh_topk",
-    "q_project_rename",
-    "q_filter_pred",
-    "q_string_fns",
-    "q_date_fns",
-    "q_array_fns",
-    "q_join_inner_equi",
-    "q_join_left_outer",
-    "q_agg_collect_set",
-    "q_agg_rollup",
-    "q_agg_approx_count_distinct",
-    "q_sort_multi_key",
-    "q_win_lag_lead",
-    "q_win_ntile_pctrank",
-    "q_intersect",
-    "q_surrogate_keys",
-    "q_sample_stratified",
-    "q_text_repetition",
-    "q_join_salted_skew",
-    "q_dedup_simhash",
-    "q_text_tfidf_top_term",
-    "q_similarity_ivf_topk",
-    "q_dedup_embedding_cosine",
-    "q_oov_rate",             # vocab family rep unigram_nll in-window
-    "q_corpus_mix",           # mixing family rep training_order in-window
-    "q_shuffle_shards",
-    "q_corpus_mix_epochs",
-    "q_dedup_paragraphs",     # span-dedup generalization in-window
-    "q_boilerplate_census",
-    "q_retention_cohorts",    # analytics family rep events_funnel in-window
-    "q_scd2_history",
-    "q_apply_delta",          # delta family rep incremental_dedup in-window
-    "q_numeric_histogram",    # quality family rep data_quality_audit in-window
-    "q_dedup_minhash_lsh",    # no-oracle + pinned recall/precision tests
-    # r05 rows (rotate in r08)
+    # --- r08 implementation changes earn driver evidence on the new code ---
+    "q_dedup_substring_spans",   # lambda-bound grams + array_except rebuild
+    "q_dedup_spans_incremental", # + side-table distinctness now trusted
+    "q_pipeline_end_to_end",     # composite gains the span-dedup stage
+    # --- rotated in: newest driver rows were r05-era (VERDICT r07 #1) ---
     "q_json_fns",
     "q_join_semi",
     "q_topk_global",
@@ -171,6 +71,102 @@ TAIL_PRIORITY = [
     "q_text_chunks",
     "q_pack_greedy",
     "q_text_redact_pii",
+    # --- refreshed: the oldest r06-row tail entries ---
+    "q_pricing_summary",
+    "q_agg_percentiles",
+    "q_join_range_binned",
+    "q_similarity_lsh_topk",
+    "q_project_rename",
+    "q_filter_pred",
+    "q_string_fns",
+    "q_date_fns",
+    "q_array_fns",
+    "q_join_inner_equi",
+    "q_join_left_outer",
+    "q_agg_collect_set",
+    "q_agg_rollup",
+    "q_sort_multi_key",
+    "q_win_lag_lead",
+    "q_win_ntile_pctrank",
+    "q_intersect",
+    "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
+    "q_sample_stratified",
+]
+
+
+# Tail: every entry holds a green driver row from r06/r07 (both on recent
+# testdata generations) and remains locally oracle-checked by
+# tests/test_oracle_parity.py + tools/exact_parity.py at every SF. Listed
+# r07-rows first (freshest evidence), then the r06-rows that did not fit
+# the r08 window (next rotation candidates).
+TAIL_PRIORITY = [
+    # r07 rows (displaced by the r08 rotation)
+    "q_agg_percentiles_approx",
+    "q_dedup_embedding_cosine_lsh",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_metadata",
+    "q_win_sliding_frame",
+    "q_agg_cube",
+    "q_union_distinct",
+    "q_sample_fixed_k",
+    "q_join_anti",
+    "q_agg_pivot",
+    "q_window_sliding",
+    "q_except",
+    "q_positive_or_null",
+    "q_safe_cast",
+    "q_incremental_dedup",
+    "q_corpus_curation",
+    "q_training_order",
+    "q_text_unigram_nll",     # vocab family rep vocab_coverage in-window
+    "q_events_funnel",        # analytics family: r07 rows across the family
+    "q_data_quality_audit",
+    "q_multimodal_dedup",     # multimodal rep frame_sample in-window
+    "q_sql_shared_window",    # sql family rep sql_shared_text in-window
+    "q_bm25_topk",
+    "q_sample_weighted_k",
+    "q_fuzzy_name_pairs",
+    "q_similarity_topk_cosine",  # similarity rep lsh_topk in-window
+    "q_math_fns",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_join_multiway_star",
+    "q_agg_first_nonnull",
+    "q_agg_grouping_sets",
+    "q_agg_count_distinct",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_window_watermark",     # streaming reps tumbling/stateful in-window
+    "q_window_session",
+    "q_stream_stream_join",
+    "q_pandas_udf_scalar",    # UDF rep pandas_udf_grouped_agg in-window
+    "q_applyinpandas_group_pct",
+    "q_dedup_exact",          # dedup reps spans/canonical/clusters in-window
+    "q_text_langid",
+    "q_text_decontaminate",
+    "q_corpus_delta",         # delta family rep pipeline composite in-window
+    "q_flagship_star_revenue",
+    # r06 rows (next rotation candidates)
+    "q_agg_approx_count_distinct",  # no-oracle + pinned error tests
+    "q_text_repetition",
+    "q_join_salted_skew",
+    "q_dedup_simhash",
+    "q_text_tfidf_top_term",
+    "q_similarity_ivf_topk",
+    "q_dedup_embedding_cosine",
+    "q_oov_rate",
+    "q_corpus_mix",           # mixing family rep pack_greedy in-window
+    "q_shuffle_shards",
+    "q_corpus_mix_epochs",
+    "q_dedup_paragraphs",     # span-dedup generalization in-window
+    "q_boilerplate_census",
+    "q_retention_cohorts",
+    "q_scd2_history",
+    "q_apply_delta",
+    "q_numeric_histogram",
+    "q_dedup_minhash_lsh",    # no-oracle + pinned recall/precision tests
 ]
 
 
