@@ -132,6 +132,25 @@ SHOWCASES = [
         "explodes in-row from the one-row aggregate — never a job per "
         "check, nothing collected to the driver.",
     ),
+    (
+        "q_dedup_substring_spans",
+        "ExactSubstr span dedup: k-grams hash IN-ROW at the scan (token "
+        "array bound once as a lambda variable — the r08 fix; grams were "
+        "re-splitting the doc per position before), the cached (digest, "
+        "id, pos) stream feeds the winner aggregate (map-side-combined "
+        "min(struct) — never a window over digests) and the losing-"
+        "occurrence join; the rebuild is one unique-id left join with "
+        "hash-set array_except membership in-row.",
+    ),
+    (
+        "q_dedup_spans_incremental",
+        "Daily-maintenance span dedup: the batch's gram digests probe the "
+        "corpus gram-digest side table on the digest key (side table "
+        "distinctness TRUSTED — no corpus-scale re-aggregation; bucket it "
+        "on the digest and its branch carries no Exchange, pinned in "
+        "tests/test_plans.py), plus the same within-batch winner "
+        "aggregate and in-row rebuild as the full operator.",
+    ),
 ]
 
 
