@@ -226,3 +226,121 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         ).collect()
     }
     assert any(naive[e.doc_a] != naive[e.doc_b] for e in edges.collect())
+
+
+def test_select_token_budget_hand_cases(spark):
+    """Greedy token-budget selection: full-keep buckets, the boundary
+    bucket's per-doc cutoff with id-order tie-breaking, the excluded
+    tail, and the budget edges — all against hand-computed expectations
+    with a custom integer score (grid=1, so buckets == score values)."""
+    from the_movie_database_import_spark.operators.mixing import (
+        select_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", 3.0),    # 3 tokens, score 3
+            (2, "d e", 3.0),      # 2 tokens, score 3  -> bucket 3: 5 toks
+            (3, "f g", 2.0),      # 2 tokens, score 2
+            (5, "h i j", 2.0),    # 3 tokens, score 2  -> bucket 2: 5 toks
+            (4, "j", 1.0),        # 1 token,  score 1  -> bucket 1: 1 tok
+        ],
+        "doc_id long, text string, prio double",
+    )
+
+    def ids(budget):
+        return sorted(
+            r["doc_id"]
+            for r in select_token_budget(
+                docs, budget, score=F.col("prio"), grid=1
+            ).collect()
+        )
+
+    assert ids(0) == []            # zero budget selects nothing
+    assert ids(4) == [1]           # boundary INSIDE bucket 3: id1 (cum 3)
+                                   # keeps, id2 (cum 5) drops
+    assert ids(5) == [1, 2]        # bucket 3 exactly fills the budget
+    assert ids(7) == [1, 2, 3]     # bucket 2 boundary: id3 (cum 7) keeps,
+                                   # id5 (cum 10) drops — id order breaks the tie
+    assert ids(10) == [1, 2, 3, 5] # bucket 2 fully in
+    assert ids(11) == [1, 2, 3, 4, 5]  # whole corpus within budget
+    assert ids(10**9) == [1, 2, 3, 4, 5]
+
+    # n_kept/token accounting survives on the output
+    out = {r["doc_id"]: (r["quality_q"], r["n_tokens"])
+           for r in select_token_budget(docs, 7, score=F.col("prio"), grid=1).collect()}
+    assert out == {1: (3, 3), 2: (3, 2), 3: (2, 2)}
+
+
+def test_select_token_budget_matches_naive_greedy(spark):
+    """Property check vs the naive doc-level greedy scan on pseudorandom
+    (score, length) data: for every budget the engine's bucket-census
+    selection must equal 'keep docs in (score desc, id asc) order while
+    the running token total stays within budget'."""
+    import random
+
+    from the_movie_database_import_spark.operators.mixing import (
+        select_token_budget,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join("w%d" % rng.randrange(50) for _ in range(rng.randint(1, 12))),
+         float(rng.randint(0, 5)))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, prio double")
+    by_rank = sorted(rows, key=lambda r: (-r[2], r[0]))
+    for budget in (0, 17, 100, 250, 10**6):
+        expect, cum = [], 0
+        for i, text, _ in by_rank:
+            cum += len(text.split(" "))
+            if cum > budget:
+                break
+            expect.append(i)
+        got = sorted(
+            r["doc_id"]
+            for r in select_token_budget(
+                docs, budget, score=F.col("prio"), grid=1
+            ).collect()
+        )
+        assert got == sorted(expect), f"budget={budget}"
+
+
+def test_select_token_budget_plan_shape(spark):
+    """The scale contract (operators/mixing.select_token_budget): corpus
+    rows must never enter a GLOBAL doc-level window — the plan carries
+    exactly two Window operators (the bounded census prefix-sum and the
+    single boundary bucket's running sum, the latter hash-partitioned on
+    the bucket key), and the bucket decisions reach the probe as a
+    broadcast."""
+    import re
+
+    from the_movie_database_import_spark.operators.mixing import (
+        select_token_budget,
+    )
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        select_token_budget(docs, 100_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, "bucket decisions must broadcast"
+    assert re.search(r"Exchange hashpartitioning\(quality_q", plan), (
+        "boundary window must partition by the bucket key"
+    )
+    # The forbidden shape: a single window ordered (quality_q DESC, doc_id)
+    # with NO partition columns — the naive global greedy that funnels
+    # every doc row into one partition. In windowspecdefinition's printed
+    # form order columns carry ASC/DESC markers and partition columns
+    # don't, so the global form reads 'quality_q# DESC ... doc_id#' while
+    # the legitimate boundary window reads 'quality_q#L, doc_id# ASC'
+    # (partitioned by bucket). The census prefix window orders the BOUNDED
+    # bucket table only (<= grid+1 rows by construction) and carries no
+    # doc_id at all.
+    assert not re.search(
+        r"windowspecdefinition\(quality_q#\d+L? DESC[^)]*doc_id", plan
+    ), f"global doc-level window found:\n{plan}"

@@ -90,7 +90,8 @@ DRIVER_WINDOW = [
     "q_win_ntile_pctrank",
     "q_intersect",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
-    "q_sample_stratified",
+    # --- new r08 operator: never driver-checked, must be in-window ---
+    "q_select_token_budget", # token-budget corpus selection (greedy-exact)
 ]
 
 
@@ -149,6 +150,7 @@ TAIL_PRIORITY = [
     "q_corpus_delta",         # delta family rep pipeline composite in-window
     "q_flagship_star_revenue",
     # r06 rows (next rotation candidates)
+    "q_sample_stratified",    # sampling reps sample_split/leakage in-window
     "q_agg_approx_count_distinct",  # no-oracle + pinned error tests
     "q_text_repetition",
     "q_join_salted_skew",

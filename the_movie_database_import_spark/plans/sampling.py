@@ -227,6 +227,57 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus(docs, MIX_WEIGHTS, group_col="lang").select("doc_id", "lang")
 
 
+def _token_budget_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(floor((
+                 (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' '))) * 0.5
+                 + (1 - CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains([{stops}], x))) AS DOUBLE)
+                      / len(string_split(text, ' '))) * 0.3
+                 + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+                     * 0.2
+               ) * 1000000) AS BIGINT) AS quality_q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, text, quality_q, n_tokens
+    FROM base
+    QUALIFY SUM(n_tokens) OVER (ORDER BY quality_q DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) <= 100000
+    """
+
+
+@register(
+    "q_select_token_budget",
+    oracle=_token_budget_oracle(),
+    tags=("sampling", "mixing", "selection", "ext"),
+)
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (north star `select_token_budget`,
+    r08): keep the highest-quality documents while the running token total
+    stays within a 100k-token budget — the 'fill the training budget with
+    the best docs' primitive. The oracle is the naive doc-level greedy
+    cumulative-sum window ordered (quality desc, doc_id); the engine
+    computes the IDENTICAL selection without ever windowing doc rows
+    globally: a bounded quantized-score census carries the prefix sums
+    (single-partition window over <= grid+1 rows BY CONSTRUCTION), bucket
+    decisions broadcast, full-keep buckets pass through window-free, and
+    only the one boundary bucket pays a per-doc running sum. quality_q =
+    floor(score * 1e6) on bit-identical IEEE doubles (no transcendentals),
+    so the quantized ranks — and therefore the selected set — agree
+    exactly across engines."""
+    from ..operators.mixing import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return select_token_budget(docs, 100_000)
+
+
 @register(
     "q_shuffle_shards",
     oracle="""
