@@ -344,3 +344,54 @@ def test_select_token_budget_plan_shape(spark):
     assert not re.search(
         r"windowspecdefinition\(quality_q#\d+L? DESC[^)]*doc_id", plan
     ), f"global doc-level window found:\n{plan}"
+
+
+def test_mix_corpus_temperature_semantics_and_margins(spark):
+    """Temperature mixing: (1) the smallest group keeps EVERYTHING (it
+    binds); (2) every group's keep-rate is (n_bind/n_g)^(1-alpha) within
+    hash-sampling tolerance, so larger groups are damped while the tail's
+    SHARE rises vs natural proportions; (3) alpha=1 keeps every row (all
+    rates snap to exactly 1); (4) the pow-drift guard: every realized
+    quantized rate sits far from a 1e-9 grid boundary (margin >> 1 ulp of
+    the rate), so a Math.pow vs libm disagreement cannot flip an md5
+    bucket — the A-ES realized-margin pin pattern."""
+    import math
+
+    from the_movie_database_import_spark.operators.mixing import (
+        mix_corpus_temperature,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_by = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_bind = min(n_by.values())
+    bind_langs = [g for g, n in n_by.items() if n == n_bind]
+
+    out = mix_corpus_temperature(docs, alpha=0.5, group_col="lang")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for g in bind_langs:
+        assert got[g] == n_by[g], "binding group must keep every row"
+    for g, n in n_by.items():
+        expect_rate = math.sqrt(n_bind / n)
+        assert abs(got.get(g, 0) / n - expect_rate) < 0.1, (g, got.get(g), n)
+    # damped head / boosted tail SHARE vs natural proportions
+    tot_in, tot_out = sum(n_by.values()), sum(got.values())
+    for g in bind_langs:
+        assert got[g] / tot_out > n_by[g] / tot_in
+
+    # alpha=1: natural proportions == keep everything (rates snap to 1)
+    assert mix_corpus_temperature(docs, alpha=1.0, group_col="lang").count() \
+        == docs.count()
+
+    # realized-margin pin: replicate the engine's rate derivation in
+    # python (same IEEE doubles) and assert distance from the 1e-9 grid
+    t = min(n / math.pow(float(n), 0.5) for n in n_by.values())
+    for g, n in n_by.items():
+        rate0 = math.pow(float(n), 0.5) * t / n
+        if abs(rate0 - round(rate0)) < 1e-9:
+            continue  # snapped to an exact integer — no boundary to sit on
+        frac = rate0 * 1e9 - math.floor(rate0 * 1e9)
+        margin = min(frac, 1 - frac)
+        # 1 ulp of rate0 (~1e-16) scaled by 1e9 is ~1e-7; demand 100x that
+        assert margin > 1e-5, (g, rate0, margin)

@@ -356,3 +356,67 @@ def select_token_budget(
         .select(*out_cols)
     )
     return full.unionByName(boundary)
+
+
+def mix_corpus_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling ([ext] the mBERT / XLM-R
+    multilingual-recipe standard): downsample per group toward target
+    fractions ``p_g ∝ n_g^alpha`` — ``alpha=1`` keeps natural proportions,
+    ``alpha→0`` flattens toward uniform, and intermediate values damp the
+    head domains while boosting the tail's SHARE, the published trade for
+    low-resource coverage. Unlike :func:`mix_corpus` the weights are not
+    given — they derive from the observed group sizes IN-PLAN.
+
+    Algebra: with ``w_g = n_g^alpha``, the normalizer cancels out of the
+    feasibility cap, leaving ``rate_g = w_g * min_h(n_h / w_h) / n_g`` —
+    the same derive-shape as :func:`mix_corpus` with computed weights.
+    For ``alpha < 1`` the SMALLEST group binds (keeps everything) and
+    every larger group keeps ``(n_bind / n_g)^(1-alpha)`` of its rows.
+
+    Determinism across engines: ``pow`` is a transcendental — Java
+    ``Math.pow`` and libm may disagree by 1 ulp (the ln/pow rule the A-ES
+    weighted sampler documents), so the final rate is snapped
+    (:func:`_snap_rate` — the binding group's ``w*(n/w)/n`` float-drift)
+    and then floor-quantized to the 1e-9 ``grid`` BEFORE the md5
+    threshold; the oracle replays snap + quantize verbatim, and
+    tests/test_sampling.py pins the realized rates' distance from grid
+    boundaries (margin >> 1 ulp, so a pow disagreement cannot flip a
+    bucket).
+
+    Plan shape: identical to :func:`mix_corpus` — one tiny per-group count
+    aggregate, the min as an unbounded window over that bounded table, a
+    broadcast of the per-group rates (group count is data-dependent, so
+    the budget guard probes — EAGER: calling this runs the count job at
+    construction time), and a scan-side md5-bucket filter; corpus rows
+    are never shuffled.
+    """
+    from ..session import maybe_broadcast
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    # left-assoc (w * min) / n — the oracle multiplies/divides in the same
+    # order for bit-identical doubles
+    rate_raw = _snap_rate(
+        w * F.min(F.col("_n") / w).over(everything) / F.col("_n")
+    )
+    g = F.lit(float(grid))
+    rates = counts.select(
+        group_col, (F.floor(rate_raw * g) / g).alias("_rate")
+    )
+    keep = hash_bucket(F.col(id_col)) < _rate_threshold(F.col("_rate"))
+    return (
+        docs.join(maybe_broadcast(rates), group_col)
+        .filter(keep)
+        .select(*docs.columns)
+    )

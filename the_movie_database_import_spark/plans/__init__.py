@@ -79,7 +79,6 @@ DRIVER_WINDOW = [
     "q_project_rename",
     "q_filter_pred",
     "q_string_fns",
-    "q_date_fns",
     "q_array_fns",
     "q_join_inner_equi",
     "q_join_left_outer",
@@ -90,8 +89,9 @@ DRIVER_WINDOW = [
     "q_win_ntile_pctrank",
     "q_intersect",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
-    # --- new r08 operator: never driver-checked, must be in-window ---
+    # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
+    "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
 ]
 
 
@@ -151,6 +151,7 @@ TAIL_PRIORITY = [
     "q_flagship_star_revenue",
     # r06 rows (next rotation candidates)
     "q_sample_stratified",    # sampling reps sample_split/leakage in-window
+    "q_date_fns",             # relational reps string/array/project in-window
     "q_agg_approx_count_distinct",  # no-oracle + pinned error tests
     "q_text_repetition",
     "q_join_salted_skew",

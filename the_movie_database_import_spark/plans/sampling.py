@@ -227,6 +227,53 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus(docs, MIX_WEIGHTS, group_col="lang").select("doc_id", "lang")
 
 
+@register(
+    "q_corpus_mix_temperature",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM counts),
+    m AS (SELECT MIN(n / w) AS t FROM w),
+    r0 AS (SELECT lang, w * t / n AS rate0 FROM w, m),
+    snapped AS (
+        SELECT lang,
+               CASE WHEN abs(rate0 - round(rate0)) < 1e-9
+                    THEN round(rate0) ELSE rate0 END AS rate1
+        FROM r0
+    ),
+    rates AS (
+        SELECT lang, floor(rate1 * 1000000000.0) / 1000000000.0 AS rate
+        FROM snapped
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN r.rate >= 1 THEN 'g'
+               ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END
+    """,
+    tags=("sampling", "mixing", "ext"),
+)
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (north star
+    `mix_corpus_temperature`, r08): rebalance the corpus toward
+    p_g ∝ n_g^0.5 — the mBERT/XLM-R alpha-sampling recipe, damping head
+    languages and boosting the tail's share — with the weights derived
+    IN-PLAN from the observed group sizes (no published dict needed,
+    unlike q_corpus_mix). The smallest group binds and keeps everything;
+    each larger group keeps (n_bind/n_g)^0.5. pow is a transcendental
+    (ln/pow rule), so the derived rate is snapped and floor-quantized to
+    the 1e-9 grid before the md5 threshold on BOTH engines; a realized-
+    margin test pins every fixture rate far from grid boundaries, making
+    a 1-ulp Math.pow/libm disagreement unable to flip any bucket."""
+    from ..operators.mixing import mix_corpus_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_corpus_temperature(docs, alpha=0.5, group_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
 def _token_budget_oracle() -> str:
     from ..functions.text import STOPWORDS
 
