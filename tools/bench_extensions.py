@@ -43,6 +43,8 @@ QUERIES = [
     "q_numeric_histogram",
     "q_dedup_substring_spans",
     "q_dedup_spans_incremental",
+    "q_select_token_budget",
+    "q_corpus_mix_temperature",
     "q_pipeline_end_to_end",
 ]
 
