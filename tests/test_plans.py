@@ -594,11 +594,19 @@ def test_maybe_broadcast_budget_guard_both_paths(spark):
         assert "BroadcastHashJoin" in p1, p1
         assert len(S._TRACKED_CACHES) == before + 1  # probe cached + tracked
 
+        n_mid = len(S._TRACKED_CACHES)
         fallback = big.join(
             S.maybe_broadcast(small, budget_rows=10), "k", "left_anti"
         )
         p2 = fallback._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in p2, p2
+        # ADVICE r07: the OVER-budget path must not retain its probe cache —
+        # a side that failed the budget is by definition large, and keeping
+        # it persisted until the next release_caches() is exactly the
+        # pressure the guard exists to avoid
+        assert len(S._TRACKED_CACHES) == n_mid, (
+            "over-budget probe cache must be released immediately"
+        )
 
         assert sorted(r.k for r in hinted.collect()) == sorted(
             r.k for r in fallback.collect()
