@@ -536,3 +536,85 @@ def test_stream_funnel_state_survives_restart(spark, tmp_path):
     for r in spark.read.parquet(out).collect():
         latest[r.user_id] = max(latest.get(r.user_id, 0), r.reached)
     assert latest == {1: 3, 2: 2}, latest
+
+
+def test_stream_span_dedup_matches_sequential_batches(spark, tmp_path):
+    """Streaming span dedup (foreachBatch maintenance loop): batch 1's
+    kept grams join the side table, so batch 2 loses every span batch 1
+    already kept; the streamed output equals applying the BATCH
+    incremental operator file-by-file with the side table threaded
+    through — the side table IS the cross-batch state."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_substring_spans_incremental,
+        substring_gram_digests,
+    )
+    from the_movie_database_import_spark.streaming import (
+        stream_jsonl,
+        stream_span_dedup,
+    )
+
+    span = "s1 s2 s3 s4 s5"  # the 5-token span duplicated across batches
+    batch1 = [
+        {"doc_id": 1, "text": f"a b {span} c d"},      # first occurrence: kept
+        {"doc_id": 2, "text": f"x y {span} u v"},      # within-batch dup: stripped
+    ]
+    batch2 = [
+        {"doc_id": 10, "text": f"p q {span} r s"},     # vs batch1 side table: stripped
+        {"doc_id": 11, "text": "fresh w1 w2 w3 w4 w5 w6"},  # novel: kept whole
+    ]
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(json.dumps(r) for r in batch1) + "\n")
+    (d / "b.jsonl").write_text("\n".join(json.dumps(r) for r in batch2) + "\n")
+    # the file source orders micro-batches by modification time — pin
+    # a.jsonl strictly older so batch1 really is the first batch (equal
+    # mtimes leave the order unstable)
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(d / "a.jsonl", (now - 60, now - 60))
+    _os.utime(d / "b.jsonl", (now, now))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    side = str(tmp_path / "span_grams")
+    out = str(tmp_path / "kept")
+
+    stream = stream_jsonl(spark, str(d), schema, max_files_per_trigger=1)
+    stream_span_dedup(
+        stream.select("doc_id", "text"), side, out,
+        str(tmp_path / "ckpt"), k=5,
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).select("doc_id", "text").collect()}
+
+    # sequential-batch reference: thread the side table by hand
+    seen = spark.createDataFrame([], "gram_digest string")
+    want = {}
+    for rows in (batch1, batch2):
+        df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+        )
+        kept = dedup_substring_spans_incremental(df, seen, k=5)
+        for r in kept.select("doc_id", "text").collect():
+            want[r["doc_id"]] = r["text"]
+        seen = seen.unionByName(
+            substring_gram_digests(kept, k=5).join(
+                seen, "gram_digest", "left_anti"
+            )
+        ).localCheckpoint()
+
+    assert got == want
+    # the cross-batch strip actually happened
+    assert got[10] == "p q r s"
+    assert got[11] == "fresh w1 w2 w3 w4 w5 w6"
+    # the side table holds each digest once (gram appends are idempotent
+    # via the anti join)
+    side_df = spark.read.parquet(side)
+    assert side_df.count() == side_df.distinct().count()

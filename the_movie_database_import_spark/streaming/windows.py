@@ -442,3 +442,77 @@ def stream_funnel(
     return events.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )
+
+
+def stream_span_dedup(
+    stream_docs: DataFrame,
+    side_table_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming maintenance loop of the SUBSTRING-SPAN dedup family
+    ([ext]): continuously ingest new documents (e.g. a ``stream_jsonl``
+    drop-folder), strip every >= ``k``-token span already present in the
+    accumulated corpus — represented only by its gram-digest side table at
+    ``side_table_path`` — or duplicated earlier in the same micro-batch,
+    append the span-stripped documents to ``out_path``, and append the
+    kept documents' NEW gram digests back to the side table, so each
+    micro-batch sees every earlier batch's grams. The streaming twin of
+    ``operators.dedup.dedup_substring_spans_incremental`` exactly as
+    ``stream_incremental_dedup`` twins ``delta.incremental_dedup`` —
+    except span stripping needs a per-batch winner AGGREGATE and an
+    in-row rebuild, which no continuous-streaming operator expresses, so
+    the batch operator runs inside ``foreachBatch`` (the standard recipe
+    for complex batch ops on streams; same pattern as the exactly-once
+    JDBC sink).
+
+    Cross-batch semantics: the side table IS the dedup state — identical
+    to the data structure the batch pipeline maintains anyway, so a batch
+    backfill over the same files agrees with the stream (pinned in
+    tests/test_streaming.py). Re-running an uncommitted micro-batch after
+    a crash re-appends its output (at-least-once on the doc sink; the
+    gram side table converges regardless — the anti join makes gram
+    appends idempotent). For exactly-once docs, wrap the doc append with
+    the ``sinks.jdbc_exactly_once_batch_writer`` ledger pattern or write
+    batch-id-named files.
+
+    Runs to completion with ``availableNow`` and returns after the last
+    micro-batch (bounded-backfill semantics; swap the trigger for a
+    long-running tail).
+    """
+    from ..operators.dedup import (
+        dedup_substring_spans_incremental,
+        substring_gram_digests,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        try:
+            seen = spark_b.read.parquet(side_table_path)
+        except Exception:  # first batch: side table not bootstrapped yet
+            seen = spark_b.createDataFrame([], "gram_digest string")
+        kept = dedup_substring_spans_incremental(
+            batch_df, seen, k=k, text_col=text_col, id_col=id_col
+        )
+        # two consumers (doc append + gram append) — materialize once
+        kept.persist()
+        try:
+            kept.write.mode("append").parquet(out_path)
+            substring_gram_digests(
+                kept, k=k, text_col=text_col, id_col=id_col
+            ).join(
+                seen.select("gram_digest"), "gram_digest", "left_anti"
+            ).write.mode("append").parquet(side_table_path)
+        finally:
+            kept.unpersist()
+
+    (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -151,6 +151,24 @@ SHOWCASES = [
         "tests/test_plans.py), plus the same within-batch winner "
         "aggregate and in-row rebuild as the full operator.",
     ),
+    (
+        "q_select_token_budget",
+        "Token-budget corpus selection: doc rows NEVER enter a global "
+        "window — the quantized-score census (bounded <= grid+1 rows by "
+        "construction) carries the prefix sums in a single-partition "
+        "window over the census only, bucket decisions broadcast (cached "
+        "so the census aggregate runs once across both union branches), "
+        "full-keep buckets pass through window-free, and the one boundary "
+        "bucket's running sum is hash-partitioned on its bucket key.",
+    ),
+    (
+        "q_corpus_mix_temperature",
+        "Temperature mixing (p ∝ n^alpha): per-group count aggregate, the "
+        "feasibility min as an unbounded window over the tiny group table, "
+        "snapped + 1e-9-grid-quantized rates broadcast, and a scan-side "
+        "md5-bucket filter — corpus rows are never shuffled, identical "
+        "shape to q_corpus_mix with the weights derived in-plan.",
+    ),
 ]
 
 
