@@ -1429,3 +1429,72 @@ def test_dedup_spans_incremental_corpus_always_wins(spark):
         if r["doc_id"] >= 10
     }
     assert got == full
+
+
+def test_quality_classifier_separation_and_determinism(spark):
+    """Model-based quality filter pins (no SQL oracle — L-BFGS is
+    iterative): a separable seed/crawl pair trains to near-perfect
+    probability separation; refitting the same data reproduces the
+    coefficient vector exactly; the derandomized Pareto rule keeps
+    essentially all high-score docs and only a heavy-tail few low-score
+    ones, and is a pure function of the doc id (re-run identical)."""
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.mlquality import (
+        filter_quality,
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, f"good clean prose text sample {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(1000 + i, f"spam junk garbage noise blob {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    m = fit_quality_classifier(pos, neg, num_features=1 << 16)
+    sp = score_quality(pos, m).agg(F.avg("quality_prob")).first()[0]
+    sn = score_quality(neg, m).agg(F.avg("quality_prob")).first()[0]
+    assert sp > 0.9 and sn < 0.1, (sp, sn)
+
+    m2 = fit_quality_classifier(pos, neg, num_features=1 << 16)
+    assert np.array_equal(m.coefficients.toArray(), m2.coefficients.toArray())
+
+    both = pos.unionByName(neg)
+    kept1 = sorted(r["doc_id"] for r in filter_quality(both, m).collect())
+    kept2 = sorted(r["doc_id"] for r in filter_quality(both, m).collect())
+    assert kept1 == kept2, "Pareto keep must be deterministic in the id"
+    n_pos_kept = sum(1 for i in kept1 if i < 1000)
+    n_neg_kept = len(kept1) - n_pos_kept
+    # directional bounds, not point values: the per-doc drop probability
+    # depends on the trained score (P(drop) = 1 - (2 - prob)^-alpha), so
+    # exact counts would pin the optimizer, not the keep rule
+    assert n_pos_kept > 40, f"high-score docs mostly keep ({n_pos_kept}/60)"
+    assert n_neg_kept < n_pos_kept / 2, (n_pos_kept, n_neg_kept)
+
+
+def test_quality_classifier_scoring_plan_no_python(spark):
+    """Scoring is JVM end-to-end: HashingTF + the broadcast LR model are
+    ml transformers, so the scored plan must contain no Python eval
+    stages (the UDF-is-the-slow-path discipline)."""
+    from the_movie_database_import_spark.operators.mlquality import (
+        fit_quality_classifier,
+        score_quality,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    pos = docs.filter(F.col("doc_id") % 97 == 0)
+    neg = docs.filter(F.col("doc_id") % 97 == 1)
+    m = fit_quality_classifier(pos, neg, num_features=1 << 14)
+    plan = (
+        score_quality(docs, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -86,12 +86,12 @@ DRIVER_WINDOW = [
     "q_agg_rollup",
     "q_sort_multi_key",
     "q_win_lag_lead",
-    "q_win_ntile_pctrank",
     "q_intersect",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
+    "q_quality_classifier",  # seed-vs-crawl LR filter (rows-only, iterative)
 ]
 
 
@@ -152,6 +152,7 @@ TAIL_PRIORITY = [
     # r06 rows (next rotation candidates)
     "q_sample_stratified",    # sampling reps sample_split/leakage in-window
     "q_date_fns",             # relational reps string/array/project in-window
+    "q_win_ntile_pctrank",    # window reps lag_lead/running_sum in-window
     "q_agg_approx_count_distinct",  # no-oracle + pinned error tests
     "q_text_repetition",
     "q_join_salted_skew",

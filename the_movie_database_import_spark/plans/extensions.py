@@ -1029,6 +1029,53 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(docs, top_k=100)
 
 
+@register(
+    "q_quality_classifier",
+    oracle=None,
+    tags=("text", "quality", "ml", "ext"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (north star `operators/mlquality`, r08;
+    the GPT-3/CCNet classifier stage): train logistic regression on
+    hashed bag-of-words with the benchmark slice (doc_id % 97 == 0) as
+    the curated SEED and a deterministic hash-sample of the rest as raw
+    crawl, score every document, apply the derandomized Pareto keep rule,
+    and return the quality-probability decile census of kept vs dropped —
+    a bounded report the scheduler logs. NO SQL ORACLE by design: MLlib's
+    L-BFGS is iterative (float accumulation order varies with
+    partitioning), the same rows-only category as q_dedup_minhash_lsh;
+    the pinned properties (AUC on separable data, deterministic refit,
+    holdout separation, no-Python scoring plan) live in
+    tests/test_extensions.py."""
+    from ..operators.mlquality import (
+        fit_quality_classifier,
+        pareto_keep,
+        score_quality,
+    )
+    from ..operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    pos = docs.filter(F.col("doc_id") % 97 == 0)
+    neg = hash_sample(
+        docs.filter(F.col("doc_id") % 97 != 0), F.col("doc_id"), 0.2
+    )
+    model = fit_quality_classifier(pos, neg, num_features=1 << 16)
+    scored = score_quality(docs, model)
+    return (
+        scored.withColumn(
+            "kept", pareto_keep(F.col("quality_prob"), F.col("doc_id"))
+        )
+        .groupBy(
+            F.floor(F.col("quality_prob") * 10).cast("bigint").alias("decile"),
+            "kept",
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("decile", "kept")
+    )
+
+
 def _pipeline_oracle() -> str:
     """Composite oracle for q_pipeline_end_to_end, assembled from the SAME
     generated fragments the stage-level oracles use (snapshot/delta bucket
