@@ -99,7 +99,32 @@ def fit_quality_classifier(
         maxIter=max_iter,
         standardization=False,
     )
-    return lr.fit(train)
+    return _shed_training_summary(lr.fit(train))
+
+
+def _shed_training_summary(model):
+    """Return a summary-free copy of the fitted model via a save/load
+    round-trip. The freshly fitted ``LogisticRegressionModel`` retains a
+    ``trainingSummary`` that references the live SparkSession; when the
+    model rides a task closure at scoring time, closure serialization
+    walks that reference and dies on the session's non-serializable
+    internals (``NotSerializableException: ObservationManager`` — it
+    surfaces once anything in the process has used an ``Observation``,
+    e.g. the exactly-once JDBC sink). A loaded model is coefficients +
+    params only — exactly what scoring broadcasts. The temp copy is tiny
+    (the 2 MB coefficient vector) and removed after load."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = f"{tempfile.gettempdir()}/mlq-lr-{uuid.uuid4().hex}"
+    model.write().overwrite().save(path)
+    try:
+        return LogisticRegressionModel.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def score_quality(

@@ -45,6 +45,7 @@ QUERIES = [
     "q_dedup_spans_incremental",
     "q_select_token_budget",
     "q_corpus_mix_temperature",
+    "q_quality_classifier",
     "q_pipeline_end_to_end",
 ]
 
