@@ -1498,3 +1498,80 @@ def test_quality_classifier_scoring_plan_no_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_token_kl_divergence_model_and_grid_safety(spark):
+    """KL drift census: (1) exact agreement with an independent python
+    model of the add-1-smoothed per-group KL on a hand corpus (including
+    the quantization); (2) a group identical to the global distribution
+    has near-zero KL while a skewed group is strictly larger; (3) the
+    1e-6 floor grid is hash-safe at every test SF — no distinct
+    p*ln(p/q) term sits within engine-rounding distance of a boundary
+    (the unigram_nll discipline)."""
+    import math
+
+    import duckdb
+
+    from the_movie_database_import_spark.operators.vocab import (
+        token_kl_divergence,
+    )
+
+    corpus = [
+        (1, "en", "a a b c"),
+        (2, "en", "a b b d"),
+        (3, "xx", "z z z z"),   # heavily skewed vs global
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: (r["n_tokens"], r["vocab_in_group"], r["kl_q_sum"])
+        for r in token_kl_divergence(docs, group_col="lang").collect()
+    }
+
+    # independent model
+    from collections import Counter
+
+    per = {}
+    glob = Counter()
+    for _i, g, t in corpus:
+        per.setdefault(g, Counter()).update(t.split(" "))
+        glob.update(t.split(" "))
+    v = len(glob)
+    n = sum(glob.values())
+    want = {}
+    for g, cnt in per.items():
+        ng = sum(cnt.values())
+        s = 0
+        for tok_, c in cnt.items():
+            p = (c + 1) / (ng + v)
+            q = (glob[tok_] + 1) / (n + v)
+            s += math.floor(1e6 * (p * math.log(p / q)))
+        want[g] = (ng, len(cnt), s)
+    assert got == want
+    # the skewed group diverges more than the near-global one
+    assert got["xx"][2] > got["en"][2]
+
+    # grid-boundary safety on the real fixtures: every distinct
+    # (c, g, ng, n, v) tuple's term keeps >100x the 1-ulp ln() hazard
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH tok AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS token
+                FROM '/root/testdata/{sf}/documents.parquet'
+                WHERE text IS NOT NULL
+            ),
+            c AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token),
+            g AS (SELECT token, SUM(c) AS g FROM c GROUP BY token),
+            tot AS (SELECT SUM(c) AS n, COUNT(DISTINCT token) AS v FROM c),
+            ng AS (SELECT lang, SUM(c) AS ng FROM c GROUP BY lang)
+            SELECT DISTINCT c.c, g.g, ng.ng, tot.n, tot.v
+            FROM c JOIN g ON c.token = g.token JOIN ng ON c.lang = ng.lang, tot
+            """
+        ).fetchall()
+        assert rows
+        for c, g_, ng_, n_, v_ in rows:
+            p = (c + 1) / (ng_ + v_)
+            q = (g_ + 1) / (n_ + v_)
+            term = 1e6 * (p * math.log(p / q))
+            dist = abs(term - round(term))
+            assert dist > 1e-6, (sf, c, g_, ng_, n_, v_, term, dist)

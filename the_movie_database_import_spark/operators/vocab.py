@@ -150,3 +150,82 @@ def unigram_nll(
         (-F.sum("_logp_q")).alias("nll_q_sum"),
         (-F.sum("_logp_q") / F.count(F.lit(1))).alias("avg_nll_q"),
     )
+
+
+def token_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    grid: float = 1e6,
+) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus ([ext]
+    training-data monitoring): for each group g, the add-1-smoothed KL
+    divergence ``sum_{t in support(g)} p_t * ln(p_t / q_t)`` of the
+    group's unigram distribution P from the global distribution Q — the
+    distribution-shift census a crawl pipeline alerts on (a language or
+    domain whose token mix drifts day-over-day moves its KL; the
+    numeric-histogram audit sees LENGTH shape, this sees CONTENT shape).
+
+    Contract: the sum runs over the group's OWN support (tokens the group
+    actually contains — the practical KL variant; absent tokens contribute
+    0 from the p side), with add-1 smoothing over the JOINT vocabulary
+    size V on both distributions: ``p_t = (c_t + 1) / (N_g + V)``,
+    ``q_t = (g_t + 1) / (N + V)``. Each token's contribution is
+    FLOOR-QUANTIZED to an integer ``grid`` before the distributed sum —
+    the unigram_nll discipline: raw-double sums are addition-order-
+    dependent across partitionings and engines, integer sums are exact —
+    so the result is bit-reproducible and oracle-hashable. Returns
+    ``(group_col, n_tokens, vocab_in_group, kl_q_sum)``; divide
+    ``kl_q_sum`` by ``grid`` for nats.
+
+    Scale shape: ONE corpus pass — explode + (group, token) partial-agg
+    shuffle; the global per-token counts derive from that same table by a
+    window PARTITIONED BY token (shuffle ∝ vocab x groups, never corpus
+    rows twice), and the corpus/group totals + joint-vocab size ride
+    unbounded windows over the same bounded table (single bounded
+    partition BY DESIGN — vocab ≪ corpus, the build_vocab precedent).
+    No broadcast, no second scan, no doubles summed.
+    """
+    tok = docs.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    c = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("_c"))
+    per_token = Window.partitionBy("token").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_group = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # joint-vocab size V = sum of a first-row-per-token indicator — rides
+    # the same per-token exchange as _g and the same global window as _n
+    # (a collect_set-over-everything would materialize the whole vocab
+    # into every row's window state: O(V) memory per row — never that)
+    first_in_token = (
+        F.row_number().over(Window.partitionBy("token").orderBy(group_col)) == 1
+    ).cast("long")
+    enriched = (
+        c.withColumn("_g", F.sum("_c").over(per_token))
+        .withColumn("_first", first_in_token)
+        .withColumn("_ng", F.sum("_c").over(per_group))
+        .withColumn("_n", F.sum("_c").over(everything))
+        .withColumn("_v", F.sum("_first").over(everything))
+    )
+    p = (F.col("_c") + F.lit(1)) / (F.col("_ng") + F.col("_v"))
+    q = (F.col("_g") + F.lit(1)) / (F.col("_n") + F.col("_v"))
+    term_q = F.floor(F.lit(grid) * (p * F.log(p / q))).cast("bigint")
+    return (
+        enriched.select(
+            group_col,
+            F.col("_c"),
+            term_q.alias("_t"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_in_group"),
+            F.sum("_t").alias("kl_q_sum"),
+        )
+    )

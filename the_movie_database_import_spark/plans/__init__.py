@@ -79,7 +79,6 @@ DRIVER_WINDOW = [
     "q_project_rename",
     "q_filter_pred",
     "q_string_fns",
-    "q_array_fns",
     "q_join_inner_equi",
     "q_join_left_outer",
     "q_agg_collect_set",
@@ -92,6 +91,7 @@ DRIVER_WINDOW = [
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
     "q_quality_classifier",  # seed-vs-crawl LR filter (rows-only, iterative)
+    "q_token_kl_divergence", # per-lang distribution-drift census (1e-6 grid)
 ]
 
 
@@ -153,6 +153,7 @@ TAIL_PRIORITY = [
     "q_sample_stratified",    # sampling reps sample_split/leakage in-window
     "q_date_fns",             # relational reps string/array/project in-window
     "q_win_ntile_pctrank",    # window reps lag_lead/running_sum in-window
+    "q_array_fns",            # relational reps string_fns/project in-window
     "q_agg_approx_count_distinct",  # no-oracle + pinned error tests
     "q_text_repetition",
     "q_join_salted_skew",

@@ -1030,6 +1030,55 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_kl_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY lang, token
+    ),
+    g AS (SELECT token, CAST(SUM(c) AS BIGINT) AS g FROM c GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM c),
+    ng AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ng FROM c GROUP BY lang),
+    terms AS (
+        SELECT c.lang, c.c,
+               CAST(floor(1000000.0 * (
+                   ((c.c + 1) / (ng.ng + tot.v))
+                   * ln(((c.c + 1) / (ng.ng + tot.v))
+                        / ((g.g + 1) / (tot.n + tot.v)))
+               )) AS BIGINT) AS t
+        FROM c JOIN g ON c.token = g.token JOIN ng ON c.lang = ng.lang, tot
+    )
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_in_group,
+           CAST(SUM(t) AS BIGINT) AS kl_q_sum
+    FROM terms GROUP BY lang
+    """,
+    tags=("text", "vocab", "quality", "ext"),
+)
+def q_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution drift census (north star
+    `token_kl_divergence`, r08): add-1-smoothed KL of each language's
+    unigram distribution from the whole corpus — the content-shape
+    drift signal a crawl pipeline alerts on (the histogram audit sees
+    length shape; this sees WHAT the tokens are). One corpus pass: the
+    (lang, token) count table feeds the global counts via a per-token
+    window, the totals/joint-vocab via bounded global windows, and each
+    token's p*ln(p/q) contribution floor-quantizes to a 1e-6 integer grid
+    before the distributed sum (the unigram_nll discipline — integer
+    sums are order-independent and oracle-hashable; grid-boundary margins
+    pinned in tests/test_extensions.py)."""
+    from ..operators.vocab import token_kl_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_kl_divergence(docs, group_col="lang")
+
+
+@register(
     "q_quality_classifier",
     oracle=None,
     tags=("text", "quality", "ml", "ext"),

@@ -46,6 +46,7 @@ QUERIES = [
     "q_select_token_budget",
     "q_corpus_mix_temperature",
     "q_quality_classifier",
+    "q_token_kl_divergence",
     "q_pipeline_end_to_end",
 ]
 
