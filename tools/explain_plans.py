@@ -169,6 +169,22 @@ SHOWCASES = [
         "md5-bucket filter — corpus rows are never shuffled, identical "
         "shape to q_corpus_mix with the weights derived in-plan.",
     ),
+    (
+        "q_token_kl_divergence",
+        "Per-group KL drift census: ONE corpus pass builds the (group, "
+        "token) count table; global per-token counts come from a window "
+        "PARTITIONED BY token over that same table (no second scan), "
+        "totals/joint-vocab from bounded global windows, and the "
+        "1e-6-quantized p*ln(p/q) terms sum as exact integers.",
+    ),
+    (
+        "q_quality_classifier",
+        "Model-based quality filter: stateless HashingTF features + the "
+        "broadcast LR coefficient vector score JVM-side (no Python "
+        "stages); the Pareto keep rule is a scan-side md5 expression; "
+        "the decile census is one aggregate. Training (L-BFGS "
+        "treeAggregate) runs before this scoring plan.",
+    ),
 ]
 
 
