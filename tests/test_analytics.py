@@ -669,3 +669,39 @@ def test_histogram_degenerate_and_nulls(spark):
     r = rows[0]
     assert (r["bin_id"], r["n"]) == (0, 2)  # NULL excluded, min==max -> bin 0
     assert r["bin_lo"] == r["bin_hi"] == 7.0  # zero-width edges
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Reciprocal-rank fusion: a doc in both lists outranks single-list
+    docs with better single ranks (1/(60+1)+1/(60+3) > 1/(60+1)); ties
+    break by id; n_lists counts membership; quantization matches the
+    python formula exactly."""
+    import math
+
+    from the_movie_database_import_spark.operators.ranking import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rk long"
+    )
+    sem = spark.createDataFrame(
+        [(12, 1), (13, 2), (10, 3)], "doc_id long, rk long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_q"], r["n_lists"], r["rrf_rank"])
+        for r in rrf_fuse([lex, sem], k=10).collect()
+    }
+
+    def q(rk):
+        return math.floor(1e9 * (1.0 / (60.0 + rk)))
+
+    # doc 10: lex rk1 + sem rk3; doc 12: lex rk3 + sem rk1 — identical
+    # fused scores, id breaks the tie; docs 11/13 single-list
+    assert got[10] == (q(1) + q(3), 2, 1)
+    assert got[12] == (q(1) + q(3), 2, 2)
+    assert got[11] == (q(2), 1, 3)
+    assert got[13] == (q(2), 1, 4)
+    # both dual-list docs beat every single-list doc
+    assert got[10][0] > got[11][0] and got[12][0] > got[13][0]
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])

@@ -39,7 +39,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 QUANT = 1e6  # BM25 contribution grid: floor(1e6 * contribution)
 
@@ -199,3 +199,61 @@ def bm25_oracle_sql(
     ORDER BY score_q DESC, {id_col}
     LIMIT {k}
     """
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    k0: int = 60,
+    k: int = 10,
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion ([ext] hybrid-retrieval north star): combine
+    top-k lists from heterogeneous rankers — BM25 lexical, embedding
+    cosine, anything producing ``(id, rank)`` — into one list by
+    ``score(d) = sum over lists of 1 / (k0 + rank_d)`` (Cormack et al.;
+    k0=60 is the published default), the standard RAG trick that needs no
+    score calibration because only RANKS enter the formula.
+
+    Returns ``(id_col, rrf_q, n_lists, rrf_rank)`` for the fused top
+    ``k``: ``rrf_q`` the grid-quantized integer fusion score (divide by
+    ``grid`` for the classic value), ``n_lists`` how many input lists
+    contained the doc, ``rrf_rank`` the fused position (ties break by
+    id, so the output is a deterministic total order).
+
+    Each contribution quantizes to ``floor(grid / (k0 + rank))`` BEFORE
+    the per-doc sum: with 3+ input lists a raw double sum would be
+    addition-order-dependent across partitionings; integer sums are
+    exact (the unigram_nll discipline). No transcendentals anywhere —
+    ``1/(k0+rk)`` is a single correctly-rounded IEEE division, identical
+    in any engine, so the quantization needs no margin pin.
+
+    Scale shape: the inputs are top-k lists — BOUNDED, a few dozen rows
+    each — so the union + per-id aggregate + the global rank window all
+    run on list-sized data BY DESIGN (the build_vocab bounded-window
+    argument); the heavy work happened inside the upstream rankers.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.floor(
+                F.lit(float(grid))
+                * (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col)))
+            )
+            .cast("bigint")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    all_c = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = all_c.groupBy(id_col).agg(
+        F.sum("_c").alias("rrf_q"), F.count(F.lit(1)).alias("n_lists")
+    )
+    order = Window.orderBy(F.col("rrf_q").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(order).cast("bigint"))
+        .filter(F.col("rrf_rank") <= k)
+    )

@@ -27,8 +27,11 @@ from . import udfs  # noqa: F401,E402
 # the three queries whose IMPLEMENTATION changed this round keep slots so
 # the changed code earns driver evidence (the span-dedup pair: lambda-bound
 # token arrays + array_except rebuild + trusted side-table distinctness;
-# the pipeline composite: new incremental span-dedup stage); and the
-# remaining 19 slots refresh the oldest r06-row tail queries across the
+# the pipeline composite: new incremental span-dedup stage); the five
+# NEW r08 operators (token-budget selection, temperature mixing, the ML
+# quality classifier, the KL drift census, RRF hybrid retrieval) take
+# slots per the never-checked-in-window rule; and the remaining 14 slots
+# refresh the oldest r06-row tail queries across the
 # relational/join/agg/window/similarity/sampling families. Every
 # rotated-out query keeps its r06/r07 row and an in-window family
 # representative (dedup → spans/canonical/clusters/by_key; analytics →
@@ -81,7 +84,6 @@ DRIVER_WINDOW = [
     "q_string_fns",
     "q_join_inner_equi",
     "q_join_left_outer",
-    "q_agg_collect_set",
     "q_agg_rollup",
     "q_sort_multi_key",
     "q_win_lag_lead",
@@ -92,6 +94,7 @@ DRIVER_WINDOW = [
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
     "q_quality_classifier",  # seed-vs-crawl LR filter (rows-only, iterative)
     "q_token_kl_divergence", # per-lang distribution-drift census (1e-6 grid)
+    "q_hybrid_rrf_topk",     # BM25 ⊕ cosine reciprocal-rank fusion (RAG hybrid)
 ]
 
 
@@ -154,6 +157,7 @@ TAIL_PRIORITY = [
     "q_date_fns",             # relational reps string/array/project in-window
     "q_win_ntile_pctrank",    # window reps lag_lead/running_sum in-window
     "q_array_fns",            # relational reps string_fns/project in-window
+    "q_agg_collect_set",      # agg reps avg/multi/rollup/count_by_value in-window
     "q_agg_approx_count_distinct",  # no-oracle + pinned error tests
     "q_text_repetition",
     "q_join_salted_skew",

@@ -1029,6 +1029,87 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(docs, top_k=100)
 
 
+def _hybrid_rrf_oracle() -> str:
+    """Composed oracle: the generated BM25 top-20 (same constants as
+    q_bm25_topk) and the brute-force cosine top-20 for query vector 0,
+    fused by quantized reciprocal-rank contributions — every fragment
+    shared with its standalone oracle so stage drift is impossible."""
+    from ..operators.ranking import bm25_oracle_sql
+    from .analytics import BM25_TERMS
+
+    bm25 = bm25_oracle_sql(BM25_TERMS, k=20)
+    return f"""
+    WITH lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM ({bm25}) b
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS vn FROM e),
+    sem0 AS (
+        SELECT c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY {_dot_sql('c.v', 'q.v')} / (c.vn * q.vn) DESC,
+                            c.vec_id) AS BIGINT) AS rk
+        FROM n c, n q WHERE q.vec_id = 0 AND c.vec_id != 0
+    ),
+    sem AS (SELECT doc_id, rk FROM sem0 WHERE rk <= 20),
+    contrib AS (
+        SELECT doc_id,
+               CAST(floor(1000000000.0 * (1.0 / (60.0 + rk))) AS BIGINT) AS c
+        FROM lex
+        UNION ALL
+        SELECT doc_id,
+               CAST(floor(1000000000.0 * (1.0 / (60.0 + rk))) AS BIGINT) AS c
+        FROM sem
+    ),
+    fused AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_q, n_lists,
+           CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id)
+                AS BIGINT) AS rrf_rank
+    FROM fused
+    QUALIFY rrf_rank <= 10
+    """
+
+
+@register(
+    "q_hybrid_rrf_topk",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("ranking", "similarity", "hybrid", "ext"),
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (north star
+    `operators/ranking.rrf_fuse`, r08): fuse the BM25 lexical top-20
+    (q_bm25_topk's 4-term query) with the embedding-cosine top-20 for
+    query vector 0 — the standard RAG pattern that needs no score
+    calibration because only ranks enter ``sum 1/(60 + rank)``. The
+    documents and embeddings tables share the 0..N-1 id space, so
+    vec_id IS the doc id. Each contribution quantizes to the 1e9 grid
+    before the per-doc sum (order-independent integer arithmetic; a
+    single IEEE division per term, no transcendentals — no margin pin
+    needed); fusion + ranking run on list-sized data BY DESIGN."""
+    from ..operators.ranking import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+    from .analytics import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_TERMS, k=20)
+    lex_rank = Window.orderBy(F.col("score_q").desc(), "doc_id")
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(lex_rank).cast("bigint").alias("rk")
+    )
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("vec_id").alias("doc_id"), "rk"
+    )
+    return rrf_fuse([lex_r, sem], k=10)
+
+
 @register(
     "q_token_kl_divergence",
     oracle="""

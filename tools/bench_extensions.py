@@ -47,6 +47,7 @@ QUERIES = [
     "q_corpus_mix_temperature",
     "q_quality_classifier",
     "q_token_kl_divergence",
+    "q_hybrid_rrf_topk",
     "q_pipeline_end_to_end",
 ]
 
