@@ -705,3 +705,100 @@ def test_rrf_fuse_hand_case(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def _sessionize_model(rows, gap_seconds):
+    """Independent python model: per user, sort by (ts, event_id), cut a
+    new session where the gap exceeds the threshold, and summarize."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        if r["ts"] is not None:
+            by_user[r["user_id"]].append(r)
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        idx = 0
+        prev = None
+        for r in evs:
+            if prev is None or (r["ts"] - prev).total_seconds() > gap_seconds:
+                idx += 1
+            prev = r["ts"]
+            key = (uid, idx)
+            s = out.setdefault(
+                key,
+                {"start": r["ts"], "end": r["ts"], "n": 0, "val": 0.0},
+            )
+            s["end"] = max(s["end"], r["ts"])
+            s["n"] += 1
+            s["val"] += round(r["value"], 2) if r["value"] is not None else 0.0
+    return out
+
+
+def test_sessionize_matches_python_model(spark):
+    from the_movie_database_import_spark.operators.analytics import sessionize
+    from the_movie_database_import_spark.plans.analytics import (
+        SESSION_GAP_SECONDS,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(events, gap_seconds=SESSION_GAP_SECONDS).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, ts, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchdf().to_dict("records")
+    import pandas as pd
+
+    for r in rows:
+        r["ts"] = None if pd.isna(r["ts"]) else r["ts"].to_pydatetime()
+    want = _sessionize_model(rows, SESSION_GAP_SECONDS)
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        assert g["session_start"] == w["start"], key
+        assert g["session_end"] == w["end"], key
+        assert g["n_events"] == w["n"], key
+        assert g["duration_secs"] == pytest.approx(
+            (w["end"] - w["start"]).total_seconds()
+        ), key
+        assert g["total_value"] == pytest.approx(w["val"], abs=1e-9), key
+
+
+def test_sessionize_edge_semantics(spark):
+    """Ties share a session regardless of tiebreak order; a gap of EXACTLY
+    the threshold stays in-session (strict >, matching session_window's
+    exclusive close); NULL timestamps drop."""
+    import datetime as dt
+
+    from the_movie_database_import_spark.operators.analytics import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, 1.0),
+        (2, 1, t0, 2.0),  # same-ts tie: same session
+        (3, 1, t0 + dt.timedelta(seconds=60), 3.0),  # exactly the gap: stays
+        (4, 1, t0 + dt.timedelta(seconds=121), 4.0),  # 61 s > gap: new session
+        (5, 1, None, 9.0),  # NULL ts: dropped
+        (6, 2, t0, 5.0),  # second user: own numbering
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(df, gap_seconds=60).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    assert got[(1, 1)]["n_events"] == 3
+    assert got[(1, 1)]["duration_secs"] == 60.0
+    assert got[(1, 1)]["total_value"] == pytest.approx(6.0)
+    assert got[(1, 2)]["n_events"] == 1
+    assert got[(1, 2)]["duration_secs"] == 0.0
+    assert got[(2, 1)]["n_events"] == 1

@@ -535,6 +535,21 @@ def test_scd2_single_window_exchange(spark):
         assert py_stage not in plan
 
 
+def test_sessionize_single_user_exchange(spark):
+    """Sessionize: the lag boundary flag and the running session counter
+    share one (user)×(ts, event_id) window spec, and the per-session
+    rollup groups on a superset of the window's hash keys — so the whole
+    query runs on ONE user-keyed exchange, one pruned event scan, and no
+    Python stages (SURVEY §4: the sessionizer envelope at 100 TB)."""
+    plan = _plan(spark, "q_events_sessionize")
+    assert plan.count("Scan parquet") == 1
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("user_id"), groups
+    assert plan.count("Window ") == 2, "lag + running sum, one spec each"
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
 def test_apply_delta_broadcasts_victims_no_snapshot_shuffle(spark):
     """MERGE plan: the victim-id set broadcasts, so the snapshot side
     streams through a broadcast LEFT ANTI join — corpus rows never hit an

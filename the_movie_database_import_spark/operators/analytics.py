@@ -221,3 +221,95 @@ def as_at(history: DataFrame, at, ts_fmt: str | None = None) -> DataFrame:
         (F.col("valid_from") <= at_lit)
         & (F.col("valid_to").isNull() | (at_lit < F.col("valid_to")))
     )
+
+
+def _epoch_us(df: DataFrame, ts_col: str) -> "F.Column":
+    """Microseconds-since-epoch for a timestamp column, ADAPTIVE to the
+    round's on-disk encoding (the testdata's ``events.ts`` flips between
+    TIMESTAMP and TIMESTAMP_NTZ across generations). For NTZ the anchor is
+    a NTZ epoch literal via ``timestampdiff`` — timezone-INDEPENDENT, so it
+    equals DuckDB's ``epoch_us`` of the same naive value on any host (a
+    plain ``cast('timestamp')`` would reinterpret in the session zone)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            f" `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based batch sessionization: split each user's event stream into
+    sessions wherever the idle gap exceeds ``gap_seconds``, and return one
+    summary row per session — ``(user, session_idx, session_start,
+    session_end, n_events, duration_secs[, total_value])``. This is the
+    batch twin of ``streaming/windows.stream_session_window`` (Spark's
+    ``session_window`` with the same gap), and the building block under
+    every engagement / dwell-time metric.
+
+    Session membership depends only on the per-user SORTED timestamp
+    sequence (ties share a zero gap, so the ``tiebreak_col`` order never
+    changes which session an event lands in — it only makes the ``lag``
+    deterministic for the engines' intermediate rows). Gap comparison is
+    integer microsecond arithmetic (:func:`_epoch_us`, adaptive to the
+    round's timestamp encoding), strict inequality:
+    a gap of exactly ``gap_seconds`` stays in-session, matching Spark's
+    ``session_window`` close-at ``start + gap`` exclusive semantics.
+
+    Scale design — ONE user-keyed shuffle end to end:
+
+    1. ``lag`` (boundary flag) and the running ``SUM`` that numbers
+       sessions use the SAME ``(user) x (ts, tiebreak)`` window spec, so
+       Catalyst plans a single window Exchange (pinned in
+       tests/test_plans.py, same shape as ``scd2_history``).
+    2. the per-session rollup groups on ``(user, session_idx)`` — a
+       superset of the window's hash keys, so EnsureRequirements reuses
+       the existing partitioning: NO second Exchange.
+    3. per-user window width is bounded by that user's own activity (the
+       standard sessionizer envelope); user keys are many and fine-
+       grained, so the shuffle spreads. A single pathological user is a
+       window-skew risk at 100 TB — shard such keys upstream by (user,
+       coarse time bucket) if one key's log outgrows an executor.
+
+    NULL timestamps are unorderable and excluded, exactly as
+    ``scd2_history`` does.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    us = _epoch_us(events, ts_col)
+    gap_us = int(gap_seconds) * 1_000_000
+    flagged = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn(
+            "_new_session",
+            F.when(
+                F.lag(us).over(w).isNull()
+                | ((us - F.lag(us).over(w)) > F.lit(gap_us)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_idx", F.sum("_new_session").over(w))
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max(us) - F.min(us)) / F.lit(1_000_000))
+        .cast("double")
+        .alias("duration_secs"),
+    ]
+    if value_col is not None:
+        # decimal-lane sum (exact, order-independent), as every engine
+        # query summing the double `value` column does.
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(9,2)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return flagged.groupBy(F.col(user_col), F.col("session_idx")).agg(*aggs)

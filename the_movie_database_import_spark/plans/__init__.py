@@ -85,7 +85,6 @@ DRIVER_WINDOW = [
     "q_join_inner_equi",
     "q_join_left_outer",
     "q_agg_rollup",
-    "q_sort_multi_key",
     "q_win_lag_lead",
     "q_intersect",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
@@ -95,6 +94,11 @@ DRIVER_WINDOW = [
     "q_quality_classifier",  # seed-vs-crawl LR filter (rows-only, iterative)
     "q_token_kl_divergence", # per-lang distribution-drift census (1e-6 grid)
     "q_hybrid_rrf_topk",     # BM25 ⊕ cosine reciprocal-rank fusion (RAG hybrid)
+    # --- new r08 session-2 operators (never driver-checked) ---
+    "q_events_sessionize",   # gap-based batch sessionization (stream twin of
+                             # q_window_session); sort slot freed by
+                             # q_sort_multi_key -> tail (q_topk_global keeps
+                             # the family in-window)
 ]
 
 
@@ -104,6 +108,8 @@ DRIVER_WINDOW = [
 # r07-rows first (freshest evidence), then the r06-rows that did not fit
 # the r08 window (next rotation candidates).
 TAIL_PRIORITY = [
+    # r06-row slots displaced by never-driver-checked r08 session-2 queries
+    "q_sort_multi_key",       # sort family rep q_topk_global in-window
     # r07 rows (displaced by the r08 rotation)
     "q_agg_percentiles_approx",
     "q_dedup_embedding_cosine_lsh",

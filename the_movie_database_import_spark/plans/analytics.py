@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.analytics import funnel_counts, retention_cohorts
+from ..operators.analytics import funnel_counts, retention_cohorts, sessionize
 from ..operators.ranking import bm25_oracle_sql, bm25_topk
 from ..sources.readers import load_table
 from .registry import register
@@ -327,3 +327,69 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return numeric_histogram(li, "l_extendedprice", n_bins=20)
+
+
+# Gap for q_events_sessionize: the synthetic log is SPARSE (median
+# inter-event gap ~7h at sf0.01), so the classic 30-minute web gap would
+# make nearly every event its own session. Six hours splits each user's
+# month of activity into a discriminative mix of multi-event sessions and
+# singletons at every SF.
+SESSION_GAP_SECONDS = 21_600
+
+
+@register(
+    "q_events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_us
+        FROM events WHERE ts IS NOT NULL
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(CASE WHEN prev_us IS NULL
+                             OR us - prev_us > {SESSION_GAP_SECONDS * 1_000_000}
+                             THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS session_idx
+        FROM ordered
+    )
+    SELECT user_id, session_idx,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+                AS DOUBLE) AS duration_secs,
+           CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+    headline=False,
+    tags=("events", "analytics", "ext"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization ([ext]): one summary row per (user, idle-
+    gap-delimited session) — batch twin of `q_window_session`'s streaming
+    `session_window`. Membership is a pure function of each user's sorted
+    timestamps (ties share a zero gap), so the oracle's window replay is
+    hash-exact; durations are integer-microsecond arithmetic and the value
+    rollup runs in the exact decimal lane. Timestamps emit as
+    microsecond-resolution strings (q_scd2_history precedent, full
+    fidelity)."""
+    events = load_table(spark, sf_dir, "events")
+    out = sessionize(events, gap_seconds=SESSION_GAP_SECONDS)
+    return out.select(
+        "user_id",
+        "session_idx",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        "duration_secs",
+        "total_value",
+    )

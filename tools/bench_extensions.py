@@ -48,6 +48,7 @@ QUERIES = [
     "q_quality_classifier",
     "q_token_kl_divergence",
     "q_hybrid_rrf_topk",
+    "q_events_sessionize",
     "q_pipeline_end_to_end",
 ]
 
