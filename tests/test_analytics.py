@@ -802,3 +802,146 @@ def test_sessionize_edge_semantics(spark):
     assert got[(1, 2)]["n_events"] == 1
     assert got[(1, 2)]["duration_secs"] == 0.0
     assert got[(2, 1)]["n_events"] == 1
+
+
+# ------------------------------------------------------------ time-range window
+
+
+def test_win_time_range_frame_semantics(spark):
+    """RANGE frame membership is set by TIME: an event exactly 7 days old
+    is IN the trailing frame (inclusive lower bound), 7 days + 1 µs is
+    out; same-timestamp peers always share a frame (no tiebreak can
+    split them)."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+    from the_movie_database_import_spark.operators.analytics import _epoch_us
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, 1, t0, 10.0),
+        (2, 1, t0 + week, 20.0),                            # exactly 7d: in
+        (3, 1, t0 + week + dt.timedelta(microseconds=1), 30.0),  # out for t0
+        (4, 1, t0 + week, 40.0),                            # tie peer of 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    df = df.withColumn("_us", _epoch_us(df, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: (r["s"], r["n"])
+        for r in df.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(9,2)"))
+            .over(w)
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        ).collect()
+    }
+    assert got[1] == (10.0, 1)
+    # events 2 and 4 are RANGE peers: both frames hold {1, 2, 4}
+    assert got[2] == (70.0, 3) and got[4] == (70.0, 3)
+    # 1 µs past the week: event 1 has aged out, peers 2/4 still in
+    assert got[3] == (90.0, 3)
+
+
+# ------------------------------------------------------------ resample + ffill
+
+
+def test_resample_daily_ffill_hand_case(spark):
+    """Grid spans first..last active day; gap days get n_events=0,
+    day_value=0.0 and carry the last NON-NULL observation; a day whose
+    only events have NULL values keeps the previous observation; days
+    before the first non-null observation stay NULL; the per-day
+    observation is the LATEST (ts, event_id) non-null value."""
+    import datetime as dt
+
+    from the_movie_database_import_spark.operators.analytics import (
+        resample_daily_ffill,
+    )
+
+    d = lambda day, h=12: dt.datetime(2024, 5, day, h, 0, 0)  # noqa: E731
+    rows = [
+        (1, 1, d(1), None),          # day 1: only a NULL value -> no obs yet
+        (2, 1, d(3, 8), 5.0),        # day 3, morning
+        (3, 1, d(3, 9), 7.0),        # day 3, later ts
+        (4, 1, d(3, 9), 6.0),        # same ts, HIGHER event_id wins -> obs 6.0
+        (5, 1, d(6), None),          # day 6: NULL value -> carries 6.0
+        (6, 1, d(7), 1.0),
+        (7, 2, d(2), 3.0),           # second user: own grid
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        (r["user_id"], str(r["day"])): r
+        for r in resample_daily_ffill(df).collect()
+    }
+    u1 = [got[(1, f"2024-05-0{i}")] for i in range(1, 8)]
+    assert [r["n_events"] for r in u1] == [1, 0, 3, 0, 0, 1, 1]
+    assert [r["value_ffill"] for r in u1] == [
+        None, None, 6.0, 6.0, 6.0, 6.0, 1.0
+    ]
+    assert u1[2]["day_value"] == pytest.approx(18.0)  # 5 + 7 + 6
+    assert u1[1]["day_value"] == 0.0 and u1[1]["n_events"] == 0
+    assert set(k for k in got if k[0] == 2) == {(2, "2024-05-02")}
+
+
+# ------------------------------------------------------------ outlier census
+
+
+def test_value_outliers_matches_numpy_quartiles(spark):
+    """Quartiles equal numpy's linear-interpolation percentile (the same
+    h = q*(n-1) order-statistic formula) and the fence counts equal the
+    brute-force census, per group."""
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.quality import value_outliers
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    got = {r["event_type"]: r for r in
+           value_outliers(events, "event_type", "value").collect()}
+    pdf = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet' "
+        "WHERE value IS NOT NULL"
+    ).fetchdf()
+    for etype, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        q1, q3 = np.percentile(v, [25, 75])  # linear interpolation
+        r = got[etype]
+        assert r["n"] == len(v)
+        assert r["q1"] == pytest.approx(q1, rel=1e-12)
+        assert r["q3"] == pytest.approx(q3, rel=1e-12)
+        lo = r["lo_fence"]; hi = r["hi_fence"]
+        assert r["n_low"] == int((v < lo).sum())
+        assert r["n_high"] == int((v > hi).sum())
+        assert r["n_outliers"] == r["n_low"] + r["n_high"]
+
+
+def test_value_outliers_hand_case(spark):
+    """n=5 group: h=0.25*4=1 exactly (no interpolation) -> q1=v[1], q3=v[3];
+    fences at q1-1.5*iqr / q3+1.5*iqr; a value exactly ON the fence is NOT
+    an outlier (strict inequality)."""
+    from the_movie_database_import_spark.operators.quality import value_outliers
+
+    # sorted: [0, 10, 20, 30, 100] -> q1=10, q3=30, iqr=20, fences -20/60
+    rows = [("a", 20.0), ("a", 0.0), ("a", 100.0), ("a", 10.0), ("a", 30.0),
+            ("b", 60.0), ("b", -20.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in value_outliers(df, "g", "v").collect()}
+    a = got["a"]
+    assert (a["q1"], a["q3"]) == (10.0, 30.0)
+    assert (a["lo_fence"], a["hi_fence"]) == (-20.0, 60.0)
+    assert (a["n_low"], a["n_high"], a["n_outliers"]) == (0, 1, 1)
+    # group b sorted: [-20, 1, 2, 3, 60] -> q1=1, q3=3, fences -2/6
+    b = got["b"]
+    assert (b["q1"], b["q3"]) == (1.0, 3.0)
+    assert (b["n_low"], b["n_high"]) == (1, 1)

@@ -550,6 +550,45 @@ def test_sessionize_single_user_exchange(spark):
         assert py_stage not in plan
 
 
+def test_win_time_range_single_exchange(spark):
+    """Trailing time-RANGE frame: both window aggregates share one
+    (user)-keyed spec — one exchange, one pruned scan, no Python."""
+    plan = _plan(spark, "q_win_time_range")
+    assert plan.count("Scan parquet") == 1
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("user_id"), groups
+    assert "RangeFrame" in plan, "must be a RANGE frame, not ROWS"
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_resample_daily_caches_panel_one_log_pass(spark):
+    """Daily resample: the (user, day) panel feeds two consumers (span
+    aggregate + grid join) and must be CACHED — two InMemoryTableScans of
+    ONE shared InMemoryRelation, so the raw log is aggregated once. (The
+    plan STRING prints the relation's FileScan child under each table
+    scan, so parquet-scan counting would double-count; the cache nodes are
+    the real pin.)"""
+    plan = _plan(spark, "q_resample_daily")
+    assert plan.count("InMemoryTableScan") >= 2, "daily panel must be cached"
+    assert "InMemoryRelation" in plan
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_value_outliers_broadcasts_fences(spark):
+    """Outlier census: the per-group fence table broadcasts back (the
+    one-row-stats pattern) — data rows never shuffle for the comparison;
+    the only hash exchanges key on the profiling group."""
+    plan = _plan(spark, "q_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert groups and all(g.startswith("event_type") for g in groups), groups
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
 def test_apply_delta_broadcasts_victims_no_snapshot_shuffle(spark):
     """MERGE plan: the victim-id set broadcasts, so the snapshot side
     streams through a broadcast LEFT ANTI join — corpus rows never hit an

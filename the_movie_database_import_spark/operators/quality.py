@@ -138,3 +138,86 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def value_outliers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Tukey-fence outlier census ([ext] profiling, the robust
+    companion of :func:`numeric_histogram`): for every group, the exact
+    linear-interpolated quartiles of ``value_col``, the 1.5-IQR fences,
+    and how many values fall below/above them — the standard
+    anomaly-screening report a load gate runs before training on a new
+    batch. NULL values are excluded (they are not orderable).
+
+    Determinism without a grid: Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` interpolate with different internal expression
+    shapes (1-ulp wobble — ``q_agg_percentiles`` has to round to absorb
+    it), which would make fence COMPARISONS flip. So the quartiles here
+    are computed from ORDER STATISTICS with an explicit interpolation
+    formula — ``v_lo + (v_hi - v_lo) * frac`` where ``h = q*(n-1)`` is
+    exact binary arithmetic for q ∈ {0.25, 0.75} — that the oracle
+    replays with the identical expression tree. Order statistics are
+    exact data values and every subsequent op is a single correctly-
+    rounded IEEE +,-,* in the same order on both engines, so quartiles,
+    fences, and comparisons are bit-identical with NO quantization
+    (the numeric_histogram / edit-distance lane of the determinism
+    taxonomy, not the ln/pow lane).
+
+    Scale design: one ``(group)`` aggregate collects each group's sorted
+    values into the agg buffer — the exact-percentile memory profile
+    (right for bounded-cardinality profiling groups; for unbounded
+    groups use ``percentile_approx``, see ``q_agg_percentiles``'s scale
+    note). The per-group fence table is tiny and BROADCASTS back; the
+    census is one more map-side-combined aggregate. Data rows shuffle
+    once, as (group, value) pairs.
+    """
+    c = F.col(value_col).cast("double")
+    vals = df.filter(c.isNotNull()).select(F.col(group_col), c.alias("_v"))
+    g = vals.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("_v")).alias("_vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def interp(q: float) -> Column:
+        # h is exact (q is a binary fraction, n-1 a small integer), so
+        # floor/frac are exact; element_at is 1-based.
+        h = F.lit(q) * (F.col("n") - 1).cast("double")
+        lo = F.floor(h)
+        v_lo = F.element_at("_vs", (lo + 1).cast("int"))
+        v_hi = F.element_at(
+            "_vs", F.least(lo + 2, F.col("n")).cast("int")
+        )
+        return v_lo + (v_hi - v_lo) * (h - F.floor(h))
+
+    iqr_scale = 1.5
+    fences = g.select(
+        group_col,
+        "n",
+        interp(0.25).alias("q1"),
+        interp(0.75).alias("q3"),
+    ).select(
+        group_col,
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(iqr_scale) * (F.col("q3") - F.col("q1"))).alias(
+            "lo_fence"
+        ),
+        (F.col("q3") + F.lit(iqr_scale) * (F.col("q3") - F.col("q1"))).alias(
+            "hi_fence"
+        ),
+    )
+    return (
+        vals.join(F.broadcast(fences), group_col)
+        .groupBy(group_col, "n", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.when(F.col("_v") < F.col("lo_fence"), F.lit(1))).alias(
+                "n_low"
+            ),
+            F.count(F.when(F.col("_v") > F.col("hi_fence"), F.lit(1))).alias(
+                "n_high"
+            ),
+        )
+        .withColumn("n_outliers", F.col("n_low") + F.col("n_high"))
+    )

@@ -79,14 +79,11 @@ DRIVER_WINDOW = [
     "q_agg_percentiles",
     "q_join_range_binned",
     "q_similarity_lsh_topk",
-    "q_project_rename",
     "q_filter_pred",
     "q_string_fns",
     "q_join_inner_equi",
     "q_join_left_outer",
     "q_agg_rollup",
-    "q_win_lag_lead",
-    "q_intersect",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
@@ -99,6 +96,15 @@ DRIVER_WINDOW = [
                              # q_window_session); sort slot freed by
                              # q_sort_multi_key -> tail (q_topk_global keeps
                              # the family in-window)
+    "q_win_time_range",      # trailing 7-day time-RANGE frame; window slot
+                             # freed by q_win_lag_lead -> tail
+                             # (q_win_running_sum keeps the family in-window)
+    "q_resample_daily",      # daily grid + forward fill; slot freed by
+                             # q_project_rename -> tail (q_filter_pred +
+                             # q_string_fns keep row-ops in-window)
+    "q_value_outliers",      # per-group Tukey-fence census; slot freed by
+                             # q_intersect -> tail (q_union_all keeps
+                             # set-ops in-window)
 ]
 
 
@@ -110,6 +116,9 @@ DRIVER_WINDOW = [
 TAIL_PRIORITY = [
     # r06-row slots displaced by never-driver-checked r08 session-2 queries
     "q_sort_multi_key",       # sort family rep q_topk_global in-window
+    "q_win_lag_lead",         # window family rep q_win_running_sum in-window
+    "q_project_rename",       # row-ops reps q_filter_pred/q_string_fns in-window
+    "q_intersect",            # set-op family rep q_union_all in-window
     # r07 rows (displaced by the r08 rotation)
     "q_agg_percentiles_approx",
     "q_dedup_embedding_cosine_lsh",

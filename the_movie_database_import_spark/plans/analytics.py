@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.analytics import funnel_counts, retention_cohorts, sessionize
+from ..operators.analytics import (
+    funnel_counts,
+    resample_daily_ffill,
+    retention_cohorts,
+    sessionize,
+)
 from ..operators.ranking import bm25_oracle_sql, bm25_topk
 from ..sources.readers import load_table
 from .registry import register
@@ -393,3 +398,116 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_secs",
         "total_value",
     )
+
+
+@register(
+    "q_resample_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               (MAX(CASE WHEN value IS NOT NULL
+                         THEN {'u': epoch_us(ts), 't': event_id, 'v': value}
+                    END)).v AS obs_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS day_value
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           last_value(d.obs_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(d.day_value, 0.0) AS day_value
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+    headline=False,
+    tags=("events", "analytics", "ext"),
+)
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + forward fill ([ext]): densify each user's sparse
+    event log onto their active-span daily grid, carrying the latest
+    non-null observation across gap days — the pandas
+    ``resample('D').last().ffill()`` panel, distributed. The per-day
+    observation is a struct-MAX aggregate (deterministic under any
+    partitioning) and the day sum runs in the exact decimal lane, so the
+    oracle replay is hash-exact. Day emits as a 'yyyy-MM-dd' string
+    (q_scd2_history precedent: cross-engine date dtypes differ in pandas,
+    strings don't)."""
+    events = load_table(spark, sf_dir, "events")
+    out = resample_daily_ffill(events)
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value_ffill",
+        "n_events",
+        "day_value",
+    )
+
+
+@register(
+    "q_value_outliers",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, list_sort(list(v)) AS vs,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM vals GROUP BY event_type
+    ),
+    q AS (
+        SELECT event_type, n,
+               vs[CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1]
+                 + (vs[LEAST(CAST(floor(0.25 * (n - 1)) AS BIGINT) + 2, n)]
+                    - vs[CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1])
+                   * (0.25 * (n - 1) - floor(0.25 * (n - 1))) AS q1,
+               vs[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1]
+                 + (vs[LEAST(CAST(floor(0.75 * (n - 1)) AS BIGINT) + 2, n)]
+                    - vs[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1])
+                   * (0.75 * (n - 1) - floor(0.75 * (n - 1))) AS q3
+        FROM g
+    ),
+    fences AS (
+        SELECT event_type, n, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo_fence,
+               q3 + 1.5 * (q3 - q1) AS hi_fence
+        FROM q
+    )
+    SELECT f.event_type, f.n, f.q1, f.q3, f.lo_fence, f.hi_fence,
+           CAST(COUNT(CASE WHEN e.v < f.lo_fence THEN 1 END) AS BIGINT)
+               AS n_low,
+           CAST(COUNT(CASE WHEN e.v > f.hi_fence THEN 1 END) AS BIGINT)
+               AS n_high,
+           CAST(COUNT(CASE WHEN e.v < f.lo_fence THEN 1 END)
+                + COUNT(CASE WHEN e.v > f.hi_fence THEN 1 END) AS BIGINT)
+               AS n_outliers
+    FROM vals e JOIN fences f USING (event_type)
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    headline=False,
+    tags=("events", "quality", "ext"),
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey-fence outlier census ([ext]): exact
+    order-statistic quartiles (engine-identical interpolation arithmetic
+    — see operators/quality.value_outliers for why this needs NO
+    quantization grid, unlike library quantile_cont), 1.5-IQR fences, and
+    below/above counts. The fence table broadcasts; data shuffles once as
+    (type, value) pairs."""
+    from ..operators.quality import value_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return value_outliers(events, "event_type", "value")

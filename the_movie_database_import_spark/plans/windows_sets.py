@@ -136,6 +136,55 @@ def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_time_range",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(9,2)))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 604800000000 PRECEDING
+                                AND CURRENT ROW) AS DOUBLE)
+               AS trailing_7d_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 604800000000 PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+               AS trailing_7d_events
+    FROM events WHERE ts IS NOT NULL
+    """,
+    tags=("window", "events", "ext"),
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day time-RANGE window ([ext]): for every event, the sum
+    of `value` and the event count over the user's preceding week — the
+    standard trailing-metric frame (`RANGE BETWEEN INTERVAL` semantics),
+    distinct from `q_win_sliding_frame`'s ROWS frame: the frame width here
+    is set by TIME, not row count, and same-timestamp peers always share a
+    frame (no tiebreak can change membership, so the oracle replay is
+    exact). Ordering is integer microseconds (`_epoch_us`, adaptive to the
+    round's ts encoding); the value sum runs in the exact decimal lane.
+    One user-keyed exchange; NULL timestamps are unorderable and excluded,
+    as in `sessionize`."""
+    from ..operators.analytics import _epoch_us
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    events = events.withColumn("_us", _epoch_us(events, "ts"))
+    week_us = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-week_us, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(9,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_7d_events"),
+    )
+
+
+@register(
     "q_win_ntile_pctrank",
     oracle="""
     SELECT c_custkey,

@@ -49,6 +49,9 @@ QUERIES = [
     "q_token_kl_divergence",
     "q_hybrid_rrf_topk",
     "q_events_sessionize",
+    "q_win_time_range",
+    "q_resample_daily",
+    "q_value_outliers",
     "q_pipeline_end_to_end",
 ]
 
