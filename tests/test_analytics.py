@@ -945,3 +945,39 @@ def test_value_outliers_hand_case(spark):
     b = got["b"]
     assert (b["q1"], b["q3"]) == (1.0, 3.0)
     assert (b["n_low"], b["n_high"]) == (1, 1)
+
+
+# ------------------------------------------------------------ FK orphan audit
+
+
+def test_fk_orphan_audit_hand_case(spark):
+    """Planted data: orphans counted only for NON-NULL FKs with no parent;
+    NULL FKs are their own category (not orphans); duplicate parent keys
+    don't double-count children; ok flips only on orphans."""
+    from the_movie_database_import_spark.operators.quality import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame(
+        [(10,), (10,), (20,), (30,)], "pk long"  # 10 duplicated
+    )
+    clean_child = spark.createDataFrame([(1, 30)], "id long, fk long")
+    rows = {
+        r["fk"]: r
+        for r in fk_orphan_audit(
+            [
+                ("dirty", child, "fk", parent, "pk"),
+                ("clean", clean_child, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    d = rows["dirty"]
+    assert (d["n_rows"], d["n_null_fk"], d["n_orphans"], d["ok"]) == (
+        5, 1, 1, False,
+    )
+    c = rows["clean"]
+    assert (c["n_rows"], c["n_null_fk"], c["n_orphans"], c["ok"]) == (
+        1, 0, 0, True,
+    )

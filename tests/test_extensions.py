@@ -1575,3 +1575,76 @@ def test_token_kl_divergence_model_and_grid_safety(spark):
             term = 1e6 * (p * math.log(p / q))
             dist = abs(term - round(term))
             assert dist > 1e-6, (sf, c, g_, ng_, n_, v_, term, dist)
+
+
+def test_token_pair_cooccurrence_hand_case(spark):
+    """A-priori semantics: items under min_item_df never reach a pair
+    (downward closure); pairs are unordered-unique with item_a < item_b;
+    duplicate tokens in one doc count once; lift = n_both*N/(df_a*df_b)."""
+    from the_movie_database_import_spark.operators.vocab import (
+        token_pair_cooccurrence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c"),   # duplicate b counts once
+            (2, "a b rare"),  # rare: df=1, pruned at min_item_df=2
+            (3, "b a"),       # order within doc irrelevant
+            (4, "c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in token_pair_cooccurrence(
+            docs, min_item_df=2, min_pair_support=2
+        ).collect()
+    }
+    # dfs: a=3, b=3, c=2, rare=1(pruned). Pairs >= support 2: (a,b)=3, rest <2
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert (r["n_both"], r["df_a"], r["df_b"]) == (3, 3, 3)
+    assert r["lift"] == pytest.approx(3 * 4 / (3 * 3), rel=0)
+    # support-1 pair of two frequent items was pruned by min_pair_support
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_token_pair_cooccurrence_matches_bruteforce(spark):
+    """Census equals the itertools brute force on the real corpus at the
+    query's thresholds."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators.vocab import (
+        token_pair_cooccurrence,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_total = docs.count()
+    min_df, min_sup = math.ceil(n_total / 16.0), math.ceil(n_total / 4.0)
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_both"], r["lift"])
+        for r in token_pair_cooccurrence(
+            docs, min_item_df=min_df, min_pair_support=min_sup
+        ).collect()
+    }
+    texts = [r[0] for r in docs.select("text").collect()]
+    dfs = Counter()
+    baskets = []
+    for t in texts:
+        items = sorted(set(t.split(" ")))
+        baskets.append(items)
+        dfs.update(items)
+    pairs = Counter()
+    for items in baskets:
+        keep = [i for i in items if dfs[i] >= min_df]
+        pairs.update(itertools.combinations(keep, 2))
+    want = {p: n for p, n in pairs.items() if n >= min_sup}
+    assert set(got) == set(want)
+    for p, n in want.items():
+        assert got[p][0] == n
+        assert got[p][1] == pytest.approx(
+            n * n_total / (dfs[p[0]] * dfs[p[1]]), rel=1e-12
+        )

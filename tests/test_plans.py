@@ -589,6 +589,32 @@ def test_value_outliers_broadcasts_fences(spark):
         assert py_stage not in plan
 
 
+def test_token_pair_lift_caches_vocab_no_self_join(spark):
+    """A-priori pair census: the corpus-wide item-df table feeds THREE
+    consumers (frequent filter, df_a, df_b) and must be cached — three
+    InMemoryTableScans, so the corpus explode+agg runs once; pairs are
+    generated in-row (broadcast joins only at test SF — never a (doc,
+    token) self-join via SortMergeJoin); no Python stages."""
+    plan = _plan(spark, "q_token_pair_lift")
+    assert plan.count("InMemoryTableScan") >= 3, "item_df must be cached"
+    assert "SortMergeJoin" not in plan
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_fk_orphan_audit_unions_one_pass_subtrees(spark):
+    """FK audit: K specs compile to K independent LEFT joins against
+    distinct parent keys, unioned in-plan — one Union node, left-outer
+    joins only (never inner: NULL FKs must survive to be counted), no
+    Python stages, no driver-side loop artifacts (no CollectLimit)."""
+    plan = _plan(spark, "q_fk_orphan_audit")
+    assert "Union" in plan
+    assert "LeftOuter" in plan and "Inner," not in plan
+    assert "CollectLimit" not in plan
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
 def test_apply_delta_broadcasts_victims_no_snapshot_shuffle(spark):
     """MERGE plan: the victim-id set broadcasts, so the snapshot side
     streams through a broadcast LEFT ANTI join — corpus rows never hit an
@@ -709,10 +735,16 @@ def test_stage_totals_snapshot_delta(spark):
     be positive for real work, and snapshots must be monotonic."""
     from the_movie_database_import_spark import metrics
 
-    a = metrics.stage_totals(spark.sparkContext)
-    spark.range(2_000_000).selectExpr("sum(id * id)").collect()
-    b = metrics.stage_totals(spark.sparkContext)
-    d = metrics.delta(a, b)
+    # Retry: in a long shared session the status store can evict stages
+    # between snapshots (spark.ui.retainedStages), which the clamp-at-0
+    # delta renders as zero work — that's eviction, not a metrics bug.
+    for _ in range(3):
+        a = metrics.stage_totals(spark.sparkContext)
+        spark.range(2_000_000).selectExpr("sum(id * id)").collect()
+        b = metrics.stage_totals(spark.sparkContext)
+        d = metrics.delta(a, b)
+        if d.tasks >= 1:
+            break
     assert d.tasks >= 1
     assert d.cpu_ns > 0
     assert d.run_ms >= 0

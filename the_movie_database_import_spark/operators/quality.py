@@ -221,3 +221,60 @@ def value_outliers(
         )
         .withColumn("n_outliers", F.col("n_low") + F.col("n_high"))
     )
+
+
+def fk_orphan_audit(
+    specs: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each declared FK relationship
+    ``(name, child, fk_col, parent, pk_col)``, one row with the child's
+    row count, its NULL-FK count, and its ORPHAN count (non-null FK with
+    no matching parent key). This is the engine-side generalization of
+    the reference's PostgreSQL FK constraints — `loader.py:67-78` flips
+    triggers off during load and back on after, trusting the data; a
+    Spark pipeline has no database to enforce them, so the audit makes
+    the same contract CHECKABLE as a load gate (the FK companion of
+    :func:`audit`'s per-column checks).
+
+    Scale design: each spec is an independent subtree — the child's
+    (fk) column LEFT-joins the parent's distinct key set (map-side-
+    combinable distinct; the join is left UNHINTED: AQE broadcasts
+    dimension-sized parents and shuffle-joins fact-sized ones), and all
+    three counts are conditional aggregates of that one pass. K specs =
+    K one-row aggregates unioned in-plan; nothing collects to the
+    driver, and the Python loop below builds the PLAN, not the result.
+    NULL FKs never join (SQL null semantics) and are counted as their
+    own category — a NULL FK is a not-null-check violation, not an
+    orphan.
+    """
+    frames = []
+    for name, child, fk_col, parent, pk_col in specs:
+        joined = child.select(F.col(fk_col).alias("_fk")).join(
+            parent.select(F.col(pk_col).alias("_pk")).distinct(),
+            F.col("_fk") == F.col("_pk"),
+            "left",
+        )
+        frames.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("_fk").isNull(), F.lit(1))).alias(
+                    "n_null_fk"
+                ),
+                F.count(
+                    F.when(
+                        F.col("_fk").isNotNull() & F.col("_pk").isNull(),
+                        F.lit(1),
+                    )
+                ).alias("n_orphans"),
+            ).select(
+                F.lit(name).alias("fk"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

@@ -229,3 +229,109 @@ def token_kl_divergence(
             F.sum("_t").alias("kl_q_sum"),
         )
     )
+
+
+def token_pair_cooccurrence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_item_df: int = 2,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Market-basket pair co-occurrence census (A-priori passes 1+2) over
+    documents-as-baskets / distinct-tokens-as-items: for every frequent
+    token pair, the number of documents containing BOTH, each item's own
+    document frequency, and the lift ``P(ab) / (P(a)·P(b))`` — the
+    association signal under topic clustering, template detection, and
+    "these tokens travel together" contamination forensics.
+
+    A-priori pruning is the scale lever: items below ``min_item_df``
+    cannot be part of a frequent pair (downward closure), so they are
+    dropped BEFORE any pair is generated — the frequent-item table is the
+    one data-dependent broadcast (budget-guarded; NOTE the guard's count
+    probe is eager, so constructing this DataFrame runs a small Spark
+    job). Pairs are then generated IN-ROW per basket from the sorted
+    frequent-item set (``item_a < item_b`` by construction, no self-join
+    of the (doc, token) table — the oracle replays that textbook
+    formulation instead), and the census is one map-side-combined
+    aggregate keyed on the pair. Per-basket work is O(f²) in the basket's
+    FREQUENT-item count — bounded by pruning, and at 100 TB the classic
+    fix for a still-too-wide basket is raising ``min_item_df``, not a
+    different plan. HOF discipline: the basket array and its size are
+    bound as attribute refs before the lambda (O(1) per element — the
+    r08 lambda re-eval trap).
+
+    Lift arithmetic is a single IEEE multiply/divide tree on exact
+    integer counts, mirrored verbatim in the oracle — bit-exact, no
+    quantization grid (the numeric_histogram lane). ``n_total`` is the
+    full basket count (one-row aggregate, broadcast in-plan — data never
+    moves for statistics).
+    """
+    from ..functions.text import distinct_tokens
+    from ..session import maybe_broadcast, tracked_cache
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(distinct_tokens(F.col(text_col))).alias("item"),
+    )
+    # One corpus explode+agg, THREE consumers (frequent filter, df_a,
+    # df_b) — cache the vocab-sized table so the corpus pass runs once;
+    # the single eager count then serves every broadcast-budget decision.
+    item_df = tracked_cache(
+        tok.groupBy("item").agg(F.count(F.lit(1)).alias("item_df"))
+    )
+    vocab_rows = item_df.count()
+    frequent = maybe_broadcast(
+        item_df.filter(F.col("item_df") >= F.lit(int(min_item_df))),
+        n_rows=vocab_rows,  # conservative upper bound, no second probe
+    )
+    baskets = (
+        tok.join(frequent, "item")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("item")).alias("_a"))
+        .withColumn("_n", F.size("_a"))
+    )
+    a, n = F.col("_a"), F.col("_n")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    a,
+                    lambda x, i: F.transform(
+                        F.slice(a, i + F.lit(2), n - i - F.lit(1)),
+                        lambda y: F.struct(
+                            x.alias("item_a"), y.alias("item_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.item_a", "_p.item_b")
+    totals = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    census = (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= F.lit(int(min_pair_support)))
+    )
+    df_a = item_df.select(
+        F.col("item").alias("item_a"), F.col("item_df").alias("df_a")
+    )
+    df_b = item_df.select(
+        F.col("item").alias("item_b"), F.col("item_df").alias("df_b")
+    )
+    return (
+        census.join(maybe_broadcast(df_a, n_rows=vocab_rows), "item_a")
+        .join(maybe_broadcast(df_b, n_rows=vocab_rows), "item_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "df_a",
+            "df_b",
+            (
+                (F.col("n_both").cast("double") * F.col("n_total"))
+                / (F.col("df_a").cast("double") * F.col("df_b"))
+            ).alias("lift"),
+        )
+    )

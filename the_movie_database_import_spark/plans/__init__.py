@@ -80,10 +80,8 @@ DRIVER_WINDOW = [
     "q_join_range_binned",
     "q_similarity_lsh_topk",
     "q_filter_pred",
-    "q_string_fns",
     "q_join_inner_equi",
     "q_join_left_outer",
-    "q_agg_rollup",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
@@ -105,6 +103,13 @@ DRIVER_WINDOW = [
     "q_value_outliers",      # per-group Tukey-fence census; slot freed by
                              # q_intersect -> tail (q_union_all keeps
                              # set-ops in-window)
+    "q_token_pair_lift",     # A-priori pair census + lift; slot freed by
+                             # q_string_fns -> tail (q_filter_pred +
+                             # q_json_fns keep row-ops in-window)
+    "q_fk_orphan_audit",     # referential-integrity audit (ref FK twin);
+                             # slot freed by q_agg_rollup -> tail
+                             # (avg_per_key/multi/count_by_value keep the
+                             # agg family in-window)
 ]
 
 
@@ -117,8 +122,10 @@ TAIL_PRIORITY = [
     # r06-row slots displaced by never-driver-checked r08 session-2 queries
     "q_sort_multi_key",       # sort family rep q_topk_global in-window
     "q_win_lag_lead",         # window family rep q_win_running_sum in-window
-    "q_project_rename",       # row-ops reps q_filter_pred/q_string_fns in-window
+    "q_project_rename",       # row-ops reps q_filter_pred/q_json_fns in-window
     "q_intersect",            # set-op family rep q_union_all in-window
+    "q_string_fns",           # row-ops reps q_filter_pred/q_json_fns in-window
+    "q_agg_rollup",           # agg reps avg_per_key/multi/count_by_value in-window
     # r07 rows (displaced by the r08 rotation)
     "q_agg_percentiles_approx",
     "q_dedup_embedding_cosine_lsh",

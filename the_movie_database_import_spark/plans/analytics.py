@@ -511,3 +511,68 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return value_outliers(events, "event_type", "value")
+
+
+# FK relationships of the testdata star schema, plus the event log's
+# user->customer link (the one expected to have orphans: user ids are
+# drawn independently of the customer table).
+FK_SPECS = (
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id",
+     "customer", "c_custkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for name, child, fk, parent, pk in FK_SPECS:
+        parts.append(f"""
+    SELECT '{name}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN c.{fk} IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_fk,
+           CAST(COUNT(CASE WHEN c.{fk} IS NOT NULL AND p._pk IS NULL
+                      THEN 1 END) AS BIGINT) AS n_orphans,
+           COUNT(CASE WHEN c.{fk} IS NOT NULL AND p._pk IS NULL
+                 THEN 1 END) = 0 AS ok
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p
+           ON c.{fk} = p._pk""")
+        
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "q_fk_orphan_audit",
+    oracle=_fk_oracle(),
+    headline=False,
+    tags=("quality", "audit", "ext"),
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole star schema ([ext],
+    engine twin of the reference's PostgreSQL FK constraints,
+    loader.py:67-78): per declared FK, row/NULL-FK/orphan counts and an
+    ok verdict. Eight independent one-pass subtrees unioned in-plan;
+    parents' distinct key sets join unhinted (AQE broadcasts the small
+    ones). The events.user_id link is the designed-dirty row."""
+    from ..operators.quality import fk_orphan_audit
+
+    specs = [
+        (name, load_table(spark, sf_dir, child), fk,
+         load_table(spark, sf_dir, parent), pk)
+        for name, child, fk, parent, pk in FK_SPECS
+    ]
+    return fk_orphan_audit(specs)

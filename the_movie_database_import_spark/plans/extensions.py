@@ -1996,3 +1996,61 @@ def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = substring_gram_digests(docs.filter(F.col("doc_id") % 10 == 0), k=8)
     new = docs.filter(F.col("doc_id") % 10 != 0)
     return dedup_substring_spans_incremental(new, seen, k=8)
+
+
+@register(
+    "q_token_pair_lift",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS item
+        FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    d AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS item_df
+        FROM tok GROUP BY item
+    ),
+    pr AS (
+        SELECT t.doc_id, t.item FROM tok t
+        JOIN d USING (item), nd
+        WHERE d.item_df >= CAST(ceil(nd.n_total / 16.0) AS BIGINT)
+    )
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both,
+           MIN(da.item_df) AS df_a, MIN(db.item_df) AS df_b,
+           (CAST(COUNT(*) AS DOUBLE) * MIN(nd.n_total))
+               / (CAST(MIN(da.item_df) AS DOUBLE) * MIN(db.item_df)) AS lift
+    FROM pr a
+    JOIN pr b ON a.doc_id = b.doc_id AND a.item < b.item
+    JOIN d da ON da.item = a.item
+    JOIN d db ON db.item = b.item
+    CROSS JOIN nd
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= CAST(ceil(MIN(nd.n_total) / 4.0) AS BIGINT)
+    """,
+    headline=False,
+    tags=("text", "vocab", "ext"),
+)
+def q_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket token-pair census with lift (A-priori passes 1+2,
+    north star `token_pair_cooccurrence`): frequent token pairs per
+    document-basket with both document frequencies and lift. Thresholds
+    derive from the basket count as exact binary fractions (item df ≥
+    ⌈N/16⌉, pair support ≥ ⌈N/4⌉) so the census stays discriminative at
+    every SF; the doc count is an eager scan-count (documented, like the
+    broadcast guard's probe). Pairs are generated IN-ROW from each
+    basket's sorted frequent-item set (no (doc, token) self-join — the
+    oracle replays that textbook formulation); lift is one IEEE
+    multiply/divide tree on exact integer counts, mirrored verbatim —
+    bit-exact, no grid."""
+    import math
+
+    from ..operators.vocab import token_pair_cooccurrence
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    return token_pair_cooccurrence(
+        docs,
+        min_item_df=math.ceil(n_total / 16.0),
+        min_pair_support=math.ceil(n_total / 4.0),
+    )

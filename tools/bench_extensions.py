@@ -52,6 +52,8 @@ QUERIES = [
     "q_win_time_range",
     "q_resample_daily",
     "q_value_outliers",
+    "q_token_pair_lift",
+    "q_fk_orphan_audit",
     "q_pipeline_end_to_end",
 ]
 
