@@ -1648,3 +1648,88 @@ def test_token_pair_cooccurrence_matches_bruteforce(spark):
         assert got[p][1] == pytest.approx(
             n * n_total / (dfs[p[0]] * dfs[p[1]]), rel=1e-12
         )
+
+
+def test_label_centroids_quantized_mean_hand_case(spark):
+    """Centroid = (sum of floored 1e-6-grid components) / n / grid; long
+    form has one row per (label, pos); n is the label's member count."""
+    from the_movie_database_import_spark.operators.similarity import (
+        CENTROID_QUANT,
+        label_centroids,
+    )
+
+    rows = [
+        (1, 0, [1.0, -0.5]),
+        (2, 0, [3.0, 0.5]),
+        (3, 7, [0.25, 0.25]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r["label"], r["pos"]): r for r in label_centroids(df).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (7, 0), (7, 1)}
+    assert got[(0, 0)]["centroid"] == pytest.approx(2.0)
+    assert got[(0, 1)]["centroid"] == pytest.approx(0.0)
+    assert got[(0, 0)]["n"] == 2 and got[(7, 0)]["n"] == 1
+    # floor quantization: -0.5 floors to -500000 exactly; a value like
+    # 0.1 (inexact in binary) floors DOWN on the grid on both engines
+    g = label_centroids(
+        spark.createDataFrame(
+            [(1, 0, [0.1])], "vec_id long, label int, embedding array<float>"
+        )
+    ).collect()[0]
+    import math
+
+    f32 = float.fromhex("0x1.99999ap-4")  # 0.1 as float32, exactly
+    assert g["centroid"] == math.floor(CENTROID_QUANT * f32) / CENTROID_QUANT
+
+
+def test_label_coherence_census_hand_and_model(spark):
+    """Separated clusters assign to their own centroid (diagonal census);
+    a vector planted nearer another label's centroid lands off-diagonal;
+    the census matches a numpy brute force on the real embeddings."""
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.similarity import (
+        CENTROID_QUANT,
+        label_coherence_census,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    rows = [
+        (1, 0, [0.0, 0.0]),
+        (2, 0, [0.2, 0.0]),
+        (3, 1, [10.0, 10.0]),
+        (4, 1, [10.2, 10.0]),
+        (5, 1, [0.05, 0.05]),  # labeled 1, sits in label-0 territory
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r["true_label"], r["assigned_label"]): r["n"]
+        for r in label_coherence_census(df).collect()
+    }
+    assert got == {(0, 0): 2, (1, 1): 2, (1, 0): 1}
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pdf = emb.toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    labels = pdf["label"].to_numpy()
+    cents = {}
+    for lab in np.unique(labels):
+        m = vecs[labels == lab]
+        cents[lab] = np.floor(CENTROID_QUANT * m).sum(axis=0) / len(m) / CENTROID_QUANT
+    labs_sorted = sorted(cents)
+    want: dict = {}
+    for v, lab in zip(vecs, labels):
+        d = [(((v - cents[c]) ** 2).sum(), c) for c in labs_sorted]
+        assigned = min(d)[1]
+        want[(lab, assigned)] = want.get((lab, assigned), 0) + 1
+    census = {
+        (r["true_label"], r["assigned_label"]): r["n"]
+        for r in label_coherence_census(emb).collect()
+    }
+    assert census == want

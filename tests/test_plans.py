@@ -615,6 +615,24 @@ def test_fk_orphan_audit_unions_one_pass_subtrees(spark):
         assert py_stage not in plan
 
 
+def test_label_coherence_vectors_never_shuffle(spark):
+    """Nearest-centroid census: the prototype row broadcasts and every
+    distance + argmin runs in-row, so the VECTOR side streams through a
+    BroadcastNestedLoopJoin — hash exchanges exist only for the tiny
+    centroid build and the final census, never keyed on a vector id; no
+    Python stages (the folds are whole-stage codegen)."""
+    plan = _plan(spark, "q_label_coherence")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert groups and all(
+        g.startswith(("label", "pos", "true_label")) for g in groups
+    ), groups
+    assert "vec_id" not in plan, "assignment must not key on the vector id"
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
 def test_apply_delta_broadcasts_victims_no_snapshot_shuffle(spark):
     """MERGE plan: the victim-id set broadcasts, so the snapshot side
     streams through a broadcast LEFT ANTI join — corpus rows never hit an

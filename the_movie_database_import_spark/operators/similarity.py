@@ -524,3 +524,117 @@ def lsh_bucket_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# Quantization grid for label-centroid coordinates: per-component values
+# floor onto this grid BEFORE the distributed sum, so centroid means are
+# exact integer arithmetic (the unigram_nll lane — a raw double sum over a
+# group is addition-order-dependent and can never be oracle-hashed).
+CENTROID_QUANT = 1_000_000
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label class prototypes in LONG form — ``(label, pos, centroid,
+    n)``, one row per (label, vector component): the E-step of k-means,
+    the class-prototype table under nearest-centroid classification and
+    dataset-cartography QA, and the exact-oracle twin of the MLlib-fitted
+    coarse quantizer (:func:`train_ivf_centroids` — iterative, rows-only).
+
+    Determinism: each component value floors onto the 1e-6
+    ``CENTROID_QUANT`` grid BEFORE the distributed sum — integer sums are
+    order-independent, so the mean ``(sum/n)/QUANT`` is bit-exact on both
+    engines (two divisions, identical tree). Raw double sums would be
+    partition-order-dependent; 1e-6 on unit-scale float32 embeddings is
+    far below any component's information content.
+
+    Scale design: posexplode → ONE map-side-combined (label, pos)
+    aggregate — shuffle rows ∝ labels × dim (tiny), never vectors; the
+    census is the whole job. Long form keeps the result hash-stable
+    (array columns don't hash portably) and join-ready.
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_vec(F.col(vec_col))).alias("pos", "val"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.lit(float(CENTROID_QUANT)) * F.col("val"))).alias(
+                "_sq"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (
+                (F.col("_sq").cast("double") / F.col("n"))
+                / F.lit(float(CENTROID_QUANT))
+            ).alias("centroid"),
+            "n",
+        )
+    )
+
+
+def label_coherence_census(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Label-noise screen: assign every vector to its NEAREST label
+    centroid (exact 1-NN over the prototype table) and emit the confusion
+    census ``(true_label, assigned_label, n)`` — off-diagonal mass is
+    the mislabeled/entangled-class signal a training-data QA pass flags
+    before fitting anything.
+
+    Scale design — the assignment never shuffles: the centroid table
+    (labels × dim, from :func:`label_centroids`) collapses to ONE row of
+    (label, prototype-array) structs that cross-joins in as a broadcast;
+    each vector computes all L squared distances IN-ROW (ordered
+    ``zip_with`` folds inside whole-stage codegen) and takes
+    ``array_min`` over (distance, label) structs — lexicographic struct
+    comparison is the deterministic argmin, label as tiebreak. The only
+    shuffles are the centroid build's (label, pos) census and the final
+    (true, assigned) count. Distances are identical IEEE folds over
+    identical quantized-mean centroids on both engines, so the oracle's
+    textbook GROUP-BY-vector argmin replay is hash-exact.
+    """
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cvecs = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    )
+    # one row: all prototypes; labels-×-dim is tiny by construction
+    cents_row = cvecs.agg(
+        F.collect_list(F.struct("label", "cvec")).alias("_cents")
+    )
+    vec = as_double_vec(F.col(vec_col))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c["cvec"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["label"].alias("l"),
+            ),
+        )
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col(label_col).alias("true_label"),
+            best["l"].alias("assigned_label"),
+        )
+        .groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -78,10 +78,8 @@ DRIVER_WINDOW = [
     "q_pricing_summary",
     "q_agg_percentiles",
     "q_join_range_binned",
-    "q_similarity_lsh_topk",
     "q_filter_pred",
     "q_join_inner_equi",
-    "q_join_left_outer",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
@@ -110,6 +108,15 @@ DRIVER_WINDOW = [
                              # slot freed by q_agg_rollup -> tail
                              # (avg_per_key/multi/count_by_value keep the
                              # agg family in-window)
+    "q_embedding_centroids", # quantized-mean class prototypes; slot freed
+                             # by q_similarity_lsh_topk -> tail
+                             # (q_similarity_topk_cosine headline +
+                             # q_dedup_embedding_cosine keep vectors
+                             # in-window)
+    "q_label_coherence",     # nearest-centroid confusion census; slot
+                             # freed by q_join_left_outer -> tail
+                             # (q_join_inner_equi + q_join_semi keep
+                             # joins in-window)
 ]
 
 
@@ -126,6 +133,8 @@ TAIL_PRIORITY = [
     "q_intersect",            # set-op family rep q_union_all in-window
     "q_string_fns",           # row-ops reps q_filter_pred/q_json_fns in-window
     "q_agg_rollup",           # agg reps avg_per_key/multi/count_by_value in-window
+    "q_similarity_lsh_topk",  # vector reps topk_cosine (headline) in-window
+    "q_join_left_outer",      # join reps inner_equi/semi in-window
     # r07 rows (displaced by the r08 rotation)
     "q_agg_percentiles_approx",
     "q_dedup_embedding_cosine_lsh",

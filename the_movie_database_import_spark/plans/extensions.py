@@ -2054,3 +2054,84 @@ def q_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_item_df=math.ceil(n_total / 16.0),
         min_pair_support=math.ceil(n_total / 4.0),
     )
+
+
+# DuckDB twin of similarity.label_centroids' quantized component stream:
+# 1-based generate_series indexing replaces posexplode (DuckDB has no
+# WITH ORDINALITY), floored onto the same CENTROID_QUANT grid.
+_CENTROID_EX_SQL = """
+    SELECT label, CAST(p - 1 AS INT) AS pos,
+           CAST(floor(1000000.0 * CAST(embedding[p] AS DOUBLE)) AS BIGINT)
+               AS vq
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS p) g
+"""
+
+
+@register(
+    "q_embedding_centroids",
+    oracle=f"""
+    WITH ex AS ({_CENTROID_EX_SQL})
+    SELECT label, pos,
+           (CAST(SUM(vq) AS DOUBLE) / COUNT(*)) / 1000000.0 AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY label, pos
+    """,
+    headline=False,
+    tags=("similarity", "vector", "ext"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class prototypes in long form ([ext]): the exact-oracle
+    twin of the MLlib coarse quantizer — component values floor onto the
+    1e-6 grid BEFORE the distributed sum so the mean is integer-exact
+    (unigram_nll lane); one map-side-combined (label, pos) aggregate,
+    shuffle ∝ labels × dim."""
+    from ..operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+@register(
+    "q_label_coherence",
+    oracle=f"""
+    WITH ex AS ({_CENTROID_EX_SQL}),
+    cent AS (
+        SELECT label, pos,
+               (CAST(SUM(vq) AS DOUBLE) / COUNT(*)) / 1000000.0 AS centroid
+        FROM ex GROUP BY label, pos
+    ),
+    cvec AS (
+        SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label
+    ),
+    assign AS (
+        SELECT e.vec_id, e.label AS true_label,
+               (MIN({{'d': list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(list_zip(e.embedding, c.cvec),
+                                 x -> (CAST(x[1] AS DOUBLE) - x[2])
+                                      * (CAST(x[1] AS DOUBLE) - x[2]))),
+                         (acc, v) -> acc + v),
+                     'l': c.label}})).l AS assigned_label
+        FROM embeddings e CROSS JOIN cvec c
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT true_label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assign GROUP BY true_label, assigned_label
+    """,
+    headline=False,
+    tags=("similarity", "vector", "quality", "ext"),
+)
+def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label-confusion census ([ext] label-noise screen):
+    every vector assigned to its nearest label prototype, counted by
+    (true, assigned). The assignment is in-row — one broadcast row of all
+    prototypes, L ordered zip-folds per vector, array_min argmin with
+    label tiebreak — so vectors NEVER shuffle; the oracle replays the
+    textbook GROUP-BY-vector argmin over the identical quantized-mean
+    centroids (bit-exact folds, deterministic comparisons)."""
+    from ..operators.similarity import label_coherence_census
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_coherence_census(emb)

@@ -54,6 +54,8 @@ QUERIES = [
     "q_value_outliers",
     "q_token_pair_lift",
     "q_fk_orphan_audit",
+    "q_embedding_centroids",
+    "q_label_coherence",
     "q_pipeline_end_to_end",
 ]
 
