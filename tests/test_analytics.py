@@ -981,3 +981,76 @@ def test_fk_orphan_audit_hand_case(spark):
     assert (c["n_rows"], c["n_null_fk"], c["n_orphans"], c["ok"]) == (
         1, 0, 0, True,
     )
+
+
+# ------------------------------------------------------------------ ewma
+
+
+def test_ewma_hand_case_and_model(spark):
+    """Fold seeds with the first observation and applies s' = αx + (1-α)s
+    in (ts, event_id) order; NULL ts / NULL value rows are excluded; the
+    full table matches an independent python fold."""
+    import datetime as dt
+
+    from the_movie_database_import_spark.operators.analytics import ewma_per_key
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (2, 1, t0 + dt.timedelta(seconds=1), 2.0),   # second by ts
+        (1, 1, t0, 1.0),                              # first
+        (3, 1, t0 + dt.timedelta(seconds=1), 10.0),  # ts tie: event_id 3 after 2
+        (4, 1, None, 99.0),                           # NULL ts: dropped
+        (5, 1, t0 + dt.timedelta(seconds=2), None),  # NULL value: dropped
+        (6, 2, t0, 7.0),                              # single obs: ewma = value
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {r["user_id"]: r for r in ewma_per_key(df, alpha=0.25).collect()}
+    s = 1.0
+    for x in (2.0, 10.0):
+        s = 0.25 * x + 0.75 * s
+    assert got[1]["n_obs"] == 3 and got[1]["ewma"] == s
+    assert got[2]["n_obs"] == 1 and got[2]["ewma"] == 7.0
+
+    events = load_table(spark, SF_DIR, "events")
+    rows_pd = duckdb.sql(
+        f"SELECT user_id, event_id, ts, value FROM '{SF_DIR}/events.parquet' "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchdf()
+    want: dict = {}
+    for uid, grp in rows_pd.groupby("user_id"):
+        s = None
+        for v in grp["value"]:
+            s = v if s is None else 0.25 * v + 0.75 * s
+        want[uid] = (len(grp), s)
+    got_full = {
+        r["user_id"]: (r["n_obs"], r["ewma"])
+        for r in ewma_per_key(events, alpha=0.25).collect()
+    }
+    assert got_full == want  # bit-exact: identical fold order
+
+
+# --------------------------------------------------------------- benford
+
+
+def test_benford_census_hand_case(spark):
+    """Exact digit extraction from 2-decimal fixed-point values (incl. a
+    value whose double*100 product is not exactly integral); non-positive
+    and NULL values drop; fractions sum to 1; expected_p are the
+    log10(1+1/d) literals."""
+    import math
+
+    from the_movie_database_import_spark.operators.quality import benford_census
+
+    rows = [(1.23,), (19.99,), (0.07,), (912.0,), (-5.0,), (None,), (0.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r for r in benford_census(df, "v").collect()}
+    # digits: 1.23->1, 19.99->1, 0.07->7, 912.0->9
+    assert {d: got[d]["n_obs"] for d in got} == {1: 2, 7: 1, 9: 1}
+    assert got[1]["frac"] == 0.5
+    assert got[1]["expected_p"] == math.log10(2.0)
+    assert got[7]["excess"] == 0.25 - math.log10(1 + 1 / 7)
+    assert sum(r["frac"] for r in got.values()) == pytest.approx(1.0)

@@ -1733,3 +1733,91 @@ def test_label_coherence_census_hand_and_model(spark):
         for r in label_coherence_census(emb).collect()
     }
     assert census == want
+
+
+def test_tfidf_cosine_pairs_matches_bruteforce(spark):
+    """Pairs and cosines equal a numpy brute force that replays the same
+    quantized-weight arithmetic; pairs never cross blocks; symmetric
+    dedup (doc_a < doc_b)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.dedup import (
+        TFIDF_QUANT,
+        tfidf_cosine_pairs,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    thr = 0.7
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, threshold=thr).collect()
+    }
+    pdf = docs.select("doc_id", "source", "text").toPandas()
+    n_docs = len(pdf)
+    tfs = {r.doc_id: Counter(r.text.split(" ")) for r in pdf.itertuples()}
+    blocks = {r.doc_id: r.source for r in pdf.itertuples()}
+    df_cnt = Counter()
+    for tf in tfs.values():
+        df_cnt.update(tf.keys())
+    wq = {
+        i: {
+            t: math.floor(TFIDF_QUANT * (c * math.log(n_docs / df_cnt[t])))
+            for t, c in tf.items()
+        }
+        for i, tf in tfs.items()
+    }
+    norms = {i: sum(w * w for w in ws.values()) for i, ws in wq.items()}
+    ids = sorted(wq)
+    want = {}
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            if blocks[a] != blocks[b]:
+                continue
+            shared = wq[a].keys() & wq[b].keys()
+            if not shared:
+                continue
+            num = sum(wq[a][t] * wq[b][t] for t in shared)
+            cos = num / (math.sqrt(norms[a]) * math.sqrt(norms[b]))
+            if cos >= thr:
+                want[(a, b)] = cos
+    assert set(got) == set(want)
+    for p, c in want.items():
+        assert got[p] == pytest.approx(c, rel=1e-12), p
+    assert len(got) > 0
+
+
+def test_tfidf_weight_grid_safety(spark):
+    """BM25-discipline margin pin: no tf·idf weight sits dangerously close
+    to a floor-grid boundary at the test SF, so the soft-ln 1-ulp wobble
+    cannot flip any quantized weight (margin scale = value ulp, with a
+    generous 1e6x safety factor)."""
+    import math
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators.dedup import TFIDF_QUANT
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pdf = docs.select("doc_id", "text").toPandas()
+    n_docs = len(pdf)
+    tfs = [Counter(t.split(" ")) for t in pdf["text"]]
+    df_cnt = Counter()
+    for tf in tfs:
+        df_cnt.update(tf.keys())
+    worst = math.inf
+    for tf in tfs:
+        for t, c in tf.items():
+            x = TFIDF_QUANT * (c * math.log(n_docs / df_cnt[t]))
+            dist = min(x - math.floor(x), math.ceil(x) - x)
+            ulp = math.ulp(x)
+            if x == 0.0:
+                # df == n_docs: idf = ln(1.0) = 0.0 is EXACT by the IEEE
+                # contract — the only boundary-exact value that is safe
+                continue
+            assert dist > 1e6 * ulp, (t, c, x, dist, ulp)
+            worst = min(worst, dist / ulp)
+    assert worst > 1e6

@@ -398,3 +398,65 @@ def resample_daily_ffill(
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("day_value"), F.lit(0.0)).alias("day_value"),
     )
+
+
+def ewma_per_key(
+    events: DataFrame,
+    alpha: float = 0.25,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Exponentially weighted moving average per key: fold each key's
+    time-ordered value stream through ``s' = α·x + (1-α)·s`` (seeded with
+    the first observation) and emit the FINAL smoothed level — the
+    classic recency-weighted state under rate limiting, trend detection,
+    and per-entity health scores. A recurrence is inherently sequential,
+    so it cannot be a distributed aggregate; the engine shape is:
+
+    1. ONE key-shuffle collects each key's (ts, tiebreak, value) structs;
+       ``array_sort`` makes the order total and deterministic.
+    2. the fold runs IN-ROW (``F.aggregate`` — whole-stage codegen): a
+       strict left fold in sorted order, which the oracle replays with
+       DuckDB's ``list_reduce`` over the same ordered list — identical
+       IEEE operation sequence, so the result is bit-exact with NO grid
+       when ``alpha`` is a binary fraction (0.25 default; pass e.g. 0.1
+       and you owe the caller a quantized comparison instead).
+
+    Per-key state is the key's own history (the funnel/sessionize
+    envelope: bounded by per-entity activity, not corpus size); a single
+    pathological key wants upstream sharding by coarse time bucket, at
+    the cost of restarting the recurrence per shard. NULL timestamps and
+    NULL values carry no information for the recurrence and are excluded.
+    """
+    us = _epoch_us(events, ts_col)
+    a, one_m = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    ordered = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            us.alias("u"),
+                            F.col(tiebreak_col).alias("t"),
+                            F.col(value_col).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("_vs")
+        )
+    )
+    n = F.size("_vs")
+    return ordered.select(
+        key_col,
+        n.cast("bigint").alias("n_obs"),
+        F.aggregate(
+            F.slice("_vs", 2, n - 1),
+            F.element_at("_vs", 1),
+            lambda acc, x: a * x + one_m * acc,
+        ).alias("ewma"),
+    )

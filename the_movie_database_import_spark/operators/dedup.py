@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.text import canonical_token_text, distinct_tokens
+from ..functions.text import canonical_token_text, distinct_tokens, tokens
 from ..session import tracked_cache
 from .banding import choose_banding, first_collision_band
 
@@ -856,3 +856,112 @@ def dedup_substring_spans_incremental(
         )
     )
     return _rebuild_without_covered(base, lose, k, text_col, id_col)
+
+
+# Weight grid for tfidf_cosine_pairs: tf·idf floor-quantizes onto this
+# grid ONCE; numerator terms, norms, and their sums are then exact 64-bit
+# integer arithmetic (w_q ≲ 1e7 for tf·idf ≲ 10 → term products ≲ 1e14,
+# sums over a vocab-bounded token set stay far under 2^63).
+TFIDF_QUANT = 1_000_000
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold: float = 0.9,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Sparse tf-idf cosine similarity over pairs sharing a blocking key —
+    the LEXICAL-weighted member of the near-dup family, between
+    :func:`jaccard_pairs_exact` (set overlap, no weights) and the
+    embedding-cosine operators (dense, learned): re-weighted bag-of-words
+    catches templated/boilerplate-heavy pairs that unigram Jaccard
+    over-scores and embedding models never saw.
+
+    Numeric lane — ONE grid, then pure integers: ``w_q = floor(QUANT ·
+    tf · ln(N/df))`` is the only quantization (ln is the cross-engine-soft
+    op, so the floor grid absorbs its 1-ulp wobble; grid-boundary margins
+    pinned in tests like the BM25 discipline). Every numerator term
+    ``w_qa·w_qb`` and norm term ``w_q²`` is then an EXACT 64-bit product,
+    their sums are order-independent integer aggregates, and the final
+    ``num / (sqrt(na)·sqrt(nb))`` is a correctly-rounded IEEE tree on
+    exact integers — identical on both engines, so the threshold compare
+    can never flip.
+
+    Scale shape (the jaccard_pairs_exact envelope): the inverted index
+    fans out on (block, token); the blocking key bounds candidates the
+    way LSH buckets do, and ``max_token_df`` is the same skew guard — a
+    token in d docs of a block contributes d² join rows, so capping
+    drops stop-word-grade tokens (scores for pairs riding on dropped
+    tokens UNDERCOUNT — a lower bound, never a false positive). Norms
+    stay global (one per-doc aggregate); the corpus-size scalar is a
+    one-row broadcast (data never moves for statistics).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("block"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "block", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "block",
+            "tok",
+            F.floor(
+                F.lit(float(TFIDF_QUANT))
+                * (
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                )
+            ).alias("wq"),
+        )
+    )
+    if max_token_df is not None:
+        from ..session import maybe_broadcast
+
+        hot = (
+            w.groupBy("block", "tok")
+            .agg(F.count(F.lit(1)).alias("bdf"))
+            .filter(F.col("bdf") > max_token_df)
+            .select("block", "tok")
+        )
+        w = w.join(maybe_broadcast(hot), ["block", "tok"], "left_anti")
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    num = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wq") * F.col("b.wq")).alias("num"))
+    )
+    cos = (
+        F.col("num").cast("double")
+        / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double"))
+        )
+    )
+    return (
+        num.join(
+            norms.withColumnsRenamed({"doc_id": "doc_a", "nq": "na"}), "doc_a"
+        )
+        .join(norms.withColumnsRenamed({"doc_id": "doc_b", "nq": "nb"}), "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

@@ -278,3 +278,69 @@ def fk_orphan_audit(
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+# Benford's law first-digit probabilities, log10(1 + 1/d), rendered once
+# in Python and baked into BOTH plans as literals (the BM25 repr()-
+# constant discipline) — no runtime log10 anywhere, so no soft-fn wobble.
+import math as _math
+
+BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_census(
+    df: DataFrame, value_col: str, decimals: int = 2
+) -> DataFrame:
+    """First-significant-digit census vs Benford's law — the classic
+    fabricated-/degenerate-data screen for positive numeric columns
+    spanning magnitudes (amounts, prices, populations): per digit 1-9,
+    the observed count, observed fraction, Benford's expected
+    probability, and the signed excess.
+
+    Digit extraction is EXACT integer arithmetic, no log10: the column
+    is contract-``decimals`` fixed-point (the testdata's money columns
+    are 2-decimal), so ``round(v·10^decimals)`` recovers the exact
+    integer (the product sits within 1e-10 of it — rounding can never
+    be ambiguous), and the first digit is the first character of that
+    integer's decimal string — identical on any engine, unlike
+    ``floor(v / 10^floor(log10 v))`` whose soft log10/pow can flip a
+    power-of-ten boundary. Expected probabilities are Python-rendered
+    literals in both plans. NULL and non-positive values are excluded
+    (Benford is defined on positive magnitudes).
+
+    Scale: one scan, one 9-group map-side-combined census, a one-row
+    total broadcast back in-plan. The fraction is a single division of
+    exact integers — bit-identical, no grid.
+    """
+    scale = 10 ** int(decimals)
+    c = F.col(value_col)
+    digits = (
+        df.filter(c.isNotNull() & (c > 0))
+        .select(
+            F.substring(
+                F.round(c * F.lit(float(scale)), 0).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").alias("total"))
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(F.col("digit") == d, F.lit(BENFORD_P[d])).otherwise(
+            expected
+        )
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_obs").cast("double") / F.col("total")).alias("frac"),
+            expected.alias("expected_p"),
+        )
+        .withColumn("excess", F.col("frac") - F.col("expected_p"))
+    )

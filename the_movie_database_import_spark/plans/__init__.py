@@ -76,9 +76,6 @@ DRIVER_WINDOW = [
     "q_text_redact_pii",
     # --- refreshed: the oldest r06-row tail entries ---
     "q_pricing_summary",
-    "q_agg_percentiles",
-    "q_join_range_binned",
-    "q_filter_pred",
     "q_join_inner_equi",
     "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
     # --- new r08 operators: never driver-checked, must be in-window ---
@@ -117,6 +114,16 @@ DRIVER_WINDOW = [
                              # freed by q_join_left_outer -> tail
                              # (q_join_inner_equi + q_join_semi keep
                              # joins in-window)
+    "q_events_ewma",         # sequential recurrence as in-row fold; slot
+                             # freed by q_filter_pred -> tail (q_json_fns
+                             # keeps row-ops in-window)
+    "q_text_tfidf_cosine_pairs",  # lexical-weighted near-dup pairs; slot
+                             # freed by q_agg_percentiles -> tail
+                             # (q_value_outliers keeps exact-quantile
+                             # machinery in-window)
+    "q_benford_audit",       # first-digit fraud screen; slot freed by
+                             # q_join_range_binned -> tail (r06 row;
+                             # binned range join stays in headline bench)
 ]
 
 
@@ -135,6 +142,9 @@ TAIL_PRIORITY = [
     "q_agg_rollup",           # agg reps avg_per_key/multi/count_by_value in-window
     "q_similarity_lsh_topk",  # vector reps topk_cosine (headline) in-window
     "q_join_left_outer",      # join reps inner_equi/semi in-window
+    "q_filter_pred",          # row-ops rep q_json_fns in-window
+    "q_agg_percentiles",      # exact-quantile rep q_value_outliers in-window
+    "q_join_range_binned",    # r06 row; also exercised per-round by bench.py
     # r07 rows (displaced by the r08 rotation)
     "q_agg_percentiles_approx",
     "q_dedup_embedding_cosine_lsh",

@@ -576,3 +576,84 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, child, fk, parent, pk in FK_SPECS
     ]
     return fk_orphan_audit(specs)
+
+
+@register(
+    "q_events_ewma",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY user_id
+    """,
+    headline=False,
+    tags=("events", "analytics", "ext"),
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the value stream ([ext], α=0.25): a sequential
+    recurrence run as an IN-ROW strict left fold over each user's
+    time-ordered values — one user shuffle, whole-stage codegen, and the
+    oracle's list_reduce replays the identical IEEE operation sequence,
+    so with a binary-fraction α the result is bit-exact with NO grid
+    (see operators/analytics.ewma_per_key)."""
+    from ..operators.analytics import ewma_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_per_key(events, alpha=0.25)
+
+
+@register(
+    "q_benford_audit",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS INT) AS digit FROM v
+    ),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM g)
+    SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / t.total AS frac,
+           CASE digit
+               WHEN 1 THEN 0.3010299956639812
+               WHEN 2 THEN 0.17609125905568124
+               WHEN 3 THEN 0.12493873660829992
+               WHEN 4 THEN 0.09691001300805642
+               WHEN 5 THEN 0.07918124604762482
+               WHEN 6 THEN 0.06694678963061322
+               WHEN 7 THEN 0.05799194697768673
+               WHEN 8 THEN 0.05115252244738129
+               WHEN 9 THEN 0.04575749056067514
+           END AS expected_p,
+           (CAST(n_obs AS DOUBLE) / t.total)
+             - (CASE digit
+               WHEN 1 THEN 0.3010299956639812
+               WHEN 2 THEN 0.17609125905568124
+               WHEN 3 THEN 0.12493873660829992
+               WHEN 4 THEN 0.09691001300805642
+               WHEN 5 THEN 0.07918124604762482
+               WHEN 6 THEN 0.06694678963061322
+               WHEN 7 THEN 0.05799194697768673
+               WHEN 8 THEN 0.05115252244738129
+               WHEN 9 THEN 0.04575749056067514
+                END) AS excess
+    FROM g CROSS JOIN t
+    """,
+    headline=False,
+    tags=("quality", "audit", "ext"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit census over lineitem prices ([ext] fraud/
+    degeneracy screen): exact integer digit extraction (no soft log10 —
+    see operators/quality.benford_census), Python-rendered expected
+    probabilities baked into both plans, one scan + 9-row census."""
+    from ..operators.quality import benford_census
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return benford_census(lineitem, "l_extendedprice")
+

@@ -2135,3 +2135,57 @@ def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_coherence_census(emb)
+
+
+@register(
+    "q_text_tfidf_cosine_pairs",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, block, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, source AS block,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, block, tok
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    w AS (
+        SELECT tf.doc_id, tf.block, tf.tok,
+               CAST(floor(1000000.0 * (tf.tf * ln(CAST(nd.n_docs AS DOUBLE)
+                                                  / dfx.df))) AS BIGINT) AS wq
+        FROM tf JOIN dfx USING (tok) CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nq FROM w GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.wq * b.wq) AS BIGINT) AS num
+        FROM w a JOIN w b ON a.tok = b.tok AND a.block = b.block
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(num AS DOUBLE)
+               / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+               AS cosine
+    FROM pairs
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(num AS DOUBLE)
+          / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.75
+    """,
+    headline=False,
+    tags=("text", "dedup", "similarity", "ext"),
+)
+def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs ([ext]): the lexical-weighted
+    member of the near-dup family (between unigram Jaccard and embedding
+    cosine). ONE weight quantization (floor grid under the
+    cross-engine-soft ln), then everything to the final
+    sqrt/divide tree is exact integer arithmetic — the threshold compare
+    can never flip (see operators/dedup.tfidf_cosine_pairs)."""
+    from ..operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.75)

@@ -56,6 +56,9 @@ QUERIES = [
     "q_fk_orphan_audit",
     "q_embedding_centroids",
     "q_label_coherence",
+    "q_events_ewma",
+    "q_text_tfidf_cosine_pairs",
+    "q_benford_audit",
     "q_pipeline_end_to_end",
 ]
 
