@@ -1,0 +1,314 @@
+"""Statistical-census operators (operators/stats.py) and the event
+transition/attribution operators: hand-built edge cases with known
+closed-form answers (exact lines, alternating series, 2x2 contingency
+tables) plus independent python-model parity on the real testdata —
+the oracle sweep in test_oracle_parity.py covers the registry queries;
+these pin the operator SEMANTICS the SQL comparison can't isolate
+(NULL exclusion rules, tie-breaks, degenerate groups)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from the_movie_database_import_spark.operators.analytics import (
+    attribution_last_touch,
+    event_transitions,
+)
+from the_movie_database_import_spark.operators.stats import (
+    autocorr_lag1,
+    chi2_independence,
+    regr_trend_per_key,
+    welch_ttest,
+)
+
+from conftest import SF_DIR
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(seconds: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+# ------------------------------------------------------------- regr trend
+
+
+def test_regr_trend_exact_line_and_degenerates(spark):
+    """An exact line recovers (slope, intercept, r2=1) bit-cleanly; a
+    single-point key and a zero-x-variance key yield NULL slope/r2 (the
+    'too thin to fit' rows stay in the census); NULL x or y drops the
+    pair but not the key."""
+    rows = [
+        # key 'line': y = 3x + 2 exactly
+        ("line", 0.0, 2.0),
+        ("line", 1.0, 5.0),
+        ("line", 2.0, 8.0),
+        ("line", 3.0, 11.0),
+        # NULL y: excluded pairwise (n_obs must be 4, not 5)
+        ("line", 9.0, None),
+        # key 'point': one observation
+        ("point", 1.0, 1.0),
+        # key 'flat_x': zero x-variance
+        ("flat_x", 2.0, 1.0),
+        ("flat_x", 2.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        r["k"]: r
+        for r in regr_trend_per_key(df, "k", F.col("x"), F.col("y")).collect()
+    }
+    assert set(got) == {"line", "point", "flat_x"}
+    line = got["line"]
+    assert line["n_obs"] == 4
+    assert line["slope"] == pytest.approx(3.0, abs=1e-12)
+    assert line["intercept"] == pytest.approx(2.0, abs=1e-12)
+    assert line["r2"] == pytest.approx(1.0, abs=1e-12)
+    assert got["point"]["n_obs"] == 1
+    assert got["point"]["slope"] is None
+    assert got["flat_x"]["slope"] is None
+    assert got["flat_x"]["n_obs"] == 2
+
+
+# -------------------------------------------------------------- autocorr
+
+
+def test_autocorr_alternating_and_degenerate(spark):
+    """A perfectly alternating series has lag-1 autocorrelation -1; a
+    constant series has zero variance -> NULL; n_pairs counts rows with
+    a predecessor (first row of each key drops)."""
+    rows = []
+    for i in range(8):
+        rows.append(("alt", i, 1.0 if i % 2 == 0 else -1.0))
+    for i in range(5):
+        rows.append(("const", i, 4.0))
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    got = {r["k"]: r for r in autocorr_lag1(df, "k", ["i"], "v").collect()}
+    assert got["alt"]["n_pairs"] == 7
+    assert got["alt"]["autocorr"] == pytest.approx(-1.0, abs=1e-12)
+    assert got["const"]["n_pairs"] == 4
+    assert got["const"]["autocorr"] is None
+
+
+def test_autocorr_order_cols_define_the_series(spark):
+    """The SAME values under a different declared order change the
+    statistic — ordering is part of the contract. (REVERSAL is the one
+    reorder that provably cannot change it: the consecutive-pair set
+    merely swaps roles and Pearson is symmetric — pinned here as the
+    invariance it is; a genuine permutation does move the number.)"""
+    # series 1,2,4,1 (corr -1/2) — under j the series reads 2,4,1,1
+    # (corr -1/sqrt(28)): same multiset, different statistic
+    rows = [
+        ("k", 1, 3, 1.0),
+        ("k", 2, 1, 2.0),
+        ("k", 3, 2, 4.0),
+        ("k", 4, 4, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, j int, v double")
+    nat = autocorr_lag1(df, "k", ["i"], "v").collect()[0]["autocorr"]
+    rev = autocorr_lag1(
+        df.withColumn("r", -F.col("i")), "k", ["r"], "v"
+    ).collect()[0]["autocorr"]
+    perm = autocorr_lag1(df, "k", ["j"], "v").collect()[0]["autocorr"]
+    assert nat == pytest.approx(rev, abs=1e-12)  # reversal invariance
+    assert perm != pytest.approx(nat, abs=1e-6)  # permutation sensitivity
+
+
+# ------------------------------------------------------------------ chi2
+
+
+def test_chi2_hand_case_2x2(spark):
+    """Known 2x2 table: obs = [[10, 20], [20, 10]] over n=60. Expected
+    cells are all 15, so chi2 = 4 * (5^2 / 15) = 20/3; dof = 1."""
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "u string, w string")
+    got = chi2_independence(df, "u", "w").collect()[0]
+    assert got["n_rows"] == 60
+    assert got["n_cells"] == 4
+    assert got["dof"] == 1
+    assert got["chi2"] == pytest.approx(20.0 / 3.0, abs=1e-9)
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    """A perfectly product-form table (margins multiply exactly) scores
+    chi2 = 0: no dependence signal from a balanced crossing."""
+    rows = [(u, w) for u in ("a", "b", "c") for w in ("x", "y") for _ in range(7)]
+    df = spark.createDataFrame(rows, "u string, w string")
+    got = chi2_independence(df, "u", "w").collect()[0]
+    assert got["n_rows"] == 42
+    assert got["n_cells"] == 6
+    assert got["dof"] == 2
+    assert got["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ----------------------------------------------------------------- welch
+
+
+def _welch_model(a: list[float], b: list[float]):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df_w = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return na, nb, ma, mb, t, df_w
+
+
+def test_welch_hand_case(spark):
+    a = [4.0, 5.0, 6.0, 5.5, 4.5]
+    b = [1.0, 9.0, 5.0, 7.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    na, nb, ma, mb, t, df_w = _welch_model(a, b)
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["mean_a"] == pytest.approx(ma, abs=1e-12)
+    assert got["mean_b"] == pytest.approx(mb, abs=1e-12)
+    assert got["t_stat"] == pytest.approx(t, abs=1e-12)
+    assert got["df_welch"] == pytest.approx(df_w, abs=1e-9)
+
+
+def test_welch_matches_python_model_on_testdata(spark):
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL"
+    ).fetchall()
+    a = [v for g, v in vals if g == "view"]
+    b = [v for g, v in vals if g == "purchase"]
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = welch_ttest(events, "event_type", "value", "view", "purchase").collect()[0]
+    na, nb, ma, mb, t, df_w = _welch_model(a, b)
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert got["df_welch"] == pytest.approx(df_w, rel=1e-9)
+
+
+def test_welch_degenerate_group_yields_null(spark):
+    """A one-observation arm has no sample variance: t and df are NULL,
+    the counts and means still report."""
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 5.0)], "g string, v double"
+    )
+    got = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (2, 1)
+    assert got["mean_b"] == pytest.approx(5.0)
+    assert got["t_stat"] is None
+    assert got["df_welch"] is None
+
+
+def test_welch_two_constant_arms_yield_null(spark):
+    """Both arms constant: zero pooled variance, t undefined. Under ANSI
+    mode a bare division would raise DIVIDE_BY_ZERO — the operator's
+    guard returns NULL (the SQL-standard corr/ratio convention)."""
+    df = spark.createDataFrame(
+        [("A", 2.0), ("A", 2.0), ("B", 5.0), ("B", 5.0)], "g string, v double"
+    )
+    got = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (2, 2)
+    assert got["t_stat"] is None
+    assert got["df_welch"] is None
+
+
+# ----------------------------------------------------- event transitions
+
+
+def test_transitions_hand_case(spark):
+    """user1: A(0) -> B(1) -> A(2); user2: A(0) -> B(1). Transitions:
+    A->B twice (p=1.0 from A), B->A once (p=1.0 from B). Each user's
+    first event has no predecessor; NULL ts drops; the tie at user2 t=1
+    breaks on event_id."""
+    rows = [
+        (1, 1, _ts(0), "A"),
+        (2, 1, _ts(1), "B"),
+        (3, 1, _ts(2), "A"),
+        (4, 2, _ts(0), "A"),
+        (5, 2, _ts(1), "B"),
+        (6, 2, None, "Z"),  # NULL ts: excluded entirely
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["prev_type"], r["event_type"]): r for r in event_transitions(df).collect()
+    }
+    assert set(got) == {("A", "B"), ("B", "A")}
+    assert got[("A", "B")]["n_transitions"] == 2
+    assert got[("A", "B")]["p_transition"] == pytest.approx(1.0)
+    assert got[("B", "A")]["n_transitions"] == 1
+    assert got[("B", "A")]["p_transition"] == pytest.approx(1.0)
+
+
+def test_transitions_tie_breaks_on_event_id(spark):
+    """Two events at the SAME timestamp order by event_id — the declared
+    deterministic tie-break, so the transition is lower-id -> higher-id."""
+    rows = [(10, 1, _ts(0), "A"), (11, 1, _ts(0), "B")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = event_transitions(df).collect()
+    assert len(got) == 1
+    assert (got[0]["prev_type"], got[0]["event_type"]) == ("A", "B")
+
+
+def test_transitions_probabilities_row_normalize(spark):
+    """On the real event log every prev_type's outgoing probabilities sum
+    to 1 (row-stochastic matrix)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = event_transitions(events).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p_transition"]
+    assert by_prev and all(
+        s == pytest.approx(1.0, abs=1e-9) for s in by_prev.values()
+    )
+
+
+# ------------------------------------------------------------ attribution
+
+
+def test_attribution_hand_case(spark):
+    """view(0) -> purchase(1): credited to view. purchase(2) right after:
+    credited to view STILL (purchases never act as touches). user2's
+    leading purchase with no prior touch lands in '(none)'."""
+    rows = [
+        (1, 1, _ts(0), "view", 0.0),
+        (2, 1, _ts(1), "purchase", 10.0),
+        (3, 1, _ts(2), "purchase", 5.0),
+        (4, 2, _ts(0), "purchase", 7.0),
+        (5, 2, _ts(1), "click", 0.0),
+        (6, 2, _ts(2), "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["touch_type"]: r for r in attribution_last_touch(df).collect()}
+    assert set(got) == {"view", "(none)", "click"}
+    assert got["view"]["n_conversions"] == 2
+    assert got["view"]["total_value"] == pytest.approx(15.0)
+    assert got["(none)"]["n_conversions"] == 1
+    assert got["(none)"]["total_value"] == pytest.approx(7.0)
+    assert got["click"]["n_conversions"] == 1
+    assert got["click"]["total_value"] == pytest.approx(3.0)
+
+
+def test_attribution_conserves_conversions(spark):
+    """Census totals equal the raw conversion count and value — no
+    conversion is dropped or double-credited by the window."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = attribution_last_touch(events).collect()
+    n = sum(r["n_conversions"] for r in rows)
+    v = sum(r["total_value"] for r in rows)
+    want = duckdb.sql(
+        f"SELECT COUNT(*), SUM(value) FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type = 'purchase' AND ts IS NOT NULL"
+    ).fetchone()
+    assert n == want[0]
+    assert v == pytest.approx(want[1], rel=1e-9)

@@ -460,3 +460,117 @@ def ewma_per_key(
             lambda acc, x: a * x + one_m * acc,
         ).alias("ewma"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition census over per-key event streams:
+    ``(prev_type, event_type, n_transitions, p_transition)`` — for every
+    ordered pair of consecutive events within one key, how often does
+    ``prev_type`` hand off to ``event_type``, and with what conditional
+    probability. This is the "what do users do next" matrix behind
+    next-action prediction, broken-flow detection (a transition whose p
+    collapses release-over-release), and bot screening (near-
+    deterministic rows in a matrix that should be diffuse).
+
+    Engine shape — ONE data-scale shuffle, then constant-size math:
+
+    1. `lag(type)` over the key-partitioned (ts, tiebreak) window pairs
+       each event with its predecessor — the same single user-keyed
+       exchange every sequential operator here rides (sessionize, EWMA,
+       funnel). Each key's first event has no predecessor and drops.
+    2. the pair census groups by (prev_type, type) — cardinality
+       |types|^2, so the second aggregate's shuffle is constant-size
+       regardless of corpus scale (map-side combine collapses each
+       partition to at most |types|^2 rows before the exchange).
+    3. row-normalization to conditional probabilities is a window over
+       the |types|^2-row census — negligible.
+
+    NULL timestamps are excluded up front (no order to stand in); a
+    deterministic ``tiebreak_col`` keeps lag() reproducible under equal
+    timestamps on any engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(type_col).alias("event_type"),
+            F.lag(type_col).over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    census = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return census.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(per_prev)
+        ).alias("p_transition"),
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch attribution census: every ``conversion_type`` event is
+    credited to the nearest strictly-preceding NON-conversion event of
+    the same key; returns ``(touch_type, n_conversions, total_value)``
+    with conversions that have no prior touch credited to the literal
+    ``'(none)'`` bucket (organic/direct). The marketing-analytics
+    classic — which upstream action "closes", and how much converted
+    value rides each channel.
+
+    Engine shape: ONE key-partitioned window in (ts, tiebreak) order
+    computes ``last(non-conversion type, ignorenulls)`` over the
+    unbounded-preceding .. 1-preceding frame — carrying the latest touch
+    forward to each conversion row in a single pass, with NO self-join
+    of the event log against itself (the textbook correlated-subquery
+    formulation is a per-conversion range scan; this is the same
+    last-value-carry-forward plan as `resample_daily_ffill`). The
+    census that follows groups by touch_type — cardinality |types|, so
+    everything after the one exchange is constant-size.
+
+    Conversion events themselves never act as touches (a purchase does
+    not attribute the next purchase); NULL timestamps are excluded.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(type_col),
+            F.col(value_col),
+            touch.alias("_touch"),
+        )
+        .filter(F.col(type_col) == conversion_type)
+    )
+    return conv.groupBy(
+        F.coalesce(F.col("_touch"), F.lit("(none)")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(value_col).alias("total_value"),
+    )

@@ -1,0 +1,233 @@
+"""Statistical-census operators ([ext]): per-key OLS trend, lag-1
+autocorrelation, chi-squared independence, and Welch's two-sample t —
+the "is this data drifting / dependent / different" toolkit a corpus
+curation pipeline runs alongside the distribution censuses
+(`vocab.token_kl_divergence`, `quality.benford_audit`, Tukey fences).
+
+The reference pipeline (`loader.py`) has no statistics surface at all —
+this is north-star extension territory, same as the dedup/quality
+families. Every operator here is a pure AGGREGATE composition:
+
+- All four reduce to map-side-combinable moments (sums, co-moments,
+  counts) over the fact table — ONE shuffle keyed by the group column,
+  partial aggregation on the scan side, result cardinality = number of
+  groups. That shape is invariant under 1000x row growth: only the
+  pre-combine scan scales, the shuffle carries (key, moment-vector)
+  rows.
+- Spark's `regr_slope/intercept/r2` and `corr/var_samp` ARE those
+  moment aggregates (Welford-style co-moment accumulation inside the
+  JVM hash aggregate) — no window, no join, no UDF in the hot path.
+- The chi-squared and Welch compositions join only POST-aggregate
+  frames (contingency cells, two group-moment rows) — each at most a
+  few dozen rows, always behind `F.broadcast`.
+
+Everything is SQL-expressible, so every query built on this module is
+oracle-checked against DuckDB's identical regr_*/corr/var_samp
+aggregates (floating outputs rounded identically on both sides, counts
+emitted as BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def regr_trend_per_key(
+    df: DataFrame,
+    key_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of ``y`` against ``x``:
+    ``(key, n_obs, slope, intercept, r2)`` — the "which segments are
+    drifting, how fast, and how linearly" census (e.g. metric value
+    against event time per event type; document quality against crawl
+    date per source).
+
+    One hash aggregate: `regr_count/slope/intercept/r2` are co-moment
+    aggregates (sum, sum x, sum y, sum xy, sum x^2, sum y^2 folded in
+    one pass), so partial aggregation combines map-side and the shuffle
+    carries one moment vector per (partition, key). Rows where either
+    operand is NULL are excluded pairwise by the regr_* contract on
+    both engines — no explicit filter needed.
+
+    Keys with a single observation (or zero x-variance) yield NULL
+    slope/r2 on both engines; they stay in the output so the census
+    also surfaces "too thin to fit" segments.
+    """
+    return df.groupBy(key_col).agg(
+        F.regr_count(y, x).alias("n_obs"),
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+    )
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+) -> DataFrame:
+    """Per-key lag-1 serial correlation of ``val_col`` in ``order_cols``
+    order: ``(key, n_pairs, autocorr)`` — the "is this series momentum
+    or noise" census (near +1: trending/sticky; near 0: independent
+    draws; near -1: oscillating), the cheap screen run before paying
+    for a full trend fit or a changepoint pass.
+
+    Plan: one key-partitioned WINDOW pairs each value with its
+    predecessor (the same single user/key-keyed exchange every
+    sequential operator in this engine rides — sessionize, EWMA,
+    funnel), then `corr` collapses the pairs in one hash aggregate that
+    reuses the window's partitioning (no second exchange: the aggregate
+    key equals the window partition key, so Catalyst folds them into
+    one shuffle). ``order_cols`` must be a deterministic total order
+    within each key (include a unique id as tie-break — timestamps
+    alone can collide, and lag under ties is engine-defined).
+
+    Pairs where either side is NULL drop out of the statistic on both
+    engines (each key's first row has no predecessor); keys with < 3
+    rows or zero variance yield NULL autocorr and stay in the census.
+    The statistic is assembled from covar_samp/stddev_samp moments
+    behind a positive-variance guard rather than `corr` directly:
+    Spark's `corr` under ANSI mode (the 4.x default this engine runs)
+    raises DIVIDE_BY_ZERO on a zero-variance series — a constant stream
+    is a routine input at corpus scale, and the SQL-standard answer
+    (DuckDB, PostgreSQL) is NULL, not an error. Identical Pearson
+    value where defined (same co-moments, one division).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prev = F.lag(val_col).over(w)
+    paired = df.select(key_col, F.col(val_col).alias("_v"), prev.alias("_prev"))
+    both = F.col("_v").isNotNull() & F.col("_prev").isNotNull()
+    pv = F.when(both, F.col("_v"))
+    pp = F.when(both, F.col("_prev"))
+    m = paired.groupBy(key_col).agg(
+        F.count("_prev").alias("n_pairs"),
+        F.covar_samp(pv, pp).alias("_cov"),
+        F.stddev_samp(pv).alias("_sv"),
+        F.stddev_samp(pp).alias("_sp"),
+    )
+    return m.select(
+        key_col,
+        "n_pairs",
+        F.when(
+            (F.col("_sv") > 0) & (F.col("_sp") > 0),
+            F.col("_cov") / (F.col("_sv") * F.col("_sp")),
+        ).alias("autocorr"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns: one row ``(n_rows, n_cells, dof, chi2)`` — the "are these
+    two labels entangled" audit (language x source in a crawl corpus:
+    a large statistic means sources are language-skewed and per-source
+    sampling will shift the language mix).
+
+    Plan: ONE hash aggregate over the fact table produces the
+    contingency cells (cardinality = |A| x |B|, tiny); row totals,
+    column totals, and the grand total are three more aggregates OF THE
+    CELLS (never re-reading the base), joined back cell-wise behind
+    `F.broadcast` — at 100 TB the only full-data cost is the single
+    cell census, everything after is constant-size. NULL categories
+    count as ordinary levels (they form real cells; dropping them would
+    silently bias the margins).
+
+    chi2 = sum over cells of (obs - exp)^2 / exp with
+    exp = row_total * col_total / n; dof = (|A|-1) * (|B|-1).
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
+    row_tot = cells.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
+    col_tot = cells.groupBy(col_b).agg(F.sum("_obs").alias("_cb"))
+    grand = cells.agg(
+        F.sum("_obs").alias("_n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct(col_a).alias("_ka"),
+        F.countDistinct(col_b).alias("_kb"),
+    )
+    exp = F.col("_ra") * F.col("_cb") / F.col("_n")
+    return (
+        cells.join(F.broadcast(row_tot), col_a)
+        .join(F.broadcast(col_tot), col_b)
+        .crossJoin(F.broadcast(grand))
+        .agg(
+            F.first("_n").alias("n_rows"),
+            F.first("n_cells").alias("n_cells"),
+            ((F.first("_ka") - 1) * (F.first("_kb") - 1)).alias("dof"),
+            F.sum((F.col("_obs") - exp) * (F.col("_obs") - exp) / exp).alias(
+                "chi2"
+            ),
+        )
+        .select(
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.col("dof").cast("bigint").alias("dof"),
+            "chi2",
+        )
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t between ``group_a`` and
+    ``group_b``'s ``val_col``: one row ``(n_a, n_b, mean_a, mean_b,
+    t_stat, df_welch)`` — the A/B answer ("did the metric move between
+    these two segments, beyond noise") with the Welch-Satterthwaite
+    degrees of freedom, the variant that stays valid when the groups'
+    variances differ (they always do in telemetry).
+
+    Plan: conditional aggregation in ONE pass over the (pre-filtered)
+    fact table — count/avg/var_samp per group come from the same hash
+    aggregate via `when(group = a, value)` branches, so there is no
+    per-group scan, no join, and the shuffle carries one moment vector
+    per input partition (global aggregate: partial combine does nearly
+    all the work map-side). The scalar t and df arithmetic runs on the
+    single result row.
+
+    t = (mean_a - mean_b) / sqrt(va/na + vb/nb);
+    df = (va/na + vb/nb)^2 / ((va/na)^2/(na-1) + (vb/nb)^2/(nb-1)).
+    NULL values are ignored by count/avg/var_samp on both engines; a
+    group with < 2 observations yields NULL t and df (var_samp NULL,
+    which propagates), and TWO CONSTANT arms (both variances exactly 0)
+    also yield NULL behind an explicit guard — under Spark's ANSI mode
+    the bare division would raise DIVIDE_BY_ZERO, where the statistics
+    answer is "undefined", not an error.
+    """
+    in_a = F.when(F.col(group_col) == group_a, F.col(val_col))
+    in_b = F.when(F.col(group_col) == group_b, F.col(val_col))
+    m = df.filter(F.col(group_col).isin(group_a, group_b)).agg(
+        F.count(in_a).alias("n_a"),
+        F.count(in_b).alias("n_b"),
+        F.avg(in_a).alias("mean_a"),
+        F.avg(in_b).alias("mean_b"),
+        F.var_samp(in_a).alias("_va"),
+        F.var_samp(in_b).alias("_vb"),
+    )
+    sa = F.col("_va") / F.col("n_a")
+    sb = F.col("_vb") / F.col("n_b")
+    se2 = sa + sb
+    defined = se2 > 0
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "mean_a",
+        "mean_b",
+        F.when(
+            defined, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+        ).alias("t_stat"),
+        F.when(
+            defined,
+            (se2 * se2)
+            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
+        ).alias("df_welch"),
+    )

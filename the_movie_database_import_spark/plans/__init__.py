@@ -20,6 +20,7 @@ from . import sampling  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
+from . import stats  # noqa: F401,E402
 
 # First 50 = the driver-checked window. Round-8 rotation (VERDICT r07 #1):
 # the 28 tail queries whose newest driver rows were r05-era — two testdata
@@ -55,14 +56,11 @@ DRIVER_WINDOW = [
     "q_agg_avg_per_key",
     "q_agg_multi",
     "q_dedup_by_key",
-    "q_agg_count_by_value",
     "q_win_running_sum",
     "q_pandas_udf_grouped_agg",
-    "q_dedup_canonical",
     "q_dedup_clusters",
     "q_union_all",
     "q_text_jaccard_pairs",
-    "q_text_ngram_jaccard",
     "q_text_quality",
     "q_token_count",
     "q_doc_fingerprint",
@@ -74,10 +72,25 @@ DRIVER_WINDOW = [
     "q_text_chunks",
     "q_pack_greedy",
     "q_text_redact_pii",
-    # --- refreshed: the oldest r06-row tail entries ---
-    "q_pricing_summary",
-    "q_join_inner_equi",
-    "q_surrogate_keys",      # also exercises the r08 maybe_broadcast change
+    # --- new r08 session-3 operators (never driver-checked): the six
+    # statistical-census queries (plans/stats.py). Slots freed by the
+    # three r06-refresh fillers (q_pricing_summary: exercised by the
+    # headline bench every round; q_join_inner_equi: flagship/multiway
+    # exercise inner joins and q_join_semi stays in-window;
+    # q_surrogate_keys: its maybe_broadcast claim is redundant —
+    # q_dedup_spans_incremental and q_text_decontaminate guard-sites are
+    # in-window) and by three r05-rotation entries whose families keep
+    # an in-window representative (q_agg_count_by_value: avg_per_key +
+    # multi stay; q_dedup_canonical: by_key + clusters stay;
+    # q_text_ngram_jaccard: jaccard_pairs stays) — all six displaced
+    # queries keep their r05/r06 rows and the full-registry
+    # tools/exact_parity.py sweep on current testdata. ---
+    "q_trend_per_type",          # per-key OLS drift census (regr_* aggs)
+    "q_events_autocorr",         # lag-1 momentum screen (guarded corr)
+    "q_event_transitions",       # first-order Markov matrix
+    "q_attribution_last_touch",  # last-touch conversion credit
+    "q_chi2_independence",       # lang x source dependence audit
+    "q_welch_ttest",             # unequal-variance A/B answer
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -133,6 +146,13 @@ DRIVER_WINDOW = [
 # r07-rows first (freshest evidence), then the r06-rows that did not fit
 # the r08 window (next rotation candidates).
 TAIL_PRIORITY = [
+    # slots displaced by the never-driver-checked r08 session-3 stats queries
+    "q_pricing_summary",      # headline bench re-measures it every round
+    "q_join_inner_equi",      # flagship + multiway exercise inner joins
+    "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window
+    "q_agg_count_by_value",   # agg reps avg_per_key/multi in-window
+    "q_dedup_canonical",      # dedup reps by_key/clusters in-window
+    "q_text_ngram_jaccard",   # text-similarity rep jaccard_pairs in-window
     # r06-row slots displaced by never-driver-checked r08 session-2 queries
     "q_sort_multi_key",       # sort family rep q_topk_global in-window
     "q_win_lag_lead",         # window family rep q_win_running_sum in-window

@@ -1,0 +1,276 @@
+"""Statistical-census queries ([ext]): per-key OLS trend, lag-1
+autocorrelation, chi-squared independence, Welch's t, first-order event
+transitions, and last-touch attribution (operators/stats.py +
+operators/analytics.py). All six are pure aggregate/window compositions
+— fully SQL-expressible, every one oracle-checked against DuckDB's
+identical regr_*/corr/var_samp aggregates and window frames. The
+reference (`loader.py`) has no statistics or event surface; these extend
+the north-star set alongside the drift censuses (KL divergence, Benford,
+Tukey fences) that already ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.analytics import (
+    _epoch_us,
+    attribution_last_touch,
+    event_transitions,
+)
+from ..operators.stats import (
+    autocorr_lag1,
+    chi2_independence,
+    regr_trend_per_key,
+    welch_ttest,
+)
+from ..sources.readers import load_table
+from .registry import register
+
+# x-origin for the trend fit: 2024-01-01 UTC in epoch microseconds. The
+# driver's event log starts there; centering x near the data keeps the
+# regression's co-moments small (x in ~[0, 30] days instead of ~19723)
+# so the two engines' numerically-stable one-pass covariances agree far
+# inside the 1e-6 comparison grid. Pure constant shift — slope and r2
+# are shift-invariant; only the intercept's meaning moves (level at the
+# origin date).
+_TREND_X0_US = 1_704_067_200_000_000
+
+# Welch A/B arms: the two event types whose `value` streams a product
+# team would compare (browse vs buy).
+_TTEST_A, _TTEST_B = "view", "purchase"
+
+
+@register(
+    "q_trend_per_type",
+    oracle=f"""
+    SELECT event_type,
+           CAST(regr_count(value, x) AS BIGINT) AS n_obs,
+           ROUND(regr_slope(value, x), 6) AS slope,
+           ROUND(regr_intercept(value, x), 6) AS intercept,
+           ROUND(regr_r2(value, x), 6) AS r2
+    FROM (
+        SELECT event_type, value,
+               CAST(epoch_us(ts) - {_TREND_X0_US} AS DOUBLE) / 86400e6 AS x
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("stats", "agg", "ext"),
+)
+def q_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of `value` against event time in days
+    (north star `regr_trend_per_key`): which metric streams drift, how
+    fast (slope per day), and how linearly (r2). ONE hash aggregate —
+    regr_* are co-moment aggregates, so partials combine map-side and
+    the shuffle carries one moment vector per (partition, type); rows
+    with NULL ts or value drop pairwise by the regr_* contract on both
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    # _epoch_us adapts to the round's on-disk ts encoding (TIMESTAMP vs
+    # TIMESTAMP_NTZ flip across testdata generations — unix_micros alone
+    # rejects NTZ).
+    x = (_epoch_us(events, "ts") - F.lit(_TREND_X0_US)).cast("double") / F.lit(
+        86400e6
+    )
+    t = regr_trend_per_key(
+        events.withColumn("x", x), "event_type", F.col("x"), F.col("value")
+    )
+    return t.select(
+        "event_type",
+        "n_obs",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+@register(
+    "q_events_autocorr",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(prev) AS BIGINT) AS n_pairs,
+           ROUND(corr(v, prev), 6) AS autocorr
+    FROM (
+        SELECT event_type, value AS v,
+               lag(value) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+        FROM events WHERE ts IS NOT NULL
+    )
+    GROUP BY event_type
+    """,
+    tags=("stats", "window", "ext"),
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 serial correlation of `value` per event type in event-time
+    order (north star `autocorr_lag1`): the momentum-vs-noise screen run
+    before paying for a trend fit. One type-keyed window pairs values
+    with predecessors, then `corr` collapses the pairs reusing the same
+    partitioning (one exchange total). NULL-ts rows are excluded up
+    front — the two engines default to opposite NULL sort positions, so
+    NULL timestamps may not participate in the order."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    a = autocorr_lag1(events, "event_type", ["ts", "event_id"], "value")
+    return a.select(
+        "event_type", "n_pairs", F.round("autocorr", 6).alias("autocorr")
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE ts IS NOT NULL
+    ),
+    census AS (
+        SELECT prev_type, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           ROUND(n_transitions /
+                 SUM(n_transitions) OVER (PARTITION BY prev_type), 6)
+             AS p_transition
+    FROM census
+    """,
+    tags=("stats", "events", "window", "ext"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream (north
+    star `event_transitions`): per (prev_type, type) pair of consecutive
+    same-user events, the transition count and row-normalized
+    conditional probability. ONE user-keyed exchange (the lag window);
+    the census that follows is |types|^2 rows — constant-size at any
+    corpus scale after map-side combine."""
+    events = load_table(spark, sf_dir, "events")
+    t = event_transitions(events)
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round("p_transition", 6).alias("p_transition"),
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH conv AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT COALESCE(touch, '(none)') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(value), 4) AS total_value
+    FROM conv WHERE event_type = 'purchase'
+    GROUP BY touch_type
+    """,
+    tags=("stats", "events", "window", "ext"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution census (north star
+    `attribution_last_touch`): each purchase credits the nearest
+    strictly-preceding non-purchase event of the same user; per touch
+    type, conversion count and converted value. One user-keyed window
+    carries the latest touch forward (no self-join of the log against
+    itself — the correlated-subquery formulation is a per-conversion
+    range scan); the census after the exchange is |types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    a = attribution_last_touch(events, conversion_type="purchase")
+    return a.select(
+        "touch_type",
+        "n_conversions",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS obs
+        FROM documents GROUP BY lang, source
+    ),
+    ra AS (SELECT lang, SUM(obs) AS rt FROM cells GROUP BY lang),
+    cb AS (SELECT source, SUM(obs) AS ct FROM cells GROUP BY source),
+    g AS (SELECT SUM(obs) AS n, COUNT(*) AS n_cells,
+                 COUNT(DISTINCT lang) AS ka,
+                 COUNT(DISTINCT source) AS kb
+          FROM cells)
+    SELECT CAST(g.n AS BIGINT) AS n_rows,
+           CAST(g.n_cells AS BIGINT) AS n_cells,
+           CAST((g.ka - 1) * (g.kb - 1) AS BIGINT) AS dof,
+           ROUND(SUM((cells.obs - ra.rt * cb.ct / g.n)
+                     * (cells.obs - ra.rt * cb.ct / g.n)
+                     / (ra.rt * cb.ct / g.n)), 6) AS chi2
+    FROM cells
+    JOIN ra USING (lang)
+    JOIN cb USING (source)
+    CROSS JOIN g
+    GROUP BY g.n, g.n_cells, g.ka, g.kb
+    """,
+    tags=("stats", "agg", "ext"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence of language x source over the
+    document corpus (north star `chi2_independence`): a large statistic
+    means sources are language-skewed and per-source sampling will
+    shift the language mix. ONE full-data aggregate (the contingency
+    cells); margins and the statistic are aggregates OF the cells,
+    joined behind broadcast — constant-size past the first exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = chi2_independence(docs, "lang", "source")
+    return c.select(
+        "n_rows", "n_cells", "dof", F.round("chi2", 6).alias("chi2")
+    )
+
+
+@register(
+    "q_welch_ttest",
+    oracle=f"""
+    SELECT CAST(COUNT(a) AS BIGINT) AS n_a,
+           CAST(COUNT(b) AS BIGINT) AS n_b,
+           ROUND(AVG(a), 6) AS mean_a,
+           ROUND(AVG(b), 6) AS mean_b,
+           ROUND((AVG(a) - AVG(b))
+                 / sqrt(var_samp(a) / COUNT(a) + var_samp(b) / COUNT(b)),
+                 6) AS t_stat,
+           ROUND(pow(var_samp(a) / COUNT(a) + var_samp(b) / COUNT(b), 2)
+                 / (pow(var_samp(a) / COUNT(a), 2) / (COUNT(a) - 1)
+                    + pow(var_samp(b) / COUNT(b), 2) / (COUNT(b) - 1)),
+                 6) AS df_welch
+    FROM (
+        SELECT CASE WHEN event_type = '{_TTEST_A}' THEN value END AS a,
+               CASE WHEN event_type = '{_TTEST_B}' THEN value END AS b
+        FROM events
+        WHERE event_type IN ('{_TTEST_A}', '{_TTEST_B}')
+    )
+    """,
+    tags=("stats", "agg", "ext"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between the view and purchase `value`
+    streams (north star `welch_ttest`): the A/B answer with
+    Welch-Satterthwaite degrees of freedom. Conditional aggregation in
+    ONE pass — count/avg/var_samp for both arms come from the same hash
+    aggregate via CASE branches; the scalar t/df arithmetic runs on the
+    single result row."""
+    events = load_table(spark, sf_dir, "events")
+    t = welch_ttest(events, "event_type", "value", _TTEST_A, _TTEST_B)
+    return t.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df_welch", 6).alias("df_welch"),
+    )

@@ -59,6 +59,12 @@ QUERIES = [
     "q_events_ewma",
     "q_text_tfidf_cosine_pairs",
     "q_benford_audit",
+    "q_trend_per_type",
+    "q_events_autocorr",
+    "q_event_transitions",
+    "q_attribution_last_touch",
+    "q_chi2_independence",
+    "q_welch_ttest",
     "q_pipeline_end_to_end",
 ]
 
