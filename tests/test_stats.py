@@ -312,3 +312,186 @@ def test_attribution_conserves_conversions(spark):
     ).fetchone()
     assert n == want[0]
     assert v == pytest.approx(want[1], rel=1e-9)
+
+
+# ------------------------------------------------------------------ twap
+
+
+def test_twap_hand_case(spark):
+    """value 10 held for 2 s, then 20 for 1 s -> twap = 40/3; the final
+    observation carries no duration; n_obs counts observations, span the
+    covered microseconds."""
+    rows = [
+        (1, 1, _ts(0), 10.0),
+        (2, 1, _ts(2), 20.0),
+        (3, 1, _ts(3), 99.0),  # last: no duration, value never weighted
+        (4, 2, _ts(0), 7.0),  # single-observation key: no span, excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    from the_movie_database_import_spark.operators.stats import twap_per_key
+
+    got = {r["user_id"]: r for r in twap_per_key(df).collect()}
+    assert set(got) == {1}  # key 2 has no gap at all
+    r = got[1]
+    assert r["n_obs"] == 3
+    assert r["span_us"] == 3_000_000
+    assert r["twap"] == pytest.approx(40.0 / 3.0, abs=1e-9)
+
+
+def test_twap_same_ts_ties_carry_zero_weight(spark):
+    """Two observations at the SAME timestamp: whichever orders first
+    gets dt = 0, so the tie cannot move the average — the guarantee that
+    makes the lead order-insensitive where it matters."""
+    rows = [
+        (1, 1, _ts(0), 10.0),
+        (2, 1, _ts(0), 555.0),  # tie: zero duration either way
+        (3, 1, _ts(4), 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    from the_movie_database_import_spark.operators.stats import twap_per_key
+
+    r = twap_per_key(df).collect()[0]
+    # 10 for 0s, 555 for 4s? No: tiebreak orders event 1 then 2, so 10
+    # carries 0 µs and 555 carries the 4 s to event 3.
+    assert r["span_us"] == 4_000_000
+    assert r["twap"] == pytest.approx(555.0, abs=1e-6)
+
+
+def test_twap_partition_invariance(spark):
+    """The quantized-integer numerator makes the result independent of
+    partitioning — repartition(13) must reproduce the value bit-for-bit
+    (the operator's entire determinism claim within one engine)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from the_movie_database_import_spark.operators.stats import twap_per_key
+
+    a = {r["user_id"]: r["twap"] for r in twap_per_key(events).collect()}
+    b = {
+        r["user_id"]: r["twap"]
+        for r in twap_per_key(events.repartition(13)).collect()
+    }
+    assert a == b  # exact equality, not approx
+
+
+# ---------------------------------------------------------- gap quantiles
+
+
+def test_gap_quantiles_hand_case(spark):
+    """One user, one type, events at t=0,1,3,6 -> gaps 1,2,3 s: exact
+    interpolated quartiles p25=1.5, median=2, p75=2.5. Gaps never span
+    users (user 2's lone event contributes nothing)."""
+    rows = [
+        (1, 1, _ts(0), "buy"),
+        (2, 1, _ts(1), "buy"),
+        (3, 1, _ts(3), "buy"),
+        (4, 1, _ts(6), "buy"),
+        (5, 2, _ts(100), "buy"),
+        (6, 1, _ts(2), "view"),  # other type: own series, no gaps
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    from the_movie_database_import_spark.operators.stats import gap_quantiles
+
+    got = {r["event_type"]: r for r in gap_quantiles(df).collect()}
+    assert set(got) == {"buy"}  # view has no consecutive pair anywhere
+    b = got["buy"]
+    assert b["n_gaps"] == 3
+    assert b["p25_secs"] == pytest.approx(1.5, abs=1e-12)
+    assert b["median_secs"] == pytest.approx(2.0, abs=1e-12)
+    assert b["p75_secs"] == pytest.approx(2.5, abs=1e-12)
+
+
+def test_gap_quantiles_isolate_users_and_types(spark):
+    """A gap is only counted between the SAME user's consecutive events
+    of the SAME type: interleaved other-type events don't split a
+    series, and two users' timelines never produce a cross-user gap."""
+    rows = [
+        (1, 1, _ts(0), "buy"),
+        (2, 1, _ts(5), "view"),  # interleaved: buy series unaffected
+        (3, 1, _ts(10), "buy"),  # buy gap = 10 s, not 5
+        (4, 2, _ts(11), "buy"),  # different user: no 1 s cross-gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    from the_movie_database_import_spark.operators.stats import gap_quantiles
+
+    got = {r["event_type"]: r for r in gap_quantiles(df).collect()}
+    assert got["buy"]["n_gaps"] == 1
+    assert got["buy"]["median_secs"] == pytest.approx(10.0)
+
+
+# ------------------------------------------------------- calibrated keep
+
+
+def test_calibrated_keep_matches_python_model(spark):
+    """Independent model: collect every document's engine-computed
+    quality score, derive each source's 0.75-quantile threshold with the
+    same interpolation in pure python, and compare kept id sets."""
+    from the_movie_database_import_spark.functions.text import quality_metrics
+    from the_movie_database_import_spark.operators.curation import (
+        calibrated_quality_keep,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_metrics(F.col("text"))["quality_score"].alias("s"),
+    ).collect()
+    by_src: dict[str, list[tuple[float, int]]] = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append((r["s"], r["doc_id"]))
+    want = set()
+    for src, pairs in by_src.items():
+        vs = sorted(s for s, _ in pairs)
+        n = len(vs)
+        h = 0.75 * (n - 1)
+        lo = int(h // 1)
+        v_lo, v_hi = vs[lo], vs[min(lo + 1, n - 1)]
+        thr = v_lo + (v_hi - v_lo) * (h - lo)
+        want |= {d for s, d in pairs if s >= thr}
+    got = {r["doc_id"] for r in calibrated_quality_keep(docs).collect()}
+    assert got == want
+
+
+def test_calibrated_keep_is_per_source_not_global(spark):
+    """A mediocre document in a weak source survives its source's cut
+    while a better-scoring document in a strong source is dropped — the
+    calibration property a global threshold cannot have."""
+    from the_movie_database_import_spark.operators.curation import (
+        calibrated_quality_keep,
+    )
+
+    # Source 'weak': short low-diversity texts; 'strong': long diverse
+    # ones. Scores are engine-derived, but ORDER within each source is
+    # what the test pins, so exact values don't matter.
+    weak = [(i, "weak", "a a a a " + " ".join(f"w{j}" for j in range(i)))
+            for i in range(1, 9)]
+    strong = [(100 + i, "strong",
+               " ".join(f"s{i}_{j}" for j in range(50 + i)))
+              for i in range(1, 9)]
+    df = spark.createDataFrame(
+        [(d, s, t) for d, s, t in weak + strong],
+        "doc_id long, source string, text string",
+    )
+    kept = calibrated_quality_keep(df, keep_frac=0.25).collect()
+    by_src: dict[str, set[int]] = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # each source keeps its own top tail — both sources are represented
+    assert by_src.get("weak"), "weak source must keep its own best docs"
+    assert by_src.get("strong"), "strong source keeps its best too"
+
+
+def test_calibrated_keep_rejects_non_binary_fraction():
+    from the_movie_database_import_spark.operators.curation import (
+        calibrated_quality_keep,
+    )
+
+    with pytest.raises(ValueError, match="binary fraction"):
+        calibrated_quality_keep(None, keep_frac=0.3)

@@ -119,3 +119,66 @@ def curate_corpus(
         .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
         .drop(block_col)
     )
+
+
+def calibrated_quality_keep(
+    docs: DataFrame,
+    keep_frac: float = 0.25,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source CALIBRATED quality selection: keep each source's top
+    ``keep_frac`` of documents by quality score, where the cut is that
+    source's own (1 - keep_frac) score quantile — not one global
+    threshold. A global cut silently reweights the corpus toward
+    whichever sources score systematically high (cleaner markup, longer
+    documents); calibrating per source keeps the source mixture stable
+    while still dropping each source's worst tail — the same
+    distribution-preserving motivation as temperature mixing, applied
+    to the quality axis. Returns kept rows
+    ``(id_col, group_col, quality_score, keep_threshold)``.
+
+    Scale design — data rows NEVER sort globally and never enter a
+    per-source window (a percent_rank over a hot source would be one
+    task sorting that whole source): scores fuse into the scan
+    projection (pure codegen), ONE (source, score) aggregate collects
+    each source's sorted score list (the `value_outliers` exact-
+    percentile memory profile — right for bounded source cardinality;
+    unbounded grouping wants percentile_approx), and the tiny per-source
+    threshold table broadcasts back as a filter. Ties AT the threshold
+    are kept (>=), so under heavy score ties the kept fraction can
+    exceed ``keep_frac`` — deterministic on both engines because the
+    threshold itself is exact order-statistic interpolation
+    (``v_lo + (v_hi - v_lo) * frac``, h = q*(n-1) exact for the
+    binary-fraction ``keep_frac`` this contract requires — 0.25, 0.5,
+    0.125, ... — the no-grid determinism lane).
+    """
+    q = 1.0 - keep_frac
+    if q * 4 != round(q * 4) and q * 1024 != round(q * 1024):
+        raise ValueError(
+            f"keep_frac must be a binary fraction (0.25, 0.125, ...): {keep_frac}"
+        )
+    m = quality_metrics(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        m["quality_score"].alias("quality_score"),
+    )
+    g = scored.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("quality_score")).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    h = F.lit(q) * (F.col("_n") - 1).cast("double")
+    lo = F.floor(h)
+    v_lo = F.element_at("_ss", (lo + 1).cast("int"))
+    v_hi = F.element_at("_ss", F.least(lo + 2, F.col("_n")).cast("int"))
+    thresholds = g.select(
+        group_col,
+        (v_lo + (v_hi - v_lo) * (h - F.floor(h))).alias("keep_threshold"),
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col)
+        .filter(F.col("quality_score") >= F.col("keep_threshold"))
+        .select(id_col, group_col, "quality_score", "keep_threshold")
+    )

@@ -231,3 +231,137 @@ def welch_ttest(
             / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
         ).alias("df_welch"),
     )
+
+
+def twap_per_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average of ``val_col`` per key — each observation
+    weighted by how long it REMAINED the latest value (the TWAP/TWA of
+    finance and telemetry: a metric sampled irregularly must not let
+    burst-sampled moments dominate the mean). Returns ``(key, n_obs,
+    span_us, twap)``; the last observation of each key carries no
+    duration and keys whose observations all share one timestamp have
+    zero span -> NULL twap (guarded — ANSI would raise).
+
+    Determinism: a distributed sum of ``v * dt`` doubles is
+    addition-order-dependent, so the value is FLOOR-QUANTIZED to a 1e-6
+    grid (one IEEE multiply + floor — identical on any engine; no
+    transcendentals, so no grid-boundary ulp hazard) and the
+    ``v_q * dt_us`` products are summed as EXACT decimal integers
+    (microsecond durations are exact int64) — partition-count- and
+    order-INVARIANT by construction. The one residual cross-ENGINE
+    wobble is the final 128-bit-integer -> double conversion itself
+    (DuckDB's hugeint cast is not always correctly rounded, measured 1
+    ulp at sf0.01), so oracle-compared outputs round the final ratio;
+    within Spark the value is bit-stable at any parallelism.
+
+    Scale shape: ONE key-keyed exchange (the lead window); the
+    aggregate that follows groups on the window's partition key, so
+    Catalyst reuses the exchange — map-side combine collapses each
+    partition to one (key, decimal-sum, span) row. Decimal(38,0) sums
+    hold ~1e38: a century of microseconds times a 1e12-scaled value per
+    row leaves ~1e8 rows of headroom per key before overflow — document
+    lengths beyond that want a coarser value grid.
+    """
+    from .analytics import _epoch_us
+
+    us = _epoch_us(events, ts_col)
+    w = Window.partitionBy(key_col).orderBy("_us", tiebreak_col)
+    rows = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(tiebreak_col),
+            us.alias("_us"),
+            F.floor(F.col(val_col) * F.lit(1e6))
+            .cast("decimal(20,0)")
+            .alias("_vq"),
+        )
+        # same-us ties contribute dt = 0 whatever their tiebreak order,
+        # so the lead is order-insensitive where it matters; the tiebreak
+        # still makes the window's order total (deterministic plans).
+        .withColumn("_dt", F.lead("_us").over(w) - F.col("_us"))
+    )
+    agg = rows.filter(F.col("_dt").isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n_gaps"),
+        F.sum(F.col("_vq") * F.col("_dt").cast("decimal(18,0)")).alias("_num"),
+        F.sum("_dt").alias("span_us"),
+    )
+    return agg.select(
+        key_col,
+        (F.col("_n_gaps") + 1).cast("bigint").alias("n_obs"),
+        F.col("span_us").cast("bigint").alias("span_us"),
+        F.when(
+            F.col("span_us") > 0,
+            F.col("_num").cast("double")
+            / F.lit(1e6)
+            / F.col("span_us").cast("double"),
+        ).alias("twap"),
+    )
+
+
+def gap_quantiles(
+    events: DataFrame,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event-gap quantile census: for each event type, the exact
+    linear-interpolated quartiles of the gaps (in seconds) between a
+    user's CONSECUTIVE events of that type — the recurrence-interval
+    report behind repurchase cycles, crash periodicity, and retention
+    modeling ("how long until the next purchase, typically?").
+
+    Gaps are integer microseconds (exact), quartiles come from ORDER
+    STATISTICS with the explicit ``v_lo + (v_hi - v_lo) * frac``
+    interpolation tree (the `value_outliers` determinism lane: exact h
+    = q*(n-1) for binary-fraction q, every later op one correctly-
+    rounded IEEE step in the same order on both engines — bit-identical
+    with NO grid). Seconds = µs / 1e6, one exact-input division.
+
+    Scale shape: ONE (user, type)-keyed window computes the gaps; the
+    per-type collect is the exact-percentile memory profile (right for
+    bounded type cardinality — this is a census over event TYPES, not
+    users; unbounded groups want percentile_approx instead, the
+    q_agg_percentiles trade).
+    """
+    from .analytics import _epoch_us
+
+    # order by the derived _us (+ tiebreak): equivalent to ts order
+    # (epoch microseconds are monotone in ts) and still in scope after
+    # the projection below drops the raw timestamp.
+    w = Window.partitionBy(key_col, type_col).orderBy("_us", tiebreak_col)
+    us = _epoch_us(events, ts_col)
+    gaps = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.col(type_col), F.col(key_col), us.alias("_us"),
+                F.col(tiebreak_col))
+        .withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+        .filter(F.col("_gap").isNotNull())
+        .select(type_col, (F.col("_gap").cast("double") / F.lit(1e6)).alias("_g"))
+    )
+    g = gaps.groupBy(type_col).agg(
+        F.sort_array(F.collect_list("_g")).alias("_gs"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+    def interp(q: float) -> Column:
+        h = F.lit(q) * (F.col("n_gaps") - 1).cast("double")
+        lo = F.floor(h)
+        v_lo = F.element_at("_gs", (lo + 1).cast("int"))
+        v_hi = F.element_at("_gs", F.least(lo + 2, F.col("n_gaps")).cast("int"))
+        return v_lo + (v_hi - v_lo) * (h - F.floor(h))
+
+    return g.select(
+        type_col,
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        interp(0.25).alias("p25_secs"),
+        interp(0.5).alias("median_secs"),
+        interp(0.75).alias("p75_secs"),
+    )

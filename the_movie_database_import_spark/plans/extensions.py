@@ -2189,3 +2189,55 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(docs, threshold=0.75)
+
+
+@register(
+    "q_quality_calibrated_keep",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' '))) * 0.5
+                 + (1 - CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains([{_STOP_LITS}], x)))
+                             AS DOUBLE)
+                        / len(string_split(text, ' '))) * 0.3
+                 + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100,
+                         1.0) * 0.2 AS quality_score
+        FROM documents
+    ),
+    g AS (
+        SELECT source, list_sort(list(quality_score)) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY source
+    ),
+    thr AS (
+        SELECT source,
+               ss[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1]
+                 + (ss[LEAST(CAST(floor(0.75 * (n - 1)) AS BIGINT) + 2, n)]
+                    - ss[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1])
+                   * (0.75 * (n - 1) - floor(0.75 * (n - 1)))
+                   AS keep_threshold
+        FROM g
+    )
+    SELECT t.doc_id, t.source, t.quality_score, thr.keep_threshold
+    FROM t JOIN thr USING (source)
+    WHERE t.quality_score >= thr.keep_threshold
+    """,
+    tags=("text", "quality", "curation", "ext"),
+)
+def q_quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibrated quality selection ([ext], north star
+    `calibrated_quality_keep`): keep each source's top 25% by quality
+    score, cut at that source's OWN 0.75 score quantile — a global
+    threshold would silently reweight the corpus toward sources that
+    score systematically high. Data rows never sort globally and never
+    enter a per-source window (a percent_rank over a hot source is one
+    task sorting the whole source): one (source, score) aggregate
+    builds exact order-statistic thresholds, which broadcast back as a
+    filter. Threshold and comparison are bit-identical cross-engine (the
+    no-grid interpolation lane), ties at the cut are kept (>=)."""
+    from ..operators.curation import calibrated_quality_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return calibrated_quality_keep(docs, keep_frac=0.25)

@@ -274,3 +274,95 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t_stat", 6).alias("t_stat"),
         F.round("df_welch", 6).alias("df_welch"),
     )
+
+
+@register(
+    "q_twap_per_user",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(floor(value * 1e6) AS HUGEINT) AS vq
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    d AS (
+        SELECT user_id, vq,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                 - us AS dt
+        FROM obs
+    ),
+    a AS (
+        SELECT user_id,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_obs,
+               CAST(SUM(dt) AS BIGINT) AS span_us,
+               SUM(vq * dt) AS num
+        FROM d WHERE dt IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_obs, span_us,
+           ROUND(CASE WHEN span_us > 0
+                      THEN CAST(num AS DOUBLE) / 1e6 / CAST(span_us AS DOUBLE)
+                 END, 6) AS twap
+    FROM a
+    """,
+    tags=("stats", "events", "window", "ext"),
+)
+def q_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user (north star
+    `twap_per_key`): each observation weighted by how long it stayed
+    current — the irregular-sampling-proof mean. Exact decimal-integer
+    numerator (1e-6 value grid x exact µs durations) — partition-
+    invariant by construction; the final ratio rounds to 1e-6 on both
+    sides because DuckDB's hugeint->double cast is not always correctly
+    rounded (measured 1 ulp). One user-keyed exchange shared by the
+    lead window and the aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.stats import twap_per_key
+
+    t = twap_per_key(events)
+    return t.select(
+        "user_id", "n_obs", "span_us", F.round("twap", 6).alias("twap")
+    )
+
+
+@register(
+    "q_interevent_gaps",
+    oracle="""
+    WITH g0 AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS DOUBLE) / 1e6 AS gap
+        FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, list_sort(list(gap)) AS gs,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM g0 WHERE gap IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           gs[CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1]
+             + (gs[LEAST(CAST(floor(0.25 * (n - 1)) AS BIGINT) + 2, n)]
+                - gs[CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1])
+               * (0.25 * (n - 1) - floor(0.25 * (n - 1))) AS p25_secs,
+           gs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+             + (gs[LEAST(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)]
+                - gs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+               * (0.5 * (n - 1) - floor(0.5 * (n - 1))) AS median_secs,
+           gs[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1]
+             + (gs[LEAST(CAST(floor(0.75 * (n - 1)) AS BIGINT) + 2, n)]
+                - gs[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1])
+               * (0.75 * (n - 1) - floor(0.75 * (n - 1))) AS p75_secs
+    FROM g
+    """,
+    tags=("stats", "events", "ext"),
+)
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurrence-interval census (north star `gap_quantiles`): exact
+    interpolated quartiles of the gap between a user's consecutive
+    events of each type — repurchase cycles, crash periodicity. Gaps
+    from ONE (user, type)-keyed window; quartiles via the order-
+    statistic interpolation lane (bit-identical cross-engine, no
+    grid)."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.stats import gap_quantiles
+
+    return gap_quantiles(events)

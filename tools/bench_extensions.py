@@ -65,6 +65,9 @@ QUERIES = [
     "q_attribution_last_touch",
     "q_chi2_independence",
     "q_welch_ttest",
+    "q_twap_per_user",
+    "q_interevent_gaps",
+    "q_quality_calibrated_keep",
     "q_pipeline_end_to_end",
 ]
 
