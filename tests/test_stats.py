@@ -495,3 +495,69 @@ def test_calibrated_keep_rejects_non_binary_fraction():
 
     with pytest.raises(ValueError, match="binary fraction"):
         calibrated_quality_keep(None, keep_frac=0.3)
+
+
+# ------------------------------------------------- rolling distinct (HLL)
+
+
+def test_rolling_distinct_tracks_exact(spark):
+    """The HLL trailing-7-day estimate must sit within 5% of the exact
+    trailing distinct for EVERY day (lg_config_k=14 targets ~0.8%
+    relative error — asserted loose so the pin never flakes while still
+    catching a broken sketch merge or a mis-sized window frame)."""
+    from the_movie_database_import_spark.operators.analytics import (
+        rolling_distinct_hll,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["day"]: (r["users_1d"], r["users_7d"])
+        for r in rolling_distinct_hll(events, window_days=7).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"""
+            WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                              user_id
+                       FROM '{SF_DIR}/events.parquet' WHERE ts IS NOT NULL),
+            days AS (SELECT DISTINCT day FROM d)
+            SELECT strftime(days.day, '%Y-%m-%d'),
+                   COUNT(DISTINCT d.user_id)
+            FROM days JOIN d
+              ON d.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+            GROUP BY days.day
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for day, n_exact in exact.items():
+        est = got[day][1]
+        assert abs(est - n_exact) <= max(0.05 * n_exact, 2), (
+            f"{day}: est {est} vs exact {n_exact}"
+        )
+
+
+def test_rolling_distinct_window_width(spark):
+    """Synthetic: 10 fresh users on each of 10 days -> users_1d ~= 10
+    every day, users_3d ~= 10, 20, then 30 steady — the frame must span
+    exactly (window_days - 1) preceding days, not N."""
+    import datetime as dt
+
+    from the_movie_database_import_spark.operators.analytics import (
+        rolling_distinct_hll,
+    )
+
+    rows = []
+    for d in range(10):
+        for u in range(10):
+            rows.append((d * 10 + u, dt.datetime(2024, 3, 1 + d, 12, 0, 0)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"]: (r["users_1d"], r["users_3d"])
+        for r in rolling_distinct_hll(df, window_days=3).collect()
+    }
+    assert len(got) == 10
+    for i, day in enumerate(sorted(got)):
+        one, three = got[day]
+        assert one == 10  # tiny cardinalities: HLL is exact here
+        assert three == 10 * min(i + 1, 3)

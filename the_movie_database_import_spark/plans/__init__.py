@@ -47,7 +47,6 @@ DRIVER_WINDOW = [
     "q_dedup_spans_incremental", # + side-table distinctness now trusted
     "q_pipeline_end_to_end",     # composite gains the span-dedup stage
     # --- rotated in: newest driver rows were r05-era (VERDICT r07 #1) ---
-    "q_json_fns",
     "q_join_semi",
     "q_topk_global",
     "q_dedup_first_event",
@@ -99,6 +98,10 @@ DRIVER_WINDOW = [
     "q_twap_per_user",           # time-weighted average (exact int lane)
     "q_interevent_gaps",         # recurrence-interval quartile census
     "q_quality_calibrated_keep", # per-source quality cut (no hot window)
+    "q_rolling_active_users",    # mergeable-HLL trailing distinct (rows-only
+                                 # + pinned 5% error test); slot freed by
+                                 # q_json_fns -> tail (frozen headline bench
+                                 # re-executes it per-round)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -158,6 +161,7 @@ TAIL_PRIORITY = [
     "q_window_tumbling",      # frozen headline bench re-executes per-round
     "q_win_running_sum",      # frozen headline bench re-executes per-round
     "q_text_quality",         # frozen headline bench re-executes per-round
+    "q_json_fns",             # frozen headline bench re-executes per-round
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -366,3 +366,22 @@ def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import gap_quantiles
 
     return gap_quantiles(events)
+
+
+@register(
+    "q_rolling_active_users",
+    oracle=None,
+    tags=("events", "sketch", "window", "ext"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day via mergeable HLL
+    sketches (north star `rolling_distinct_hll`): raw events fold into
+    per-day sketches ONCE (shuffle carries KB blobs, never ids); the
+    trailing union is a RANGE window over the bounded day census. No
+    oracle — sketch internals differ across engines; the estimate error
+    is pinned locally against the exact trailing distinct
+    (test_stats.py::test_rolling_distinct_tracks_exact)."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.analytics import rolling_distinct_hll
+
+    return rolling_distinct_hll(events, window_days=7)

@@ -68,6 +68,7 @@ QUERIES = [
     "q_twap_per_user",
     "q_interevent_gaps",
     "q_quality_calibrated_keep",
+    "q_rolling_active_users",
     "q_pipeline_end_to_end",
 ]
 
