@@ -1821,3 +1821,74 @@ def test_tfidf_weight_grid_safety(spark):
             assert dist > 1e6 * ulp, (t, c, x, dist, ulp)
             worst = min(worst, dist / ulp)
     assert worst > 1e6
+
+
+def test_bigram_nll_grid_safety():
+    """The 1e-6 floor grid for CONDITIONAL bigram log-probs is only
+    hash-safe if no distinct ln(c/c1) value sits within engine-rounding
+    distance of a grid boundary (the unigram_nll discipline). Verify the
+    full distinct (c, c1) set at every test SF keeps >100x the ~1e-8
+    1-ulp margin."""
+    import math
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH tok AS (
+                SELECT string_split(text, ' ') AS ts
+                FROM '/root/testdata/{sf}/documents.parquet'
+            ),
+            bg AS (
+                SELECT ts[i] AS w1, ts[i + 1] AS w2
+                FROM tok, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+            ),
+            counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2)
+            SELECT DISTINCT c, SUM(c) OVER (PARTITION BY w1) AS c1
+            FROM counts
+            """
+        ).fetchall()
+        assert rows
+        for c, c1 in rows:
+            if c == c1:
+                continue  # ln(1) = 0 exactly — on-grid by identity
+            v = 1e6 * math.log(c / c1)
+            dist = abs(v - round(v))
+            assert dist > 1e-6, (sf, c, c1, v, dist)
+
+
+def test_bigram_nll_order_sensitivity(spark):
+    """The defining property: scrambling token ORDER leaves unigram NLL
+    unchanged (same bag) but moves bigram NLL — on a corpus where one
+    ordering is common and the scrambled one is rare, the rare order
+    scores strictly higher."""
+    from the_movie_database_import_spark.operators.vocab import bigram_nll
+
+    rows = [(i, "a b c d") for i in range(9)] + [(9, "d c b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert len(got) == 10
+    common = got[0]["avg_nll_q"]
+    rare = got[9]["avg_nll_q"]
+    # 'a b' occurs 9x after a-starts; 'd c' is unique -> rare order is
+    # less probable under the corpus LM
+    assert rare > common
+    # every doc has 3 bigrams
+    assert all(r["n_bigrams"] == 3 for r in got.values())
+
+
+def test_bigram_nll_short_docs_drop(spark):
+    """Documents with < 2 tokens have no bigrams: they vanish from the
+    census on both engines rather than scoring a degenerate 0."""
+    from the_movie_database_import_spark.operators.vocab import bigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "two tokens"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert set(got) == {2}
+    assert got[2]["n_bigrams"] == 1
+    # the lone bigram is the entire LM for w1='two': ln(1/1) = 0
+    assert got[2]["nll_q_sum"] == 0

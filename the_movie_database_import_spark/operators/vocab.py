@@ -335,3 +335,74 @@ def token_pair_cooccurrence(
             ).alias("lift"),
         )
     )
+
+
+def bigram_nll(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document CONDITIONAL bigram negative log-likelihood under the
+    corpus's own bigram LM ([ext] training-data pipeline) — the
+    order-sensitive sibling of :func:`unigram_nll`: each adjacent pair
+    (w1, w2) scores ``-ln(c(w1,w2) / c1(w1))`` where ``c1(w1)`` is w1's
+    count as a bigram FIRST element, so the conditionals normalize
+    exactly. A scrambled or template-stitched document keeps its unigram
+    NLL (same token bag) but its bigram NLL spikes — the signal that
+    separates "right words" from "right words in the right order".
+
+    Every scored document's bigrams exist in the LM by construction (the
+    corpus includes the document), so the MLE conditional needs no
+    smoothing — the same self-scoring contract as unigram_nll. Returns
+    ``(id_col, n_bigrams, nll_q_sum, avg_nll_q)``; documents with fewer
+    than 2 tokens have no bigrams and drop out on both engines.
+
+    Determinism: the unigram_nll integer lane — each conditional
+    log-prob floor-quantizes to a 1e-6 grid as BIGINT before the
+    distributed sum (raw-double sums are addition-order-dependent);
+    grid-boundary safety of the 1-ulp Java-vs-libm ln() difference is
+    pinned per SF (tests/test_extensions.py::test_bigram_nll_grid_safety).
+
+    Scale shape: pairs assemble IN-ROW at the scan (token array bound
+    ONCE as a lambda variable — the span_gram_digests O(L^2) re-split
+    trap); one (w1, w2) partial-agg shuffle builds the LM; ``c1`` is a
+    window PARTITIONED BY w1 over the LM table itself (shuffle ∝ bigram
+    vocab, never a second corpus pass); the probe join is budget-guarded
+    broadcast, and corpus rows re-shuffle only as (id, int-sum) pairs.
+    The eager-count note on :func:`unigram_nll` applies here too.
+    """
+    toks = tokens(F.col(text_col))
+    pair_t = "array<struct<w1:string,w2:string>>"
+
+    def _pairs(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast(pair_t))
+
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.element_at(F.transform(F.array(toks), _pairs), 1)
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    per_w1 = Window.partitionBy("w1").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    logp_q = F.floor(
+        F.lit(1e6) * F.log(F.col("_c") / F.sum("_c").over(per_w1))
+    ).cast("bigint")
+    from ..session import maybe_broadcast
+
+    lm = counts.select("w1", "w2", logp_q.alias("_logp_q"))
+    return bg.join(maybe_broadcast(lm), ["w1", "w2"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("_logp_q")).alias("nll_q_sum"),
+        (-F.sum("_logp_q") / F.count(F.lit(1))).alias("avg_nll_q"),
+    )

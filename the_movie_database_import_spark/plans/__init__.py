@@ -59,7 +59,6 @@ DRIVER_WINDOW = [
     "q_union_all",
     "q_text_jaccard_pairs",
     "q_token_count",
-    "q_doc_fingerprint",
     "q_multimodal_frame_sample",
     "q_text_vocab_coverage",
     "q_split_leakage_safe",
@@ -102,6 +101,11 @@ DRIVER_WINDOW = [
                                  # + pinned 5% error test); slot freed by
                                  # q_json_fns -> tail (frozen headline bench
                                  # re-executes it per-round)
+    "q_text_bigram_nll",         # conditional bigram perplexity (order-
+                                 # sensitive sibling of unigram_nll); slot
+                                 # freed by q_doc_fingerprint -> tail
+                                 # (token_count + vocab_coverage keep the
+                                 # text-census family in-window)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -162,6 +166,7 @@ TAIL_PRIORITY = [
     "q_win_running_sum",      # frozen headline bench re-executes per-round
     "q_text_quality",         # frozen headline bench re-executes per-round
     "q_json_fns",             # frozen headline bench re-executes per-round
+    "q_doc_fingerprint",      # text-census reps token_count/vocab in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -2241,3 +2241,47 @@ def q_quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return calibrated_quality_keep(docs, keep_frac=0.25)
+
+
+@register(
+    "q_text_bigram_nll",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM tok, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+    ),
+    counts AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+    ),
+    lm AS (
+        SELECT w1, w2,
+               CAST(floor(1e6 * ln(c / SUM(c) OVER (PARTITION BY w1)))
+                    AS BIGINT) AS logp_q
+        FROM counts
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(lm.logp_q) AS BIGINT) AS nll_q_sum,
+           CAST(-SUM(lm.logp_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_nll_q
+    FROM bg JOIN lm USING (w1, w2)
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "lm", "ext"),
+)
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM perplexity signal (north star `bigram_nll`):
+    the order-sensitive sibling of q_text_unigram_nll — a scrambled
+    document keeps its unigram NLL but its bigram NLL spikes. Conditional
+    log-probs ln(c(w1,w2)/c1(w1)) floor-quantize to the 1e-6 integer grid
+    before summing (exact, order-independent); pairs assemble in-row with
+    the token array bound once (the span_gram_digests O(L^2) trap);
+    grid-boundary safety pinned per SF by
+    tests/test_extensions.py::test_bigram_nll_grid_safety."""
+    from ..operators.vocab import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs)

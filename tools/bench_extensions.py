@@ -69,6 +69,7 @@ QUERIES = [
     "q_interevent_gaps",
     "q_quality_calibrated_keep",
     "q_rolling_active_users",
+    "q_text_bigram_nll",
     "q_pipeline_end_to_end",
 ]
 
