@@ -561,3 +561,86 @@ def test_rolling_distinct_window_width(spark):
         one, three = got[day]
         assert one == 10  # tiny cardinalities: HLL is exact here
         assert three == 10 * min(i + 1, 3)
+
+
+# ----------------------------------------------------------- golden record
+
+
+def test_golden_record_fields_survive_from_different_rows(spark):
+    """The defining MDM property: per field, the latest NON-NULL sighting
+    wins, so the merged record combines values from different source
+    rows — and a trailing NULL can never shadow an earlier real value."""
+    from the_movie_database_import_spark.operators.delta import golden_record
+
+    rows = [
+        # (user, order, id, device, country)
+        (1, 10, 1, "ios", None),
+        (1, 20, 2, None, "de"),   # country arrives later, device NULL
+        (1, 30, 3, None, None),   # trailing all-NULL row shadows nothing
+        (2, 10, 4, None, None),   # never-observed fields stay NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, o long, i long, device string, country string"
+    )
+    got = {
+        r["u"]: r
+        for r in golden_record(df, "u", ["o", "i"], ["device", "country"]).collect()
+    }
+    assert got[1]["device"] == "ios"
+    assert got[1]["country"] == "de"
+    assert got[1]["n_versions"] == 3
+    assert got[2]["device"] is None
+    assert got[2]["country"] is None
+
+
+def test_golden_record_recency_and_tiebreak(spark):
+    """A newer sighting replaces an older one; at an exact order tie the
+    higher tiebreak wins (the declared total order)."""
+    from the_movie_database_import_spark.operators.delta import golden_record
+
+    rows = [
+        (1, 10, 1, "old"),
+        (1, 20, 2, "new"),
+        (2, 10, 1, "a"),
+        (2, 10, 2, "b"),  # tie on order: id 2 wins
+    ]
+    df = spark.createDataFrame(rows, "u long, o long, i long, v string")
+    got = {r["u"]: r["v"] for r in golden_record(df, "u", ["o", "i"], ["v"]).collect()}
+    assert got == {1: "new", 2: "b"}
+
+
+def test_golden_record_matches_window_model(spark):
+    """Independent model on the real attribute log: the aggregate
+    formulation must equal the textbook last_value-IGNORE-NULLS window
+    (the oracle's shape) computed in pure python."""
+    import duckdb as _duck
+
+    from the_movie_database_import_spark.operators.delta import golden_record
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    log = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.when(F.col("event_type") == "view", F.get_json_object("props", "$.k")).alias("a"),
+    )
+    got = {
+        r["user_id"]: r["a"]
+        for r in golden_record(log, "user_id", ["_us", "event_id"], ["a"]).collect()
+    }
+    rows = _duck.sql(
+        f"""
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view'
+                    THEN json_extract_string(props, '$.k') END AS a
+        FROM '{SF_DIR}/events.parquet' WHERE ts IS NOT NULL
+        ORDER BY user_id, ts, event_id
+        """
+    ).fetchall()
+    want: dict[int, str | None] = {}
+    for u, _, _, a in rows:
+        if u not in want:
+            want[u] = None
+        if a is not None:
+            want[u] = a
+    assert got == want

@@ -173,3 +173,46 @@ def apply_delta(
     elif broadcast_changes:
         victims = F.broadcast(victims)
     return snapshot.join(victims, id_col, "left_anti").unionByName(upserts)
+
+
+def golden_record(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship MERGE ([ext] master-data-management classic): collapse
+    an entity's sparse attribute sightings into one "golden record" —
+    for every field independently, the LATEST NON-NULL observation in
+    ``order_cols`` order wins (recency survivorship, the default MDM
+    rule). An entity observed as (device=ios, country=NULL) yesterday
+    and (device=NULL, country=de) today merges to (ios, de): fields
+    survive from DIFFERENT rows, which is why this is not `dedup_by_key`
+    (whole-row winner) or `agg_first_nonnull` (single fixed order —
+    here each field carries its own observation recency).
+
+    Returns one row per key: ``(key, n_versions, *fields)``; a field
+    never observed non-null stays NULL.
+
+    Engine shape: ONE map-side-combinable hash aggregate — each field is
+    ``max(struct(order_cols..., field))`` over that field's NON-NULL
+    sightings only (the when-guard keeps all-NULL rows out of the max,
+    so nulls can never shadow a real observation). No window, no sort,
+    no self-join: partials combine within every input partition, the
+    shuffle carries one candidate struct per (partition, key, field).
+    ``order_cols`` must totally order each key's rows (include a unique
+    tiebreak) or "latest" is engine-defined.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_versions")]
+    for f in fields:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(f).isNotNull(),
+                    F.struct(
+                        *[F.col(c) for c in order_cols], F.col(f).alias("_v")
+                    ),
+                )
+            )["_v"].alias(f)
+        )
+    return df.groupBy(key_col).agg(*aggs)

@@ -53,7 +53,6 @@ DRIVER_WINDOW = [
     "q_stateful_user_totals",
     "q_agg_avg_per_key",
     "q_agg_multi",
-    "q_dedup_by_key",
     "q_pandas_udf_grouped_agg",
     "q_dedup_clusters",
     "q_union_all",
@@ -92,8 +91,7 @@ DRIVER_WINDOW = [
     # local exact-parity at every SF): q_window_tumbling,
     # q_win_running_sum, q_text_quality — streaming keeps
     # dedup_first_event + stateful_user_totals in-window, windows keep
-    # win_time_range, text censuses keep token_count + doc_fingerprint +
-    # vocab_coverage. ---
+    # win_time_range, text censuses keep token_count + vocab_coverage. ---
     "q_twap_per_user",           # time-weighted average (exact int lane)
     "q_interevent_gaps",         # recurrence-interval quartile census
     "q_quality_calibrated_keep", # per-source quality cut (no hot window)
@@ -106,6 +104,10 @@ DRIVER_WINDOW = [
                                  # freed by q_doc_fingerprint -> tail
                                  # (token_count + vocab_coverage keep the
                                  # text-census family in-window)
+    "q_golden_record",           # MDM survivorship merge (per-field latest
+                                 # non-null); slot freed by q_dedup_by_key ->
+                                 # tail (first_event/clusters/spans keep the
+                                 # dedup family in-window)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -118,8 +120,8 @@ DRIVER_WINDOW = [
                              # q_sort_multi_key -> tail (q_topk_global keeps
                              # the family in-window)
     "q_win_time_range",      # trailing 7-day time-RANGE frame; window slot
-                             # freed by q_win_lag_lead -> tail
-                             # (q_win_running_sum keeps the family in-window)
+                             # freed by q_win_lag_lead -> tail (this entry is
+                             # now the window family's in-window rep)
     "q_resample_daily",      # daily grid + forward fill; slot freed by
                              # q_project_rename -> tail (q_filter_pred +
                              # q_string_fns keep row-ops in-window)
@@ -167,6 +169,7 @@ TAIL_PRIORITY = [
     "q_text_quality",         # frozen headline bench re-executes per-round
     "q_json_fns",             # frozen headline bench re-executes per-round
     "q_doc_fingerprint",      # text-census reps token_count/vocab in-window
+    "q_dedup_by_key",         # dedup reps first_event/clusters/spans in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

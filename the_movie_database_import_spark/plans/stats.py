@@ -385,3 +385,60 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import rolling_distinct_hll
 
     return rolling_distinct_hll(events, window_days=7)
+
+
+@register(
+    "q_golden_record",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view'
+                    THEN json_extract_string(props, '$.k') END AS device,
+               CASE WHEN event_type = 'click'
+                    THEN json_extract_string(props, '$.k') END AS channel,
+               CASE WHEN event_type = 'purchase'
+                    THEN json_extract_string(props, '$.k') END AS plan
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT DISTINCT user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_versions,
+           last_value(device IGNORE NULLS) OVER w AS device,
+           last_value(channel IGNORE NULLS) OVER w AS channel,
+           last_value(plan IGNORE NULLS) OVER w AS plan
+    FROM log
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("events", "dedup", "merge", "ext"),
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge of sparse attribute sightings (north star
+    `golden_record`): each event type contributes ONE attribute
+    observation; per user, every field independently keeps its latest
+    non-null sighting — fields survive from DIFFERENT rows, the MDM
+    "golden record". ONE map-side-combinable aggregate of
+    max(struct(order, field)) over non-null sightings — no window, no
+    sort, no self-join (the oracle's DISTINCT-over-full-frame windows
+    replay the same semantics the textbook way)."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.delta import golden_record
+
+    log = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        _epoch_us(events, "ts").alias("_us"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "view", F.get_json_object("props", "$.k")
+        ).alias("device"),
+        F.when(
+            F.col("event_type") == "click", F.get_json_object("props", "$.k")
+        ).alias("channel"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.get_json_object("props", "$.k"),
+        ).alias("plan"),
+    )
+    return golden_record(
+        log, "user_id", ["_us", "event_id"], ["device", "channel", "plan"]
+    )

@@ -70,6 +70,7 @@ QUERIES = [
     "q_quality_calibrated_keep",
     "q_rolling_active_users",
     "q_text_bigram_nll",
+    "q_golden_record",
     "q_pipeline_end_to_end",
 ]
 
