@@ -644,3 +644,74 @@ def test_golden_record_matches_window_model(spark):
         if a is not None:
             want[u] = a
     assert got == want
+
+
+# ------------------------------------------------------------------ cusum
+
+
+def test_cusum_matches_python_fold(spark):
+    """The prefix-minimum CLOSED FORM the operator uses must equal the
+    textbook recurrence s' = max(0, s + (x - k)) folded in pure python
+    over every user's ordered stream — exactly, since both sides are
+    integer arithmetic on the same grid."""
+    from the_movie_database_import_spark.operators.stats import cusum_per_key
+
+    target, slack, h = 50.0, 10.0, 1000.0
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["user_id"]: (r["n_obs"], r["cusum_final_q"], r["cusum_peak_q"], r["alarm"])
+        for r in cusum_per_key(events, target, slack, h).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, CAST(floor(value * 1e6) AS BIGINT) AS vq
+        FROM '{SF_DIR}/events.parquet'
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        ORDER BY user_id, ts, event_id
+        """
+    ).fetchall()
+    kq, hq = int((target + slack) * 1e6), int(h * 1e6)
+    want: dict[int, list] = {}
+    for u, vq in rows:
+        st = want.setdefault(u, [0, 0, 0])  # n, s, peak
+        st[0] += 1
+        st[1] = max(0, st[1] + (vq - kq))
+        st[2] = max(st[2], st[1])
+    assert got == {
+        u: (n, s, p, p >= hq) for u, (n, s, p) in want.items()
+    }
+
+
+def test_cusum_detects_planted_shift(spark):
+    """A stream sitting at the target never alarms; the same stream with
+    a sustained +3-sigma-ish shift accumulates linearly and crosses the
+    threshold — and the statistic RESETS to 0 once values drop back."""
+    from the_movie_database_import_spark.operators.stats import cusum_per_key
+
+    rows = []
+    # user 1: in-control at 50 throughout
+    for i in range(20):
+        rows.append((i, 1, _ts(i), 50.0))
+    # user 2: in-control, then 10 samples at 90 (+30 over slack line),
+    # then back to 40 (resets)
+    for i in range(10):
+        rows.append((100 + i, 2, _ts(i), 50.0))
+    for i in range(10):
+        rows.append((110 + i, 2, _ts(10 + i), 90.0))
+    for i in range(20):
+        rows.append((120 + i, 2, _ts(20 + i), 40.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r
+        for r in cusum_per_key(df, target=50.0, slack=10.0, threshold=250.0).collect()
+    }
+    # user 1: every step adds 50-60 = -10 -> clamped at 0
+    assert got[1]["cusum_peak_q"] == 0
+    assert not got[1]["alarm"]
+    # user 2: 10 steps of +30 -> peak 300 value-units > 250
+    assert got[2]["cusum_peak_q"] == 300_000_000
+    assert got[2]["alarm"]
+    # 20 steps of 40-60 = -20 drain the 300 peak in 15 and clamp at 0
+    assert got[2]["cusum_final_q"] == 0

@@ -365,3 +365,71 @@ def gap_quantiles(
         interp(0.5).alias("median_secs"),
         interp(0.75).alias("p75_secs"),
     )
+
+
+def cusum_per_key(
+    events: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+    grid: float = 1e6,
+) -> DataFrame:
+    """One-sided upper CUSUM change-point statistic per key — the
+    sequential drift detector (Page 1954): accumulate
+    ``s_i = max(0, s_{i-1} + (x_i - target - slack))`` along each key's
+    time-ordered stream; a sustained upward shift past ``target + slack``
+    grows s linearly while in-control noise resets it. Returns
+    ``(key, n_obs, cusum_final_q, cusum_peak_q, alarm)`` with the
+    statistic in integer GRID units (divide by ``grid`` for value units)
+    and ``alarm = peak >= threshold`` — the "which entities drifted high,
+    and when did the evidence peak" census behind telemetry paging and
+    data-drift gates.
+
+    NOT a fold: the recurrence has the prefix-minimum closed form
+    ``s_i = P_i - min(0, min_{j<=i} P_j)`` with ``P_i = sum_{t<=i}
+    (x_t - k)``, so it runs as two ordered WINDOW aggregates instead of
+    an in-row list fold — unlike the EWMA (whose multiplicative
+    recurrence has no such form and must fold), CUSUM distributes over
+    Spark's native running aggregates. Both windows share ONE key-keyed
+    exchange with the final per-key aggregate.
+
+    Determinism: running SUM frames are engine-internal (DuckDB
+    evaluates general frames with segment trees — a different addition
+    ORDER than Spark's sequential accumulation), so the fold-replay
+    argument that makes EWMA bit-exact does NOT apply; instead ``x - k``
+    floor-quantizes to the integer ``grid`` BEFORE the windows and every
+    subsequent op (running sum, running min, subtract, max) is exact
+    64-bit integer arithmetic — order-free, bit-identical on any engine
+    and any partitioning. ``threshold`` compares in grid units:
+    exact."""
+    kq = int(target * grid) + int(slack * grid)
+    hq = int(threshold * grid)
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xq = (
+        F.floor(F.col(val_col) * F.lit(grid)).cast("bigint") - F.lit(kq)
+    ).alias("_xq")
+    rows = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), xq)
+        .withColumn("_p", F.sum("_xq").over(run))
+        .withColumn("_s", F.col("_p") - F.least(F.lit(0), F.min("_p").over(run)))
+    )
+    g = rows.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max(F.struct(ts_col, tiebreak_col, F.col("_s").alias("_v")))[
+            "_v"
+        ].alias("cusum_final_q"),
+        F.max("_s").alias("cusum_peak_q"),
+    )
+    return g.select(
+        key_col,
+        "n_obs",
+        "cusum_final_q",
+        "cusum_peak_q",
+        (F.col("cusum_peak_q") >= F.lit(hq)).alias("alarm"),
+    )

@@ -51,7 +51,6 @@ DRIVER_WINDOW = [
     "q_topk_global",
     "q_dedup_first_event",
     "q_stateful_user_totals",
-    "q_agg_avg_per_key",
     "q_agg_multi",
     "q_pandas_udf_grouped_agg",
     "q_dedup_clusters",
@@ -108,6 +107,10 @@ DRIVER_WINDOW = [
                                  # non-null); slot freed by q_dedup_by_key ->
                                  # tail (first_event/clusters/spans keep the
                                  # dedup family in-window)
+    "q_events_cusum",            # Page CUSUM drift census via the exact
+                                 # integer prefix-min closed form; slot freed
+                                 # by q_agg_avg_per_key -> tail (q_agg_multi
+                                 # keeps per-key aggregation in-window)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -170,6 +173,7 @@ TAIL_PRIORITY = [
     "q_json_fns",             # frozen headline bench re-executes per-round
     "q_doc_fingerprint",      # text-census reps token_count/vocab in-window
     "q_dedup_by_key",         # dedup reps first_event/clusters/spans in-window
+    "q_agg_avg_per_key",      # agg rep q_agg_multi in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

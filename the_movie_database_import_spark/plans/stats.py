@@ -442,3 +442,62 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return golden_record(
         log, "user_id", ["_us", "event_id"], ["device", "channel", "plan"]
     )
+
+
+# CUSUM parameters for the drift census: in-control target 50 (the event
+# log's global value mean), slack 10 (shifts past 60 accumulate), alarm
+# threshold 1000 value-units of accumulated excess.
+_CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_H = 50.0, 10.0, 1000.0
+
+
+@register(
+    "q_events_cusum",
+    oracle=f"""
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e6) AS BIGINT)
+                 - {int((_CUSUM_TARGET + _CUSUM_SLACK) * 1e6)} AS xq
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(xq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS p
+        FROM q
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               p - LEAST(0, MIN(p) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW)) AS s
+        FROM r
+    )
+    SELECT DISTINCT user_id,
+           CAST(COUNT(*) OVER w2 AS BIGINT) AS n_obs,
+           last_value(s) OVER w2 AS cusum_final_q,
+           MAX(s) OVER w2 AS cusum_peak_q,
+           MAX(s) OVER w2 >= {int(_CUSUM_H * 1e6)} AS alarm
+    FROM s
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("stats", "events", "window", "ext"),
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM drift census per user (north star
+    `cusum_per_key`, Page 1954): which value streams shifted past
+    target + slack, with the peak accumulated evidence and an alarm
+    flag. Runs as the prefix-minimum CLOSED FORM (two ordered integer
+    windows sharing one user-keyed exchange) rather than a fold; the
+    1e-6 floor grid makes every window op exact 64-bit arithmetic —
+    bit-identical cross-engine even though running-SUM internals differ
+    (DuckDB segment trees vs Spark sequential accumulation)."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.stats import cusum_per_key
+
+    return cusum_per_key(
+        events, target=_CUSUM_TARGET, slack=_CUSUM_SLACK, threshold=_CUSUM_H
+    )

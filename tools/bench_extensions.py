@@ -71,6 +71,7 @@ QUERIES = [
     "q_rolling_active_users",
     "q_text_bigram_nll",
     "q_golden_record",
+    "q_events_cusum",
     "q_pipeline_end_to_end",
 ]
 
