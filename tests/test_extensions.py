@@ -1892,3 +1892,68 @@ def test_bigram_nll_short_docs_drop(spark):
     assert got[2]["n_bigrams"] == 1
     # the lone bigram is the entire LM for w1='two': ln(1/1) = 0
     assert got[2]["nll_q_sum"] == 0
+
+
+def test_source_syndication_hand_case(spark):
+    """Three sources sharing one long paragraph pairwise: the shared
+    span counts ONCE per pair regardless of how many documents in each
+    source carry it; short fragments below min_chars never count; a
+    paragraph confined to one source contributes nothing."""
+    from the_movie_database_import_spark.operators.dedup import (
+        source_syndication_census,
+    )
+
+    body = "quick brown foxes jump over lazy dogs repeatedly"
+    assert len(body) >= 20
+    rows = [
+        (1, "s1", f"intro one the {body} the tail a"),
+        (2, "s1", f"intro two the {body} the tail b"),  # dup within s1: once
+        (3, "s2", f"other the {body}"),
+        (4, "s3", f"third the {body} the unique third part only here"),
+        (5, "s2", "short the ab the cd"),  # fragments < 20 chars: ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_paragraphs"]
+        for r in source_syndication_census(df).collect()
+    }
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_source_syndication_matches_bruteforce(spark):
+    """Independent model on real documents: the collect-set formulation
+    must equal the brute-force distinct (source, paragraph) self-join."""
+    import duckdb as _duck
+
+    from the_movie_database_import_spark.operators.dedup import (
+        source_syndication_census,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_paragraphs"]
+        for r in source_syndication_census(docs).collect()
+    }
+    want = dict(
+        (
+            (sa, sb),
+            n,
+        )
+        for sa, sb, n in _duck.sql(
+            f"""
+            WITH t AS (
+                SELECT source, string_split(text, ' the ') AS ps
+                FROM '{SF_DIR}/documents.parquet' WHERE text IS NOT NULL
+            ),
+            p AS (
+                SELECT DISTINCT source, ps[i] AS para
+                FROM t, unnest(generate_series(1, len(ps))) AS g(i)
+                WHERE length(ps[i]) >= 20
+            )
+            SELECT a.source, b.source, COUNT(*)
+            FROM p a JOIN p b ON a.para = b.para AND a.source < b.source
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -965,3 +965,74 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def source_syndication_census(
+    docs: DataFrame,
+    sep: str = " the ",
+    min_chars: int = 20,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix ([ext] crawl forensics): for
+    every pair of sources, how many distinct substantive paragraphs
+    appear in BOTH — the "who mirrors whom" census that decides whether
+    two feeds are independent corpora or the same syndicated wire twice
+    (double-weighting a mirrored pair silently doubles its content's
+    training weight even after doc-level dedup, because mirrors edit
+    around the shared body). Paragraphs shorter than ``min_chars``
+    don't count (ubiquitous short fragments are noise, not syndication).
+
+    Scale design — the naive formulation self-joins the paragraph
+    stream on text (d² rows for a boilerplate span in d docs, the exact
+    blow-up `dedup_paragraphs` documents); this never joins text at
+    all:
+
+    1. one explode + length filter, then ONE digest-keyed aggregate
+       ``collect_set(source)`` — set size bounded by |sources|, however
+       many million documents carry the span;
+    2. source pairs generate IN-ROW from each digest's sorted source
+       set (|sources|² worst case per row, constants at census scale);
+    3. the final pair census is a map-side-combined count over
+       |sources|² keys — constant-size shuffle at any corpus scale.
+
+    Returns ``(source_a, source_b, n_shared_paragraphs)`` with
+    source_a < source_b, counting each distinct shared paragraph once
+    per pair. The oracle joins paragraph TEXT (digest equality == byte
+    equality, the span-dedup family's argument).
+    """
+    import re as _re
+
+    paras = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(source_col),
+            F.explode(F.split(F.col(text_col), _re.escape(sep))).alias("_p"),
+        )
+        .filter(F.length("_p") >= min_chars)
+        .select(source_col, F.sha2("_p", 256).alias("_h"))
+    )
+    shared = (
+        paras.groupBy("_h")
+        .agg(F.array_sort(F.collect_set(source_col)).alias("_srcs"))
+        .filter(F.size("_srcs") >= 2)
+    )
+    pairs = shared.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_srcs") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("_srcs"), i + 1, F.size("_srcs") - i),
+                        lambda b: F.struct(
+                            F.element_at(F.col("_srcs"), i).alias("a"),
+                            b.alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_pair")
+    )
+    return pairs.groupBy(
+        F.col("_pair.a").alias("source_a"), F.col("_pair.b").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared_paragraphs"))

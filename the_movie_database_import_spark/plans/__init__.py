@@ -55,7 +55,6 @@ DRIVER_WINDOW = [
     "q_pandas_udf_grouped_agg",
     "q_dedup_clusters",
     "q_union_all",
-    "q_text_jaccard_pairs",
     "q_token_count",
     "q_multimodal_frame_sample",
     "q_text_vocab_coverage",
@@ -111,6 +110,10 @@ DRIVER_WINDOW = [
                                  # integer prefix-min closed form; slot freed
                                  # by q_agg_avg_per_key -> tail (q_agg_multi
                                  # keeps per-key aggregation in-window)
+    "q_source_syndication",      # cross-source content-overlap matrix (no
+                                 # paragraph self-join); slot freed by
+                                 # q_text_jaccard_pairs -> tail (spans +
+                                 # clusters + this keep near-dup in-window)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -174,6 +177,7 @@ TAIL_PRIORITY = [
     "q_doc_fingerprint",      # text-census reps token_count/vocab in-window
     "q_dedup_by_key",         # dedup reps first_event/clusters/spans in-window
     "q_agg_avg_per_key",      # agg rep q_agg_multi in-window
+    "q_text_jaccard_pairs",   # near-dup reps spans/clusters/syndication in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -2285,3 +2285,37 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_nll(docs)
+
+
+@register(
+    "q_source_syndication",
+    oracle="""
+    WITH t AS (
+        SELECT source, string_split(text, ' the ') AS ps
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT DISTINCT source, ps[i] AS para
+        FROM t, unnest(generate_series(1, len(ps))) AS g(i)
+        WHERE length(ps[i]) >= 20
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_paragraphs
+    FROM p a JOIN p b ON a.para = b.para AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("text", "dedup", "quality", "ext"),
+)
+def q_source_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (north star
+    `source_syndication_census`): distinct substantive paragraphs (>= 20
+    chars) shared per source pair — the who-mirrors-whom census behind
+    syndication-aware source weighting. NO paragraph self-join (the d²
+    boilerplate blow-up): one digest-keyed collect_set(source) bounded
+    by |sources|, pairs generated in-row, constant-size final census.
+    The oracle replays via the text self-join on DISTINCT (source,
+    paragraph) rows — digest equality == byte equality."""
+    from ..operators.dedup import source_syndication_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_syndication_census(docs)

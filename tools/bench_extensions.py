@@ -72,6 +72,7 @@ QUERIES = [
     "q_text_bigram_nll",
     "q_golden_record",
     "q_events_cusum",
+    "q_source_syndication",
     "q_pipeline_end_to_end",
 ]
 
