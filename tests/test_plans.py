@@ -766,3 +766,77 @@ def test_stage_totals_snapshot_delta(spark):
     assert d.tasks >= 1
     assert d.cpu_ns > 0
     assert d.run_ms >= 0
+
+
+def test_twap_window_and_agg_share_one_exchange(spark):
+    """TWAP: the lead window and the per-key aggregate share the single
+    user-keyed exchange; one pruned scan; everything JVM-side."""
+    plan = _plan(spark, "q_twap_per_user")
+    assert plan.count("Scan parquet") == 1
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("user_id"), groups
+    assert plan.count("Window ") == 1
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_cusum_two_windows_one_exchange(spark):
+    """CUSUM: the running-sum and running-min windows and the final
+    per-key aggregate all share one user-keyed exchange (the closed
+    form's entire point — no fold, no second shuffle)."""
+    plan = _plan(spark, "q_events_cusum")
+    assert plan.count("Scan parquet") == 1
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("user_id"), groups
+    assert plan.count("Window ") == 2
+
+
+def test_autocorr_agg_reuses_window_partitioning(spark):
+    """Lag-1 autocorr: the corr aggregate groups on the window's
+    partition key, so Catalyst plans ONE exchange total."""
+    plan = _plan(spark, "q_events_autocorr")
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("event_type"), groups
+
+
+def test_calibrated_keep_broadcasts_thresholds_no_data_window(spark):
+    """Calibrated quality keep: data rows never enter a window (the
+    hot-source single-task hazard) — the per-source threshold table
+    broadcasts back as a filter; the only hash exchange is the
+    source-keyed score-list aggregate."""
+    plan = _plan(spark, "q_quality_calibrated_keep")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert groups and all(g.startswith("source") for g in groups), groups
+
+
+def test_syndication_has_no_join_at_all(spark):
+    """Syndication census: the collect-set formulation eliminates the
+    paragraph self-join entirely — no join operator of any kind in the
+    plan, and the only data-scale exchange is digest-keyed."""
+    plan = _plan(spark, "q_source_syndication")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, f"unexpected {j}:\n{plan}"
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert any(g.startswith("_h") for g in groups), groups
+
+
+def test_chi2_caches_cells_for_all_consumers(spark):
+    """Chi-squared: the contingency-cell census is cached and all four
+    consumers (cells + three margins) read the InMemory relation — the
+    alternative is four full base-table scans."""
+    plan = _plan(spark, "q_chi2_independence")
+    assert plan.count("InMemoryTableScan") == 4, plan.count("InMemoryTableScan")
+
+
+def test_golden_record_is_one_aggregate_no_window(spark):
+    """Golden record: pure struct-max hash aggregate — one user-keyed
+    exchange, no window, no sort, no join."""
+    plan = _plan(spark, "q_golden_record")
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("user_id"), groups
+    assert "Window" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert j not in plan

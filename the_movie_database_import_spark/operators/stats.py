@@ -132,16 +132,24 @@ def chi2_independence(
     Plan: ONE hash aggregate over the fact table produces the
     contingency cells (cardinality = |A| x |B|, tiny); row totals,
     column totals, and the grand total are three more aggregates OF THE
-    CELLS (never re-reading the base), joined back cell-wise behind
-    `F.broadcast` — at 100 TB the only full-data cost is the single
-    cell census, everything after is constant-size. NULL categories
-    count as ordinary levels (they form real cells; dropping them would
-    silently bias the margins).
+    CELLS, joined back cell-wise behind `F.broadcast` — at 100 TB the
+    only full-data cost is the single cell census, everything after is
+    constant-size. The cell table is tracked_cache'd because FOUR plan
+    branches consume it (cells + three margin aggregates) — without the
+    cache each branch re-scans the base table (measured: 4 parquet
+    scans in the physical plan), which is exactly the 100 TB cost this
+    shape exists to avoid; the cached frame is |A| x |B| rows. NULL
+    categories count as ordinary levels (they form real cells; dropping
+    them would silently bias the margins).
 
     chi2 = sum over cells of (obs - exp)^2 / exp with
     exp = row_total * col_total / n; dof = (|A|-1) * (|B|-1).
     """
-    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
+    from ..session import tracked_cache
+
+    cells = tracked_cache(
+        df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
+    )
     row_tot = cells.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
     col_tot = cells.groupBy(col_b).agg(F.sum("_obs").alias("_cb"))
     grand = cells.agg(

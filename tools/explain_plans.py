@@ -185,6 +185,36 @@ SHOWCASES = [
         "the decile census is one aggregate. Training (L-BFGS "
         "treeAggregate) runs before this scoring plan.",
     ),
+    (
+        "q_events_cusum",
+        "Page CUSUM drift census: the sequential recurrence runs as its "
+        "prefix-minimum closed form — running-sum and running-min windows "
+        "plus the final per-key aggregate all share ONE user-keyed "
+        "exchange, and the 1e-6 integer grid keeps every window op exact "
+        "64-bit arithmetic (cross-engine bit-identical despite differing "
+        "running-SUM internals).",
+    ),
+    (
+        "q_source_syndication",
+        "Cross-source syndication matrix: NO join operator anywhere — the "
+        "paragraph self-join (d-squared for a span in d docs) is replaced "
+        "by one digest-keyed collect_set(source) bounded by |sources|, "
+        "in-row pair generation, and a constant-size census aggregate.",
+    ),
+    (
+        "q_quality_calibrated_keep",
+        "Per-source calibrated quality keep: data rows never enter a "
+        "window (a percent_rank over a hot source would be one task "
+        "sorting that source) — the only hash exchange is the source-keyed "
+        "score-list aggregate, and the threshold table broadcasts back as "
+        "a filter.",
+    ),
+    (
+        "q_twap_per_user",
+        "Time-weighted average: the lead window and the decimal-integer "
+        "numerator aggregate share one user-keyed exchange; the quantized "
+        "numerator makes the result partition- and order-invariant.",
+    ),
 ]
 
 
