@@ -715,3 +715,42 @@ def test_cusum_detects_planted_shift(spark):
     assert got[2]["alarm"]
     # 20 steps of 40-60 = -20 drain the 300 peak in 15 and clamp at 0
     assert got[2]["cusum_final_q"] == 0
+
+
+# ---------------------------------------------------- conversion latency
+
+
+def test_conversion_latency_hand_case(spark):
+    """Latency = first purchase STRICTLY after the first view; purchases
+    before the first view don't convert; users without views (or without
+    any later purchase) are absent; quartiles interpolate exactly."""
+    from the_movie_database_import_spark.operators.analytics import (
+        conversion_latency,
+    )
+
+    rows = [
+        # user 1: view at 0, purchases at 10 and 5 -> latency 5
+        (1, 1, _ts(0), "view"),
+        (2, 1, _ts(10), "purchase"),
+        (3, 1, _ts(5), "purchase"),
+        # user 2: purchase BEFORE the first view only -> no conversion
+        (4, 2, _ts(0), "purchase"),
+        (5, 2, _ts(1), "view"),
+        # user 3: view at 0, purchase at 0 (same ts, not strictly after)
+        (6, 3, _ts(0), "view"),
+        (7, 3, _ts(0), "purchase"),
+        # user 4: view at 0, purchase at 15 -> latency 15
+        (8, 4, _ts(0), "view"),
+        (9, 4, _ts(15), "purchase"),
+        # user 5: no view at all
+        (10, 5, _ts(3), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = conversion_latency(df).collect()[0]
+    assert got["n_converted"] == 2
+    # latencies {5, 15}: p25 = 7.5, median = 10, p75 = 12.5
+    assert got["p25_secs"] == pytest.approx(7.5, abs=1e-9)
+    assert got["median_secs"] == pytest.approx(10.0, abs=1e-9)
+    assert got["p75_secs"] == pytest.approx(12.5, abs=1e-9)

@@ -633,3 +633,77 @@ def rolling_distinct_hll(
         F.hll_sketch_estimate("_sk").alias("users_1d"),
         F.hll_sketch_estimate("_u").alias(f"users_{window_days}d"),
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert census: per user, the latency from the FIRST
+    ``from_type`` event to the first ``to_type`` event at a strictly
+    later timestamp; output is one row of exact interpolated quartiles
+    over all converting users — ``(n_converted, p25_secs, median_secs,
+    p75_secs)``. The "how long does the funnel take" number that
+    `funnel_counts` (how many) deliberately doesn't answer.
+
+    Engine shape: ONE user-keyed exchange — the first-``from_type``
+    timestamp is an IGNORE-NULLS conditional MIN over the user's full
+    frame (window), conversions filter against it in the same stage,
+    and the per-user minimum collapses in an aggregate that reuses the
+    window's partitioning. The global quartile collect is over ONE ROW
+    PER CONVERTING USER (entity-bounded, not event-bounded — the same
+    envelope as retention), interpolated with the exact order-statistic
+    tree (bit-identical cross-engine, no grid; seconds = µs/1e6, one
+    exact-input division per order statistic).
+
+    Users who never emit ``from_type``, or whose ``to_type`` events all
+    precede it, simply don't convert — absent, not NULL.
+    """
+    us = _epoch_us(events, ts_col)
+    w = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_from = F.min(
+        F.when(F.col(type_col) == from_type, us)
+    ).over(w)
+    lat = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(type_col),
+            us.alias("_us"),
+            first_from.alias("_ff"),
+        )
+        .filter(
+            (F.col(type_col) == to_type)
+            & F.col("_ff").isNotNull()
+            & (F.col("_us") > F.col("_ff"))
+        )
+        .groupBy(key_col)
+        .agg(F.min(F.col("_us") - F.col("_ff")).alias("_lat_us"))
+        .select((F.col("_lat_us").cast("double") / F.lit(1e6)).alias("_l"))
+    )
+    g = lat.agg(
+        F.sort_array(F.collect_list("_l")).alias("_ls"),
+        F.count(F.lit(1)).alias("n_converted"),
+    )
+
+    def interp(q: float) -> Column:
+        h = F.lit(q) * (F.col("n_converted") - 1).cast("double")
+        lo = F.floor(h)
+        v_lo = F.element_at("_ls", (lo + 1).cast("int"))
+        v_hi = F.element_at(
+            "_ls", F.least(lo + 2, F.col("n_converted")).cast("int")
+        )
+        return v_lo + (v_hi - v_lo) * (h - F.floor(h))
+
+    return g.select(
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        interp(0.25).alias("p25_secs"),
+        interp(0.5).alias("median_secs"),
+        interp(0.75).alias("p75_secs"),
+    )

@@ -60,7 +60,6 @@ DRIVER_WINDOW = [
     "q_text_vocab_coverage",
     "q_split_leakage_safe",
     "q_sql_shared_text",
-    "q_sample_split",
     "q_text_chunks",
     "q_pack_greedy",
     "q_text_redact_pii",
@@ -114,6 +113,10 @@ DRIVER_WINDOW = [
                                  # paragraph self-join); slot freed by
                                  # q_text_jaccard_pairs -> tail (spans +
                                  # clusters + this keep near-dup in-window)
+    "q_conversion_latency",      # first-view->purchase latency quartiles;
+                                 # slot freed by q_sample_split -> tail
+                                 # (q_split_leakage_safe composes the same
+                                 # split_column in-window)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -178,6 +181,7 @@ TAIL_PRIORITY = [
     "q_dedup_by_key",         # dedup reps first_event/clusters/spans in-window
     "q_agg_avg_per_key",      # agg rep q_agg_multi in-window
     "q_text_jaccard_pairs",   # near-dup reps spans/clusters/syndication in-window
+    "q_sample_split",         # split rep q_split_leakage_safe in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -501,3 +501,54 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_per_key(
         events, target=_CUSUM_TARGET, slack=_CUSUM_SLACK, threshold=_CUSUM_H
     )
+
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id) AS ff
+        FROM events WHERE ts IS NOT NULL
+    ),
+    lat AS (
+        SELECT user_id,
+               CAST(MIN(us - ff) AS DOUBLE) / 1e6 AS l
+        FROM e
+        WHERE event_type = 'purchase' AND ff IS NOT NULL AND us > ff
+        GROUP BY user_id
+    ),
+    g AS (
+        SELECT list_sort(list(l)) AS ls,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lat
+    )
+    SELECT n AS n_converted,
+           ls[CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1]
+             + (ls[LEAST(CAST(floor(0.25 * (n - 1)) AS BIGINT) + 2, n)]
+                - ls[CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1])
+               * (0.25 * (n - 1) - floor(0.25 * (n - 1))) AS p25_secs,
+           ls[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+             + (ls[LEAST(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)]
+                - ls[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+               * (0.5 * (n - 1) - floor(0.5 * (n - 1))) AS median_secs,
+           ls[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1]
+             + (ls[LEAST(CAST(floor(0.75 * (n - 1)) AS BIGINT) + 2, n)]
+                - ls[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1])
+               * (0.75 * (n - 1) - floor(0.75 * (n - 1))) AS p75_secs
+    FROM g
+    """,
+    tags=("stats", "events", "analytics", "ext"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view-to-first-subsequent-purchase latency quartiles (north
+    star `conversion_latency`): the how-LONG companion of the funnel's
+    how-many. One user-keyed exchange (conditional-MIN window + per-user
+    aggregate share it); the quartile collect is one row per CONVERTING
+    USER (entity-bounded), interpolated on the exact order-statistic
+    lane — bit-identical cross-engine, no grid."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.analytics import conversion_latency
+
+    return conversion_latency(events)

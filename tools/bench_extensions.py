@@ -73,6 +73,7 @@ QUERIES = [
     "q_golden_record",
     "q_events_cusum",
     "q_source_syndication",
+    "q_conversion_latency",
     "q_pipeline_end_to_end",
 ]
 
