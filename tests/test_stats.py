@@ -754,3 +754,72 @@ def test_conversion_latency_hand_case(spark):
     assert got["p25_secs"] == pytest.approx(7.5, abs=1e-9)
     assert got["median_secs"] == pytest.approx(10.0, abs=1e-9)
     assert got["p75_secs"] == pytest.approx(12.5, abs=1e-9)
+
+
+# ---------------------------------------------------- linear interpolation
+
+
+def test_interpolate_linear_hand_case(spark):
+    """Gap rows fill with the straight line through nearest neighbors;
+    observed rows pass through untouched; leading/trailing gaps stay
+    NULL (no extrapolation); x distance (not row position) sets the
+    weights."""
+    from the_movie_database_import_spark.operators.analytics import (
+        interpolate_linear,
+    )
+
+    rows = [
+        ("k", 0, None),    # leading gap: stays NULL
+        ("k", 1, 10.0),
+        ("k", 2, None),    # fill: 10 + (40-10) * (2-1)/(4-1) = 20
+        ("k", 3, None),    # fill: 30
+        ("k", 4, 40.0),
+        ("k", 6, None),    # trailing gap: stays NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    got = {
+        r["x"]: r["y_interp"]
+        for r in interpolate_linear(df, "k", "x", "y").collect()
+    }
+    assert got[0] is None
+    assert got[1] == 10.0
+    assert got[2] == pytest.approx(20.0, abs=1e-12)
+    assert got[3] == pytest.approx(30.0, abs=1e-12)
+    assert got[4] == 40.0
+    assert got[6] is None
+
+
+def test_interpolate_linear_uses_x_distance(spark):
+    """Unequal x spacing weights the fill: a gap at x=9 between
+    observations at x=0 (y=0) and x=10 (y=100) fills to 90, not the
+    row-midpoint 50."""
+    from the_movie_database_import_spark.operators.analytics import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 0, 0.0), ("k", 9, None), ("k", 10, 100.0)],
+        "k string, x int, y double",
+    )
+    got = {
+        r["x"]: r["y_interp"]
+        for r in interpolate_linear(df, "k", "x", "y").collect()
+    }
+    assert got[9] == pytest.approx(90.0, abs=1e-12)
+
+
+def test_interpolate_linear_single_exchange(spark):
+    """Both neighbor windows share one key exchange (same partition +
+    order, different frames)."""
+    import re as _re
+
+    from the_movie_database_import_spark.plans import REGISTRY
+
+    df = REGISTRY["q_resample_interpolate"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    groups = _re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    # grid/span machinery adds user-keyed exchanges; the interpolation
+    # itself must not add more than one beyond them — pin the total and
+    # that every exchange is user-keyed.
+    assert all(g.startswith("user_id") for g in groups), groups
+    assert plan.count("Window ") == 1, "both neighbor lookups fuse into one window op"

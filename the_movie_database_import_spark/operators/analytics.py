@@ -707,3 +707,55 @@ def conversion_latency(
         interp(0.5).alias("median_secs"),
         interp(0.75).alias("p75_secs"),
     )
+
+
+def interpolate_linear(
+    panel: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "y_interp",
+) -> DataFrame:
+    """Linear gap interpolation on a per-key panel — the distributed
+    pandas ``interpolate('linear')``: every NULL ``y_col`` between two
+    observations fills with the straight line through its nearest
+    non-null neighbors in ``x_col`` order; leading/trailing NULLs stay
+    NULL (no extrapolation — interpolation invents values BETWEEN
+    evidence, never beyond it). The companion to forward fill
+    (`resample_daily_ffill`) for metrics where a step function lies
+    (levels that drift between samples: temperature, balances, rates).
+
+    ``x_col`` must be NUMERIC (day index, epoch) — the fill weight is
+    (x - px) / (nx - px), so x defines distance, not just order. The
+    result is an exact IEEE expression tree over exact neighbor values
+    and integer-derived distances — bit-identical cross-engine, NO
+    grid (the value_outliers lane: +, -, *, / in the same order).
+
+    Engine shape: both neighbor lookups (last non-null observation at
+    or before, first at or after) are IGNORE-NULLS struct windows over
+    the SAME partition + order — Catalyst plans ONE key exchange and
+    one sort for the pair (frames differ, spec doesn't; plan-pinned).
+    A row with an observation passes through untouched (coalesce
+    short-circuits), so the fill touches only gap rows.
+    """
+    w = Window.partitionBy(key_col).orderBy(x_col)
+    obs = F.when(
+        F.col(y_col).isNotNull(),
+        F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y")),
+    )
+    prev = F.last(obs, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.first(obs, ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    frac = (F.col(x_col) - prev["x"]).cast("double") / (
+        nxt["x"] - prev["x"]
+    ).cast("double")
+    return panel.withColumn(
+        out_col,
+        F.coalesce(
+            F.col(y_col),
+            prev["y"] + (nxt["y"] - prev["y"]) * frac,
+        ),
+    )

@@ -60,7 +60,6 @@ DRIVER_WINDOW = [
     "q_text_vocab_coverage",
     "q_split_leakage_safe",
     "q_sql_shared_text",
-    "q_text_chunks",
     "q_pack_greedy",
     "q_text_redact_pii",
     # --- new r08 session-3 operators (never driver-checked): the six
@@ -117,6 +116,10 @@ DRIVER_WINDOW = [
                                  # slot freed by q_sample_split -> tail
                                  # (q_split_leakage_safe composes the same
                                  # split_column in-window)
+    "q_resample_interpolate",    # linear gap fill (straight-line twin of
+                                 # resample_daily's ffill); slot freed by
+                                 # q_text_chunks -> tail (q_pack_greedy keeps
+                                 # chunk/pack in-window)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -182,6 +185,7 @@ TAIL_PRIORITY = [
     "q_agg_avg_per_key",      # agg rep q_agg_multi in-window
     "q_text_jaccard_pairs",   # near-dup reps spans/clusters/syndication in-window
     "q_sample_split",         # split rep q_split_leakage_safe in-window
+    "q_text_chunks",          # chunk/pack rep q_pack_greedy in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -552,3 +552,106 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import conversion_latency
 
     return conversion_latency(events)
+
+
+@register(
+    "q_resample_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               (MAX(CASE WHEN value IS NOT NULL
+                         THEN {'u': epoch_us(ts), 't': event_id, 'v': value}
+                    END)).v AS obs
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ),
+    panel AS (
+        SELECT g.user_id, g.day,
+               date_diff('day', DATE '2024-01-01', g.day) AS x,
+               d.obs AS y
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ),
+    nb AS (
+        SELECT user_id, day, x, y,
+               last_value(CASE WHEN y IS NOT NULL
+                          THEN {'x': x, 'y': y} END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS p,
+               first_value(CASE WHEN y IS NOT NULL
+                           THEN {'x': x, 'y': y} END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY x
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS n
+        FROM panel
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           COALESCE(y, p.y + (n.y - p.y)
+                         * (CAST(x - p.x AS DOUBLE)
+                            / CAST(n.x - p.x AS DOUBLE))) AS value_interp
+    FROM nb
+    """,
+    tags=("events", "analytics", "window", "ext"),
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + LINEAR interpolation (north star
+    `interpolate_linear`): the straight-line twin of q_resample_daily's
+    forward fill, for level metrics where a step function lies. Gap
+    days fill from the line through their nearest observations (day
+    index as x); leading gaps stay NULL. Both neighbor windows share
+    one user exchange; the fill tree is exact IEEE over exact inputs —
+    hash-exact with NO grid."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.analytics import interpolate_linear
+
+    us = _epoch_us(events, "ts")
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.struct(
+                        us.alias("u"),
+                        F.col("event_id").alias("t"),
+                        F.col("value").alias("v"),
+                    ),
+                )
+            )["v"].alias("obs")
+        )
+    )
+    from ..session import tracked_cache
+
+    daily = tracked_cache(daily)
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    panel = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day"), F.lit("2024-01-01")).alias("x"),
+        F.col("obs").alias("y"),
+    )
+    out = interpolate_linear(panel, "user_id", "x", "y", out_col="value_interp")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value_interp",
+    )

@@ -74,6 +74,7 @@ QUERIES = [
     "q_events_cusum",
     "q_source_syndication",
     "q_conversion_latency",
+    "q_resample_interpolate",
     "q_pipeline_end_to_end",
 ]
 
