@@ -112,3 +112,38 @@ def test_corpus_cli_audit_gate(spark, tmp_path, capsys):
         assert bins, f"{col} histogram empty"
         assert sum(b["n"] for b in bins) == census["docs_kept"]
         assert all(b["bin_hi"] >= b["bin_lo"] for b in bins)
+
+
+def test_corpus_cli_calibrated_keep_stage(spark, tmp_path, capsys):
+    """--calibrated-keep 0.5: the per-source cut runs AFTER the global
+    floor and the census reports the stage; the kept pool is a strict
+    subset of the uncalibrated run's pool and every source that survived
+    the floor still has survivors (per-source calibration can't wipe
+    out a whole source the way a global cut can)."""
+    import json as _json
+
+    from the_movie_database_import_spark.corpus.__main__ import main
+
+    out_a = str(tmp_path / "plain")
+    assert main([SF_DIR, "--out", out_a, "--n-shards", "2"]) == 0
+    census_a = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out_b = str(tmp_path / "calibrated")
+    assert (
+        main([SF_DIR, "--out", out_b, "--n-shards", "2",
+              "--calibrated-keep", "0.5"])
+        == 0
+    )
+    census_b = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert "docs_after_calibrated_keep" in census_b
+    assert 0 < census_b["docs_kept"] < census_a["docs_kept"]
+    a_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_a}/shards").select("doc_id").collect()
+    }
+    b_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_b}/shards").select("doc_id").collect()
+    }
+    assert b_ids < a_ids  # strict subset: the stage only removes

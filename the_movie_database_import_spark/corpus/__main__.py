@@ -58,6 +58,16 @@ def main(argv: list[str] | None = None) -> int:
         "(deterministic stand-in for external eval sets)",
     )
     parser.add_argument("--quality", type=float, default=0.6)
+    parser.add_argument(
+        "--calibrated-keep",
+        type=float,
+        default=0.0,
+        help="after the global quality floor, additionally keep only each "
+        "SOURCE's own top fraction by quality score (binary fraction, e.g. "
+        "0.25) — per-source calibration keeps the source mixture stable "
+        "while dropping each source's worst tail "
+        "(operators/curation.calibrated_quality_keep); 0 disables",
+    )
     parser.add_argument("--langs", default="en,de")
     parser.add_argument("--n-shards", type=int, default=8)
     parser.add_argument(
@@ -101,21 +111,36 @@ def main(argv: list[str] | None = None) -> int:
     bench = docs.filter(F.col("doc_id") % args.bench_mod == 0)
     corpus = docs.filter(
         (F.col("doc_id") % args.bench_mod != 0) & F.col("text").isNotNull()
-    ).select("doc_id", "text")
+    ).select("doc_id", "source", "text")
 
     clean = decontaminate(corpus, bench, n=3)
     red = clean.select(
-        "doc_id", redact_pii(F.col("text"))["redacted"].alias("text")
+        "doc_id", "source", redact_pii(F.col("text"))["redacted"].alias("text")
     )
     m = quality_metrics(F.col("text"))
     filtered = red.filter(
         (m["quality_score"] >= args.quality)
         & langid(F.col("text")).isin(*args.langs.split(","))
     )
+    n_calibrated = None
+    if args.calibrated_keep:
+        # Per-source calibrated cut on top of the global floor: the
+        # global threshold guards absolute quality, the calibrated stage
+        # guards the SOURCE MIXTURE (a systematically high-scoring source
+        # would otherwise dominate the survivor pool). Thresholds come
+        # from one (source, score-list) aggregate and broadcast back —
+        # no per-source window over data rows (the operator's contract).
+        from ..operators.curation import calibrated_quality_keep
+
+        cal_ids = calibrated_quality_keep(
+            filtered, keep_frac=args.calibrated_keep
+        ).select("doc_id")
+        filtered = filtered.join(cal_ids, "doc_id")
+        n_calibrated = filtered.count()
     keep_ids = exact_dedup(filtered).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    kept = filtered.join(keep_ids, "doc_id")
+    kept = filtered.join(keep_ids, "doc_id").select("doc_id", "text")
 
     span_stats = None
     if args.span_k:
@@ -207,6 +232,8 @@ def main(argv: list[str] | None = None) -> int:
         "out": args.out,
         "seconds": round(time.time() - t0, 2),
     }
+    if n_calibrated is not None:
+        census["docs_after_calibrated_keep"] = n_calibrated
     if span_stats is not None:
         census["span_tokens_in"] = span_stats["t_in"]
         census["span_tokens_kept"] = span_stats["t_kept"]
