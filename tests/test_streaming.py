@@ -618,3 +618,61 @@ def test_stream_span_dedup_matches_sequential_batches(spark, tmp_path):
     # via the anti join)
     side_df = spark.read.parquet(side)
     assert side_df.count() == side_df.distinct().count()
+
+
+def test_stream_cusum_matches_batch_operator(spark, tmp_path):
+    """Streaming CUSUM parity: split the events into 4 EVENT-TIME-ordered
+    chunks (CUSUM is sequential — unlike the totals test, arrival order
+    matters), stream one file per trigger, and assert each user's LAST
+    emission equals the batch prefix-min operator on all data."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.stats import cusum_per_key
+    from the_movie_database_import_spark.streaming.windows import (
+        _events_raw_schema,
+        stream_cusum,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter("ts IS NOT NULL")
+    days = [r[0] for r in ev.selectExpr("CAST(ts AS DATE) d").distinct().orderBy("d").collect()]
+    cuts = [days[len(days) // 4], days[len(days) // 2], days[3 * len(days) // 4]]
+    src = str(tmp_path / "events_by_time")
+    os.makedirs(src)
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts").cast("date") >= F.lit(lo))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts").cast("date") < F.lit(hi))
+        path = f"{src}/part{i}.parquet"
+        chunk.coalesce(1).write.parquet(path)
+        # the file source orders by modification time: force ascending
+        t = _time.time() + i * 10
+        for root, _, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long=False))
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    stream_out = run_to_memory(stream_cusum(raw), "t_cusum", "update").toPandas()
+    final = (
+        stream_out.sort_values("n_obs")
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    batch_out = (
+        cusum_per_key(ev, target=50.0, slack=10.0, threshold=1000.0)
+        .toPandas()
+    )
+    assert (stream_out.groupby("user_id").size() > 1).any(), (
+        "expected multiple emissions per user across micro-batches"
+    )
+    assert_frames_match(final, batch_out, "stream_cusum")

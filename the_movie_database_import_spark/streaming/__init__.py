@@ -13,6 +13,7 @@ from .windows import (  # noqa: F401
     dedup_within_watermark,
     interval_join_views_to_purchases,
     stateful_user_totals,
+    stream_cusum,
     stream_funnel,
     run_to_memory,
     run_to_parquet,

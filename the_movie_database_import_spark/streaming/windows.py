@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -515,4 +516,87 @@ def stream_span_dedup(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def stream_cusum(
+    events: DataFrame,
+    target: float = 50.0,
+    slack: float = 10.0,
+    threshold: float = 1000.0,
+    grid: float = 1e6,
+) -> DataFrame:
+    """Streaming Page-CUSUM drift detector ([ext] streaming twin of
+    `operators/stats.cusum_per_key`): per-user one-sided upper CUSUM
+    maintained in explicit keyed state across micro-batches via
+    ``applyInPandasWithState`` — the paging form of the batch census
+    ("this stream has drifted high") evaluated continuously instead of
+    at audit time.
+
+    State per key: ``(s_q, peak_q, n)`` in exact integer grid units —
+    cross-batch accumulation is associative integer math, so a key's
+    LAST emission equals the batch operator on the same data whenever
+    micro-batches arrive in event-time order (the file-source contract
+    the parity test constructs; out-of-order arrival degrades CUSUM the
+    same way it degrades any sequential detector — bound it upstream
+    with a watermarked sort or accept the approximation).
+
+    Within each batch the per-key rows vectorize through the SAME
+    prefix-min closed form the batch operator uses, seeded with the
+    carried-in s: ``s_i = Q_i - min(0, running-min Q)`` with
+    ``Q = s_carry + cumsum(x_q)`` — numpy int64 cumulative ops, no
+    Python row loop. Emits one ``(user_id, n_obs, cusum_final_q,
+    cusum_peak_q, alarm)`` row per key per batch (update mode)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    kq = int(target * grid) + int(slack * grid)
+    hq = int(threshold * grid)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_obs", LongType()),
+            StructField("cusum_final_q", LongType()),
+            StructField("cusum_peak_q", LongType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", LongType()),
+            StructField("peak", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        s, peak, n = state.get if state.exists else (0, 0, 0)
+        chunks = [p for p in pdfs]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(pdf):
+            pdf = pdf.dropna(subset=["ts", "value"]).sort_values(
+                ["ts", "event_id"]
+            )
+        if len(pdf):
+            xq = np.floor(pdf["value"].to_numpy() * 1e6).astype(np.int64) - kq
+            q = s + np.cumsum(xq)
+            m = np.minimum(np.minimum.accumulate(q), 0)
+            sv = q - m
+            s = int(sv[-1])
+            peak = max(peak, int(sv.max()))
+            n += len(pdf)
+        state.update((s, peak, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "cusum_final_q": [s],
+                "cusum_peak_q": [peak],
+                "alarm": [peak >= hq],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
