@@ -823,3 +823,54 @@ def test_interpolate_linear_single_exchange(spark):
     # that every exchange is user-keyed.
     assert all(g.startswith("user_id") for g in groups), groups
     assert plan.count("Window ") == 1, "both neighbor lookups fuse into one window op"
+
+
+# ------------------------------------------------------ linear attribution
+
+
+def test_attribution_linear_hand_case(spark):
+    """view, click, view then purchase(12): each of the 3 touch
+    OCCURRENCES earns 4 (view gets 8 across its two copies but counts
+    the conversion ONCE); a leading purchase credits '(none)' in full;
+    value conservation holds across the census."""
+    from the_movie_database_import_spark.operators.analytics import (
+        attribution_linear,
+    )
+
+    rows = [
+        (1, 1, _ts(0), "view", 0.0),
+        (2, 1, _ts(1), "click", 0.0),
+        (3, 1, _ts(2), "view", 0.0),
+        (4, 1, _ts(3), "purchase", 12.0),
+        (5, 2, _ts(0), "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["touch_type"]: r for r in attribution_linear(df).collect()}
+    assert set(got) == {"view", "click", "(none)"}
+    assert got["view"]["credited_value"] == pytest.approx(8.0)
+    assert got["view"]["n_conversions_touched"] == 1  # once, despite 2 shares
+    assert got["click"]["credited_value"] == pytest.approx(4.0)
+    assert got["(none)"]["credited_value"] == pytest.approx(7.0)
+    total = sum(r["credited_value"] for r in got.values())
+    assert total == pytest.approx(19.0)  # conservation
+
+
+def test_attribution_linear_conserves_value_on_testdata(spark):
+    """Census credit sums exactly to the raw converted value — the
+    invariant equal-split attribution must keep whatever the paths look
+    like."""
+    from the_movie_database_import_spark.operators.analytics import (
+        attribution_linear,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = attribution_linear(events).collect()
+    got = sum(r["credited_value"] for r in rows)
+    want = duckdb.sql(
+        f"SELECT SUM(value) FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type = 'purchase' AND ts IS NOT NULL"
+    ).fetchone()[0]
+    assert got == pytest.approx(want, rel=1e-9)

@@ -759,3 +759,74 @@ def interpolate_linear(
             prev["y"] + (nxt["y"] - prev["y"]) * frac,
         ),
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """LINEAR (equal-split) multi-touch attribution census — the
+    fairness-motivated counterpart of :func:`attribution_last_touch`:
+    each conversion's value splits EQUALLY across every non-conversion
+    touch that preceded it in the same key's stream (each touch
+    OCCURRENCE earns one share, so a channel touched twice earns two
+    shares of that conversion). Conversions with no prior touch credit
+    ``'(none)'`` in full. Returns ``(touch_type, n_conversions_touched,
+    credited_value)``; n_conversions_touched counts conversions that
+    credited the type at least once.
+
+    Engine shape: ONE key-keyed window builds each conversion's
+    prior-touch multiset as an in-row ``collect_list`` over the
+    unbounded-preceding .. 1-preceding frame (bounded by the key's own
+    history — the funnel/sessionize per-entity envelope). The share
+    (value / multiset size) and a per-type FIRST-OCCURRENCE flag both
+    compute in-row (``array_position(t, x) == position`` marks the
+    first copy), so ONE explode feeds ONE census aggregate — no second
+    pass, no join, no distinct shuffle for the conversion count.
+    Equal-split shares are one IEEE division replayed identically by
+    the oracle; the census SUM rounds on both sides (float-sum
+    accumulation order differs across engines).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touches = F.collect_list(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    ).over(w)
+    conv = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.col(type_col), F.col(value_col), touches.alias("_raw"))
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(value_col),
+            F.when(F.size("_raw") > 0, F.col("_raw"))
+            .otherwise(F.array(F.lit("(none)")))
+            .alias("_t"),
+        )
+    )
+    # per element: (type, share, is_first_occurrence_in_this_conversion)
+    credits = conv.select(
+        F.explode(
+            F.transform(
+                F.col("_t"),
+                lambda x, i: F.struct(
+                    x.alias("touch_type"),
+                    (F.col(value_col) / F.size("_t")).alias("share"),
+                    (F.array_position(F.col("_t"), x) == i + 1)
+                    .cast("bigint")
+                    .alias("first"),
+                ),
+            )
+        ).alias("_c")
+    )
+    return credits.groupBy(F.col("_c.touch_type").alias("touch_type")).agg(
+        F.sum("_c.first").alias("n_conversions_touched"),
+        F.sum("_c.share").alias("credited_value"),
+    )

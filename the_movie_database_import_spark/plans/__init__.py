@@ -54,7 +54,6 @@ DRIVER_WINDOW = [
     "q_agg_multi",
     "q_pandas_udf_grouped_agg",
     "q_dedup_clusters",
-    "q_union_all",
     "q_token_count",
     "q_multimodal_frame_sample",
     "q_text_vocab_coverage",
@@ -120,6 +119,10 @@ DRIVER_WINDOW = [
                                  # resample_daily's ffill); slot freed by
                                  # q_text_chunks -> tail (q_pack_greedy keeps
                                  # chunk/pack in-window)
+    "q_attribution_linear",      # equal-split multi-touch credit (sibling
+                                 # of last_touch); slot freed by q_union_all
+                                 # -> tail (union_distinct/except/intersect
+                                 # hold r07 rows + local parity)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -186,6 +189,7 @@ TAIL_PRIORITY = [
     "q_text_jaccard_pairs",   # near-dup reps spans/clusters/syndication in-window
     "q_sample_split",         # split rep q_split_leakage_safe in-window
     "q_text_chunks",          # chunk/pack rep q_pack_greedy in-window
+    "q_union_all",            # set-op family: r07 rows on distinct/except/intersect
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -655,3 +655,54 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "value_interp",
     )
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+    WITH raw AS (
+        SELECT event_type, value,
+               list(event_type)
+                   FILTER (WHERE event_type <> 'purchase')
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS t
+        FROM events WHERE ts IS NOT NULL
+    ),
+    conv AS (
+        SELECT value,
+               CASE WHEN t IS NULL OR len(t) = 0
+                    THEN ['(none)'] ELSE t END AS t
+        FROM raw WHERE event_type = 'purchase'
+    ),
+    cr AS (
+        SELECT t[i] AS touch_type,
+               value / len(t) AS share,
+               CASE WHEN list_position(t, t[i]) = i THEN 1 ELSE 0 END
+                 AS is_first
+        FROM conv, unnest(generate_series(1, len(t))) AS g(i)
+    )
+    SELECT touch_type,
+           CAST(SUM(is_first) AS BIGINT) AS n_conversions_touched,
+           ROUND(SUM(share), 4) AS credited_value
+    FROM cr GROUP BY touch_type
+    """,
+    tags=("stats", "events", "window", "ext"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-split multi-touch attribution census (north star
+    `attribution_linear`): each purchase's value splits equally across
+    every prior touch occurrence of the same user; '(none)' takes full
+    credit for organic conversions. One user-keyed window builds the
+    prior-touch multiset in-row; share and first-occurrence flag compute
+    in-row, so ONE explode feeds ONE census aggregate — no join, no
+    distinct shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.analytics import attribution_linear
+
+    a = attribution_linear(events, conversion_type="purchase")
+    return a.select(
+        "touch_type",
+        "n_conversions_touched",
+        F.round("credited_value", 4).alias("credited_value"),
+    )

@@ -75,6 +75,7 @@ QUERIES = [
     "q_source_syndication",
     "q_conversion_latency",
     "q_resample_interpolate",
+    "q_attribution_linear",
     "q_pipeline_end_to_end",
 ]
 
