@@ -840,3 +840,15 @@ def test_golden_record_is_one_aggregate_no_window(spark):
     assert "Window" not in plan
     for j in ("SortMergeJoin", "BroadcastHashJoin"):
         assert j not in plan
+
+
+def test_local_supplier_volume_all_broadcast_one_exchange(spark):
+    """TPC-H Q5 analog: five broadcast joins (two dimension paths meeting
+    on nationhood), zero sort-merge joins, one final-aggregate exchange,
+    and the date range pushed to the orders parquet scan."""
+    plan = _plan(spark, "q_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
+    assert len(groups) == 1 and groups[0].startswith("n_name"), groups
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)

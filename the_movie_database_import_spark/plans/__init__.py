@@ -56,7 +56,6 @@ DRIVER_WINDOW = [
     "q_dedup_clusters",
     "q_token_count",
     "q_multimodal_frame_sample",
-    "q_text_vocab_coverage",
     "q_split_leakage_safe",
     "q_sql_shared_text",
     "q_pack_greedy",
@@ -123,6 +122,11 @@ DRIVER_WINDOW = [
                                  # of last_touch); slot freed by q_union_all
                                  # -> tail (union_distinct/except/intersect
                                  # hold r07 rows + local parity)
+    "q_local_supplier_volume",   # TPC-H Q5 analog: two dim paths meet on
+                                 # nationhood, 5 broadcasts, one exchange;
+                                 # slot freed by q_text_vocab_coverage ->
+                                 # tail (q_token_count keeps text censuses
+                                 # in-window)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -190,6 +194,7 @@ TAIL_PRIORITY = [
     "q_sample_split",         # split rep q_split_leakage_safe in-window
     "q_text_chunks",          # chunk/pack rep q_pack_greedy in-window
     "q_union_all",            # set-op family: r07 rows on distinct/except/intersect
+    "q_text_vocab_coverage",  # text-census rep q_token_count in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

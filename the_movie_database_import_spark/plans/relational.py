@@ -1038,3 +1038,73 @@ def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(q, 2).alias("qty_p50_approx"),
         F.element_at(q, 3).alias("qty_p75_approx"),
     )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "star"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog — revenue per nation where the LINE ITEM'S
+    SUPPLIER sits in the same nation as the ordering customer (the
+    'local supplier volume' question): structurally harder than the
+    plain star because TWO dimension paths (order→customer and
+    line→supplier) must MEET on nationhood, not just decorate the fact.
+    The fact never shuffles for joins at test SF: every dimension is
+    broadcast-hinted and the date-filtered orders side is small enough
+    that AQE broadcasts it too (plan-pinned: 5 BroadcastHashJoins, zero
+    SortMergeJoin, ONE exchange — the final per-nation aggregate); at
+    100 TB the lineitem-orders edge becomes a co-keyed shuffle join (or
+    zero-shuffle via the bucketed-table twin, sources/writers
+    .write_bucketed). The same-nation predicate rides the supplier join
+    condition; the date range reaches the orders scan as PushedFilters
+    with a three-column pruned ReadSchema."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # cast the range literals to the column's OWN dtype (the testdata's
+    # timestamp encoding has flipped across generations — events.ts
+    # precedent) so the comparison stays a pushable column-vs-literal
+    dd = dict(orders.dtypes)["o_orderdate"]
+    orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(dd))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast(dd))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _sumd(
+                _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
