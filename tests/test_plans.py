@@ -852,3 +852,18 @@ def test_local_supplier_volume_all_broadcast_one_exchange(spark):
     groups = re.findall(r"Exchange hashpartitioning\(([^,)#]*)", plan)
     assert len(groups) == 1 and groups[0].startswith("n_name"), groups
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_q6_pure_scan_all_filters_pushed(spark):
+    """TPC-H Q6 analog: no join anywhere, exactly the four referenced
+    columns in ReadSchema, every predicate pushed to the parquet scan,
+    and the only exchange is the single-partition gather of partial
+    aggregates."""
+    plan = _plan(spark, "q_revenue_change_q6")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "PushedFilters: [IsNotNull" in plan

@@ -49,7 +49,6 @@ DRIVER_WINDOW = [
     # --- rotated in: newest driver rows were r05-era (VERDICT r07 #1) ---
     "q_join_semi",
     "q_topk_global",
-    "q_dedup_first_event",
     "q_stateful_user_totals",
     "q_agg_multi",
     "q_pandas_udf_grouped_agg",
@@ -127,6 +126,11 @@ DRIVER_WINDOW = [
                                  # slot freed by q_text_vocab_coverage ->
                                  # tail (q_token_count keeps text censuses
                                  # in-window)
+    "q_revenue_change_q6",       # TPC-H Q6 analog: the pure pushed-filter
+                                 # scan; slot freed by q_dedup_first_event ->
+                                 # tail (stateful_user_totals keeps streaming
+                                 # in-window; sliding/session/watermark hold
+                                 # r07 rows)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -195,6 +199,7 @@ TAIL_PRIORITY = [
     "q_text_chunks",          # chunk/pack rep q_pack_greedy in-window
     "q_union_all",            # set-op family: r07 rows on distinct/except/intersect
     "q_text_vocab_coverage",  # text-census rep q_token_count in-window
+    "q_dedup_first_event",    # streaming rep q_stateful_user_totals in-window
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -1108,3 +1108,46 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q_revenue_change_q6",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE)
+             AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("scan", "agg"),
+)
+def q_revenue_change_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog — the forecasting-revenue-change question and the
+    canon's PURE-SCAN member: no join, no window; the entire query is
+    four pushable predicates and one global decimal-exact aggregate, so
+    the plan's only costs are row-group-pruned parquet IO and a
+    single-partition exchange of one partial row per task. Date, band,
+    and quantity filters all reach the scan as PushedFilters (parquet
+    min/max prunes whole row groups); ReadSchema carries exactly the
+    four referenced columns. At 100 TB this shape is pure IO bandwidth —
+    the query every storage-layout decision (partitioning, Z-order) is
+    ultimately judged by."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sd = dict(lineitem.dtypes)["l_shipdate"]
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast(sd))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast(sd))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sumd(_dec("l_extendedprice") * _dec("l_discount")).alias(
+            "revenue_delta"
+        ),
+    )
