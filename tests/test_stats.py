@@ -874,3 +874,36 @@ def test_attribution_linear_conserves_value_on_testdata(spark):
         "WHERE event_type = 'purchase' AND ts IS NOT NULL"
     ).fetchone()[0]
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_conversion_by_deadline_hand_case(spark):
+    """Three eligible users (view-first), latencies 30 min / 5 h / none:
+    the curve is monotone in the deadline, the denominator counts every
+    view-first user (converted or not), and a purchase-only user is not
+    eligible."""
+    from the_movie_database_import_spark.operators.analytics import (
+        conversion_by_deadline,
+    )
+
+    rows = [
+        (1, 1, _ts(0), "view"),
+        (2, 1, _ts(1800), "purchase"),       # 30 min
+        (3, 2, _ts(0), "view"),
+        (4, 2, _ts(5 * 3600), "purchase"),   # 5 h
+        (5, 3, _ts(0), "view"),              # never converts
+        (6, 4, _ts(0), "purchase"),          # no view: not eligible
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["deadline_hours"]: r
+        for r in conversion_by_deadline(df, deadlines_hours=(1, 6, 24)).collect()
+    }
+    assert set(got) == {1, 6, 24}
+    assert all(r["n_eligible"] == 3 for r in got.values())
+    assert got[1]["n_converted_within"] == 1
+    assert got[6]["n_converted_within"] == 2
+    assert got[24]["n_converted_within"] == 2
+    assert got[1]["rate"] == pytest.approx(1 / 3)
+    assert got[24]["rate"] == pytest.approx(2 / 3)

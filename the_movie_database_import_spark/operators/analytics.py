@@ -830,3 +830,90 @@ def attribution_linear(
         F.sum("_c.first").alias("n_conversions_touched"),
         F.sum("_c.share").alias("credited_value"),
     )
+
+
+def conversion_by_deadline(
+    events: DataFrame,
+    deadlines_hours: tuple[int, ...] = (1, 6, 24, 168),
+    from_type: str = "view",
+    to_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-rate-by-deadline curve: of the users who emitted a
+    first ``from_type`` event, what fraction converted (first
+    ``to_type`` strictly after it) within 1 h / 6 h / 24 h / 7 d —
+    the deadline-budget view of :func:`conversion_latency`'s quartiles
+    (product asks "what do we lose with a 24-hour offer window", not
+    "what's the median"). Returns one row per deadline:
+    ``(deadline_hours, n_converted_within, n_eligible, rate)``.
+
+    Engine shape: the same single user-keyed exchange as
+    `conversion_latency` (conditional-MIN window + per-user aggregate);
+    all deadlines evaluate as CONDITIONAL SUMS in one global aggregate
+    over the one-row-per-user frame (no per-deadline pass, no join —
+    K deadlines are K codegen branches), and the K-row curve is an
+    in-row explode of that single result row. The eligible-user
+    denominator (distinct users with any ``from_type``) rides the same
+    windowed frame as a conditional countDistinct. ``rate`` is one
+    division of two exact counts — deterministic IEEE, rounded only in
+    the oracle-compared query layer.
+    """
+    us = _epoch_us(events, ts_col)
+    w = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_from = F.min(F.when(F.col(type_col) == from_type, us)).over(w)
+    base = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(type_col),
+        us.alias("_us"),
+        first_from.alias("_ff"),
+    )
+    per_user = base.groupBy(key_col).agg(
+        F.max(F.col("_ff").isNotNull()).alias("_eligible"),
+        F.min(
+            F.when(
+                (F.col(type_col) == to_type)
+                & F.col("_ff").isNotNull()
+                & (F.col("_us") > F.col("_ff")),
+                F.col("_us") - F.col("_ff"),
+            )
+        ).alias("_lat_us"),
+    )
+    sums = [F.count(F.when(F.col("_eligible"), F.lit(1))).alias("n_eligible")]
+    for d in deadlines_hours:
+        sums.append(
+            F.count(
+                F.when(
+                    F.col("_eligible")
+                    & (F.col("_lat_us") <= F.lit(int(d) * 3_600_000_000)),
+                    F.lit(1),
+                )
+            ).alias(f"_w{d}")
+        )
+    one = per_user.agg(*sums)
+    curve = one.select(
+        "n_eligible",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(d)).cast("bigint").alias("deadline_hours"),
+                        F.col(f"_w{d}").alias("n_converted_within"),
+                    )
+                    for d in deadlines_hours
+                ]
+            )
+        ).alias("_c"),
+    )
+    return curve.select(
+        F.col("_c.deadline_hours").alias("deadline_hours"),
+        F.col("_c.n_converted_within").alias("n_converted_within"),
+        F.col("n_eligible"),
+        (
+            F.col("_c.n_converted_within").cast("double")
+            / F.col("n_eligible").cast("double")
+        ).alias("rate"),
+    )

@@ -48,7 +48,6 @@ DRIVER_WINDOW = [
     "q_pipeline_end_to_end",     # composite gains the span-dedup stage
     # --- rotated in: newest driver rows were r05-era (VERDICT r07 #1) ---
     "q_join_semi",
-    "q_topk_global",
     "q_stateful_user_totals",
     "q_agg_multi",
     "q_pandas_udf_grouped_agg",
@@ -131,6 +130,11 @@ DRIVER_WINDOW = [
                                  # tail (stateful_user_totals keeps streaming
                                  # in-window; sliding/session/watermark hold
                                  # r07 rows)
+    "q_conversion_by_deadline",  # deadline-budget conversion curve; slot
+                                 # freed by q_topk_global -> tail (every
+                                 # TakeOrderedAndProject query — bm25,
+                                 # similarity top-k — exercises the shape;
+                                 # topk_per_group holds an r07 row)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -200,6 +204,7 @@ TAIL_PRIORITY = [
     "q_union_all",            # set-op family: r07 rows on distinct/except/intersect
     "q_text_vocab_coverage",  # text-census rep q_token_count in-window
     "q_dedup_first_event",    # streaming rep q_stateful_user_totals in-window
+    "q_topk_global",          # sort/limit: TakeOrderedAndProject shape everywhere
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -706,3 +706,64 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_conversions_touched",
         F.round("credited_value", 4).alias("credited_value"),
     )
+
+
+@register(
+    "q_conversion_by_deadline",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id) AS ff
+        FROM events WHERE ts IS NOT NULL
+    ),
+    per_user AS (
+        SELECT user_id,
+               MAX(ff IS NOT NULL) AS eligible,
+               MIN(CASE WHEN event_type = 'purchase' AND ff IS NOT NULL
+                             AND us > ff
+                        THEN us - ff END) AS lat_us
+        FROM e GROUP BY user_id
+    ),
+    one AS (
+        SELECT CAST(COUNT(CASE WHEN eligible THEN 1 END) AS BIGINT)
+                 AS n_eligible,
+               CAST(COUNT(CASE WHEN eligible
+                                AND lat_us <= 1 * 3600000000
+                               THEN 1 END) AS BIGINT) AS w1,
+               CAST(COUNT(CASE WHEN eligible
+                                AND lat_us <= 6 * 3600000000
+                               THEN 1 END) AS BIGINT) AS w6,
+               CAST(COUNT(CASE WHEN eligible
+                                AND lat_us <= 24 * 3600000000
+                               THEN 1 END) AS BIGINT) AS w24,
+               CAST(COUNT(CASE WHEN eligible
+                                AND lat_us <= 168 * 3600000000
+                               THEN 1 END) AS BIGINT) AS w168
+        FROM per_user
+    )
+    SELECT d.deadline_hours, d.n_converted_within, one.n_eligible,
+           ROUND(CAST(d.n_converted_within AS DOUBLE)
+                 / CAST(one.n_eligible AS DOUBLE), 6) AS rate
+    FROM one, LATERAL (
+        VALUES (CAST(1 AS BIGINT), w1), (6, w6), (24, w24), (168, w168)
+    ) AS d(deadline_hours, n_converted_within)
+    """,
+    tags=("stats", "events", "analytics", "ext"),
+)
+def q_conversion_by_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-rate-by-deadline curve (north star
+    `conversion_by_deadline`): fraction of first-view users converting
+    within 1 h / 6 h / 24 h / 7 d. Same single user exchange as the
+    latency quartiles; all deadlines are conditional counts in ONE
+    global aggregate, exploded in-row to the K-row curve."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.analytics import conversion_by_deadline
+
+    c = conversion_by_deadline(events)
+    return c.select(
+        "deadline_hours",
+        "n_converted_within",
+        "n_eligible",
+        F.round("rate", 6).alias("rate"),
+    )

@@ -76,6 +76,7 @@ QUERIES = [
     "q_conversion_latency",
     "q_resample_interpolate",
     "q_attribution_linear",
+    "q_conversion_by_deadline",
     "q_pipeline_end_to_end",
 ]
 
