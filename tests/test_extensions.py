@@ -1957,3 +1957,68 @@ def test_source_syndication_matches_bruteforce(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_substring_search_equals_naive_scan(spark):
+    """The trigram prefilter is NECESSARY (every true match contains all
+    pattern trigrams) and verification is SUFFICIENT — so the
+    accelerated path equals the naive contains() scan on the real
+    corpus, for several patterns including one with zero matches."""
+    from the_movie_database_import_spark.operators.dedup import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = build_trigram_index(docs).cache()
+    try:
+        for pat in ("vector merge", "stream window", "zzz-not-present"):
+            got = {
+                r["doc_id"]
+                for r in substring_search(docs, idx, pat).collect()
+            }
+            want = {
+                r["doc_id"]
+                for r in docs.filter(
+                    F.col("text").isNotNull() & F.col("text").contains(pat)
+                ).collect()
+            }
+            assert got == want, pat
+    finally:
+        idx.unpersist()
+
+
+def test_substring_search_short_pattern_falls_back(spark):
+    """Patterns under 3 chars have no trigram to prune on: the operator
+    falls back to the naive scan (correct, just unaccelerated)."""
+    from the_movie_database_import_spark.operators.dedup import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None)],
+        "doc_id long, text string",
+    )
+    idx = build_trigram_index(docs)
+    got = {r["doc_id"] for r in substring_search(docs, idx, "mm").collect()}
+    assert got == {2}
+
+
+def test_substring_search_candidate_pruning_is_tight(spark):
+    """A document containing every pattern trigram but NOT the pattern
+    (trigrams scattered) survives pruning and is then rejected by
+    verification — the case that separates the two stages."""
+    from the_movie_database_import_spark.operators.dedup import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    # pattern 'abcd' -> trigrams {abc, bcd}; doc 2 has both, not 'abcd'
+    docs = spark.createDataFrame(
+        [(1, "xx abcd yy"), (2, "abc then bcd"), (3, "nothing")],
+        "doc_id long, text string",
+    )
+    idx = build_trigram_index(docs)
+    got = {r["doc_id"] for r in substring_search(docs, idx, "abcd").collect()}
+    assert got == {1}

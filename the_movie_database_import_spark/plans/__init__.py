@@ -55,7 +55,6 @@ DRIVER_WINDOW = [
     "q_token_count",
     "q_multimodal_frame_sample",
     "q_split_leakage_safe",
-    "q_sql_shared_text",
     "q_pack_greedy",
     "q_text_redact_pii",
     # --- new r08 session-3 operators (never driver-checked): the six
@@ -135,6 +134,11 @@ DRIVER_WINDOW = [
                                  # TakeOrderedAndProject query — bm25,
                                  # similarity top-k — exercises the shape;
                                  # topk_per_group holds an r07 row)
+    "q_substring_search_trgm",   # pg_trgm LIKE acceleration (prune via
+                                 # trigram index, verify candidates only);
+                                 # slot freed by q_sql_shared_text -> tail
+                                 # (q_sql_shared_window holds an r07 row and
+                                 # the SQL front door is sink-tested)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -205,6 +209,7 @@ TAIL_PRIORITY = [
     "q_text_vocab_coverage",  # text-census rep q_token_count in-window
     "q_dedup_first_event",    # streaming rep q_stateful_user_totals in-window
     "q_topk_global",          # sort/limit: TakeOrderedAndProject shape everywhere
+    "q_sql_shared_text",      # SQL front door: shared_window r07 row + sink test
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -2319,3 +2319,33 @@ def q_source_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_syndication_census(docs)
+
+
+# Substring-search pattern for the trigram-index query: a mid-frequency
+# bigram phrase of the synthetic vocabulary (26 matching docs at sf0.01)
+# so both the pruning and the verification branch do real work.
+_TRGM_PATTERN = "vector merge"
+
+
+@register(
+    "q_substring_search_trgm",
+    oracle=f"""
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL AND contains(text, '{_TRGM_PATTERN}')
+    """,
+    tags=("text", "search", "ext"),
+)
+def q_substring_search_trgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-accelerated LIKE '%pattern%' (north star
+    `substring_search`, the pg_trgm recipe): the index prunes to
+    documents containing EVERY pattern trigram, exact `contains`
+    verifies only candidates — byte-for-byte equal to the naive scan
+    the oracle runs, without reading the whole corpus per query. The
+    index build is in-plan here (the registry query must be
+    self-contained); production stores it once, bucketed on trigram
+    (sources/writers.write_bucketed), and amortizes it across queries."""
+    from ..operators.dedup import build_trigram_index, substring_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_trigram_index(docs)
+    return substring_search(docs, idx, _TRGM_PATTERN)

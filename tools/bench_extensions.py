@@ -77,6 +77,7 @@ QUERIES = [
     "q_resample_interpolate",
     "q_attribution_linear",
     "q_conversion_by_deadline",
+    "q_substring_search_trgm",
     "q_pipeline_end_to_end",
 ]
 
