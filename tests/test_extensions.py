@@ -2022,3 +2022,41 @@ def test_substring_search_candidate_pruning_is_tight(spark):
     idx = build_trigram_index(docs)
     got = {r["doc_id"] for r in substring_search(docs, idx, "abcd").collect()}
     assert got == {1}
+
+
+def test_resolve_entities_hand_case(spark):
+    """Transitivity is the point: 'anna' ~ 'annna' ~ 'annnax'? No —
+    build a chain a~b, b~c where a,c are 2 edits apart: all three
+    resolve to ONE entity under min-id survivorship; an unrelated name
+    stays a singleton; duplicates of the same name collapse too."""
+    from the_movie_database_import_spark.operators.fuzzy import resolve_entities
+
+    rows = [
+        (1, "anna"),
+        (2, "annna"),   # 1 edit from anna
+        (3, "aannna"),  # 1 edit from annna, 2 from anna -> transitive
+        (4, "zzz-unrelated"),
+        (5, "anna"),    # exact duplicate
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {r["entity_id"]: r for r in resolve_entities(df).collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["n_members"] == 4
+    assert got[1]["canonical_name"] == "anna"
+    assert got[4]["n_members"] == 1
+
+
+def test_resolve_entities_covers_every_input_row(spark):
+    """Member counts sum to the input row count — singletons included,
+    nothing dropped, nothing double-assigned."""
+    from the_movie_database_import_spark.operators.fuzzy import resolve_entities
+
+    cust = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    n_in = cust.count()
+    rows = resolve_entities(cust).collect()
+    assert sum(r["n_members"] for r in rows) == n_in
+    assert len({r["entity_id"] for r in rows}) == len(rows)

@@ -169,3 +169,53 @@ def hot_variants(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > max_block)
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_block: int = 64,
+) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION composite — the three-family compose
+    a master-data pipeline runs on a dirty entity table: (1) candidate
+    pairing by :func:`fuzzy_pairs_edit1` (edit-distance <= 1 via
+    symmetric-delete blocking — no name self-join), (2) transitive
+    closure by ``dedup.connected_components`` min-label propagation
+    (a <-> b <-> c merge even when a,c differ by 2 edits — the
+    by-design transitivity of record linkage), (3) survivorship: one
+    row per resolved entity, ``(entity_id, n_members, canonical_name)``
+    with the MINIMUM member id as the stable entity id and its name as
+    canonical (the dedup family's first-occurrence convention).
+    Singletons resolve to themselves, so the output covers the whole
+    input.
+
+    Scale shape = the sum of its proven parts: variant-keyed candidate
+    join (hot-block capped), a handful of label-propagation rounds
+    (each one shuffle-join over ids only), and a final ids-keyed
+    aggregate + one join back to names. Names never ride the iteration
+    — only 8-byte ids."""
+    from .dedup import connected_components
+
+    pairs = fuzzy_pairs_edit1(
+        df, id_col=id_col, name_col=name_col, max_block=max_block
+    )
+    nodes = df.select(F.col(id_col).alias("node"))
+    labels = connected_components(
+        nodes, pairs.select("id_a", "id_b"), src_col="id_a", dst_col="id_b"
+    )
+    members = labels.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_rep").alias("entity_id")
+    )
+    sizes = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    names = df.select(F.col(id_col).alias("entity_id"), F.col(name_col))
+    return (
+        sizes.join(names, "entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            F.col(name_col).alias("canonical_name"),
+        )
+    )

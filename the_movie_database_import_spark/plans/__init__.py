@@ -51,7 +51,6 @@ DRIVER_WINDOW = [
     "q_stateful_user_totals",
     "q_agg_multi",
     "q_pandas_udf_grouped_agg",
-    "q_dedup_clusters",
     "q_token_count",
     "q_multimodal_frame_sample",
     "q_split_leakage_safe",
@@ -139,6 +138,11 @@ DRIVER_WINDOW = [
                                  # slot freed by q_sql_shared_text -> tail
                                  # (q_sql_shared_window holds an r07 row and
                                  # the SQL front door is sink-tested)
+    "q_entity_resolution",       # fuzzy-pair -> connected-components ->
+                                 # survivorship composite; slot freed by
+                                 # q_dedup_clusters -> tail (the composite
+                                 # RUNS connected_components, so the
+                                 # component keeps driver coverage)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -210,6 +214,8 @@ TAIL_PRIORITY = [
     "q_dedup_first_event",    # streaming rep q_stateful_user_totals in-window
     "q_topk_global",          # sort/limit: TakeOrderedAndProject shape everywhere
     "q_sql_shared_text",      # SQL front door: shared_window r07 row + sink test
+    "q_dedup_clusters",       # connected_components driver-covered via
+                              # q_entity_resolution (same operator)
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

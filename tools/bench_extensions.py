@@ -78,6 +78,7 @@ QUERIES = [
     "q_attribution_linear",
     "q_conversion_by_deadline",
     "q_substring_search_trgm",
+    "q_entity_resolution",
     "q_pipeline_end_to_end",
 ]
 
