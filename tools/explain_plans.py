@@ -215,6 +215,20 @@ SHOWCASES = [
         "numerator aggregate share one user-keyed exchange; the quantized "
         "numerator makes the result partition- and order-invariant.",
     ),
+    (
+        "q_local_supplier_volume",
+        "TPC-H Q5 analog: two dimension paths (order->customer, "
+        "line->supplier) meet on nationhood — five broadcast joins, zero "
+        "sort-merge, one final-aggregate exchange, date range pushed to "
+        "the orders scan with a three-column ReadSchema.",
+    ),
+    (
+        "q_revenue_change_q6",
+        "TPC-H Q6 analog: the pure pushed-filter scan — no join, no "
+        "window; four predicates in PushedFilters, a four-column "
+        "ReadSchema, and a single-partition gather of per-task partial "
+        "aggregates. At 100 TB this query IS the storage layout.",
+    ),
 ]
 
 
