@@ -907,3 +907,46 @@ def test_conversion_by_deadline_hand_case(spark):
     assert got[24]["n_converted_within"] == 2
     assert got[1]["rate"] == pytest.approx(1 / 3)
     assert got[24]["rate"] == pytest.approx(2 / 3)
+
+
+# ---------------------------------------------------- temporal dim join
+
+
+def test_temporal_dim_join_hand_case(spark):
+    """Each fact row joins the version covering ITS timestamp: a fact
+    inside version 1 gets v1 even though v2 exists by query time; a
+    fact at exactly a version boundary joins the NEW version (inclusive
+    from, exclusive to); a fact before the first version keeps NULLs
+    (left join); at most one match per fact."""
+    from the_movie_database_import_spark.operators.analytics import (
+        scd2_history,
+        temporal_dimension_join,
+    )
+
+    attr = spark.createDataFrame(
+        [
+            (1, 1, _ts(10), "bronze"),
+            (2, 1, _ts(20), "gold"),
+        ],
+        "event_id long, user_id long, ts timestamp, tier string",
+    )
+    hist = scd2_history(attr, attr_col="tier").drop("is_current")
+    fact = spark.createDataFrame(
+        [
+            (100, 1, _ts(5)),    # before any version -> NULL
+            (101, 1, _ts(15)),   # inside v1 -> bronze
+            (102, 1, _ts(20)),   # boundary -> gold (exclusive upper)
+            (103, 1, _ts(99)),   # open current interval -> gold
+        ],
+        "fid long, user_id long, ts timestamp",
+    )
+    got = {
+        r["fid"]: (r["dim_value"], r["dim_version"])
+        for r in temporal_dimension_join(fact, hist, "user_id", "ts").collect()
+    }
+    assert got == {
+        100: (None, None),
+        101: ("bronze", 1),
+        102: ("gold", 2),
+        103: ("gold", 2),
+    }

@@ -917,3 +917,44 @@ def conversion_by_deadline(
             / F.col("n_eligible").cast("double")
         ).alias("rate"),
     )
+
+
+def temporal_dimension_join(
+    fact: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """FACT-TO-SCD2 temporal join — the warehouse classic every star
+    schema with versioned dimensions needs: each fact row joins the
+    dimension VERSION whose validity interval covers the fact's event
+    time (``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)``),
+    so revenue booked in March joins March's customer tier even when
+    the tier changed in April. ``history`` is :func:`scd2_history`
+    output (non-overlapping per-key intervals — at most one match per
+    fact row, the invariant scd2's tests pin); ``how='left'`` keeps
+    facts that predate the dimension's first version (NULL attributes —
+    dropping them silently is the classic temporal-join bug).
+
+    Engine shape: an equi-join on the entity key carrying the interval
+    predicates in the join condition — both sides shuffle ONCE on the
+    key, and within a key the version list is small (bounded by that
+    entity's change count — the SCD2 envelope), so the per-key interval
+    scan is constants. No window over the fact side, no explode of
+    intervals. At 100 TB the dimension side is vastly smaller than the
+    fact and broadcasts (AQE or hint) — the fact then never shuffles
+    at all.
+    """
+    f, h = fact.alias("_f"), history.alias("_h")
+    ts = F.col(f"_f.{ts_col}")
+    cond = (
+        (F.col(f"_f.{key_col}") == F.col(f"_h.{key_col}"))
+        & (F.col("_h.valid_from") <= ts)
+        & (F.col("_h.valid_to").isNull() | (ts < F.col("_h.valid_to")))
+    )
+    return f.join(h, cond, how).select(
+        "_f.*",
+        F.col("_h.value").alias("dim_value"),
+        F.col("_h.version").alias("dim_version"),
+    )

@@ -54,7 +54,6 @@ DRIVER_WINDOW = [
     "q_token_count",
     "q_multimodal_frame_sample",
     "q_split_leakage_safe",
-    "q_pack_greedy",
     "q_text_redact_pii",
     # --- new r08 session-3 operators (never driver-checked): the six
     # statistical-census queries (plans/stats.py). Slots freed by the
@@ -143,6 +142,12 @@ DRIVER_WINDOW = [
                                  # q_dedup_clusters -> tail (the composite
                                  # RUNS connected_components, so the
                                  # component keeps driver coverage)
+    "q_temporal_dim_join",       # fact-to-SCD2 versioned-dimension join
+                                 # (composes the proven scd2_history); slot
+                                 # freed by q_pack_greedy -> tail
+                                 # (q_training_order composite packs shards
+                                 # in tail with an r07 row; chunking keeps
+                                 # local parity)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -216,6 +221,7 @@ TAIL_PRIORITY = [
     "q_sql_shared_text",      # SQL front door: shared_window r07 row + sink test
     "q_dedup_clusters",       # connected_components driver-covered via
                               # q_entity_resolution (same operator)
+    "q_pack_greedy",          # packing exercised by q_training_order (tail r07)
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

@@ -767,3 +767,84 @@ def q_conversion_by_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eligible",
         F.round("rate", 6).alias("rate"),
     )
+
+
+@register(
+    "q_temporal_dim_join",
+    oracle="""
+    WITH attr AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) < 34
+                    THEN 'low'
+                    WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) < 67
+                    THEN 'mid'
+                    ELSE 'high' END AS device_class
+        FROM events WHERE ts IS NOT NULL AND event_type = 'view'
+    ),
+    ordered AS (
+        SELECT user_id, device_class, ts, event_id,
+               lag(device_class) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM attr
+    ),
+    changes AS (
+        SELECT user_id, device_class, ts, event_id FROM ordered
+        WHERE prev IS NULL OR device_class <> prev
+    ),
+    hist AS (
+        SELECT user_id, device_class AS value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.event_id, f.user_id,
+           strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           ROUND(f.value, 4) AS value,
+           h.value AS dim_value,
+           h.version AS dim_version
+    FROM events f
+    LEFT JOIN hist h
+      ON f.user_id = h.user_id
+     AND h.valid_from <= f.ts
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    WHERE f.event_type = 'purchase' AND f.ts IS NOT NULL
+    """,
+    tags=("stats", "events", "join", "scd2", "ext"),
+)
+def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 temporal join (north star `temporal_dimension_join`):
+    every purchase joins the device-class dimension VERSION valid at its
+    own timestamp — the versioned-dimension star-schema classic. The
+    dimension is scd2_history over the view-derived attribute log (the
+    same proven operator); purchases predating any version keep NULL
+    attributes via the left join. One key-keyed equi-join carrying the
+    interval predicates; at scale the dimension broadcasts."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.analytics import scd2_history, temporal_dimension_join
+
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    attr_log = events.filter(
+        F.col("ts").isNotNull() & (F.col("event_type") == "view")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(k < 34, "low").when(k < 67, "mid").otherwise("high").alias(
+            "device_class"
+        ),
+    )
+    hist = scd2_history(attr_log, attr_col="device_class").drop("is_current")
+    fact = events.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts", "value")
+    out = temporal_dimension_join(fact, hist, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 4).alias("value"),
+        "dim_value",
+        "dim_version",
+    )

@@ -79,6 +79,7 @@ QUERIES = [
     "q_conversion_by_deadline",
     "q_substring_search_trgm",
     "q_entity_resolution",
+    "q_temporal_dim_join",
     "q_pipeline_end_to_end",
 ]
 
