@@ -2060,3 +2060,39 @@ def test_resolve_entities_covers_every_input_row(spark):
     rows = resolve_entities(cust).collect()
     assert sum(r["n_members"] for r in rows) == n_in
     assert len({r["entity_id"] for r in rows}) == len(rows)
+
+
+def test_pca_spectrum_matches_numpy(spark):
+    """MLlib's treeAggregate covariance + driver eigendecomposition must
+    reproduce numpy's dense PCA spectrum on the real embeddings: the
+    top-8 explained-variance ratios agree to 1e-6 relative and decay
+    monotonically. Eigenvectors are deliberately NOT compared (sign /
+    near-degenerate-rotation ambiguity across implementations)."""
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.similarity import (
+        pca_variance_spectrum,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = [
+        (r["component"], r["explained_variance_ratio"], r["cumulative_ratio"])
+        for r in pca_variance_spectrum(emb, k=8)
+        .orderBy("component")
+        .collect()
+    ]
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    # MLlib PCA uses the sample covariance (n-1 denominator)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    want = eig / eig.sum()
+    assert len(got) == 8
+    for (c, r, _), w in zip(got, want[:8]):
+        assert r == pytest.approx(w, rel=1e-6), c
+    ratios = [r for _, r, _ in got]
+    assert ratios == sorted(ratios, reverse=True)
+    assert got[-1][2] == pytest.approx(sum(ratios), rel=1e-12)

@@ -638,3 +638,50 @@ def label_coherence_census(
         .groupBy("true_label", "assigned_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def pca_variance_spectrum(
+    embeddings: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k PCA explained-variance spectrum of an embedding corpus
+    ([ext] representation diagnostics): the eigenvalue decay says
+    whether the vectors genuinely use their dimensions (slow decay) or
+    collapse onto a few directions (fast decay — anisotropic embeddings
+    degrade cosine retrieval; Ethayarajh 2019's contextual-embedding
+    finding, and the standard screen before choosing an IVF/PQ
+    compression budget). Returns ``(component, explained_variance,
+    explained_variance_ratio)`` — k rows, component 1-indexed in
+    decreasing order.
+
+    Only EIGENVALUES are emitted — eigenvectors are sign- (and, under
+    near-degenerate eigenvalues, rotation-) ambiguous across
+    implementations, so the spectrum is the largest output that is
+    well-defined cross-library (pinned against numpy's dense eigh in
+    tests; no SQL oracle — DuckDB has no eigensolver).
+
+    Engine shape: MLlib PCA = one `treeAggregate` pass building the
+    d x d Gram/covariance (map-side partial outer products — shuffle
+    carries d² floats per partition, never rows), then an in-DRIVER
+    dense eigendecomposition of the d x d matrix — the right split for
+    d in the hundreds and rows in the billions (the covariance is tiny;
+    the data pass is the cost). The array<float> column converts to
+    MLlib vectors via `array_to_vector` (JVM-side, no Python)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    df = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = PCA(k=k, inputCol="features", outputCol="_pc").fit(df)
+    # MLlib's explainedVariance is already the RATIO of total data
+    # variance per component (top-k slice of the full spectrum).
+    evr = [float(x) for x in model.explainedVariance]
+    cum = 0.0
+    rows = []
+    for i, r in enumerate(evr):
+        cum += r
+        rows.append((i + 1, r, cum))
+    return embeddings.sparkSession.createDataFrame(
+        rows,
+        "component int, explained_variance_ratio double, cumulative_ratio double",
+    )

@@ -848,3 +848,24 @@ def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_value",
         "dim_version",
     )
+
+
+@register(
+    "q_embedding_pca_spectrum",
+    oracle=None,
+    tags=("similarity", "ml", "ext"),
+)
+def q_embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA explained-variance spectrum of the embedding corpus
+    (north star `pca_variance_spectrum`): the anisotropy screen run
+    before choosing an IVF/PQ compression budget — fast eigenvalue
+    decay means the vectors collapse onto few directions and cosine
+    retrieval degrades. One treeAggregate covariance pass (shuffle
+    carries d^2 floats, never rows) + a driver eigendecomposition of
+    the d x d matrix. No SQL oracle (DuckDB has no eigensolver) — the
+    spectrum is pinned against numpy's dense eigh to 1e-6 relative
+    (test_extensions.py::test_pca_spectrum_matches_numpy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import pca_variance_spectrum
+
+    return pca_variance_spectrum(emb, k=8)

@@ -80,6 +80,7 @@ QUERIES = [
     "q_substring_search_trgm",
     "q_entity_resolution",
     "q_temporal_dim_join",
+    "q_embedding_pca_spectrum",
     "q_pipeline_end_to_end",
 ]
 
