@@ -22,25 +22,34 @@ from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
 
-# First 50 = the driver-checked window. Round-8 rotation (VERDICT r07 #1):
-# the 28 tail queries whose newest driver rows were r05-era — two testdata
-# generations stale, the oldest evidence in the registry — all rotate in;
-# the three queries whose IMPLEMENTATION changed this round keep slots so
-# the changed code earns driver evidence (the span-dedup pair: lambda-bound
-# token arrays + array_except rebuild + trusted side-table distinctness;
-# the pipeline composite: new incremental span-dedup stage); the five
-# NEW r08 operators (token-budget selection, temperature mixing, the ML
-# quality classifier, the KL drift census, RRF hybrid retrieval) take
-# slots per the never-checked-in-window rule; and the remaining 14 slots
-# refresh the oldest r06-row tail queries across the
-# relational/join/agg/window/similarity/sampling families. Every
-# rotated-out query keeps its r06/r07 row and an in-window family
-# representative (dedup → spans/canonical/clusters/by_key; analytics →
-# r06/r07 rows with funnel/retention in tail; multimodal →
-# frame_sample in-window, metadata/features/resize r07 rows; streaming →
-# tumbling/stateful/first_event in-window, sliding/session/watermark r07
-# rows), and tools/exact_parity.py re-proves the full registry on the
-# current testdata generation each round.
+# First 50 = the driver-checked window. Round-8 rotation, evolved across
+# the round's sessions (each in-window displacement is annotated in place,
+# both here and at the tail entry it freed):
+#
+# - the three queries whose IMPLEMENTATION changed in r08 keep slots (the
+#   span-dedup pair + the daily pipeline composite);
+# - VERDICT r07 #1's stale-evidence rotation: the r05-era tail queries
+#   rotated in; as the round added new operators, the members of that
+#   set with REDUNDANT live coverage yielded slots back — queries the
+#   FROZEN HEADLINE BENCH re-executes every round (window_tumbling,
+#   win_running_sum, text_quality, json_fns, agg_multi via rollup +
+#   pricing), and queries whose family keeps another in-window
+#   representative (each annotated);
+# - every NEW r08 operator is in-window (never-driver-checked rule):
+#   session 1's five (token budget, temperature mix, ML quality
+#   classifier, KL drift, RRF), session 2's analytics/window set, and
+#   sessions 3-4's statistical censuses (OLS trend, autocorr, chi2,
+#   Welch t, Markov transitions, both attributions), time-series ops
+#   (TWAP, gap quartiles, CUSUM, interpolation, conversion latency +
+#   deadline curve), curation/search ops (calibrated keep, syndication
+#   matrix, bigram NLL, trigram substring search), warehouse ops
+#   (golden record, entity resolution, temporal SCD2 join, TPC-H Q5/Q6
+#   analogs), and the sketch/ML pair (HLL rolling distinct, PCA
+#   spectrum — rows-only with pinned local evidence).
+#
+# Every displaced query keeps its r05/r06/r07 driver row, a live family
+# representative or per-round bench execution, and the full-registry
+# tools/exact_parity.py sweep on current testdata at sf0.01 AND sf0.1.
 DRIVER_WINDOW = [
     # --- r08 implementation changes earn driver evidence on the new code ---
     "q_dedup_substring_spans",   # lambda-bound grams + array_except rebuild
