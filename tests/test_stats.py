@@ -950,3 +950,61 @@ def test_temporal_dim_join_hand_case(spark):
         102: ("gold", 2),
         103: ("gold", 2),
     }
+
+
+# --------------------------------------------------------- bootstrap SE
+
+
+def test_bootstrap_se_tracks_true_sampling_error(spark):
+    """Statistical sanity: for an iid sample the bootstrap SE must sit
+    near sd/sqrt(n) — assert within a loose factor-2 band per type (32
+    replicates give a noisy but unbiased SE estimate; a broken weight
+    ladder or replicate wiring lands far outside)."""
+    from the_movie_database_import_spark.operators.stats import (
+        bootstrap_se_mean,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in bootstrap_se_mean(
+            events, "event_type", "value", "event_id"
+        ).collect()
+    }
+    stats = duckdb.sql(
+        f"""
+        SELECT event_type, COUNT(*), AVG(value), STDDEV_SAMP(value)
+        FROM '{SF_DIR}/events.parquet' WHERE value IS NOT NULL GROUP BY 1
+        """
+    ).fetchall()
+    for t, n, mean, sd in stats:
+        r = got[t]
+        assert r["n_rows"] == n
+        # the grid floor biases the mean down by < 1e-6
+        assert r["mean"] == pytest.approx(mean, abs=2e-6)
+        want_se = sd / math.sqrt(n)
+        assert want_se / 2 < r["bootstrap_se"] < want_se * 2, (
+            t, r["bootstrap_se"], want_se,
+        )
+
+
+def test_bootstrap_se_partition_invariance(spark):
+    """Weights are hash-derived and sums are integer — the SE must be
+    bit-identical under repartitioning (the whole point of the
+    deterministic Poisson bootstrap)."""
+    from the_movie_database_import_spark.operators.stats import (
+        bootstrap_se_mean,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = {
+        r["event_type"]: (r["mean"], r["bootstrap_se"])
+        for r in bootstrap_se_mean(events, "event_type", "value", "event_id").collect()
+    }
+    b = {
+        r["event_type"]: (r["mean"], r["bootstrap_se"])
+        for r in bootstrap_se_mean(
+            events.repartition(17), "event_type", "value", "event_id"
+        ).collect()
+    }
+    assert a == b  # exact, not approx

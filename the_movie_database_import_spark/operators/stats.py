@@ -441,3 +441,100 @@ def cusum_per_key(
         "cusum_peak_q",
         (F.col("cusum_peak_q") >= F.lit(hq)).alias("alarm"),
     )
+
+
+# Poisson(1) CDF thresholds as 8-hex-char strings over md5's 16^8 space
+# (the sampling-family hash-bucket convention): a replicate weight is the
+# count of thresholds the row's bucket clears — P(0)=e^-1, P(<=1)=2e^-1,
+# ... truncated at 5 (P(>5) ~ 0.06%, negligible bootstrap-weight mass).
+# Python-rendered literals so the DuckDB oracle embeds the SAME strings.
+_POISSON1_HEX = ("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5")
+
+
+def _poisson1_weight(bucket: Column) -> Column:
+    """Deterministic Poisson(1) draw from a uniform hex bucket: 0 below
+    the first threshold, else the number of thresholds cleared (capped
+    at 5). Lexicographic compare of fixed-width lowercase hex == numeric
+    compare — identical in any engine."""
+    w = F.lit(0)
+    for t in _POISSON1_HEX:
+        w = w + F.when(bucket >= F.lit(t), 1).otherwise(0)
+    return w
+
+
+def bootstrap_se_mean(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    grid: float = 1e6,
+) -> DataFrame:
+    """ONE-PASS Poisson-bootstrap standard error of the per-key mean
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams"
+    — the Google-scale bootstrap): instead of resampling the data B
+    times (B full passes, impossible at 100 TB), every row carries B
+    DETERMINISTIC Poisson(1) weights derived from md5(id, b); replicate
+    b's mean is sum(w_b * v) / sum(w_b), and the bootstrap SE is the
+    sample standard deviation of the B replicate means. Returns
+    ``(key, n_rows, mean, bootstrap_se)`` — the error bar every census
+    in this engine can now wear.
+
+    Engine shape: 2B + 2 conditional sums in ONE hash aggregate (B
+    weighted value sums + B weight sums, codegen branches — no explode,
+    no join, no second pass); the B replicate means and their stddev
+    compute IN-ROW on the one-row-per-key result.
+
+    Determinism — three lanes composed: hash weights are exact integers
+    from the sampling family's md5-hex convention (engine-identical);
+    values floor-quantize to the integer ``grid`` before the weighted
+    sums (order-invariant exact sums, the unigram_nll lane); the
+    replicate-mean divisions and the stddev tree run on exact inputs in
+    replicate order on both engines (the interpolation lane's argument)
+    — so the SE is bit-identical cross-engine before any rounding.
+    Replicates with zero total weight (possible only for tiny keys)
+    drop out of the SE via NULL means; keys need >= 2 live replicates
+    for a non-NULL SE.
+    """
+    vq = F.floor(F.col(val_col) * F.lit(grid)).cast("bigint")
+    cols = [F.col(key_col), vq.alias("_vq")]
+    for b in range(n_replicates):
+        bucket = F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{b}"))
+        ).substr(1, 8)
+        cols.append(_poisson1_weight(bucket).cast("bigint").alias(f"_w{b}"))
+    rows = df.filter(F.col(val_col).isNotNull()).select(*cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_vq").alias("_sv"),
+    ]
+    for b in range(n_replicates):
+        aggs.append(F.sum(F.col(f"_w{b}") * F.col("_vq")).alias(f"_ws{b}"))
+        aggs.append(F.sum(f"_w{b}").alias(f"_wn{b}"))
+    g = rows.groupBy(key_col).agg(*aggs)
+    means = F.array(
+        *[
+            F.when(
+                F.col(f"_wn{b}") > 0,
+                F.col(f"_ws{b}").cast("double")
+                / (F.col(f"_wn{b}").cast("double") * F.lit(grid)),
+            )
+            for b in range(n_replicates)
+        ]
+    )
+    live = F.filter(means, lambda m: m.isNotNull())
+    k = F.size(live)
+    mbar = F.aggregate(live, F.lit(0.0), lambda a, m: a + m) / k
+    ss = F.aggregate(
+        live, F.lit(0.0), lambda a, m: a + (m - mbar) * (m - mbar)
+    )
+    return g.select(
+        key_col,
+        "n_rows",
+        (F.col("_sv").cast("double") / (F.col("n_rows") * F.lit(grid))).alias(
+            "mean"
+        ),
+        F.when(k >= 2, F.sqrt(ss / (k - 1).cast("double"))).alias(
+            "bootstrap_se"
+        ),
+    )

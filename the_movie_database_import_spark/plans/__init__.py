@@ -56,7 +56,6 @@ DRIVER_WINDOW = [
     "q_dedup_spans_incremental", # + side-table distinctness now trusted
     "q_pipeline_end_to_end",     # composite gains the span-dedup stage
     # --- rotated in: newest driver rows were r05-era (VERDICT r07 #1) ---
-    "q_join_semi",
     "q_stateful_user_totals",
     "q_pandas_udf_grouped_agg",
     "q_token_count",
@@ -163,6 +162,11 @@ DRIVER_WINDOW = [
                                  # q_agg_multi -> tail (rollup + pricing in
                                  # the frozen headline bench re-execute the
                                  # multi-aggregate shape every round)
+    "q_bootstrap_se",            # one-pass Poisson-bootstrap error bars
+                                 # (md5 Poisson weights, 2B+2 sums, in-row
+                                 # SE); slot freed by q_join_semi -> tail
+                                 # (Q5/Q6 + flagship keep joins in-window;
+                                 # q_join_anti holds an r07 row)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -238,6 +242,7 @@ TAIL_PRIORITY = [
                               # q_entity_resolution (same operator)
     "q_pack_greedy",          # packing exercised by q_training_order (tail r07)
     "q_agg_multi",            # multi-agg shape in headline bench (rollup, pricing)
+    "q_join_semi",            # join family: Q5/Q6/flagship in-window, anti r07
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

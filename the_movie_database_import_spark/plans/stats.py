@@ -869,3 +869,84 @@ def q_embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pca_variance_spectrum
 
     return pca_variance_spectrum(emb, k=8)
+
+
+def _bootstrap_oracle(n_replicates: int = 32) -> str:
+    """Oracle for q_bootstrap_se: the same md5-hex Poisson(1) weights,
+    grid-quantized integer sums, and fold-identical in-row SE tree
+    (DuckDB list_reduce's first step m1 == Spark's 0.0 + m1 exactly, so
+    the two folds run the same IEEE sequence)."""
+    from ..operators.stats import _POISSON1_HEX
+
+    w_exprs = []
+    agg_exprs = []
+    mean_exprs = []
+    for b in range(n_replicates):
+        bucket = f"substr(md5(CAST(event_id AS VARCHAR) || ':{b}'), 1, 8)"
+        ladder = " + ".join(
+            f"(CASE WHEN {bucket} >= '{t}' THEN 1 ELSE 0 END)"
+            for t in _POISSON1_HEX
+        )
+        w_exprs.append(f"CAST({ladder} AS BIGINT) AS w{b}")
+        agg_exprs.append(f"CAST(SUM(w{b} * vq) AS BIGINT) AS ws{b}")
+        agg_exprs.append(f"CAST(SUM(w{b}) AS BIGINT) AS wn{b}")
+        mean_exprs.append(
+            f"CASE WHEN wn{b} > 0 THEN CAST(ws{b} AS DOUBLE) "
+            f"/ (CAST(wn{b} AS DOUBLE) * 1e6) END"
+        )
+    mbar = "list_reduce(lv, (a, b) -> a + b) / len(lv)"
+    return f"""
+    WITH rows AS (
+        SELECT event_type,
+               CAST(floor(value * 1e6) AS BIGINT) AS vq,
+               {", ".join(w_exprs)}
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(vq) AS BIGINT) AS sv,
+               {", ".join(agg_exprs)}
+        FROM rows GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n_rows, sv,
+               list_filter([{", ".join(mean_exprs)}],
+                           x -> x IS NOT NULL) AS lv
+        FROM g
+    )
+    SELECT event_type, n_rows,
+           ROUND(CAST(sv AS DOUBLE) / (n_rows * 1e6), 6) AS mean,
+           ROUND(CASE WHEN len(lv) >= 2 THEN
+               sqrt(list_reduce(
+                        list_transform(lv, x -> (x - {mbar}) * (x - {mbar})),
+                        (a, b) -> a + b)
+                    / CAST(len(lv) - 1 AS DOUBLE)) END, 6) AS bootstrap_se
+    FROM m
+    """
+
+
+@register(
+    "q_bootstrap_se",
+    oracle=_bootstrap_oracle(),
+    tags=("stats", "agg", "sampling", "ext"),
+)
+def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson-bootstrap standard error of the per-type mean
+    value (north star `bootstrap_se_mean`, Chamandy et al.): B=32
+    deterministic md5-derived Poisson(1) weights per row; 2B+2
+    conditional sums in ONE hash aggregate; replicate means and their
+    stddev compute in-row — the error bar without B resampling passes.
+    Hash weights + grid-quantized integer sums + fold-identical SE tree
+    make the statistic bit-reproducible cross-engine (rounded 1e-6 as
+    insurance)."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.stats import bootstrap_se_mean
+
+    b = bootstrap_se_mean(events, "event_type", "value", "event_id")
+    return b.select(
+        "event_type",
+        "n_rows",
+        F.round("mean", 6).alias("mean"),
+        F.round("bootstrap_se", 6).alias("bootstrap_se"),
+    )

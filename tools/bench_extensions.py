@@ -81,6 +81,7 @@ QUERIES = [
     "q_entity_resolution",
     "q_temporal_dim_join",
     "q_embedding_pca_spectrum",
+    "q_bootstrap_se",
     "q_pipeline_end_to_end",
 ]
 
