@@ -1008,3 +1008,58 @@ def test_bootstrap_se_partition_invariance(spark):
         ).collect()
     }
     assert a == b  # exact, not approx
+
+
+# ------------------------------------------------------------ a/b lift
+
+
+def test_ab_funnel_lift_null_experiment_is_quiet(spark):
+    """The hash split is independent of behavior by construction, so on
+    the real event log the readout is a NULL experiment: |z| must be
+    small (< 4 — far looser than any correct-null bound, tight enough to
+    catch a wiring bug that correlates arm with conversion), arm sizes
+    near 50/50, and counts conserved."""
+    from the_movie_database_import_spark.operators.stats import ab_funnel_lift
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    r = ab_funnel_lift(events).collect()[0]
+    n = r["n_a"] + r["n_b"]
+    assert n > 0
+    # binomial balance: |n_a - n_b| ~ Normal(0, sqrt(n)); 5-sigma bound
+    # stays meaningful at scale without flaking at the tiny test SF
+    # (15 eligible users here — a 3/12 split is ordinary md5 luck)
+    assert abs(r["n_a"] - r["n_b"]) <= 5 * math.sqrt(n) + 1
+    assert r["conv_a"] <= r["n_a"] and r["conv_b"] <= r["n_b"]
+    assert r["lift"] == pytest.approx(r["rate_a"] - r["rate_b"], abs=1e-12)
+    if r["z_stat"] is None:
+        # degenerate pool (everyone or no one converted): the guard's
+        # NULL, only legitimate when the pooled rate is exactly 0 or 1
+        pooled = (r["conv_a"] + r["conv_b"]) / n
+        assert pooled in (0.0, 1.0)
+    else:
+        assert abs(r["z_stat"]) < 4.0
+
+
+def test_ab_funnel_lift_detects_planted_effect(spark):
+    """Plant a real effect: arm membership is hash-determined, so build
+    a log where users converting is decided by the SAME hash the split
+    uses — arm A converts, arm B never does. The readout must show
+    rate_a = 1, rate_b = 0 and a large positive z."""
+    import hashlib
+
+    from the_movie_database_import_spark.operators.stats import ab_funnel_lift
+
+    rows = []
+    for u in range(1, 201):
+        bucket = hashlib.md5(str(u).encode()).hexdigest()[:8]
+        in_a = bucket < "80000000"
+        rows.append((u * 10, u, _ts(0), "view"))
+        if in_a:
+            rows.append((u * 10 + 1, u, _ts(5), "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    r = ab_funnel_lift(df).collect()[0]
+    assert r["rate_a"] == pytest.approx(1.0)
+    assert r["rate_b"] == pytest.approx(0.0)
+    assert r["z_stat"] > 5.0

@@ -538,3 +538,96 @@ def bootstrap_se_mean(
             "bootstrap_se"
         ),
     )
+
+
+def ab_funnel_lift(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A/B funnel-lift readout — the composite an experimentation
+    platform computes at scale: split users 50/50 by hash (the sampling
+    family's deterministic interval assignment — stable under reruns
+    and repartitioning, no stored assignment table), measure each arm's
+    first-``from_type`` -> later-``to_type`` conversion rate, and emit
+    the lift with a two-proportion pooled z statistic. One row:
+    ``(n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift, z_stat)``.
+
+    This composes three proven pieces: `split_column`'s md5 intervals
+    (assignment never shuffles), the conversion logic of
+    `conversion_by_deadline` (conditional-MIN window + per-user
+    aggregate, one user exchange), and the conditional-aggregation
+    pattern of `welch_ttest` (both arms from ONE global aggregate).
+    z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb)) with p the pooled rate;
+    guarded NULL when a degenerate pool (p = 0 or 1) zeroes the
+    denominator (the ANSI divide-by-zero discipline). All inputs to the
+    arithmetic are exact counts — the z tree is deterministic IEEE.
+    """
+    from .sampling import split_column
+
+    us = _epoch_us_events(events, ts_col)
+    w = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_from = F.min(F.when(F.col(type_col) == from_type, us)).over(w)
+    base = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(type_col),
+        us.alias("_us"),
+        first_from.alias("_ff"),
+    )
+    per_user = (
+        base.groupBy(key_col)
+        .agg(
+            F.max(F.col("_ff").isNotNull()).alias("_eligible"),
+            F.max(
+                (F.col(type_col) == to_type)
+                & F.col("_ff").isNotNull()
+                & (F.col("_us") > F.col("_ff"))
+            ).alias("_converted"),
+        )
+        .filter(F.col("_eligible"))
+        .select(
+            split_column(F.col(key_col), {"A": 0.5, "B": 0.5}).alias("_arm"),
+            F.col("_converted"),
+        )
+    )
+    in_a, in_b = F.col("_arm") == "A", F.col("_arm") == "B"
+    m = per_user.agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.count(F.when(in_a & F.col("_converted"), 1)).alias("conv_a"),
+        F.count(F.when(in_b & F.col("_converted"), 1)).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (ra - rb).alias("lift"),
+        F.when(se > 0, (ra - rb) / se).alias("z_stat"),
+    )
+
+
+def _epoch_us_events(df: DataFrame, ts_col: str) -> Column:
+    from .analytics import _epoch_us
+
+    return _epoch_us(df, ts_col)

@@ -56,7 +56,6 @@ DRIVER_WINDOW = [
     "q_dedup_spans_incremental", # + side-table distinctness now trusted
     "q_pipeline_end_to_end",     # composite gains the span-dedup stage
     # --- rotated in: newest driver rows were r05-era (VERDICT r07 #1) ---
-    "q_stateful_user_totals",
     "q_pandas_udf_grouped_agg",
     "q_token_count",
     "q_multimodal_frame_sample",
@@ -167,6 +166,12 @@ DRIVER_WINDOW = [
                                  # SE); slot freed by q_join_semi -> tail
                                  # (Q5/Q6 + flagship keep joins in-window;
                                  # q_join_anti holds an r07 row)
+    "q_ab_funnel_lift",          # experimentation readout (hash split +
+                                 # funnel conversion + pooled z); slot freed
+                                 # by q_stateful_user_totals -> tail
+                                 # (stream_cusum parity-tests the
+                                 # applyInPandasWithState path per round;
+                                 # sliding/session/watermark hold r07 rows)
     # --- new r08 operators: never driver-checked, must be in-window ---
     "q_select_token_budget", # token-budget corpus selection (greedy-exact)
     "q_corpus_mix_temperature",  # alpha-temperature mixing, in-plan weights
@@ -243,6 +248,8 @@ TAIL_PRIORITY = [
     "q_pack_greedy",          # packing exercised by q_training_order (tail r07)
     "q_agg_multi",            # multi-agg shape in headline bench (rollup, pricing)
     "q_join_semi",            # join family: Q5/Q6/flagship in-window, anti r07
+    "q_stateful_user_totals", # applyInPandasWithState path parity-tested via
+                              # stream_cusum every round
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

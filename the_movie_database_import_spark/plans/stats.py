@@ -950,3 +950,85 @@ def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean", 6).alias("mean"),
         F.round("bootstrap_se", 6).alias("bootstrap_se"),
     )
+
+
+def _ab_lift_oracle() -> str:
+    from ..operators.sampling import split_case_sql
+
+    arm = split_case_sql("user_id", {"A": 0.5, "B": 0.5})
+    return f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id) AS ff
+        FROM events WHERE ts IS NOT NULL
+    ),
+    per_user AS (
+        SELECT user_id,
+               MAX(ff IS NOT NULL) AS eligible,
+               MAX(event_type = 'purchase' AND ff IS NOT NULL AND us > ff)
+                 AS converted
+        FROM e GROUP BY user_id
+    ),
+    arms AS (
+        SELECT {arm} AS arm, converted
+        FROM per_user WHERE eligible
+    ),
+    m AS (
+        SELECT CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+               CAST(COUNT(CASE WHEN arm = 'A' AND converted THEN 1 END)
+                    AS BIGINT) AS conv_a,
+               CAST(COUNT(CASE WHEN arm = 'B' AND converted THEN 1 END)
+                    AS BIGINT) AS conv_b
+        FROM arms
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS lift,
+           ROUND(CASE WHEN CAST(conv_a + conv_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE)
+                           * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                                  / CAST(n_a + n_b AS DOUBLE)) > 0 THEN
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE)
+                      * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE)))
+           END, 6) AS z_stat
+    FROM m
+    """
+
+
+@register(
+    "q_ab_funnel_lift",
+    oracle=_ab_lift_oracle(),
+    tags=("stats", "events", "sampling", "ext"),
+)
+def q_ab_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B funnel-lift readout (north star `ab_funnel_lift`): hash-split
+    users 50/50 (deterministic md5 intervals — no assignment table),
+    per-arm first-view -> later-purchase conversion, lift and pooled
+    two-proportion z. One user exchange + one global conditional
+    aggregate; all arithmetic on exact counts. Under the null (the
+    split is independent of behavior) |z| should be small — the
+    experimentation platform's core readout."""
+    events = load_table(spark, sf_dir, "events")
+    from ..operators.stats import ab_funnel_lift
+
+    a = ab_funnel_lift(events)
+    return a.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round("lift", 6).alias("lift"),
+        F.round("z_stat", 6).alias("z_stat"),
+    )

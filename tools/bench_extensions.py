@@ -82,6 +82,7 @@ QUERIES = [
     "q_temporal_dim_join",
     "q_embedding_pca_spectrum",
     "q_bootstrap_se",
+    "q_ab_funnel_lift",
     "q_pipeline_end_to_end",
 ]
 
