@@ -53,6 +53,7 @@ def build_synth(spark) -> None:
         return
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     cust = spark.read.parquet(f"{SF01}/customer.parquet")
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
     prefixes = ["aa", "bb", "cc"]
     doc_parts = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
@@ -77,6 +78,18 @@ def build_synth(spark) -> None:
         c = c.unionByName(p)
     d.write.mode("overwrite").parquet(f"{SYNTH}/documents.parquet")
     c.write.mode("overwrite").parquet(f"{SYNTH}/customer.parquet")
+    # events: id- and user-remapped copies (timestamps verbatim) — per-user
+    # streams triple in COUNT, not in per-user length, the shape a 3x
+    # corpus has; hash-weight ops draw fresh md5 weights per remapped id
+    ev_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(k * 10_000_000))
+        for k in range(COPIES)
+    ]
+    e = ev_parts[0]
+    for p_ in ev_parts[1:]:
+        e = e.unionByName(p_)
+    e.write.mode("overwrite").parquet(f"{SYNTH}/events.parquet")
     open(f"{SYNTH}/_built", "w").write("ok")
 
 
@@ -88,7 +101,11 @@ def main() -> None:
         dedup_paragraphs,
         dedup_substring_spans,
     )
+    from the_movie_database_import_spark.operators.analytics import (
+        event_transitions,
+    )
     from the_movie_database_import_spark.operators.fuzzy import fuzzy_pairs_edit1
+    from the_movie_database_import_spark.operators.stats import bootstrap_se_mean
     from the_movie_database_import_spark.operators.ranking import bm25_topk
     from the_movie_database_import_spark.plans.analytics import BM25_TERMS
     from the_movie_database_import_spark.session import get_spark, release_caches
@@ -106,8 +123,16 @@ def main() -> None:
             F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
         )
 
+    def events_at(d):
+        return spark.read.parquet(f"{d}/events.parquet")
+
     OPS = {
         "fuzzy_pairs_edit1": (cust_at, lambda df: fuzzy_pairs_edit1(df, "id", "name")),
+        "bootstrap_se_mean": (
+            events_at,
+            lambda df: bootstrap_se_mean(df, "event_type", "value", "event_id"),
+        ),
+        "event_transitions": (events_at, event_transitions),
         "dedup_paragraphs": (docs_at, lambda df: dedup_paragraphs(df, sep=" the ")),
         "dedup_substring_spans": (docs_at, lambda df: dedup_substring_spans(df, k=8)),
         "bm25_topk": (docs_at, lambda df: bm25_topk(df, BM25_TERMS, k=10)),
