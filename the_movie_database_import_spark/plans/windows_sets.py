@@ -386,3 +386,97 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return assign_surrogate_ids(events.select("event_type"), "event_type")
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG-semantics difference, the set-op family member
+    q_except's DISTINCT semantics can't express: a value appearing 12
+    times among customers and 3 times among suppliers survives 9 times
+    (multiplicity subtraction), where EXCEPT keeps it zero times. Spark
+    plans `exceptAll` as a counted anti-pattern (aggregate counts on
+    both sides, subtract, re-generate) — still one shuffle pair on the
+    compared columns, no row-by-row anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(
+        F.col("c_nationkey").alias("nationkey")
+    ).exceptAll(supplier.select(F.col("s_nationkey").alias("nationkey")))
+
+
+@register(
+    "q_unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, name AS measure, value
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey <= 1000
+    )
+    UNPIVOT (value FOR name IN (l_quantity, l_extendedprice,
+                                l_discount, l_tax))
+    """,
+    tags=("relational", "reshape"),
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the wide-to-long reshape (inverse of
+    q_agg_pivot): the four lineitem measures become (measure, value)
+    rows, the shape every per-measure census/plotting pipeline wants.
+    Spark's native `unpivot` (3.4+) expands in-plan — one scan, a 4x
+    in-row row generation, NO shuffle (pure Expand node); the id filter
+    keeps the oracle comparison bounded."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+    )
+
+
+@register(
+    "q_union_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, NULL AS quality_note
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT doc_id, lang, 'resubmission' AS quality_note
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    tags=("setop", "schema"),
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — `unionByName(allowMissingColumns)`: two
+    snapshot generations with DIFFERENT columns (the new batch gained
+    `quality_note`, dropped `source`/`n_chars`) union by NAME with
+    NULLs filling the gaps — the operation every long-lived dataset
+    needs the day its producer adds a field (positional UNION would
+    silently misalign columns instead). Pure in-plan projection
+    alignment: one scan per side, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_gen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    new_gen = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.lit("resubmission").alias("quality_note")
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True)
