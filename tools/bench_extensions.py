@@ -83,6 +83,9 @@ QUERIES = [
     "q_embedding_pca_spectrum",
     "q_bootstrap_se",
     "q_ab_funnel_lift",
+    "q_except_all",
+    "q_unpivot_melt",
+    "q_union_schema_evolution",
     "q_pipeline_end_to_end",
 ]
 
