@@ -658,3 +658,156 @@ def test_apply_delta_matches_dict_merge(spark, chg):
         for r in apply_delta(snap, ups, del_df).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------- r08 sequential ops
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),                      # key
+            st.integers(0, 10**6),                  # order
+            st.one_of(st.none(), st.text("ab", min_size=1, max_size=3)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_golden_record_matches_fold_model(spark, rows):
+    """Survivorship == a per-key last-non-null fold over (order, idx)
+    order, for arbitrary sparse logs including all-NULL keys, duplicate
+    orders (tie broken by row index), and single-row keys."""
+    from the_movie_database_import_spark.operators.delta import golden_record
+
+    data = [(k, o, i, v) for i, (k, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, o long, i long, v string")
+    got = {
+        r["k"]: (r["n_versions"], r["v"])
+        for r in golden_record(df, "k", ["o", "i"], ["v"]).collect()
+    }
+    want: dict[int, tuple[int, str | None]] = {}
+    for k, o, i, v in sorted(data, key=lambda t: (t[0], t[1], t[2])):
+        n, cur = want.get(k, (0, None))
+        want[k] = (n + 1, v if v is not None else cur)
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=500, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    target=st.sampled_from([0.0, 50.0]),
+    slack=st.sampled_from([0.0, 10.0]),
+)
+@SETTINGS
+def test_cusum_closed_form_equals_fold_on_random_series(
+    spark, vals, target, slack
+):
+    """The prefix-min closed form == the textbook clamped fold for
+    arbitrary series (negative values, zeros, long drifts), exactly —
+    both sides integer arithmetic on the same grid."""
+    from the_movie_database_import_spark.operators.stats import cusum_per_key
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = cusum_per_key(df, target=target, slack=slack, threshold=1.0).collect()[0]
+    import math
+
+    kq = int(target * 1e6) + int(slack * 1e6)
+    s = peak = 0
+    for v in vals:
+        s = max(0, s + (math.floor(v * 1e6) - kq))
+        peak = max(peak, s)
+    assert got["cusum_final_q"] == s
+    assert got["cusum_peak_q"] == peak
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1000),  # seconds offset (may collide)
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    shift=st.sampled_from([0.0, 3.0, -7.0]),
+)
+@SETTINGS
+def test_twap_shifts_with_constant_offset(spark, rows, shift):
+    """TWAP(v + c) == TWAP(v) + c up to the 1e-6 quantization of each
+    observation (the time weights don't change) — the invariance any
+    time-weighted mean must satisfy."""
+    import datetime as dt
+
+    from the_movie_database_import_spark.operators.stats import twap_per_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = [
+        (i, 1, t0 + dt.timedelta(seconds=sec), float(v))
+        for i, (sec, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        base, "event_id long, user_id long, ts timestamp, value double"
+    )
+    df2 = df.withColumn("value", F.col("value") + F.lit(shift))
+    a = twap_per_key(df).collect()
+    b = twap_per_key(df2).collect()
+    assert len(a) == len(b)
+    if a:  # all-same-ts inputs yield zero span on both sides
+        ta, tb = a[0]["twap"], b[0]["twap"]
+        if ta is None:
+            assert tb is None
+        else:
+            # each observation's floor-grid error is < 1e-6 and weights
+            # are identical, so the shift error stays under the grid
+            assert tb - ta == __import__("pytest").approx(shift, abs=2e-6)
+
+
+@given(
+    ys=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_interpolate_linear_bounds_and_idempotence(spark, ys):
+    """Filled values lie within [min, max] of their bracketing neighbors
+    (linear interpolation never overshoots); observed rows pass through
+    bit-unchanged; rows outside any bracket stay NULL."""
+    from the_movie_database_import_spark.operators.analytics import (
+        interpolate_linear,
+    )
+
+    data = [("k", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(data, "k string, x int, y double")
+    got = {r["x"]: r["y_interp"] for r in interpolate_linear(df, "k", "x", "y").collect()}
+    obs = [(i, y) for i, y in enumerate(ys) if y is not None]
+    for i, y in enumerate(ys):
+        if y is not None:
+            assert got[i] == y  # pass-through, not approx
+            continue
+        prev = [(x, v) for x, v in obs if x < i]
+        nxt = [(x, v) for x, v in obs if x > i]
+        if not prev or not nxt:
+            assert got[i] is None
+        else:
+            lo = min(prev[-1][1], nxt[0][1])
+            hi = max(prev[-1][1], nxt[0][1])
+            assert lo - 1e-9 <= got[i] <= hi + 1e-9
