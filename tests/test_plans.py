@@ -867,3 +867,13 @@ def test_q6_pure_scan_all_filters_pushed(spark):
     assert cols == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
     assert "GreaterThanOrEqual(l_shipda" in plan
     assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_unpivot_is_pure_expand_no_shuffle(spark):
+    """UNPIVOT/melt: the wide-to-long reshape is an in-plan Expand node —
+    one scan, no exchange of any kind, no join."""
+    plan = _plan(spark, "q_unpivot_melt")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
