@@ -1063,3 +1063,23 @@ def test_ab_funnel_lift_detects_planted_effect(spark):
     assert r["rate_a"] == pytest.approx(1.0)
     assert r["rate_b"] == pytest.approx(0.0)
     assert r["z_stat"] > 5.0
+
+
+def test_chi2_null_category_is_a_real_level(spark):
+    """A NULL level forms real cells that stay IN the statistic (the
+    margin joins are null-safe — an equality join would silently drop
+    them): 2x2 over (a, b) x (x, NULL) with dependence through the NULL
+    column must score chi2 > 0 and count all 4 cells."""
+    rows = (
+        [("a", "x")] * 10 + [("a", None)] * 2
+        + [("b", "x")] * 2 + [("b", None)] * 10
+    )
+    df = spark.createDataFrame(rows, "u string, w string")
+    got = chi2_independence(df, "u", "w").collect()[0]
+    assert got["n_rows"] == 24
+    assert got["n_cells"] == 4
+    # countDistinct excludes NULL -> kb = 1 -> dof (2-1)*(1-1) = 0 (the
+    # standard convention: NULL is outside the dof grid)
+    assert got["dof"] == 0
+    # chi2 still sums ALL 4 cells: expected 6 everywhere, (10-6)^2/6 * 4
+    assert got["chi2"] == pytest.approx(4 * 16 / 6, abs=1e-9)

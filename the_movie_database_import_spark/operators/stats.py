@@ -150,8 +150,12 @@ def chi2_independence(
     cells = tracked_cache(
         df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
     )
-    row_tot = cells.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
-    col_tot = cells.groupBy(col_b).agg(F.sum("_obs").alias("_cb"))
+    row_tot = cells.groupBy(col_a).agg(F.sum("_obs").alias("_ra")).select(
+        F.col(col_a).alias("_a2"), "_ra"
+    )
+    col_tot = cells.groupBy(col_b).agg(F.sum("_obs").alias("_cb")).select(
+        F.col(col_b).alias("_b2"), "_cb"
+    )
     grand = cells.agg(
         F.sum("_obs").alias("_n"),
         F.count(F.lit(1)).alias("n_cells"),
@@ -159,9 +163,15 @@ def chi2_independence(
         F.countDistinct(col_b).alias("_kb"),
     )
     exp = F.col("_ra") * F.col("_cb") / F.col("_n")
+    # NULL-SAFE margin joins: a NULL category forms a real cell with real
+    # margins — a plain equality join would silently drop it from the
+    # statistic while n_cells still counted it (the docstring's "NULL
+    # levels are ordinary levels" contract would be a lie).
     return (
-        cells.join(F.broadcast(row_tot), col_a)
-        .join(F.broadcast(col_tot), col_b)
+        cells.join(
+            F.broadcast(row_tot), F.col(col_a).eqNullSafe(F.col("_a2"))
+        )
+        .join(F.broadcast(col_tot), F.col(col_b).eqNullSafe(F.col("_b2")))
         .crossJoin(F.broadcast(grand))
         .agg(
             F.first("_n").alias("n_rows"),

@@ -213,8 +213,8 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (cells.obs - ra.rt * cb.ct / g.n)
                      / (ra.rt * cb.ct / g.n)), 6) AS chi2
     FROM cells
-    JOIN ra USING (lang)
-    JOIN cb USING (source)
+    JOIN ra ON cells.lang IS NOT DISTINCT FROM ra.lang
+    JOIN cb ON cells.source IS NOT DISTINCT FROM cb.source
     CROSS JOIN g
     GROUP BY g.n, g.n_cells, g.ka, g.kb
     """,
