@@ -1083,3 +1083,19 @@ def test_chi2_null_category_is_a_real_level(spark):
     assert got["dof"] == 0
     # chi2 still sums ALL 4 cells: expected 6 everywhere, (10-6)^2/6 * 4
     assert got["chi2"] == pytest.approx(4 * 16 / 6, abs=1e-9)
+
+
+def test_conversion_latency_empty_census_is_null_row(spark):
+    """No converter anywhere: one census row with n=0 and NULL quartiles
+    — under ANSI the unguarded interpolation index would error instead."""
+    from the_movie_database_import_spark.operators.analytics import (
+        conversion_latency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), "view"), (2, 2, _ts(0), "view")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    r = conversion_latency(df).collect()[0]
+    assert r["n_converted"] == 0
+    assert r["p25_secs"] is None and r["median_secs"] is None

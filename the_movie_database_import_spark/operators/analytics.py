@@ -701,11 +701,17 @@ def conversion_latency(
         )
         return v_lo + (v_hi - v_lo) * (h - F.floor(h))
 
+    # zero-converter guard: with n = 0 the interpolation index would be
+    # element_at(.., 0) — an ANSI error, where the statistics answer is
+    # NULL (an empty census row, not a crash)
+    def safe(q: float):
+        return F.when(F.col("n_converted") > 0, interp(q))
+
     return g.select(
         F.col("n_converted").cast("bigint").alias("n_converted"),
-        interp(0.25).alias("p25_secs"),
-        interp(0.5).alias("median_secs"),
-        interp(0.75).alias("p75_secs"),
+        safe(0.25).alias("p25_secs"),
+        safe(0.5).alias("median_secs"),
+        safe(0.75).alias("p75_secs"),
     )
 
 
