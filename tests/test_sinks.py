@@ -180,3 +180,50 @@ def test_zordered_layout_prunes_multi_dim(spark, tmp_path):
     a = back.agg(F.sum("l_extendedprice")).first()[0]
     b = li.agg(F.sum("l_extendedprice")).first()[0]
     assert abs(a - b) < 1e-6
+
+
+def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE-style compaction: 64 tiny files collapse to the byte-target
+    count, every row survives bit-identically, and the swap leaves a
+    readable directory. With sort_cols, file row-ranges become disjoint
+    (the clustering the rewrite collects for free)."""
+    import os
+
+    from the_movie_database_import_spark.sources.writers import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "events_small")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.repartition(64).write.parquet(src)
+    before = sorted(
+        r["event_id"] for r in spark.read.parquet(src).collect()
+    )
+
+    stats = compact_small_files(spark, src, target_file_bytes=10**9)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    assert stats["rows"] == len(before)
+    after = sorted(r["event_id"] for r in spark.read.parquet(src).collect())
+    assert after == before
+
+    # sorted variant: disjoint per-file event_id ranges
+    src2 = str(tmp_path / "events_sorted")
+    ev.repartition(32).write.parquet(src2)
+    compact_small_files(
+        spark, src2, target_file_bytes=len(before) * 8, sort_cols=["event_id"]
+    )
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for root, _, names in os.walk(src2):
+        for f in names:
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(root, f), columns=["event_id"])
+                ids = t["event_id"].to_pylist()
+                if ids:
+                    ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    assert len(ranges) >= 2, "expected a multi-file sorted layout"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "sorted compaction must produce disjoint ranges"

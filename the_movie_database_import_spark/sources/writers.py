@@ -397,3 +397,76 @@ def write_zordered(
         # table has thousands of row groups regardless of this knob
         writer = writer.option("parquet.block.size", str(parquet_block_bytes))
     writer.parquet(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction ([ext] the table-maintenance op every
+    long-lived parquet dataset needs — Delta/Iceberg ``OPTIMIZE``):
+    streaming and incremental writers accrete thousands of tiny files,
+    and at 100 TB the driver's file-listing, the footer reads, and the
+    per-file task overhead come to dominate scan cost long before the
+    bytes do. Rewrites ``path`` as ``ceil(total_bytes /
+    target_file_bytes)`` files (optionally re-sorted for row-group
+    locality) and swaps atomically-enough for a single-writer
+    maintenance window: write to a sibling temp dir, delete the old,
+    rename — the same staged-swap shape as ``write_jdbc_exactly_once``,
+    with the parquet-on-posix caveat that the delete+rename pair is the
+    non-transactional step (a table format's metadata commit is the
+    real fix; this is the raw-parquet approximation).
+
+    Returns ``{"files_before", "files_after", "bytes", "rows"}``; row
+    count is re-verified after the swap (fail-loud, not fail-quiet).
+
+    Scale shape: one read + one write; ``repartition(n)`` (round-robin)
+    when unsorted — even output sizes regardless of input skew — or
+    ``repartitionByRange(n, sort_cols)`` + in-partition sort when a
+    clustering is requested (pay the compaction ANYWAY, collect the
+    z-order/sort locality for free).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    files = []
+    for root, _, names in os.walk(path):
+        files.extend(
+            os.path.join(root, f) for f in names if f.endswith(".parquet")
+        )
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    n_check = back.count()
+    if n_check != n_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row mismatch: {n_rows} -> {n_check}; source untouched"
+        )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = [
+        f
+        for root, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+        "rows": n_rows,
+    }
