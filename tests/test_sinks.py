@@ -227,3 +227,33 @@ def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
     assert len(ranges) >= 2, "expected a multi-file sorted layout"
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "sorted compaction must produce disjoint ranges"
+
+
+def test_scan_parquet_evolving_merges_generations(spark, tmp_path):
+    """Two generations under one directory — gen2 gained `quality_note`:
+    the merged scan exposes the union schema with NULLs for gen1 rows,
+    while a plain scan can silently bind gen1's narrower schema (schema
+    inference samples one footer; which one is nondeterministic, the
+    trap the merging reader exists to close)."""
+    from the_movie_database_import_spark.sources.readers import (
+        scan_parquet_evolving,
+    )
+
+    base = str(tmp_path / "evolving")
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.filter("doc_id % 2 = 0").select("doc_id", "lang").write.parquet(
+        base + "/gen=1"
+    )
+    docs.filter("doc_id % 2 = 1").select(
+        "doc_id", "lang", F.lit("resubmitted").alias("quality_note")
+    ).write.parquet(base + "/gen=2")
+
+    merged = scan_parquet_evolving(spark, base)
+    assert "quality_note" in merged.columns
+    n_total = docs.count()
+    assert merged.count() == n_total
+    old_rows = merged.filter("gen = 1")
+    assert old_rows.count() > 0
+    assert old_rows.filter(F.col("quality_note").isNotNull()).count() == 0
+    new_rows = merged.filter("gen = 2")
+    assert new_rows.filter(F.col("quality_note") != "resubmitted").count() == 0

@@ -194,3 +194,23 @@ def scan_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def scan_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution parquet scan ([ext] the reader twin of
+    `q_union_schema_evolution`): a long-lived dataset whose producer
+    ADDED columns over time has generations with different footers under
+    one directory; a plain scan binds the schema from a sampled file and
+    silently DROPS the columns that file lacks. ``mergeSchema`` unions
+    every footer's schema (missing columns read as NULL per file — the
+    by-name union semantics at the storage layer).
+
+    Scale note, and why this is NOT the default reader: schema merging
+    reads EVERY file's footer up front (at 100 TB with millions of
+    files, a real listing+RPC cost — Spark leaves it off by default for
+    exactly this reason). Use it at the evolution boundary, then
+    compact/rewrite (``writers.compact_small_files``) so steady-state
+    scans go back to single-footer binding; a table format's central
+    schema registry is the at-scale fix, and ``sources/schema.py`` plays
+    that role for this engine's own outputs."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
