@@ -147,3 +147,36 @@ def test_corpus_cli_calibrated_keep_stage(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{out_b}/shards").select("doc_id").collect()
     }
     assert b_ids < a_ids  # strict subset: the stage only removes
+
+
+def test_corpus_cli_compaction_preserves_training_order(spark, tmp_path, capsys):
+    """--compact-mb: each shard directory collapses to the byte-target
+    file count and the census reports it — WITHOUT breaking the sink's
+    training-order contract (rows inside each shard still read in pos
+    order, the property round-robin compaction would destroy)."""
+    import json as _json
+
+    from the_movie_database_import_spark.corpus.__main__ import main
+
+    out = str(tmp_path / "compacted")
+    assert (
+        main([SF_DIR, "--out", out, "--n-shards", "2", "--compact-mb", "512"])
+        == 0
+    )
+    census = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert census["compaction"]["files_after"] <= census["compaction"]["files_before"]
+    assert census["compaction"]["files_after"] == 2  # one file per shard here
+    import pyarrow.parquet as pq
+    import os
+
+    for i in range(2):
+        d = f"{out}/shards/shard={i}"
+        files = [
+            os.path.join(r, f)
+            for r, _, ns in os.walk(d)
+            for f in ns
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+        pos = pq.read_table(files[0], columns=["pos"])["pos"].to_pylist()
+        assert pos == sorted(pos), "training order must survive compaction"

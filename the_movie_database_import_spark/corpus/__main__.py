@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
         "stripped too, and the written side table extends it",
     )
     parser.add_argument(
+        "--compact-mb",
+        type=int,
+        default=0,
+        help="after the sharded write, compact each shard directory to "
+        "~N-MiB files (writers.compact_small_files) — the OPTIMIZE pass a "
+        "daily pipeline runs so downstream scans never pay the small-file "
+        "tax; 0 disables",
+    )
+    parser.add_argument(
         "--audit",
         action="store_true",
         help="run a data-quality audit on the written shards (not-null "
@@ -174,6 +183,23 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(f"{args.out}/span_grams")
 
     write_training_shards(kept, f"{args.out}/shards", args.n_shards)
+    compaction = None
+    if args.compact_mb:
+        from ..sources.writers import compact_small_files
+
+        # per-shard compaction preserves the shard=N layout contract;
+        # sort_cols=[pos] preserves the sink's TRAINING-ORDER contract
+        # (round-robin compaction would scramble rows within files)
+        compaction = {"files_before": 0, "files_after": 0}
+        for i in range(args.n_shards):
+            st = compact_small_files(
+                spark,
+                f"{args.out}/shards/shard={i}",
+                target_file_bytes=args.compact_mb * 2**20,
+                sort_cols=["pos"],
+            )
+            compaction["files_before"] += st["files_before"]
+            compaction["files_after"] += st["files_after"]
     shards = spark.read.parquet(f"{args.out}/shards")
     n_kept = shards.count()
 
@@ -234,6 +260,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if n_calibrated is not None:
         census["docs_after_calibrated_keep"] = n_calibrated
+    if compaction is not None:
+        census["compaction"] = compaction
     if span_stats is not None:
         census["span_tokens_in"] = span_stats["t_in"]
         census["span_tokens_kept"] = span_stats["t_kept"]
