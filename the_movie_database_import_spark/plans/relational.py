@@ -1151,3 +1151,41 @@ def q_revenue_change_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_delta"
         ),
     )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH ue AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(c_custkey, user_id) AS entity_id,
+           c_custkey IS NOT NULL AS is_customer,
+           user_id IS NOT NULL AS has_events,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events
+    FROM customer FULL OUTER JOIN ue ON c_custkey = user_id
+    """,
+    tags=("join",),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation canon member left/inner
+    can't express: customers with no events AND event users absent from
+    the customer table (the driver's user ids are drawn independently —
+    at sf0.01+ both unmatched sides are non-empty, the same mismatch
+    the FK-orphan audit counts, here materialized row-level; the plan
+    test pins the preservation identity rows == customers +
+    event-only users at any SF). Physical
+    note: full outer preserves BOTH sides, so it can never broadcast —
+    Spark plans a SortMergeJoin FullOuter (one co-keyed shuffle pair),
+    the correct and only shape at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    ue = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    j = customer.join(ue, customer.c_custkey == ue.user_id, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("user_id")).alias("entity_id"),
+        F.col("c_custkey").isNotNull().alias("is_customer"),
+        F.col("user_id").isNotNull().alias("has_events"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+    )

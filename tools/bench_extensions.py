@@ -86,6 +86,7 @@ QUERIES = [
     "q_except_all",
     "q_unpivot_melt",
     "q_union_schema_evolution",
+    "q_join_full_outer",
     "q_pipeline_end_to_end",
 ]
 
