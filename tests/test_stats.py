@@ -1078,9 +1078,9 @@ def test_chi2_null_category_is_a_real_level(spark):
     got = chi2_independence(df, "u", "w").collect()[0]
     assert got["n_rows"] == 24
     assert got["n_cells"] == 4
-    # countDistinct excludes NULL -> kb = 1 -> dof (2-1)*(1-1) = 0 (the
-    # standard convention: NULL is outside the dof grid)
-    assert got["dof"] == 0
+    # NULL counts as a level in dof too: |A| = 2, |B| = 2 (x + NULL), so
+    # dof = (2-1)*(2-1) = 1 — the same grid the chi2 sum ranges over.
+    assert got["dof"] == 1
     # chi2 still sums ALL 4 cells: expected 6 everywhere, (10-6)^2/6 * 4
     assert got["chi2"] == pytest.approx(4 * 16 / 6, abs=1e-9)
 

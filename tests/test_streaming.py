@@ -676,3 +676,45 @@ def test_stream_cusum_matches_batch_operator(spark, tmp_path):
         "expected multiple emissions per user across micro-batches"
     )
     assert_frames_match(final, batch_out, "stream_cusum")
+
+
+def test_stream_cusum_nondefault_grid_matches_batch(spark, tmp_path):
+    """Non-default ``grid`` parity (regression: xq once hard-coded 1e6
+    while kq/hq scaled by ``grid`` — values and thresholds quantized on
+    DIFFERENT scales for any grid != 1e6): grid=1e3 on a tiny ordered
+    stream must match the batch operator at the same grid, including
+    the alarm decision."""
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.stats import cusum_per_key
+    from the_movie_database_import_spark.streaming.windows import (
+        _events_raw_schema,
+        stream_cusum,
+    )
+
+    rows = [
+        (i, 1 + (i // 8), f"2024-01-01 00:00:{i % 8:02d}", 55.0 + 3.7 * (i % 5))
+        for i in range(24)
+    ]
+    ev = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .withColumn("event_type", F.lit("view"))
+        .withColumn("props", F.lit(None).cast("string"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    src = str(tmp_path / "grid_events")
+    ev.coalesce(1).write.parquet(src)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long=False))
+        .parquet(src)
+    )
+    kw = dict(target=50.0, slack=2.0, threshold=20.0)
+    stream_out = run_to_memory(
+        stream_cusum(raw, grid=1e3, **kw), "t_cusum_grid", "update"
+    ).toPandas()
+    batch_out = cusum_per_key(ev, grid=1e3, **kw).toPandas()
+    assert_frames_match(stream_out, batch_out, "stream_cusum_grid")
+    assert batch_out["alarm"].any()

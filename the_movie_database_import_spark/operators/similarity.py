@@ -651,11 +651,13 @@ def pca_variance_spectrum(
     collapse onto a few directions (fast decay — anisotropic embeddings
     degrade cosine retrieval; Ethayarajh 2019's contextual-embedding
     finding, and the standard screen before choosing an IVF/PQ
-    compression budget). Returns ``(component, explained_variance,
-    explained_variance_ratio)`` — k rows, component 1-indexed in
-    decreasing order.
+    compression budget). Returns ``(component,
+    explained_variance_ratio, cumulative_ratio)`` — k rows, component
+    1-indexed in decreasing ratio order; ratios are fractions of TOTAL
+    data variance (no absolute-eigenvalue column: the ratio spectrum is
+    scale-free, which is what the anisotropy screen needs).
 
-    Only EIGENVALUES are emitted — eigenvectors are sign- (and, under
+    Only the variance SPECTRUM is emitted — eigenvectors are sign- (and, under
     near-degenerate eigenvalues, rotation-) ambiguous across
     implementations, so the spectrum is the largest output that is
     well-defined cross-library (pinned against numpy's dense eigh in

@@ -143,7 +143,11 @@ def chi2_independence(
     them would silently bias the margins).
 
     chi2 = sum over cells of (obs - exp)^2 / exp with
-    exp = row_total * col_total / n; dof = (|A|-1) * (|B|-1).
+    exp = row_total * col_total / n; dof = (|A|-1) * (|B|-1) where |A|
+    and |B| COUNT a NULL level when one exists — dof and chi2 see the
+    same level grid (countDistinct alone would exclude NULL, yielding
+    chi2 > 0 with dof = 0 on a table whose dependence runs through the
+    NULL column, and any p-value from that pair would be wrong).
     """
     from ..session import tracked_cache
 
@@ -156,11 +160,15 @@ def chi2_independence(
     col_tot = cells.groupBy(col_b).agg(F.sum("_obs").alias("_cb")).select(
         F.col(col_b).alias("_b2"), "_cb"
     )
+    # countDistinct ignores NULL; the max(when isNull) flag adds the NULL
+    # level back so dof ranges over the SAME grid the chi2 sum does.
+    null_a = F.max(F.when(F.col(col_a).isNull(), 1).otherwise(0))
+    null_b = F.max(F.when(F.col(col_b).isNull(), 1).otherwise(0))
     grand = cells.agg(
         F.sum("_obs").alias("_n"),
         F.count(F.lit(1)).alias("n_cells"),
-        F.countDistinct(col_a).alias("_ka"),
-        F.countDistinct(col_b).alias("_kb"),
+        (F.countDistinct(col_a) + null_a).alias("_ka"),
+        (F.countDistinct(col_b) + null_b).alias("_kb"),
     )
     exp = F.col("_ra") * F.col("_cb") / F.col("_n")
     # NULL-SAFE margin joins: a NULL category forms a real cell with real

@@ -203,8 +203,10 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra AS (SELECT lang, SUM(obs) AS rt FROM cells GROUP BY lang),
     cb AS (SELECT source, SUM(obs) AS ct FROM cells GROUP BY source),
     g AS (SELECT SUM(obs) AS n, COUNT(*) AS n_cells,
-                 COUNT(DISTINCT lang) AS ka,
-                 COUNT(DISTINCT source) AS kb
+                 COUNT(DISTINCT lang)
+                   + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS ka,
+                 COUNT(DISTINCT source)
+                   + MAX(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS kb
           FROM cells)
     SELECT CAST(g.n AS BIGINT) AS n_rows,
            CAST(g.n_cells AS BIGINT) AS n_cells,

@@ -413,11 +413,17 @@ def compact_small_files(
     bytes do. Rewrites ``path`` as ``ceil(total_bytes /
     target_file_bytes)`` files (optionally re-sorted for row-group
     locality) and swaps atomically-enough for a single-writer
-    maintenance window: write to a sibling temp dir, delete the old,
-    rename — the same staged-swap shape as ``write_jdbc_exactly_once``,
-    with the parquet-on-posix caveat that the delete+rename pair is the
-    non-transactional step (a table format's metadata commit is the
-    real fix; this is the raw-parquet approximation).
+    maintenance window: write to a sibling temp dir, rename the old
+    directory ASIDE (``path._old``), rename the temp into place, then
+    delete the aside copy — the dataset is never absent from its
+    canonical path, and a crash mid-swap leaves a recoverable ``._old``
+    instead of a hole (each rename is atomic; only their PAIR is not,
+    and either crash ordering leaves every row on disk). For true
+    reader isolation — a scan of generation N unaffected by a
+    concurrent compaction committing N+1 — use the snapshot protocol
+    (``snapshot_write`` / ``snapshot_read`` / ``snapshot_compact``
+    below), whose manifest ``os.replace`` IS the single atomic commit a
+    table format provides.
 
     Returns ``{"files_before", "files_after", "bytes", "rows"}``; row
     count is re-verified after the swap (fail-loud, not fail-quiet).
@@ -456,8 +462,12 @@ def compact_small_files(
         raise RuntimeError(
             f"compaction row mismatch: {n_rows} -> {n_check}; source untouched"
         )
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "._old"
+    if os.path.exists(old):  # leftover from a previous crashed swap
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     after = [
         f
         for root, _, names in os.walk(path)
@@ -470,3 +480,185 @@ def compact_small_files(
         "bytes": total,
         "rows": n_rows,
     }
+
+
+# --------------------------------------------------------------------------
+# Snapshot protocol: manifest-committed parquet generations
+# --------------------------------------------------------------------------
+# The raw-parquet analogue of a table format's metadata commit (Delta's
+# _delta_log, Iceberg's metadata.json — in spirit, one field deep): data
+# lives in immutable generation directories `gen-%08d`, and ONE tiny JSON
+# manifest names the current generation. Commit = write manifest sideways +
+# `os.replace` (atomic on POSIX), so readers observe either the old
+# generation or the new one, never a half-swapped directory — and because a
+# commit never deletes the superseded generation's files, a reader that
+# already bound generation N keeps scanning N undisturbed while N+1 lands
+# (snapshot isolation). Superseded generations are reclaimed explicitly by
+# `snapshot_vacuum`, the same read/maintenance split every table format
+# makes. Concurrent committers are last-writer-wins (documented; real
+# multi-writer coordination is a table format's job, not a manifest's).
+
+_MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, _MANIFEST_NAME)
+
+
+def snapshot_current(path: str) -> dict | None:
+    """Read the committed manifest: ``{"generation": int, "dir": str,
+    "rows": int}`` — or None for a directory with no manifest (not
+    snapshot-managed, or first write not yet committed)."""
+    import json
+    import os
+
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def _snapshot_commit(path: str, manifest: dict) -> None:
+    """Atomically publish ``manifest``: write a sibling temp file, fsync,
+    `os.replace` over the manifest name. The replace is the COMMIT POINT
+    — everything before it is invisible to readers, everything after it
+    is the new table state; a crash on either side leaves a consistent
+    table (old manifest, or new manifest over fully-written data)."""
+    import json
+    import os
+
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _manifest_path(path))
+
+
+def snapshot_write(df: DataFrame, path: str) -> dict:
+    """Write ``df`` as the next committed generation of the snapshot
+    dataset at ``path`` (creating the dataset on first call). The data
+    write happens entirely in an uncommitted ``gen-%08d`` directory;
+    only the manifest replace makes it visible. Returns the committed
+    manifest."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    cur = snapshot_current(path)
+    gen = (cur["generation"] + 1) if cur else 1
+    gen_dir = f"gen-{gen:08d}"
+    full = os.path.join(path, gen_dir)
+    df.write.mode("errorifexists").parquet(full)
+    rows = df.sparkSession.read.parquet(full).count()
+    manifest = {"generation": gen, "dir": gen_dir, "rows": rows}
+    _snapshot_commit(path, manifest)
+    return manifest
+
+
+def snapshot_read(spark, path: str) -> DataFrame:
+    """Bind the CURRENT committed generation and return a DataFrame over
+    its files. The binding is by generation directory, so a later commit
+    (ingest or compaction) does not perturb this plan — the files it
+    scans are immutable until `snapshot_vacuum` reclaims them."""
+    import os
+
+    cur = snapshot_current(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot manifest under {path}")
+    return spark.read.parquet(os.path.join(path, cur["dir"]))
+
+
+def snapshot_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE under snapshot isolation: rewrite the current generation
+    as ``ceil(bytes / target_file_bytes)`` files (optionally range-
+    clustered on ``sort_cols``) into generation N+1 and commit via the
+    manifest replace. Readers bound to generation N are untouched — their
+    files are not deleted, moved, or appended to; new readers bind N+1.
+    Row count re-verified before the commit (fail-loud). Returns
+    ``{"files_before", "files_after", "bytes", "rows", "generation"}``."""
+    import math
+    import os
+
+    cur = snapshot_current(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot manifest under {path}")
+    src = os.path.join(path, cur["dir"])
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    files = [
+        os.path.join(root, f)
+        for root, _, names in os.walk(src)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    gen = cur["generation"] + 1
+    gen_dir = f"gen-{gen:08d}"
+    full = os.path.join(path, gen_dir)
+    out.write.mode("errorifexists").parquet(full)
+    n_check = spark.read.parquet(full).count()
+    if n_check != n_rows:
+        import shutil
+
+        shutil.rmtree(full)
+        raise RuntimeError(
+            f"compaction row mismatch: {n_rows} -> {n_check}; "
+            f"generation {cur['generation']} remains current"
+        )
+    after = [
+        f
+        for root, _, names in os.walk(full)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    _snapshot_commit(path, {"generation": gen, "dir": gen_dir, "rows": n_rows})
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+        "rows": n_rows,
+        "generation": gen,
+    }
+
+
+def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
+    """Reclaim superseded generations, keeping the current one plus the
+    ``keep - 1`` most recent predecessors (grace for in-flight readers —
+    the honest posture: a manifest has no reader registry, so the grace
+    window is the caller's contract, exactly as with Delta's VACUUM
+    retention). Returns the deleted directory names."""
+    import os
+    import re
+    import shutil
+
+    cur = snapshot_current(path)
+    if cur is None:
+        return []
+    gens = sorted(
+        d
+        for d in os.listdir(path)
+        if re.fullmatch(r"gen-\d{8}", d)
+        and os.path.isdir(os.path.join(path, d))
+    )
+    # never reclaim past the committed generation, whatever keep says
+    live = {cur["dir"]}
+    live.update(gens[-keep:])
+    doomed = [d for d in gens if d not in live and d < cur["dir"]]
+    for d in doomed:
+        shutil.rmtree(os.path.join(path, d))
+    return doomed

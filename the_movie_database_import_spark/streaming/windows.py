@@ -579,7 +579,9 @@ def stream_cusum(
                 ["ts", "event_id"]
             )
         if len(pdf):
-            xq = np.floor(pdf["value"].to_numpy() * 1e6).astype(np.int64) - kq
+            xq = np.floor(pdf["value"].to_numpy() * grid).astype(
+                np.int64
+            ) - kq
             q = s + np.cumsum(xq)
             m = np.minimum(np.minimum.accumulate(q), 0)
             sv = q - m
