@@ -229,6 +229,69 @@ SHOWCASES = [
         "ReadSchema, and a single-partition gather of per-task partial "
         "aggregates. At 100 TB this query IS the storage layout.",
     ),
+    (
+        "q_join_full_outer",
+        "FULL OUTER preserves both sides, so no broadcast strategy "
+        "exists: the plan is a SortMergeJoin FullOuter over exactly one "
+        "co-keyed shuffle pair — and the preservation identity (every "
+        "customer once, plus one row per event-only user) is the "
+        "semantic pin that the reconciliation never drops a side.",
+    ),
+    (
+        "q_unpivot_melt",
+        "UNPIVOT/melt: the wide-to-long reshape is a pure in-plan Expand "
+        "node — one scan, 4x in-row row generation, zero exchanges, zero "
+        "joins. At 100 TB the reshape costs exactly one pass, no "
+        "shuffle.",
+    ),
+    (
+        "q_except_all",
+        "EXCEPT ALL bag difference: Spark plans exceptAll as the counted "
+        "anti-pattern — aggregate multiplicities on both sides, "
+        "subtract, regenerate — one shuffle pair on the compared "
+        "columns, never a row-by-row anti join of the full bags.",
+    ),
+    (
+        "q_union_schema_evolution",
+        "Schema-evolution union (unionByName + allowMissingColumns): "
+        "by-NAME projection alignment with NULL fill happens entirely "
+        "in-plan — one scan per generation, no shuffle, and a positional "
+        "union's silent column misalignment is structurally impossible.",
+    ),
+    (
+        "q_temporal_dim_join",
+        "Fact-to-SCD2 temporal join: the versioned dimension derives "
+        "from the attribute log via lag/lead windows sharing one "
+        "user-keyed exchange; the fact joins its valid-at version "
+        "through ONE user-keyed equi-join carrying the interval "
+        "predicates — at scale the dimension side broadcasts and the "
+        "fact never shuffles twice.",
+    ),
+    (
+        "q_entity_resolution",
+        "Entity resolution composite: deletion-variant blocking (never "
+        "all-pairs; hot variants capped), edit-distance-1 verify on the "
+        "blocked candidates only, then iterative min-label propagation "
+        "over (node, label) ID PAIRS — names and payloads never enter "
+        "the loop, lineage is truncated per iteration via "
+        "localCheckpoint, and the iteration count is bounded.",
+    ),
+    (
+        "q_bootstrap_se",
+        "One-pass Poisson bootstrap: B=32 md5-derived Poisson(1) weights "
+        "per row feed 2B+2 conditional sums in ONE hash aggregate — "
+        "map-side partials do nearly all the work, no second data pass, "
+        "no resampling loop; replicate means and the SE compute on the "
+        "per-group result row, bit-reproducible across partitionings.",
+    ),
+    (
+        "q_substring_search_trgm",
+        "Trigram-accelerated LIKE '%pattern%' (the pg_trgm recipe): the "
+        "inverted trigram index prunes to docs containing EVERY pattern "
+        "trigram (set-containment via counted semi-join), exact contains "
+        "verifies candidates only — byte-equal to the naive full scan "
+        "without reading the whole corpus per query.",
+    ),
 ]
 
 
