@@ -2096,3 +2096,55 @@ def test_pca_spectrum_matches_numpy(spark):
     ratios = [r for _, r, _ in got]
     assert ratios == sorted(ratios, reverse=True)
     assert got[-1][2] == pytest.approx(sum(ratios), rel=1e-12)
+
+
+def test_lsh_multiprobe_recall_at_unchanged_budget(spark):
+    """Multi-probe LSH (Lv et al.) recall pin at the scale ANN exists for
+    (VERDICT r08 #6): on a deterministic 20k-vector isotropic corpus —
+    the WORST case for LSH, no cluster structure — query-directed probing
+    at (planes=48, bands=6, n_probe=56) reaches recall@10 >= 0.7 at a
+    candidate fraction <= 0.25, the same budget the old exact-band
+    default (16, 4) spent for recall ~0.5. Everything (corpus seed,
+    hyperplanes, probe ranking) is deterministic, so the measured values
+    are exact pins, not statistical bounds."""
+    import numpy as np
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_multiprobe_candidates,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 20000, 64
+    V = rng.standard_normal((n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": list(V.astype(np.float64))}
+        )
+    )
+    n_q = 100
+    queries = emb.filter(F.col("vec_id") < n_q)
+    exact = {}
+    for r in cosine_topk(emb, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    planes, bands, n_probe = 48, 6, 56
+    n_cand = lsh_multiprobe_candidates(
+        emb, queries, planes, bands, d, n_probe
+    ).count()
+    frac = n_cand / (n_q * n)
+    assert frac <= 0.25, f"candidate fraction {frac:.3f} > 0.25 budget"
+
+    got = {}
+    rows = lsh_bucket_topk(
+        emb, queries, k=10, planes=planes, bands=bands, dim=d, n_probe=n_probe
+    ).collect()
+    pairs = [(r.query_id, r.vec_id) for r in rows]
+    assert len(pairs) == len(set(pairs)), "candidate emitted more than once"
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / (10 * n_q)
+    assert recall >= 0.7, f"multi-probe recall@10 {recall:.3f} < 0.7"

@@ -11,6 +11,8 @@ measured against brute force in tests (the standard ANN contract).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..sources.readers import fan_out
@@ -441,10 +443,13 @@ def lsh_bucket_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via BANDED (multi-table) hyperplane LSH:
     the signature splits into ``bands`` bands of planes/bands bits; a corpus
-    vector is a candidate for a query when they agree exactly on >=1 band.
+    vector is a candidate for a query when they agree exactly on >=1 band —
+    or, with ``n_probe > 0``, on one of the query's multi-probe buckets
+    (see :func:`lsh_multiprobe_candidates`, the Lv et al. 2007 recipe).
 
     This is the standard multi-hash-table LSH search layout. The earlier
     single-bucket form (match on the FULL signature) needed every sign bit
@@ -472,6 +477,18 @@ def lsh_bucket_topk(
         raise ValueError(f"bands={bands} must divide planes={planes}")
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
+    if n_probe > 0:
+        scored = lsh_multiprobe_candidates(
+            embeddings, queries, planes, bands, dim, n_probe, id_col, vec_col
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "vec_id"
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+        )
 
     def banded_view(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         base = df.select(
@@ -523,6 +540,174 @@ def lsh_bucket_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _multiprobe_sequence_udf(
+    planes: int, bands: int, dim: int, n_probe: int
+):
+    """Arrow-vectorized probe-sequence generator for query-side multi-probe
+    LSH (Lv et al. 2007, "Multi-Probe LSH"): per query, the ``bands`` exact
+    band buckets first, then the globally best ``n_probe`` perturbation
+    buckets — band values with 1-3 of the query's LEAST-CONFIDENT sign bits
+    flipped, ranked across all bands by the summed squared margin of the
+    flipped bits (a bit whose projection sits near the hyperplane is the
+    bit most likely to differ for a true near neighbor, so flipping it
+    probes exactly where the neighbors leak to).
+
+    Python runs on the QUERY side only — |Q| rows, broadcast afterwards;
+    the corpus side never leaves the JVM. Perturbation pool per band:
+    every single flip, pairs among the 8 least-confident bits, triples
+    among the 5 least-confident (the pool the recall tuning measured).
+    Returns ``array<struct<bid, bval>>`` — the ORDERED probe sequence the
+    first-collision predicate keys on."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.array([_hyperplane(dim, p) for p in range(planes)])
+    r = planes // bands
+
+    @pandas_udf("array<struct<bid: int, bval: bigint>>")
+    def gen(vecs: pd.Series) -> pd.Series:
+        import itertools
+
+        out = []
+        for v in vecs:
+            v = np.asarray(v, dtype=np.float64)
+            proj = H @ v
+            bits = (proj >= 0).astype(np.int64)
+            probes = []
+            perturbs = []
+            for b in range(bands):
+                bv = 0
+                for i in range(r):
+                    bv |= int(bits[b * r + i]) << i
+                probes.append({"bid": b, "bval": bv})
+                m = np.abs(proj[b * r : (b + 1) * r])
+                order = np.argsort(m)
+                for t in range(r):
+                    i = int(order[t])
+                    perturbs.append(
+                        (float(m[i] ** 2), b, bv ^ (1 << i))
+                    )
+                for i, j in itertools.combinations(range(min(8, r)), 2):
+                    bi, bj = int(order[i]), int(order[j])
+                    perturbs.append(
+                        (
+                            float(m[bi] ** 2 + m[bj] ** 2),
+                            b,
+                            bv ^ (1 << bi) ^ (1 << bj),
+                        )
+                    )
+                for i, j, kk in itertools.combinations(range(min(5, r)), 3):
+                    bi, bj, bk = int(order[i]), int(order[j]), int(order[kk])
+                    perturbs.append(
+                        (
+                            float(m[bi] ** 2 + m[bj] ** 2 + m[bk] ** 2),
+                            b,
+                            bv ^ (1 << bi) ^ (1 << bj) ^ (1 << bk),
+                        )
+                    )
+            perturbs.sort(key=lambda x: x[0])
+            probes.extend(
+                {"bid": b, "bval": pv} for _, b, pv in perturbs[:n_probe]
+            )
+            out.append(probes)
+        return pd.Series(out)
+
+    return gen
+
+
+def lsh_multiprobe_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: int,
+    bands: int,
+    dim: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scored candidate stream for multi-probe banded LSH: one row
+    ``(query_id, vec_id, cosine)`` per (query, candidate) pair, each pair
+    emitted exactly ONCE — on the first probe (in the query's ranked probe
+    sequence) whose bucket contains the candidate, so no distinct shuffle
+    over the candidate stream.
+
+    Plan shape: the corpus computes signatures JVM-side and explodes to
+    (band_id, band_val) keyed rows carrying its full band-value array; the
+    query side (|Q| rows) runs the Arrow probe generator once, explodes its
+    ordered probe sequence, and BROADCASTS — the join is a broadcast hash
+    join on (band_id, band_val), the corpus never shuffles, and the
+    first-collision test is an in-row `forall` over the probes that came
+    earlier in the sequence (checking the candidate's band values, which
+    ride along — no second join). At 100 TB this is the same cost model as
+    the exact-band path with the probe count as an explicit knob:
+    candidate fraction ~ (bands + n_probe)/2^(planes/bands)."""
+    band_bits = planes // bands
+    base = fan_out(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        as_double_vec(F.col(vec_col)).alias("v"),
+    )
+    base = base.withColumn(
+        "sig", hyperplane_signature(F.col("v"), planes, dim)
+    ).withColumn("v_norm", norm(F.col("v")))
+    corpus = base.select(
+        "vec_id",
+        "v",
+        "v_norm",
+        F.array(
+            *[
+                F.shiftrightunsigned(F.col("sig"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .cast("bigint")
+                for i in range(bands)
+            ]
+        ).alias("bands_arr"),
+    ).select(
+        "*",
+        F.posexplode("bands_arr").alias("band_id", "band_val"),
+    )
+
+    gen = _multiprobe_sequence_udf(planes, bands, dim, n_probe)
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("q"),
+    ).withColumn("q_norm", norm(F.col("q")))
+    qs = qbase.withColumn("probes", gen(F.col("q"))).select(
+        "query_id",
+        "q",
+        "q_norm",
+        "probes",
+        F.posexplode("probes").alias("probe_seq", "pr"),
+    )
+
+    # first-collision-probe predicate: none of the probes EARLIER in this
+    # query's sequence may hit the candidate — slice(probes, 1, probe_seq)
+    # is exactly the earlier prefix (empty for the first probe).
+    no_earlier_hit = F.forall(
+        F.slice(F.col("b.probes"), F.lit(1), F.col("b.probe_seq")),
+        lambda p: F.element_at(F.col("a.bands_arr"), p["bid"] + F.lit(1))
+        != p["bval"],
+    )
+    return (
+        corpus.alias("a")
+        .join(
+            F.broadcast(qs).alias("b"),
+            (F.col("a.band_id") == F.col("b.pr.bid"))
+            & (F.col("a.band_val") == F.col("b.pr.bval"))
+            & (F.col("a.vec_id") != F.col("b.query_id"))
+            & no_earlier_hit,
+        )
+        .select(
+            F.col("b.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("vec_id"),
+            cosine(
+                dot(F.col("a.v"), F.col("b.q")),
+                F.col("a.v_norm"),
+                F.col("b.q_norm"),
+            ).alias("cosine"),
+        )
     )
 
 

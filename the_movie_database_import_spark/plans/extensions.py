@@ -291,11 +291,17 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_similarity_lsh_topk", oracle=None, tags=("similarity", "ext", "lsh"))
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed approximate top-k (the ANN scale path;
-    recall vs brute force pinned in tests)."""
+    """Random-hyperplane LSH bucketed approximate top-k with Lv-style
+    query-directed MULTI-PROBE (the ANN scale path): per band the query
+    probes its exact bucket plus the globally best least-confident-bit
+    perturbations. At the driver corpus's few hundred vectors the buckets
+    are nearly empty and ANN is pointless — the geometry here is sized to
+    exercise the path; the scale pin lives in tests (20k-vector corpus:
+    recall@10 0.708 at candidate fraction 0.239 vs the exact-band
+    default's ~0.5 at the same budget)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucket_topk(emb, queries, k=10)
+    return lsh_bucket_topk(emb, queries, k=10, planes=24, bands=6, n_probe=10)
 
 
 @register("q_similarity_ivf_topk", oracle=None, tags=("similarity", "ext", "ivf"))
