@@ -775,3 +775,102 @@ def test_cli_config_credentials_scoped_to_config_url(tmp_path):
         assert wj.call_args.kwargs.get("properties") == {
             "user": "u", "password": "p"
         }
+
+
+def _shard_fixture(src_dir: str, dst_dir: str, n_shards: int) -> None:
+    """Split each multiLine CSV of the fixture into contiguous header-bearing
+    shard files (the bench tool's layout); ratings stays one flat file."""
+    import os
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in ("movies_metadata.csv", "credits.csv", "keywords.csv"):
+        with open(os.path.join(src_dir, name), newline="") as f:
+            rdr = csv.reader(f)
+            header = next(rdr)
+            rows = list(rdr)
+        per = (len(rows) + n_shards - 1) // n_shards
+        sub = os.path.join(dst_dir, name)
+        os.makedirs(sub)
+        for s in range(n_shards):
+            with open(
+                os.path.join(sub, f"part-{s:04d}.csv"), "w", newline=""
+            ) as f:
+                w = csv.writer(f)
+                w.writerow(header)
+                w.writerows(rows[s * per : (s + 1) * per])
+    import shutil
+
+    shutil.copy(
+        os.path.join(src_dir, "ratings.csv"),
+        os.path.join(dst_dir, "ratings.csv"),
+    )
+
+
+def test_sharded_input_parallelism_and_policy_determinism(
+    spark, tmdb_dir, tables, tmp_path
+):
+    """Sharded-input mode (VERDICT r08 #4): the multiLine CSVs become
+    directories of shard files — the parse stage gains one task per shard
+    (pinned via partition count; single-file multiLine is ONE task however
+    big the cluster). Conflict policies stay deterministic under the
+    documented per-shard-ordering deviation: the last-wins winner is
+    exactly the max-_idx row of the realized scan, order-insensitive
+    outputs (id sets, keyword unions, rating means) match the single-file
+    build, and a rerun is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.etl.pipeline import (
+        MOVIES_SCHEMA,
+        load_inputs,
+    )
+    from the_movie_database_import_spark.sources.readers import scan_csv
+
+    sharded = str(tmp_path / "tmdb_sharded")
+    _shard_fixture(tmdb_dir, sharded, 2)
+
+    # parse parallelism: 2 shard files -> 2 scan partitions (vs 1 before)
+    assert (
+        scan_csv(
+            spark, f"{sharded}/movies_metadata.csv", MOVIES_SCHEMA
+        ).rdd.getNumPartitions()
+        == 2
+    )
+    assert (
+        scan_csv(
+            spark, f"{tmdb_dir}/movies_metadata.csv", MOVIES_SCHEMA
+        ).rdd.getNumPartitions()
+        == 1
+    )
+
+    out = {n: df.collect() for n, df in build_all_tables(spark, sharded).items()}
+    single = tables
+
+    # order-insensitive outputs are layout-invariant
+    assert {r.id for r in out["movies"]} == {r.id for r in single["movies"]}
+    assert set(map(tuple, out["movies_keywords"])) == set(
+        map(tuple, single["movies_keywords"])
+    )
+    assert {r.id: r.rating for r in out["movies"]} == {
+        r.id: r.rating for r in single["movies"]
+    }
+
+    # last-wins is deterministic AGAINST THE REALIZED SCAN ORDER: the
+    # surviving title per id equals the title of that id's max-_idx row
+    scan = (
+        load_inputs(spark, sharded)["movies"]
+        .withColumn("mid", F.col("id").try_cast("bigint"))
+        .filter("mid IS NOT NULL")
+        .select("mid", "_idx", "original_title")
+        .collect()
+    )
+    winner = {}
+    for r in sorted(scan, key=lambda r: r._idx):
+        winner[r.mid] = r.original_title
+    got = {r.id: r.title for r in out["movies"]}
+    assert got == winner
+
+    # rerun on the same layout -> identical movies table
+    again = {
+        r.id: r for r in build_all_tables(spark, sharded)["movies"].collect()
+    }
+    assert {r.id: r for r in out["movies"]} == again

@@ -73,7 +73,17 @@ OUTPUT_TABLES = (
 
 def load_inputs(spark: SparkSession, base_dir: str) -> dict[str, DataFrame]:
     """Scan the four TMDB CSVs (ref A1, `loader.py:561-568`) and attach the
-    input-order index the conflict policies depend on."""
+    input-order index the conflict policies depend on.
+
+    Each path may be a single file (the Kaggle layout) or a DIRECTORY of
+    shard files, each with its own header — the 100x-input posture: the
+    three nested-cell CSVs are multiLine and therefore one task PER FILE,
+    so sharding them is the only way the parse stage parallelizes
+    (`tools/bench_etl.py --shards N` measures it). Ratings scans with
+    ``multiline=False``: the file is flat (no quoted newlines), which makes
+    even a single 26M-row file LINE-SPLITTABLE — full parallelism without
+    sharding — and its only consumer is an order-insensitive mean, so the
+    splittable scan cannot perturb any conflict policy."""
     paths = {
         "movies": f"{base_dir}/movies_metadata.csv",
         "credits": f"{base_dir}/credits.csv",
@@ -87,9 +97,12 @@ def load_inputs(spark: SparkSession, base_dir: str) -> dict[str, DataFrame]:
         "ratings": RATINGS_SCHEMA,
     }
     return {
-        name: scan_csv(spark, paths[name], schemas[name]).withColumn(
-            "_idx", F.monotonically_increasing_id()
-        )
+        name: scan_csv(
+            spark,
+            paths[name],
+            schemas[name],
+            multiline=(name != "ratings"),
+        ).withColumn("_idx", F.monotonically_increasing_id())
         for name in paths
     }
 

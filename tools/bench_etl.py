@@ -9,10 +9,17 @@ Python; this pipeline reads the same shapes through Spark CSV scans,
 Arrow-batched literal_eval parsing, and relational derivations.
 
 Usage:
-    python tools/bench_etl.py [--movies 45000] [--ratings 5000000]
+    python tools/bench_etl.py [--movies 45000] [--ratings 5000000] [--shards N]
 
 Prints one JSON line: {"rows_in": N, "build_s": ..., "tables": {name: rows}}.
 Dataset generation is cached under /tmp keyed by the scale parameters.
+
+``--shards N`` splits the three NESTED-CELL CSVs (movies/credits/keywords)
+into N header-bearing shard files each: multiLine CSV is unsplittable, so
+the single-file layout parses on ONE task per file regardless of cluster
+size — sharding is the only lever that parallelizes the parse stage (the
+documented per-shard-ordering deviation applies; ratings needs no sharding
+— it scans line-splittable, see etl/pipeline.load_inputs).
 """
 
 from __future__ import annotations
@@ -126,10 +133,51 @@ def generate(base: str, n_movies: int, n_ratings: int, seed: int = 42) -> None:
     ratings.to_csv(os.path.join(base, "ratings.csv"), index=False)
 
 
+def shard_csv_file(src: str, dst_dir: str, n_shards: int) -> None:
+    """Split one header-bearing CSV into ``n_shards`` shard files (each
+    with the header, rows in contiguous chunks) under ``dst_dir`` — the
+    layout a real multi-producer export lands in. Row-level split via the
+    csv module, so quoted multiline cells survive intact."""
+    os.makedirs(dst_dir, exist_ok=True)
+    with open(src, newline="") as f:
+        rdr = csv.reader(f)
+        header = next(rdr)
+        rows = list(rdr)
+    per = (len(rows) + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        chunk = rows[s * per : (s + 1) * per]
+        with open(
+            os.path.join(dst_dir, f"part-{s:04d}.csv"), "w", newline=""
+        ) as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            w.writerows(chunk)
+
+
+def shard_inputs(base: str, n_shards: int) -> str:
+    """Materialize the sharded-input layout next to the single-file one:
+    the three multiLine CSVs become directories of N shard files; ratings
+    is symlinked (line-splittable as-is)."""
+    sharded = f"{base}_sharded{n_shards}"
+    if os.path.exists(os.path.join(sharded, "ratings.csv")):
+        return sharded
+    os.makedirs(sharded, exist_ok=True)
+    for name in ("movies_metadata.csv", "credits.csv", "keywords.csv"):
+        shard_csv_file(
+            os.path.join(base, name), os.path.join(sharded, name), n_shards
+        )
+    os.symlink(
+        os.path.join(base, "ratings.csv"), os.path.join(sharded, "ratings.csv")
+    )
+    return sharded
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--movies", type=int, default=45_000)
     ap.add_argument("--ratings", type=int, default=5_000_000)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="split the nested-cell CSVs into N shard files")
     args = ap.parse_args()
 
     base = f"/tmp/tmdb_synth_m{args.movies}_r{args.ratings}"
@@ -137,6 +185,8 @@ def main() -> None:
         t0 = time.time()
         generate(base, args.movies, args.ratings)
         print(f"generated {base} in {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.shards > 0:
+        base = shard_inputs(base, args.shards)
 
     spark = get_spark("tmdb-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,6 +210,7 @@ def main() -> None:
                 "rows_in": args.movies * 3 + args.ratings,
                 "movies": args.movies,
                 "ratings": args.ratings,
+                "shards": args.shards,
                 "build_s": build_s,
                 "tables": counts,
             }
