@@ -1099,3 +1099,114 @@ def test_conversion_latency_empty_census_is_null_row(spark):
     r = conversion_latency(df).collect()[0]
     assert r["n_converted"] == 0
     assert r["p25_secs"] is None and r["median_secs"] is None
+
+
+# ------------------------------------------------------------------ psi
+def test_psi_identical_distributions_score_zero(spark):
+    """PSI of a distribution against itself is exactly 0: every bin has
+    p_cur == p_base, each term is 0 * ln(1) = 0, and floor(0) = 0 on the
+    grid — no smoothing artifact leaks in when counts match."""
+    from the_movie_database_import_spark.operators.stats import psi_drift
+
+    rows = [("a", float(v), b) for v in range(10) for b in (True, False)]
+    df = spark.createDataFrame(rows, "k string, v double, is_base boolean")
+    got = psi_drift(df, "k", "v", "is_base", n_bins=10).collect()
+    assert len(got) == 1
+    assert got[0]["n_baseline"] == 10 and got[0]["n_current"] == 10
+    assert got[0]["psi"] == 0.0
+
+
+def test_psi_matches_python_model_and_ranks_drift(spark):
+    """PSI replays the exact smoothed-sparse-census model, and a key whose
+    current distribution collapsed into one bin scores far above a key
+    that didn't move (the monitoring semantics the statistic exists for).
+    Pooled bins: values span [0, 10] across both keys."""
+    import math
+
+    from the_movie_database_import_spark.operators.stats import psi_drift
+
+    n_bins = 10
+    rows = []
+    # key "same": uniform over bins, both sides
+    for v in range(10):
+        rows += [("same", v + 0.5, True), ("same", v + 0.5, False)]
+    # key "moved": baseline uniform, current all in the first bin
+    for v in range(10):
+        rows.append(("moved", v + 0.5, True))
+    rows += [("moved", 0.25, False)] * 10
+    rows.append(("edge", 10.0, True))  # pins max; 0.25 pins min via "moved"
+    rows.append(("edge", 0.0, True))
+    df = spark.createDataFrame(rows, "k string, v double, is_base boolean")
+    got = {r["k"]: r for r in psi_drift(df, "k", "v", "is_base", 10).collect()}
+
+    # python model: same pooled lo/hi, same sparse census, same grid
+    lo, hi = 0.0, 10.0
+    census: dict = {}
+    for k, v, b in rows:
+        bn = min(n_bins - 1, int((v - lo) * n_bins / (hi - lo)))
+        cb, cc = census.get((k, bn), (0, 0))
+        census[(k, bn)] = (cb + (1 if b else 0), cc + (0 if b else 1))
+    keys = {k for k, _ in census}
+    for k in keys:
+        tb = sum(cb for (kk, _), (cb, _) in census.items() if kk == k)
+        tc = sum(cc for (kk, _), (_, cc) in census.items() if kk == k)
+        tq = 0
+        for (kk, _), (cb, cc) in census.items():
+            if kk != k:
+                continue
+            p_c = (cc + 1) / (tc + n_bins)
+            p_b = (cb + 1) / (tb + n_bins)
+            t = (p_c - p_b) * math.log(
+                ((cc + 1) * (tb + n_bins)) / ((cb + 1) * (tc + n_bins))
+            )
+            tq += math.floor(t * 1e6)
+        assert got[k]["psi"] == round(tq / 1e6, 6), k
+        assert got[k]["n_baseline"] == tb and got[k]["n_current"] == tc
+    assert got["moved"]["psi"] > 1.0 > 0.2 > got["same"]["psi"]
+
+
+def test_psi_grid_safety_on_testdata():
+    """The 1e-6 floor grid is hash-safe only if no PSI term sits within
+    engine-rounding distance of a grid boundary (the unigram_nll lane:
+    a 1-ulp ln() difference perturbs the scaled term by ~1e-10 here).
+    Replay the exact term set at every test SF and assert margin."""
+    import math
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH base AS (
+                SELECT event_type AS k, CAST(value AS DOUBLE) AS v,
+                       (ts < TIMESTAMP '2024-01-16') AS b
+                FROM '/root/testdata/{sf}/events.parquet'
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            stats AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+            binned AS (
+                SELECT k, b,
+                       LEAST(9, CAST(FLOOR((v - lo) * 10 / (hi - lo))
+                                     AS BIGINT)) AS bin
+                FROM base, stats
+            ),
+            census AS (
+                SELECT k, bin,
+                       SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+                       SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS cc
+                FROM binned GROUP BY k, bin
+            ),
+            tot AS (SELECT k, SUM(cb) AS tb, SUM(cc) AS tc
+                    FROM census GROUP BY k)
+            SELECT cb, cc, tb, tc FROM census JOIN tot USING (k)
+            """
+        ).fetchall()
+        assert rows
+        for cb, cc, tb, tc in rows:
+            p_c = (cc + 1) / (tc + 10)
+            p_b = (cb + 1) / (tb + 10)
+            v = 1e6 * (p_c - p_b) * math.log(
+                ((cc + 1) * (tb + 10)) / ((cb + 1) * (tc + 10))
+            )
+            dist = abs(v - round(v))
+            assert dist > 1e-7, (sf, cb, cc, tb, tc, v, dist)

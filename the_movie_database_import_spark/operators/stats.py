@@ -649,3 +649,97 @@ def _epoch_us_events(df: DataFrame, ts_col: str) -> Column:
     from .analytics import _epoch_us
 
     return _epoch_us(df, ts_col)
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    baseline_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per key ([ext] the ML-monitoring
+    drift statistic — the numeric-feature sibling of
+    `vocab.token_kl_divergence`): bin ``val_col`` into ``n_bins``
+    equal-width bins spanning the POOLED [min, max], split rows by the
+    boolean ``baseline_col``, and score
+    ``PSI = sum_bins (p_cur - p_base) * ln(p_cur / p_base)`` — the
+    symmetrized-KL-shaped census behind "did this feature's
+    distribution move between training and serving" gates (industry
+    folklore thresholds: <0.1 stable, 0.1-0.25 shifting, >0.25 drifted).
+    Returns ``(key, n_baseline, n_current, psi)``.
+
+    Bin proportions use add-one (Laplace) smoothing over the bin count
+    — ``p = (cnt + 1) / (tot + n_bins)`` — so empty bins contribute a
+    finite, deterministic term instead of an infinity (the standard PSI
+    practice of flooring proportions, in its exactly-reproducible
+    form).
+
+    Plan: ONE pass over the fact table for the pooled min/max (tiny
+    one-row broadcast, the numeric_histogram lane), ONE map-side-
+    combined (key, bin) census with both sides' counts as conditional
+    sums — no per-side scan — then per-key totals aggregate OVER THE
+    CENSUS (cardinality keys x bins) broadcast-joined back. At 100 TB
+    the only full-data costs are the stats pass and the census pass.
+
+    Determinism: p_cur/p_base is computed as a ratio of exact integer
+    PRODUCTS ((cnt_c+1)*(tot_b+n_bins) etc., < 2^53 — both engines form
+    the identical double), and each bin's term floor-quantizes onto the
+    1e-6 integer grid BEFORE the per-key sum (the unigram_nll ln lane:
+    ln differs by 1 ulp across libms, the grid absorbs it and integer
+    sums are order/partition-invariant). Output rounds to 1e-6.
+    """
+    c = F.col(val_col).cast("double")
+    base = df.filter(c.isNotNull())
+    stats = base.agg(
+        F.min(c).alias("_lo"), F.max(c).alias("_hi")
+    )
+    lo, hi = F.col("_lo"), F.col("_hi")
+    width_bin = F.least(
+        F.lit(n_bins - 1), F.floor((c - lo) * F.lit(n_bins) / (hi - lo))
+    )
+    bin_id = F.when(hi > lo, width_bin).otherwise(F.lit(0)).cast("long")
+    is_base = F.col(baseline_col)
+    census = (
+        base.crossJoin(F.broadcast(stats))
+        .select(F.col(key_col), bin_id.alias("_bin"), is_base.alias("_b"))
+        .groupBy(key_col, "_bin")
+        .agg(
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_cb"),
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_cc"),
+        )
+    )
+    totals = census.groupBy(key_col).agg(
+        F.sum("_cb").alias("_tb"), F.sum("_cc").alias("_tc")
+    ).select(F.col(key_col).alias("_k2"), "_tb", "_tc")
+    # exact-integer smoothed proportions: ratio formed from < 2^53 products
+    num = (F.col("_cc") + 1) * (F.col("_tb") + n_bins)
+    den = (F.col("_cb") + 1) * (F.col("_tc") + n_bins)
+    p_c = (F.col("_cc") + 1) / (F.col("_tc") + F.lit(n_bins))
+    p_b = (F.col("_cb") + 1) / (F.col("_tb") + F.lit(n_bins))
+    term = (p_c - p_b) * F.log(
+        num.cast("double") / den.cast("double")
+    )
+    return (
+        census.join(
+            F.broadcast(totals), F.col(key_col) == F.col("_k2")
+        )
+        .select(
+            F.col(key_col),
+            "_tb",
+            "_tc",
+            F.floor(term * F.lit(1_000_000.0)).cast("bigint").alias("_tq"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.first("_tb").alias("n_baseline"),
+            F.first("_tc").alias("n_current"),
+            F.round(F.sum("_tq") / F.lit(1_000_000.0), 6).alias("psi"),
+        )
+        .select(
+            key_col,
+            F.col("n_baseline").cast("bigint").alias("n_baseline"),
+            F.col("n_current").cast("bigint").alias("n_current"),
+            "psi",
+        )
+    )

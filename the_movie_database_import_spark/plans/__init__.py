@@ -71,7 +71,13 @@ DRIVER_WINDOW = [
     # queries keep their r05/r06 rows and the full-registry
     # tools/exact_parity.py sweep on current testdata. ---
     "q_trend_per_type",          # per-key OLS drift census (regr_* aggs)
-    "q_events_autocorr",         # lag-1 momentum screen (guarded corr)
+    "q_psi_value_drift",         # NEW r09: Population Stability Index per
+                                 # key (Laplace-smoothed sparse bin census,
+                                 # 1e-6 ln grid) — never driver-checked, so
+                                 # in-window; slot freed by
+                                 # q_events_autocorr -> tail (green r08 row;
+                                 # trend/chi2/welch keep the statistical-
+                                 # census family in-window)
     "q_event_transitions",       # first-order Markov matrix
     "q_attribution_last_touch",  # last-touch conversion credit
     "q_chi2_independence",       # lang x source dependence audit
@@ -246,6 +252,10 @@ DRIVER_WINDOW = [
 # r07-rows first (freshest evidence), then the r06-rows that did not fit
 # the r08 window (next rotation candidates).
 TAIL_PRIORITY = [
+    # slot displaced by the never-driver-checked r09 PSI census
+    "q_events_autocorr",      # green r08 row; trend/chi2/welch/psi keep the
+                              # statistical-census family in-window; local
+                              # exact-parity at both SFs every round
     # slots displaced by the never-driver-checked r08 session-3 stats queries
     "q_window_tumbling",      # frozen headline bench re-executes per-round
     "q_win_running_sum",      # frozen headline bench re-executes per-round

@@ -1034,3 +1034,65 @@ def q_ab_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lift", 6).alias("lift"),
         F.round("z_stat", 6).alias("z_stat"),
     )
+
+
+@register(
+    "q_psi_value_drift",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS k, CAST(value AS DOUBLE) AS v,
+               (ts < TIMESTAMP '2024-01-16') AS b
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    stats AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+    binned AS (
+        SELECT k, b,
+               CASE WHEN hi > lo
+                    THEN LEAST(9, CAST(FLOOR((v - lo) * 10 / (hi - lo))
+                                       AS BIGINT))
+                    ELSE 0 END AS bin
+        FROM base, stats
+    ),
+    census AS (
+        SELECT k, bin,
+               SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+               SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS cc
+        FROM binned GROUP BY k, bin
+    ),
+    tot AS (SELECT k, SUM(cb) AS tb, SUM(cc) AS tc FROM census GROUP BY k),
+    terms AS (
+        SELECT census.k, tot.tb, tot.tc,
+               CAST(FLOOR(((cc + 1) / CAST(tc + 10 AS DOUBLE)
+                           - (cb + 1) / CAST(tb + 10 AS DOUBLE))
+                          * ln(CAST((cc + 1) * (tb + 10) AS DOUBLE)
+                               / CAST((cb + 1) * (tc + 10) AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS tq
+        FROM census JOIN tot ON census.k = tot.k
+    )
+    SELECT k AS event_type,
+           CAST(MIN(tb) AS BIGINT) AS n_baseline,
+           CAST(MIN(tc) AS BIGINT) AS n_current,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 1000000.0, 6) AS psi
+    FROM terms GROUP BY k
+    """,
+    tags=("stats", "drift", "agg", "ext"),
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the metric value per event type,
+    first half of January (baseline) vs the rest (current) — the
+    ML-monitoring "did this feature drift between training and serving"
+    gate (north star `psi_drift`; the numeric-feature sibling of
+    `q_token_kl_divergence`). Pooled equal-width bins from a one-row
+    min/max broadcast; one (key, bin) census with both sides as
+    conditional sums; Laplace-smoothed proportions as exact integer
+    ratios; per-bin terms floor-quantized to the 1e-6 grid before the
+    per-key sum (the ln lane — order/partition-invariant and
+    cross-engine exact). Bins empty on BOTH sides are excluded (sparse
+    census); one-sided bins contribute through the smoothing."""
+    from ..operators.stats import psi_drift
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter("value IS NOT NULL AND ts IS NOT NULL").withColumn(
+        "_is_base", F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")
+    )
+    return psi_drift(base, "event_type", "value", "_is_base", n_bins=10)
