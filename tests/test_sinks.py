@@ -324,3 +324,81 @@ def test_snapshot_write_appends_generations_last_writer_wins(spark, tmp_path):
     assert m2["generation"] == 2 and m2["rows"] == 5
     assert snapshot_current(path)["rows"] == 5
     assert snapshot_read(spark, path).count() == 5
+
+
+def test_snapshot_append_is_o_increment_and_isolated(spark, tmp_path):
+    """Appends extend the segment list without touching existing files: a
+    reader bound before the append keeps its own row set; rows accumulate;
+    compaction collapses the segments to one and preserves every row."""
+    import os
+
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_current,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "appending")
+    nation = load_table(spark, SF_DIR, "nation")
+    snapshot_write(nation.filter("n_nationkey < 10"), path)
+    reader_v1 = snapshot_read(spark, path)
+
+    m = snapshot_append(nation.filter("n_nationkey >= 10"), path)
+    assert m["generation"] == 2 and len(m["dirs"]) == 2
+    assert m["rows"] == nation.count()
+    # pre-append reader unaffected; fresh reader sees the union
+    assert reader_v1.count() == 10
+    assert snapshot_read(spark, path).count() == nation.count()
+    # the first segment's files were not rewritten by the append
+    seg1 = os.path.join(path, "gen-00000001")
+    assert os.path.isdir(seg1)
+
+    stats = snapshot_compact(spark, path, target_file_bytes=10**9)
+    assert stats["rows"] == nation.count()
+    assert len(snapshot_current(path)["dirs"]) == 1
+    assert snapshot_read(spark, path).count() == nation.count()
+
+
+def test_stream_snapshot_sink_exactly_once_replay(spark, tmp_path):
+    """Streaming snapshot sink: an availableNow stream lands every source
+    row exactly once; a REPLAYED micro-batch (same batch_id, the
+    post-failure restart contract) is skipped wholesale — the manifest is
+    the ledger and the os.replace commit is the transaction."""
+    import os
+
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_current,
+        snapshot_read,
+    )
+    from the_movie_database_import_spark.streaming.sinks import (
+        run_to_snapshot,
+        snapshot_batch_writer,
+    )
+    from the_movie_database_import_spark.streaming.windows import (
+        _events_raw_schema,
+        stream_events,
+    )
+
+    path = str(tmp_path / "events_snap_stream")
+    ckpt = str(tmp_path / "ckpt")
+    run_to_snapshot(stream_events(spark, SF_DIR), path, ckpt)
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    got = snapshot_read(spark, path)
+    assert got.count() == n
+    ids = sorted(r["event_id"] for r in got.select("event_id").collect())
+    assert ids == sorted(r["event_id"] for r in ev.select("event_id").collect())
+
+    # replay: re-deliver an already-committed batch id by hand
+    last = snapshot_current(path)["last_batch_id"]
+    gen_before = snapshot_current(path)["generation"]
+    writer = snapshot_batch_writer(path)
+    writer(ev.limit(7), last)  # same batch id -> must be a no-op
+    assert snapshot_current(path)["generation"] == gen_before
+    assert snapshot_read(spark, path).count() == n
+    # a NEW batch id commits (and records itself)
+    writer(ev.limit(3), last + 1)
+    assert snapshot_current(path)["last_batch_id"] == last + 1
+    assert snapshot_read(spark, path).count() == n + 3

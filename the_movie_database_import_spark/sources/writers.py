@@ -483,20 +483,26 @@ def compact_small_files(
 
 
 # --------------------------------------------------------------------------
-# Snapshot protocol: manifest-committed parquet generations
+# Snapshot protocol: manifest-committed parquet segments
 # --------------------------------------------------------------------------
 # The raw-parquet analogue of a table format's metadata commit (Delta's
-# _delta_log, Iceberg's metadata.json — in spirit, one field deep): data
-# lives in immutable generation directories `gen-%08d`, and ONE tiny JSON
-# manifest names the current generation. Commit = write manifest sideways +
-# `os.replace` (atomic on POSIX), so readers observe either the old
-# generation or the new one, never a half-swapped directory — and because a
-# commit never deletes the superseded generation's files, a reader that
-# already bound generation N keeps scanning N undisturbed while N+1 lands
-# (snapshot isolation). Superseded generations are reclaimed explicitly by
+# _delta_log, Iceberg's metadata.json — in spirit, a few fields deep): data
+# lives in immutable segment directories `gen-%08d` (named for the commit
+# that created them), and ONE tiny JSON manifest lists the segments that
+# make up the current table state. Commit = write manifest sideways +
+# `os.replace` (atomic on POSIX), so readers observe either the old state
+# or the new one, never a half-swapped directory — and because a commit
+# never deletes superseded segments' files, a reader that already bound
+# state N keeps scanning N undisturbed while N+1 lands (snapshot
+# isolation). Appends add a segment; compaction rewrites the segment list
+# to one; superseded segments are reclaimed explicitly by
 # `snapshot_vacuum`, the same read/maintenance split every table format
 # makes. Concurrent committers are last-writer-wins (documented; real
 # multi-writer coordination is a table format's job, not a manifest's).
+# The streaming sink (`streaming/sinks.stream_snapshot_sink`) records the
+# last committed micro-batch id in the manifest, making batch replay after
+# a failure idempotent — the same exactly-once recipe as the JDBC sink,
+# with the manifest replace as the transaction.
 
 _MANIFEST_NAME = "_MANIFEST.json"
 
@@ -508,8 +514,9 @@ def _manifest_path(path: str) -> str:
 
 
 def snapshot_current(path: str) -> dict | None:
-    """Read the committed manifest: ``{"generation": int, "dir": str,
-    "rows": int}`` — or None for a directory with no manifest (not
+    """Read the committed manifest: ``{"generation": int, "dirs": [str],
+    "rows": int}`` (plus ``last_batch_id`` when a streaming sink owns the
+    table) — or None for a directory with no manifest (not
     snapshot-managed, or first write not yet committed)."""
     import json
     import os
@@ -538,37 +545,60 @@ def _snapshot_commit(path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
-def snapshot_write(df: DataFrame, path: str) -> dict:
-    """Write ``df`` as the next committed generation of the snapshot
-    dataset at ``path`` (creating the dataset on first call). The data
-    write happens entirely in an uncommitted ``gen-%08d`` directory;
-    only the manifest replace makes it visible. Returns the committed
-    manifest."""
+def _snapshot_add_segment(
+    df: DataFrame, path: str, *, replace: bool, batch_id: int | None = None
+) -> dict:
+    """Write ``df`` as a new immutable segment and commit it — appended to
+    the current segment list, or replacing it (``replace=True``). The data
+    write happens entirely in an uncommitted ``gen-%08d`` directory; only
+    the manifest replace makes it visible."""
     import os
 
     os.makedirs(path, exist_ok=True)
     cur = snapshot_current(path)
     gen = (cur["generation"] + 1) if cur else 1
-    gen_dir = f"gen-{gen:08d}"
-    full = os.path.join(path, gen_dir)
+    seg = f"gen-{gen:08d}"
+    full = os.path.join(path, seg)
     df.write.mode("errorifexists").parquet(full)
     rows = df.sparkSession.read.parquet(full).count()
-    manifest = {"generation": gen, "dir": gen_dir, "rows": rows}
+    dirs = [seg] if (replace or cur is None) else [*cur["dirs"], seg]
+    total = rows if (replace or cur is None) else cur["rows"] + rows
+    manifest = {"generation": gen, "dirs": dirs, "rows": total}
+    if batch_id is not None:
+        manifest["last_batch_id"] = batch_id
+    elif cur and "last_batch_id" in cur:
+        manifest["last_batch_id"] = cur["last_batch_id"]
     _snapshot_commit(path, manifest)
     return manifest
 
 
+def snapshot_write(df: DataFrame, path: str) -> dict:
+    """Write ``df`` as the ENTIRE next table state (truncate-and-reload
+    semantics — the manifest's segment list becomes just the new segment;
+    prior segments become vacuum-reclaimable). Returns the committed
+    manifest."""
+    return _snapshot_add_segment(df, path, replace=True)
+
+
+def snapshot_append(df: DataFrame, path: str, batch_id: int | None = None) -> dict:
+    """APPEND ``df`` as a new segment of the table (ingest semantics): the
+    commit extends the current segment list, touching no existing file —
+    O(increment) work however large the table. ``batch_id`` is recorded in
+    the manifest when given (the streaming sink's replay guard)."""
+    return _snapshot_add_segment(df, path, replace=False, batch_id=batch_id)
+
+
 def snapshot_read(spark, path: str) -> DataFrame:
-    """Bind the CURRENT committed generation and return a DataFrame over
-    its files. The binding is by generation directory, so a later commit
-    (ingest or compaction) does not perturb this plan — the files it
-    scans are immutable until `snapshot_vacuum` reclaims them."""
+    """Bind the CURRENT committed table state and return a DataFrame over
+    its segments. The binding is by segment directory list, so a later
+    commit (append or compaction) does not perturb this plan — the files
+    it scans are immutable until `snapshot_vacuum` reclaims them."""
     import os
 
     cur = snapshot_current(path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot manifest under {path}")
-    return spark.read.parquet(os.path.join(path, cur["dir"]))
+    return spark.read.parquet(*[os.path.join(path, d) for d in cur["dirs"]])
 
 
 def snapshot_compact(
@@ -577,24 +607,26 @@ def snapshot_compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
 ) -> dict:
-    """OPTIMIZE under snapshot isolation: rewrite the current generation
+    """OPTIMIZE under snapshot isolation: rewrite the current segment list
     as ``ceil(bytes / target_file_bytes)`` files (optionally range-
-    clustered on ``sort_cols``) into generation N+1 and commit via the
-    manifest replace. Readers bound to generation N are untouched — their
-    files are not deleted, moved, or appended to; new readers bind N+1.
-    Row count re-verified before the commit (fail-loud). Returns
-    ``{"files_before", "files_after", "bytes", "rows", "generation"}``."""
+    clustered on ``sort_cols``) into ONE new segment and commit via the
+    manifest replace. Readers bound to the prior state are untouched —
+    their files are not deleted, moved, or appended to; new readers bind
+    the compacted state. Row count re-verified before the commit
+    (fail-loud). Returns ``{"files_before", "files_after", "bytes",
+    "rows", "generation"}``."""
     import math
     import os
 
     cur = snapshot_current(path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot manifest under {path}")
-    src = os.path.join(path, cur["dir"])
-    df = spark.read.parquet(src)
+    srcs = [os.path.join(path, d) for d in cur["dirs"]]
+    df = spark.read.parquet(*srcs)
     n_rows = df.count()
     files = [
         os.path.join(root, f)
+        for src in srcs
         for root, _, names in os.walk(src)
         for f in names
         if f.endswith(".parquet")
@@ -608,8 +640,8 @@ def snapshot_compact(
     else:
         out = df.repartition(n_out)
     gen = cur["generation"] + 1
-    gen_dir = f"gen-{gen:08d}"
-    full = os.path.join(path, gen_dir)
+    seg = f"gen-{gen:08d}"
+    full = os.path.join(path, seg)
     out.write.mode("errorifexists").parquet(full)
     n_check = spark.read.parquet(full).count()
     if n_check != n_rows:
@@ -626,7 +658,10 @@ def snapshot_compact(
         for f in names
         if f.endswith(".parquet")
     ]
-    _snapshot_commit(path, {"generation": gen, "dir": gen_dir, "rows": n_rows})
+    manifest = {"generation": gen, "dirs": [seg], "rows": n_rows}
+    if "last_batch_id" in cur:
+        manifest["last_batch_id"] = cur["last_batch_id"]
+    _snapshot_commit(path, manifest)
     return {
         "files_before": len(files),
         "files_after": len(after),
@@ -637,11 +672,12 @@ def snapshot_compact(
 
 
 def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
-    """Reclaim superseded generations, keeping the current one plus the
-    ``keep - 1`` most recent predecessors (grace for in-flight readers —
-    the honest posture: a manifest has no reader registry, so the grace
-    window is the caller's contract, exactly as with Delta's VACUUM
-    retention). Returns the deleted directory names."""
+    """Reclaim segments the current manifest no longer references, keeping
+    the ``keep - 1`` most recent unreferenced ones as grace for in-flight
+    readers (the honest posture: a manifest has no reader registry, so the
+    grace window is the caller's contract, exactly as with Delta's VACUUM
+    retention). Referenced segments are never touched. Returns the deleted
+    directory names."""
     import os
     import re
     import shutil
@@ -649,16 +685,14 @@ def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
     cur = snapshot_current(path)
     if cur is None:
         return []
-    gens = sorted(
+    segs = sorted(
         d
         for d in os.listdir(path)
         if re.fullmatch(r"gen-\d{8}", d)
         and os.path.isdir(os.path.join(path, d))
     )
-    # never reclaim past the committed generation, whatever keep says
-    live = {cur["dir"]}
-    live.update(gens[-keep:])
-    doomed = [d for d in gens if d not in live and d < cur["dir"]]
+    unreferenced = [d for d in segs if d not in set(cur["dirs"])]
+    doomed = unreferenced[: max(0, len(unreferenced) - (keep - 1))] if keep > 1 else unreferenced
     for d in doomed:
         shutil.rmtree(os.path.join(path, d))
     return doomed

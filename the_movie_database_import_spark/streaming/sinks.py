@@ -152,3 +152,54 @@ def run_to_jdbc_exactly_once(
         .start()
     )
     query.awaitTermination()
+
+
+def snapshot_batch_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Idempotent ``foreachBatch`` function appending micro-batches to a
+    snapshot-committed parquet table ([ext], the parquet twin of the
+    exactly-once JDBC sink): each batch lands as one immutable segment and
+    the manifest replace commits BOTH the data and the batch id in one
+    atomic step — so a replayed batch (same ``batch_id`` after a failure
+    restart, the Structured Streaming replay contract) is recognized from
+    the manifest and skipped wholesale. No ledger table needed: the
+    manifest IS the ledger, and its `os.replace` IS the transaction.
+
+    Readers are never disturbed: a scan bound to the pre-batch manifest
+    keeps its segment list; concurrent compaction composes the same way
+    (`snapshot_compact` carries ``last_batch_id`` through).
+
+    Exposed separately so tests can drive a replay without a streaming
+    query around it. Batch numbering is scoped to the checkpoint lineage —
+    restarting from a FRESH checkpoint restarts at 0, so a new logical run
+    must target a new path (or vacuum + reset), the same lineage rule the
+    JDBC ledger documents."""
+    from ..sources.writers import snapshot_append, snapshot_current
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = snapshot_current(path)
+        if cur is not None and cur.get("last_batch_id") is not None:
+            if batch_id <= cur["last_batch_id"]:
+                return  # replayed batch: already committed, skip wholesale
+        snapshot_append(batch_df, path, batch_id=batch_id)
+
+    return sink
+
+
+def run_to_snapshot(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Run a stream into a snapshot table via the idempotent batch writer.
+    ``availableNow`` drains the source and stops (the batch-parity testing
+    mode); pass False for a continuous query."""
+    writer = stream_df.writeStream.foreachBatch(
+        snapshot_batch_writer(path)
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
