@@ -897,3 +897,19 @@ def test_full_outer_join_cannot_broadcast(spark):
     # preservation property either way)
     assert only_cust > 0
     assert df.count() == n_cust + only_events
+
+
+def test_psi_census_is_cached_for_both_consumers(spark):
+    """PSI at 100 TB must cost exactly two full-data passes (the pooled
+    min/max and the (key, bin) census) — everything after operates on the
+    keys x bins census. BOTH census consumers (the term rows and the
+    per-key totals) must read the tracked-cached census — uncached, each
+    branch re-ran the full min/max + census pipeline from the base table
+    (4 parquet scans, the chi2 cells trap); and the totals join back
+    behind broadcast, never a sort-merge."""
+    plan = _plan(spark, "q_psi_value_drift")
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the column-pruned stats pass reads only what the binning needs
+    assert re.search(r"FileScan parquet \[ts#\d+,value#\d+\]", plan)

@@ -689,6 +689,8 @@ def psi_drift(
     ln differs by 1 ulp across libms, the grid absorbs it and integer
     sums are order/partition-invariant). Output rounds to 1e-6.
     """
+    from ..session import tracked_cache
+
     c = F.col(val_col).cast("double")
     base = df.filter(c.isNotNull())
     stats = base.agg(
@@ -700,7 +702,12 @@ def psi_drift(
     )
     bin_id = F.when(hi > lo, width_bin).otherwise(F.lit(0)).cast("long")
     is_base = F.col(baseline_col)
-    census = (
+    # tracked_cache: TWO plan branches consume the census (the term rows
+    # and the per-key totals) — uncached, each branch re-runs the full
+    # min/max + census pipeline from the base table (measured: 4 parquet
+    # scans), exactly the 100 TB cost this shape avoids; the cached frame
+    # is keys x bins rows (the chi2 cells pattern).
+    census = tracked_cache(
         base.crossJoin(F.broadcast(stats))
         .select(F.col(key_col), bin_id.alias("_bin"), is_base.alias("_b"))
         .groupBy(key_col, "_bin")
