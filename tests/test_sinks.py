@@ -402,3 +402,56 @@ def test_stream_snapshot_sink_exactly_once_replay(spark, tmp_path):
     writer(ev.limit(3), last + 1)
     assert snapshot_current(path)["last_batch_id"] == last + 1
     assert snapshot_read(spark, path).count() == n + 3
+
+
+def test_snapshot_segment_pruning_skips_nonoverlapping_segments(spark, tmp_path):
+    """Manifest-level data skipping: with per-segment min/max stats, a
+    range read lists ONLY the overlapping segments' files (one level above
+    parquet row-group pruning — skipped segments cost zero footer reads),
+    the result is exactly the full-scan filter, a fully-disjoint range
+    reads nothing, and segments WITHOUT stats are conservatively kept."""
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_append,
+        snapshot_current,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_stats")
+    # four event_id-sliced segments with sticky stats declaration
+    snapshot_write(
+        ev.filter("event_id < 100"), path, stats_cols=["event_id", "ts"]
+    )
+    for lo, hi in [(100, 200), (200, 300), (300, 10**9)]:
+        snapshot_append(ev.filter(f"event_id >= {lo} AND event_id < {hi}"), path)
+    man = snapshot_current(path)
+    assert man["stats_cols"] == ["event_id", "ts"]
+    assert len(man["dirs"]) == 4 and len(man["stats"]) == 4
+
+    pruned = snapshot_read(spark, path, where=("event_id", 110, 150))
+    # only the [100, 200) segment's files are listed
+    files = {f.split("/")[-2] for f in pruned.inputFiles()}
+    assert files == {"gen-00000002"}, files
+    expect = sorted(
+        r["event_id"]
+        for r in ev.filter("event_id BETWEEN 110 AND 150").collect()
+    )
+    assert sorted(r["event_id"] for r in pruned.collect()) == expect
+
+    # open lower bound; disjoint range reads nothing but keeps the schema
+    assert snapshot_read(spark, path, where=("event_id", None, 50)).count() == 51
+    empty = snapshot_read(spark, path, where=("event_id", -10**9, -1))
+    assert empty.count() == 0 and "event_id" in empty.columns
+
+    # a stats-free table keeps every segment (conservative) and still
+    # filters exactly
+    path2 = str(tmp_path / "no_stats")
+    snapshot_write(ev.filter("event_id < 100"), path2)
+    snapshot_append(ev.filter("event_id >= 100 AND event_id < 200"), path2)
+    r2 = snapshot_read(spark, path2, where=("event_id", 110, 150))
+    assert {f.split("/")[-2] for f in r2.inputFiles()} == {
+        "gen-00000001",
+        "gen-00000002",
+    }
+    assert r2.count() == len([e for e in expect])

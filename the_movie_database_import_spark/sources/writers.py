@@ -545,13 +545,42 @@ def _snapshot_commit(path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
+def _segment_stats(spark, full: str, stats_cols: list[str]) -> tuple[int, dict]:
+    """One aggregate over the freshly-written segment: row count plus
+    per-column min/max for the declared stat columns (the parquet footers
+    already hold these per row group, so the scan is footer-cheap). Values
+    serialize as strings — JSON-safe for timestamps/decimals; pruning
+    compares after a cast back through the column's own type."""
+    back = spark.read.parquet(full)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    present = [c for c in stats_cols if c in back.columns]
+    for c in present:
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_lo_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_hi_{c}"))
+    row = back.agg(*aggs).collect()[0]
+    stats = {
+        c: [row[f"_lo_{c}"], row[f"_hi_{c}"]]
+        for c in present
+        if row[f"_lo_{c}"] is not None
+    }
+    return row["_n"], stats
+
+
 def _snapshot_add_segment(
-    df: DataFrame, path: str, *, replace: bool, batch_id: int | None = None
+    df: DataFrame,
+    path: str,
+    *,
+    replace: bool,
+    batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as a new immutable segment and commit it — appended to
     the current segment list, or replacing it (``replace=True``). The data
     write happens entirely in an uncommitted ``gen-%08d`` directory; only
-    the manifest replace makes it visible."""
+    the manifest replace makes it visible. ``stats_cols`` (sticky: once
+    declared, later appends inherit them from the manifest) records
+    per-segment min/max in the manifest for `snapshot_read` segment
+    pruning — the one-field-deep version of Delta's file-level stats."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -560,10 +589,16 @@ def _snapshot_add_segment(
     seg = f"gen-{gen:08d}"
     full = os.path.join(path, seg)
     df.write.mode("errorifexists").parquet(full)
-    rows = df.sparkSession.read.parquet(full).count()
+    cols = stats_cols or (cur or {}).get("stats_cols") or []
+    rows, seg_stats = _segment_stats(df.sparkSession, full, cols)
     dirs = [seg] if (replace or cur is None) else [*cur["dirs"], seg]
     total = rows if (replace or cur is None) else cur["rows"] + rows
     manifest = {"generation": gen, "dirs": dirs, "rows": total}
+    if cols:
+        manifest["stats_cols"] = cols
+        old_stats = {} if replace else dict((cur or {}).get("stats", {}))
+        old_stats[seg] = seg_stats
+        manifest["stats"] = {d: old_stats[d] for d in dirs if d in old_stats}
     if batch_id is not None:
         manifest["last_batch_id"] = batch_id
     elif cur and "last_batch_id" in cur:
@@ -572,33 +607,109 @@ def _snapshot_add_segment(
     return manifest
 
 
-def snapshot_write(df: DataFrame, path: str) -> dict:
+def snapshot_write(
+    df: DataFrame, path: str, stats_cols: list[str] | None = None
+) -> dict:
     """Write ``df`` as the ENTIRE next table state (truncate-and-reload
     semantics — the manifest's segment list becomes just the new segment;
-    prior segments become vacuum-reclaimable). Returns the committed
-    manifest."""
-    return _snapshot_add_segment(df, path, replace=True)
+    prior segments become vacuum-reclaimable). ``stats_cols`` declares the
+    columns whose per-segment min/max the manifest tracks for segment
+    pruning (sticky for later appends). Returns the committed manifest."""
+    return _snapshot_add_segment(df, path, replace=True, stats_cols=stats_cols)
 
 
-def snapshot_append(df: DataFrame, path: str, batch_id: int | None = None) -> dict:
+def snapshot_append(
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
     """APPEND ``df`` as a new segment of the table (ingest semantics): the
     commit extends the current segment list, touching no existing file —
     O(increment) work however large the table. ``batch_id`` is recorded in
     the manifest when given (the streaming sink's replay guard)."""
-    return _snapshot_add_segment(df, path, replace=False, batch_id=batch_id)
+    return _snapshot_add_segment(
+        df, path, replace=False, batch_id=batch_id, stats_cols=stats_cols
+    )
 
 
-def snapshot_read(spark, path: str) -> DataFrame:
+def _stat_overlaps(stat: list, lo, hi) -> bool:
+    """Typed overlap test between a segment's [min, max] (strings in the
+    manifest) and a query interval: numeric when both sides parse as
+    floats, lexicographic otherwise (correct for ISO timestamps and plain
+    strings). None bounds are open."""
+
+    def _cast(x):
+        try:
+            return float(x)
+        except (TypeError, ValueError):
+            return None
+
+    s_lo, s_hi = stat[0], stat[1]
+    nums = [_cast(v) for v in (s_lo, s_hi, lo, hi)]
+    if all(n is not None or v is None for n, v in zip(nums, (s_lo, s_hi, lo, hi))):
+        s_lo = nums[0] if s_lo is not None else None
+        s_hi = nums[1] if s_hi is not None else None
+        lo = nums[2] if lo is not None else None
+        hi = nums[3] if hi is not None else None
+    else:
+        s_lo, s_hi, lo, hi = (
+            str(s_lo) if s_lo is not None else None,
+            str(s_hi) if s_hi is not None else None,
+            str(lo) if lo is not None else None,
+            str(hi) if hi is not None else None,
+        )
+    if hi is not None and s_lo is not None and s_lo > hi:
+        return False
+    if lo is not None and s_hi is not None and s_hi < lo:
+        return False
+    return True
+
+
+def snapshot_read(
+    spark, path: str, where: tuple | None = None
+) -> DataFrame:
     """Bind the CURRENT committed table state and return a DataFrame over
     its segments. The binding is by segment directory list, so a later
     commit (append or compaction) does not perturb this plan — the files
-    it scans are immutable until `snapshot_vacuum` reclaims them."""
+    it scans are immutable until `snapshot_vacuum` reclaims them.
+
+    ``where=(col, lo, hi)`` (either bound may be None) applies the range
+    filter AND prunes segments whose manifest [min, max] cannot overlap it
+    — data skipping one level ABOVE parquet's row-group stats: pruned
+    segments are never listed, no footer is read (the cost layer that
+    dominates at millions of files). Semantically exact: the row filter
+    still applies to surviving segments; segments lacking stats for the
+    column are conservatively kept."""
     import os
 
     cur = snapshot_current(path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot manifest under {path}")
-    return spark.read.parquet(*[os.path.join(path, d) for d in cur["dirs"]])
+    dirs = list(cur["dirs"])
+    if where is not None:
+        col, lo, hi = where
+        stats = cur.get("stats", {})
+        dirs = [
+            d
+            for d in dirs
+            if col not in stats.get(d, {})
+            or _stat_overlaps(stats[d][col], lo, hi)
+        ]
+        if not dirs:
+            # every segment pruned: an empty frame with the table schema
+            full = spark.read.parquet(
+                *[os.path.join(path, d) for d in cur["dirs"]]
+            )
+            return full.filter(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    if where is not None:
+        col, lo, hi = where
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
 
 
 def snapshot_compact(
@@ -659,6 +770,10 @@ def snapshot_compact(
         if f.endswith(".parquet")
     ]
     manifest = {"generation": gen, "dirs": [seg], "rows": n_rows}
+    if cur.get("stats_cols"):
+        manifest["stats_cols"] = cur["stats_cols"]
+        _, seg_stats = _segment_stats(spark, full, cur["stats_cols"])
+        manifest["stats"] = {seg: seg_stats}
     if "last_batch_id" in cur:
         manifest["last_batch_id"] = cur["last_batch_id"]
     _snapshot_commit(path, manifest)

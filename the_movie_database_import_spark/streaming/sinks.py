@@ -154,7 +154,9 @@ def run_to_jdbc_exactly_once(
     query.awaitTermination()
 
 
-def snapshot_batch_writer(path: str) -> Callable[[DataFrame, int], None]:
+def snapshot_batch_writer(
+    path: str, stats_cols: list[str] | None = None
+) -> Callable[[DataFrame, int], None]:
     """Idempotent ``foreachBatch`` function appending micro-batches to a
     snapshot-committed parquet table ([ext], the parquet twin of the
     exactly-once JDBC sink): each batch lands as one immutable segment and
@@ -180,7 +182,9 @@ def snapshot_batch_writer(path: str) -> Callable[[DataFrame, int], None]:
         if cur is not None and cur.get("last_batch_id") is not None:
             if batch_id <= cur["last_batch_id"]:
                 return  # replayed batch: already committed, skip wholesale
-        snapshot_append(batch_df, path, batch_id=batch_id)
+        snapshot_append(
+            batch_df, path, batch_id=batch_id, stats_cols=stats_cols
+        )
 
     return sink
 
