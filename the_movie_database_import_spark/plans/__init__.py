@@ -89,7 +89,13 @@ DRIVER_WINDOW = [
     # q_win_running_sum, q_text_quality — streaming keeps
     # dedup_first_event + stateful_user_totals in-window, windows keep
     # win_time_range, text censuses keep token_count + vocab_coverage. ---
-    "q_twap_per_user",           # time-weighted average (exact int lane)
+    "q_similarity_pq_topk",      # NEW r09: product-quantization compressed
+                                 # ANN (ADC + exact re-rank; 0.932 recall
+                                 # pin at 32x compression) — never
+                                 # driver-checked, so in-window; slot freed
+                                 # by q_twap_per_user -> tail (green r08
+                                 # row; gap_quantiles + cusum + interpolate
+                                 # keep time-series in-window)
     "q_interevent_gaps",         # recurrence-interval quartile census
     "q_quality_calibrated_keep", # per-source quality cut (no hot window)
     "q_rolling_active_users",    # mergeable-HLL trailing distinct (rows-only
@@ -252,10 +258,13 @@ DRIVER_WINDOW = [
 # r07-rows first (freshest evidence), then the r06-rows that did not fit
 # the r08 window (next rotation candidates).
 TAIL_PRIORITY = [
-    # slot displaced by the never-driver-checked r09 PSI census
+    # slots displaced by the never-driver-checked r09 queries (PSI, PQ)
     "q_events_autocorr",      # green r08 row; trend/chi2/welch/psi keep the
                               # statistical-census family in-window; local
                               # exact-parity at both SFs every round
+    "q_twap_per_user",        # green r08 row; gap_quantiles + cusum +
+                              # interpolation keep time-series in-window;
+                              # local exact-parity at both SFs every round
     # slots displaced by the never-driver-checked r08 session-3 stats queries
     "q_window_tumbling",      # frozen headline bench re-executes per-round
     "q_win_running_sum",      # frozen headline bench re-executes per-round

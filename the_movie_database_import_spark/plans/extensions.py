@@ -304,6 +304,22 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=10, planes=24, bands=6, n_probe=10)
 
 
+@register("q_similarity_pq_topk", oracle=None, tags=("similarity", "ext", "pq"))
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compressed top-k (Jegou et al. 2011): the
+    corpus scores from m=8 one-byte codes via asymmetric-distance lookup
+    tables (32x memory compression — the big-index RAM play), the ADC
+    shortlist re-ranks with exact cosine, so every emitted cosine is a
+    true corpus cosine. Recall@10 ~0.93 at 2.5% re-rank fraction pinned
+    on a 20k corpus in tests; the driver corpus here is small, so the
+    codebook k and shortlist scale down with it."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=10, m=8, n_centroids=64, shortlist=100)
+
+
 @register("q_similarity_ivf_topk", oracle=None, tags=("similarity", "ext", "ivf"))
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer buckets the corpus,

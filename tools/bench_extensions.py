@@ -48,6 +48,7 @@ QUERIES = [
     "q_quality_classifier",
     "q_token_kl_divergence",
     "q_psi_value_drift",
+    "q_similarity_pq_topk",
     "q_hybrid_rrf_topk",
     "q_events_sessionize",
     "q_win_time_range",
