@@ -1210,3 +1210,40 @@ def test_psi_grid_safety_on_testdata():
             )
             dist = abs(v - round(v))
             assert dist > 1e-7, (sf, cb, cc, tb, tc, v, dist)
+
+
+# ------------------------------------------------------ seasonal z-score
+def test_seasonal_zscore_hand_case(spark):
+    """Three same-weekday days with totals (5, 10, 15): mean 10, sd 5,
+    z = (-1, 0, 1). A weekday whose totals never vary has sd 0 -> NULL z
+    (guarded; ANSI would raise). dow is days-since-epoch mod 7 (0 =
+    Thursday: 1970-01-01), identical arithmetic on both engines."""
+    from the_movie_database_import_spark.operators.stats import (
+        seasonal_zscore_daily,
+    )
+
+    rows = []
+    # Mondays 2024-01-01/08/15 (days 19723/19730/19737; dow = 19723%7 = 4)
+    for day, total in [("2024-01-01", 5.0), ("2024-01-08", 10.0),
+                       ("2024-01-15", 15.0)]:
+        rows.append((1, f"{day} 09:00:00", total))
+    # Tuesdays: constant totals -> sd 0 -> NULL z
+    for day in ["2024-01-02", "2024-01-09", "2024-01-16"]:
+        rows.append((1, f"{day} 09:00:00", 7.0))
+    df = spark.createDataFrame(
+        rows, "k int, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["k"], r["day"]): r
+        for r in seasonal_zscore_daily(df, "k", "ts", "value").collect()
+    }
+    assert len(got) == 6
+    assert got[(1, "2024-01-01")]["dow"] == 19723 % 7
+    assert got[(1, "2024-01-01")]["z_score"] == pytest.approx(-1.0)
+    assert got[(1, "2024-01-08")]["z_score"] == pytest.approx(0.0)
+    assert got[(1, "2024-01-15")]["z_score"] == pytest.approx(1.0)
+    assert got[(1, "2024-01-15")]["dow_mean"] == pytest.approx(10.0)
+    assert got[(1, "2024-01-15")]["dow_sd"] == pytest.approx(5.0)
+    for day in ["2024-01-02", "2024-01-09", "2024-01-16"]:
+        assert got[(1, day)]["z_score"] is None
+        assert got[(1, day)]["day_total"] == pytest.approx(7.0)

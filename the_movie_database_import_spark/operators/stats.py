@@ -750,3 +750,74 @@ def psi_drift(
             "psi",
         )
     )
+
+
+def seasonal_zscore_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Day-of-week seasonal residual z-scores per key ([ext] the
+    telemetry anomaly screen): per (key, date), the day's value total
+    scored against the MEAN and SD of the same key's same-weekday totals
+    — the seasonal-naive baseline that keeps a quiet Sunday from paging
+    as an anomaly and a quiet Tuesday from hiding as one. Returns
+    ``(key, day, dow, day_total, dow_mean, dow_sd, z_score)``; the
+    consumer thresholds ``z_score`` (emitting the score instead of a
+    verdict keeps every comparison on identically-rounded values —
+    cross-engine safe). The day participates in its own baseline
+    (standard seasonal-naive; leave-one-out is a rank-1 update the
+    caller can apply to the emitted moments).
+
+    Determinism: daily totals sum ``value`` floor-quantized to an
+    integer ``grid`` as decimal — exact, order/partition-invariant (the
+    TWAP lane); weekday moments over the ~4-5 exact totals per (key,
+    dow) use avg/stddev_samp (the moment lane — both engines' one-pass
+    co-moments agree far inside 1e-6) and everything emitted rounds to
+    1e-6. ``dow`` computes arithmetically as days-since-epoch mod 7
+    (0 = Thursday) — the one weekday encoding both engines share
+    exactly (DATE_FORMAT/strftime weekday conventions differ).
+
+    Plan: ONE (key, date) hash aggregate over the fact table (map-side
+    combined) is the only full-data pass; the weekday moments are a
+    window over the tiny daily census sharing its (key,)-prefixed
+    partitioning; cardinality = keys x days thereafter.
+    """
+    day = F.col(ts_col).cast("date")
+    vq = F.floor(F.col(val_col) * F.lit(grid)).cast("decimal(20,0)")
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("day"))
+        .agg((F.sum(vq) / F.lit(grid)).cast("double").alias("day_total"))
+        .withColumn(
+            "dow",
+            (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7)
+            .cast("int"),
+        )
+    )
+    w = Window.partitionBy(key_col, "dow")
+    scored = daily.select(
+        key_col,
+        "day",
+        "dow",
+        "day_total",
+        F.avg("day_total").over(w).alias("_mean"),
+        F.stddev_samp("day_total").over(w).alias("_sd"),
+    )
+    return scored.select(
+        key_col,
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        F.round("day_total", 6).alias("day_total"),
+        F.round("_mean", 6).alias("dow_mean"),
+        F.round("_sd", 6).alias("dow_sd"),
+        F.round(
+            F.when(
+                F.col("_sd") > 0,
+                (F.col("day_total") - F.col("_mean")) / F.col("_sd"),
+            ),
+            6,
+        ).alias("z_score"),
+    )

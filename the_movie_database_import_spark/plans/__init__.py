@@ -96,7 +96,13 @@ DRIVER_WINDOW = [
                                  # by q_twap_per_user -> tail (green r08
                                  # row; gap_quantiles + cusum + interpolate
                                  # keep time-series in-window)
-    "q_interevent_gaps",         # recurrence-interval quartile census
+    "q_seasonal_zscore",         # NEW r09: day-of-week seasonal residual
+                                 # z-score census (decimal-grid day totals,
+                                 # moment-lane weekday baseline) — never
+                                 # driver-checked, so in-window; slot freed
+                                 # by q_interevent_gaps -> tail (green r08
+                                 # row; cusum + interpolation + deadline
+                                 # curve keep time-series in-window)
     "q_quality_calibrated_keep", # per-source quality cut (no hot window)
     "q_rolling_active_users",    # mergeable-HLL trailing distinct (rows-only
                                  # + pinned 5% error test); slot freed by
@@ -264,6 +270,9 @@ TAIL_PRIORITY = [
                               # exact-parity at both SFs every round
     "q_twap_per_user",        # green r08 row; gap_quantiles + cusum +
                               # interpolation keep time-series in-window;
+                              # local exact-parity at both SFs every round
+    "q_interevent_gaps",      # green r08 row; cusum + interpolation +
+                              # deadline curve keep time-series in-window;
                               # local exact-parity at both SFs every round
     # slots displaced by the never-driver-checked r08 session-3 stats queries
     "q_window_tumbling",      # frozen headline bench re-executes per-round

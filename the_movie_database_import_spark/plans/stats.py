@@ -1096,3 +1096,50 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_is_base", F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")
     )
     return psi_drift(base, "event_type", "value", "_is_base", n_bins=10)
+
+
+@register(
+    "q_seasonal_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS k, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100) AS DECIMAL(20,0))) / 100
+                    AS DOUBLE) AS day_total
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY k, CAST(ts AS DATE)
+    ),
+    dowd AS (
+        SELECT *, CAST(datediff('day', DATE '1970-01-01', day) % 7 AS INT)
+                  AS dow
+        FROM daily
+    ),
+    scored AS (
+        SELECT k, day, dow, day_total,
+               AVG(day_total) OVER (PARTITION BY k, dow) AS m,
+               STDDEV_SAMP(day_total) OVER (PARTITION BY k, dow) AS sd
+        FROM dowd
+    )
+    SELECT k AS event_type, strftime(day, '%Y-%m-%d') AS day, dow,
+           ROUND(day_total, 6) AS day_total,
+           ROUND(m, 6) AS dow_mean,
+           ROUND(sd, 6) AS dow_sd,
+           ROUND(CASE WHEN sd > 0 THEN (day_total - m) / sd END, 6)
+             AS z_score
+    FROM scored
+    """,
+    tags=("stats", "events", "window", "ext"),
+)
+def q_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal residual z-scores of the daily value total per
+    event type (north star `seasonal_zscore_daily`): each day scored
+    against its own weekday's mean/sd — the seasonal-naive anomaly screen
+    that neither pages on a routinely quiet Sunday nor lets a quiet
+    Tuesday hide. Emits the score, not a verdict, so every comparison
+    happens on identically-rounded values downstream. One (key, date)
+    hash aggregate is the only full-data pass; decimal-grid day totals
+    keep the sums order-invariant (TWAP lane), weekday moments ride the
+    moment lane."""
+    from ..operators.stats import seasonal_zscore_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_zscore_daily(events, "event_type", "ts", "value")

@@ -49,6 +49,7 @@ QUERIES = [
     "q_token_kl_divergence",
     "q_psi_value_drift",
     "q_similarity_pq_topk",
+    "q_seasonal_zscore",
     "q_hybrid_rrf_topk",
     "q_events_sessionize",
     "q_win_time_range",

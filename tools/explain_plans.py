@@ -285,6 +285,15 @@ SHOWCASES = [
         "per-group result row, bit-reproducible across partitionings.",
     ),
     (
+        "q_psi_value_drift",
+        "PSI drift census: two full-data passes only (pooled min/max, "
+        "then ONE map-side-combined (key, bin) census with both periods "
+        "as conditional sums); the census is cached for BOTH its "
+        "consumers (term rows + per-key totals — uncached each branch "
+        "re-scanned the base table), totals join back behind broadcast, "
+        "and the 1e-6-grid term sum is order/partition-invariant.",
+    ),
+    (
         "q_substring_search_trgm",
         "Trigram-accelerated LIKE '%pattern%' (the pg_trgm recipe): the "
         "inverted trigram index prunes to docs containing EVERY pattern "
