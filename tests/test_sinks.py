@@ -455,3 +455,39 @@ def test_snapshot_segment_pruning_skips_nonoverlapping_segments(spark, tmp_path)
         "gen-00000002",
     }
     assert r2.count() == len([e for e in expect])
+
+
+def test_snapshot_time_travel_reads_historical_states(spark, tmp_path):
+    """Time travel: every commit leaves an immutable per-generation
+    manifest, so `at_generation=N` rebinds the table AS OF commit N —
+    valid until vacuum reclaims that state's segments, after which the
+    read fails loudly (never a silent partial result)."""
+    import pytest as _pytest
+
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "tt")
+    snapshot_write(nation.filter("n_nationkey < 5"), path)       # gen 1
+    snapshot_append(nation.filter("n_nationkey >= 5 AND n_nationkey < 10"), path)  # gen 2
+    snapshot_compact(spark, path, target_file_bytes=10**9)       # gen 3
+
+    assert snapshot_read(spark, path, at_generation=1).count() == 5
+    assert snapshot_read(spark, path, at_generation=2).count() == 10
+    assert snapshot_read(spark, path, at_generation=3).count() == 10
+    assert snapshot_read(spark, path).count() == 10
+
+    # vacuum reclaims gen-1/2 segments; their states now fail LOUDLY
+    assert snapshot_vacuum(path) == ["gen-00000001", "gen-00000002"]
+    with _pytest.raises(Exception):
+        snapshot_read(spark, path, at_generation=1).count()
+    # the current state is untouched; unknown generations fail up front
+    assert snapshot_read(spark, path).count() == 10
+    with _pytest.raises(FileNotFoundError):
+        snapshot_read(spark, path, at_generation=99)

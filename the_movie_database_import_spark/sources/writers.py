@@ -542,6 +542,17 @@ def _snapshot_commit(path: str, manifest: dict) -> None:
         json.dump(manifest, fh)
         fh.flush()
         os.fsync(fh.fileno())
+    # immutable per-generation copy FIRST (time travel / audit trail),
+    # then the atomic current-pointer replace — a crash between them
+    # leaves the old current manifest with an orphan history file, never
+    # a current state without its history entry
+    hist = os.path.join(
+        path, f"_MANIFEST.v{manifest['generation']:08d}.json"
+    )
+    with open(hist, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, _manifest_path(path))
 
 
@@ -667,12 +678,22 @@ def _stat_overlaps(stat: list, lo, hi) -> bool:
 
 
 def snapshot_read(
-    spark, path: str, where: tuple | None = None
+    spark,
+    path: str,
+    where: tuple | None = None,
+    at_generation: int | None = None,
 ) -> DataFrame:
     """Bind the CURRENT committed table state and return a DataFrame over
     its segments. The binding is by segment directory list, so a later
     commit (append or compaction) does not perturb this plan — the files
     it scans are immutable until `snapshot_vacuum` reclaims them.
+
+    ``at_generation=N`` TIME-TRAVELS: binds the table as of commit N via
+    its immutable per-generation manifest copy (`_MANIFEST.v%08d.json`) —
+    valid as long as that state's segments have not been vacuumed
+    (reading a reclaimed state fails loudly at scan, never silently
+    partially); the manifest history itself is a KB-scale audit trail
+    that vacuum leaves in place.
 
     ``where=(col, lo, hi)`` (either bound may be None) applies the range
     filter AND prunes segments whose manifest [min, max] cannot overlap it
@@ -681,9 +702,19 @@ def snapshot_read(
     dominates at millions of files). Semantically exact: the row filter
     still applies to surviving segments; segments lacking stats for the
     column are conservatively kept."""
+    import json
     import os
 
-    cur = snapshot_current(path)
+    if at_generation is not None:
+        hist = os.path.join(path, f"_MANIFEST.v{at_generation:08d}.json")
+        if not os.path.exists(hist):
+            raise FileNotFoundError(
+                f"no manifest for generation {at_generation} under {path}"
+            )
+        with open(hist) as fh:
+            cur = json.load(fh)
+    else:
+        cur = snapshot_current(path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot manifest under {path}")
     dirs = list(cur["dirs"])
