@@ -718,3 +718,68 @@ def test_stream_cusum_nondefault_grid_matches_batch(spark, tmp_path):
     batch_out = cusum_per_key(ev, grid=1e3, **kw).toPandas()
     assert_frames_match(stream_out, batch_out, "stream_cusum_grid")
     assert batch_out["alarm"].any()
+
+
+def test_stream_psi_matches_batch_twin(spark, tmp_path):
+    """Streaming PSI parity: freeze a baseline from the first half of
+    January, stream the second half in micro-batches, and assert each
+    key's LAST emission equals the batch twin over all current-period
+    data — integer bin-count state is associative, so micro-batching
+    cannot move the statistic (bit-for-bit, shared grid formula). Also
+    pins the frozen-bin clamp: serving values outside the baseline's
+    [lo, hi] land in the edge bins instead of inventing new ones."""
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.stats import (
+        psi_against_baseline,
+        psi_baseline,
+    )
+    from the_movie_database_import_spark.streaming.windows import (
+        _events_raw_schema,
+        stream_psi,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        "ts IS NOT NULL AND value IS NOT NULL"
+    )
+    cut = "2024-01-16"
+    base_df = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
+    cur_df = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
+    baseline = psi_baseline(base_df, "event_type", "value", n_bins=10)
+    assert baseline["hi"] > baseline["lo"] and baseline["keys"]
+
+    src = str(tmp_path / "cur_events")
+    cur_df.repartition(4).write.parquet(src)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long=False))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_out = run_to_memory(
+        stream_psi(raw, baseline), "t_psi", "update"
+    ).toPandas()
+    final = (
+        stream_out.sort_values("n_current")
+        .groupby("key", as_index=False)
+        .last()
+    )
+    assert (stream_out.groupby("key").size() > 1).any(), (
+        "expected multiple emissions per key across micro-batches"
+    )
+    batch = psi_against_baseline(
+        cur_df, baseline, "event_type", "value"
+    ).toPandas()
+    got = {r.key: (r.n_current, r.psi) for r in final.itertuples()}
+    want = {r.event_type: (r.n_current, r.psi) for r in batch.itertuples()}
+    assert got == want
+
+    # clamp pin: a value far outside [lo, hi] scores into an edge bin —
+    # same n_current, finite psi, no error
+    wild = spark.createDataFrame(
+        [(1, "2024-01-20 00:00:00", 1, "view", 10.0**9, None)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    b2 = psi_against_baseline(wild, baseline, "event_type", "value")
+    r = {x["event_type"]: x for x in b2.collect()}["view"]
+    assert r["n_current"] == 1 and r["psi"] is not None

@@ -821,3 +821,103 @@ def seasonal_zscore_daily(
             6,
         ).alias("z_score"),
     )
+
+
+def psi_baseline(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    n_bins: int = 10,
+) -> dict:
+    """Freeze a PSI reference distribution: per key, the pooled [lo, hi]
+    bin range and the baseline bin counts — the training-time artifact a
+    production drift gate scores serving traffic against (collected to
+    the driver: keys x (2 + n_bins) numbers, KB-scale at any data size).
+    Consumed by :func:`psi_against_baseline` (batch) and
+    `streaming/windows.stream_psi` (continuous)."""
+    c = F.col(val_col).cast("double")
+    base = df.filter(c.isNotNull())
+    stats = base.agg(F.min(c).alias("_lo"), F.max(c).alias("_hi"))
+    lo, hi = F.col("_lo"), F.col("_hi")
+    width_bin = F.least(
+        F.lit(n_bins - 1), F.floor((c - lo) * F.lit(n_bins) / (hi - lo))
+    )
+    bin_id = F.when(hi > lo, width_bin).otherwise(F.lit(0)).cast("int")
+    census = (
+        base.crossJoin(F.broadcast(stats))
+        .groupBy(F.col(key_col).alias("_k"), bin_id.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    b = stats.collect()[0]
+    out: dict = {"lo": b["_lo"], "hi": b["_hi"], "n_bins": n_bins, "keys": {}}
+    for r in census:
+        k = out["keys"].setdefault(r["_k"], [0] * n_bins)
+        k[r["_bin"]] = r["_n"]
+    return out
+
+
+def _psi_from_counts(base_counts, cur_counts, grid: int = 1_000_000) -> float:
+    """The shared PSI formula over two integer bin-count vectors —
+    Laplace-smoothed proportions as exact integer ratios, each term
+    floor-quantized to the integer grid before summing (identical math to
+    `psi_drift`'s distributed form; used by the streaming twin and its
+    parity test, so stream and batch agree bit-for-bit)."""
+    import math
+
+    nb = len(base_counts)
+    tb, tc = sum(base_counts), sum(cur_counts)
+    tq = 0
+    for cb, cc in zip(base_counts, cur_counts):
+        if cb == 0 and cc == 0:
+            continue  # sparse-census convention (matches psi_drift)
+        p_c = (cc + 1) / (tc + nb)
+        p_b = (cb + 1) / (tb + nb)
+        t = (p_c - p_b) * math.log(
+            ((cc + 1) * (tb + nb)) / ((cb + 1) * (tc + nb))
+        )
+        tq += math.floor(t * grid)
+    return round(tq / grid, 6)
+
+
+def psi_against_baseline(
+    df: DataFrame,
+    baseline: dict,
+    key_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Batch PSI of ``df`` against a FROZEN baseline (production drift-gate
+    semantics: bins and reference counts fixed at training time —
+    serving-side data outside [lo, hi] clamps into the edge bins). One
+    map-side-combined (key, bin) census over the data; the per-key PSI
+    assembles on the tiny census via the shared integer-grid formula.
+    Returns ``(key, n_current, psi)``; keys absent from the baseline are
+    omitted (no reference to score against)."""
+    n_bins = baseline["n_bins"]
+    lo, hi = baseline["lo"], baseline["hi"]
+    c = F.col(val_col).cast("double")
+    if hi > lo:
+        raw = F.floor((c - F.lit(lo)) * F.lit(n_bins) / F.lit(hi - lo))
+        bin_id = F.greatest(
+            F.lit(0), F.least(F.lit(n_bins - 1), raw)
+        ).cast("int")
+    else:
+        bin_id = F.lit(0).cast("int")
+    census = (
+        df.filter(c.isNotNull())
+        .groupBy(F.col(key_col).alias("_k"), bin_id.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    cur: dict = {}
+    for r in census:
+        cur.setdefault(r["_k"], [0] * n_bins)[r["_bin"]] = r["_n"]
+    rows = [
+        (k, sum(cur.get(k, [0] * n_bins)), float(
+            _psi_from_counts(bc, cur.get(k, [0] * n_bins))
+        ))
+        for k, bc in sorted(baseline["keys"].items())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, f"{key_col} string, n_current bigint, psi double"
+    )

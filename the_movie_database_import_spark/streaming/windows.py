@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -600,5 +601,73 @@ def stream_cusum(
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_psi(
+    events: DataFrame,
+    baseline: dict,
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming PSI drift gate ([ext] streaming twin of
+    `operators/stats.psi_against_baseline`): per key, the Population
+    Stability Index of everything seen SO FAR against a frozen training
+    baseline, re-emitted every micro-batch — the continuous form of the
+    serve-vs-train drift check (`applyInPandasWithState`, the
+    stream_cusum pattern).
+
+    State per key: the current-period integer bin counts (bins FROZEN
+    from the baseline's [lo, hi] — serving values outside clamp into the
+    edge bins, the production convention). Cross-batch accumulation is
+    integer addition — associative and replay-stable — and the emitted
+    PSI uses the exact shared integer-grid formula, so a key's LAST
+    emission equals the batch twin over the same data regardless of how
+    the stream was micro-batched (parity-pinned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.stats import _psi_from_counts
+
+    n_bins = baseline["n_bins"]
+    lo, hi = float(baseline["lo"]), float(baseline["hi"])
+    base_keys = baseline["keys"]
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_current", LongType()),
+            StructField("psi", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("counts", ArrayType(LongType())), StructField("n", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        counts, n = (
+            state.get if state.exists else ([0] * n_bins, 0)
+        )
+        counts = list(counts)
+        for pdf in pdfs:
+            v = pdf[val_col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if hi > lo:
+                bins = np.clip(
+                    np.floor((v - lo) * n_bins / (hi - lo)), 0, n_bins - 1
+                ).astype(np.int64)
+            else:
+                bins = np.zeros(len(v), dtype=np.int64)
+            for b, c in zip(*np.unique(bins, return_counts=True)):
+                counts[int(b)] += int(c)
+            n += len(v)
+        state.update((counts, n))
+        bc = base_keys.get(k)
+        psi = _psi_from_counts(bc, counts) if bc is not None else None
+        yield pd.DataFrame({"key": [k], "n_current": [n], "psi": [psi]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
