@@ -22,9 +22,15 @@ from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
 
-# First 50 = the driver-checked window. Round-8 rotation, evolved across
-# the round's sessions (each in-window displacement is annotated in place,
-# both here and at the tail entry it freed):
+# First 50 = the driver-checked window. Round-9 rotation on top of the
+# r08 layout (each in-window displacement is annotated in place, both here
+# and at the tail entry it freed): the three never-driver-checked r09
+# queries (PSI census, PQ ANN, seasonal z-score; the r09 multi-probe
+# upgrade rides the existing rows-only q_similarity_lsh_topk tail entry)
+# took slots from three green-r08 queries whose families keep in-window
+# representatives (q_events_autocorr, q_twap_per_user,
+# q_interevent_gaps — annotated at both ends). The r08 narrative below is
+# retained because its displacement reasoning still governs most rows:
 #
 # - the three queries whose IMPLEMENTATION changed in r08 keep slots (the
 #   span-dedup pair + the daily pipeline composite);
