@@ -913,3 +913,16 @@ def test_psi_census_is_cached_for_both_consumers(spark):
     assert "SortMergeJoin" not in plan
     # the column-pruned stats pass reads only what the binning needs
     assert re.search(r"FileScan parquet \[ts#\d+,value#\d+\]", plan)
+
+
+def test_q3_shipping_priority_is_takeordered_one_exchange(spark):
+    """TPC-H Q3 analog: the customer-segment filter broadcast-prunes
+    orders BEFORE the fact joins (2 BroadcastHashJoins, no sort-merge),
+    ONE aggregate exchange on the group key, and the global top-10 plans
+    as TakeOrderedAndProject — never a full sort of the aggregate."""
+    plan = _plan(spark, "q_shipping_priority_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan

@@ -24,12 +24,12 @@ from . import stats  # noqa: F401,E402
 
 # First 50 = the driver-checked window. Round-9 rotation on top of the
 # r08 layout (each in-window displacement is annotated in place, both here
-# and at the tail entry it freed): the three never-driver-checked r09
-# queries (PSI census, PQ ANN, seasonal z-score; the r09 multi-probe
+# and at the tail entry it freed): the four never-driver-checked r09
+# queries (PSI census, PQ ANN, seasonal z-score, TPC-H Q3 analog; the r09 multi-probe
 # upgrade rides the existing rows-only q_similarity_lsh_topk tail entry)
-# took slots from three green-r08 queries whose families keep in-window
-# representatives (q_events_autocorr, q_twap_per_user,
-# q_interevent_gaps — annotated at both ends). The r08 narrative below is
+# took slots from four green-r08 queries whose families keep in-window
+# representatives (q_events_autocorr, q_twap_per_user, q_interevent_gaps,
+# q_golden_record — annotated at both ends). The r08 narrative below is
 # retained because its displacement reasoning still governs most rows:
 #
 # - the three queries whose IMPLEMENTATION changed in r08 keep slots (the
@@ -119,10 +119,13 @@ DRIVER_WINDOW = [
                                  # freed by q_doc_fingerprint -> tail
                                  # (token_count + vocab_coverage keep the
                                  # text-census family in-window)
-    "q_golden_record",           # MDM survivorship merge (per-field latest
-                                 # non-null); slot freed by q_dedup_by_key ->
-                                 # tail (first_event/clusters/spans keep the
-                                 # dedup family in-window)
+    "q_shipping_priority_q3",    # NEW r09: TPC-H Q3 analog — the canon's
+                                 # join-agg-rank member (2 broadcasts, one
+                                 # exchange, TakeOrderedAndProject pinned);
+                                 # slot freed by q_golden_record -> tail
+                                 # (green r08 row; entity_resolution +
+                                 # temporal_dim_join keep the warehouse
+                                 # family in-window)
     "q_events_cusum",            # Page CUSUM drift census via the exact
                                  # integer prefix-min closed form; slot freed
                                  # by q_agg_avg_per_key -> tail (q_agg_multi
@@ -280,6 +283,9 @@ TAIL_PRIORITY = [
     "q_interevent_gaps",      # green r08 row; cusum + interpolation +
                               # deadline curve keep time-series in-window;
                               # local exact-parity at both SFs every round
+    "q_golden_record",        # green r08 row; entity_resolution +
+                              # temporal_dim_join keep the warehouse family
+                              # in-window; local exact-parity at both SFs
     # slots displaced by the never-driver-checked r08 session-3 stats queries
     "q_window_tumbling",      # frozen headline bench re-executes per-round
     "q_win_running_sum",      # frozen headline bench re-executes per-round

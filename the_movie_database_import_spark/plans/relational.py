@@ -1189,3 +1189,74 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull().alias("has_events"),
         F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "q_shipping_priority_q3",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority AS priority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    tags=("join", "star", "topk"),
+)
+def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog — the shipping-priority top-10: revenue of the
+    BUILDING segment's orders placed before a date but (partly) shipped
+    after it, the canon's join-then-aggregate-then-rank member (Q1 is
+    scan-agg, Q6 pure scan, Q5 the dimension meet — this adds the
+    global-top-k tail). Segment and both date predicates push to their
+    scans (the customer filter broadcast-semi-prunes orders before the
+    fact joins); one aggregate exchange on the group key; the global
+    top-10 plans as TakeOrderedAndProject — no full sort anywhere
+    (plan-pinned). The reference has no joins at all (`loader.py` is a
+    single-table ETL); this is north-star canon coverage."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    dd = dict(orders.dtypes)["o_orderdate"]
+    orders = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast(dd))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sd = dict(lineitem.dtypes)["l_shipdate"]
+    lineitem = lineitem.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast(sd)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey,
+                )
+            ),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _sumd(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast(DEC) - _dec("l_discount"))
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )

@@ -50,6 +50,7 @@ QUERIES = [
     "q_psi_value_drift",
     "q_similarity_pq_topk",
     "q_seasonal_zscore",
+    "q_shipping_priority_q3",
     "q_hybrid_rrf_topk",
     "q_events_sessionize",
     "q_win_time_range",
