@@ -906,3 +906,100 @@ MOVIE_COLS_PROP = [
     "release_date", "revenue", "runtime", "spoken_languages", "status",
     "tagline", "title", "video", "vote_average", "vote_count",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-table protocol vs a list model (r09)
+# ---------------------------------------------------------------------------
+# The manifest protocol (write/append/compact/vacuum, per-generation time
+# travel) must agree with the obvious Python model under ANY op sequence:
+# current read == model's current multiset, every surviving historical
+# generation reads as its model state, manifest row counts match, and
+# vacuum never perturbs the current read.
+
+_snap_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("write"), st.integers(1, 6)),
+        st.tuples(st.just("append"), st.integers(1, 6)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=_snap_ops)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_snapshot_protocol_matches_list_model(spark, ops):
+    """Random write/append/compact/vacuum sequences: the committed table
+    always equals the model, per-generation states survive until their
+    segments are vacuumed, and vacuum is invisible to the current read."""
+    import tempfile
+
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_current,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    path = tempfile.mkdtemp(prefix="snap_prop_") + "/t"
+    model: list[int] = []          # current multiset of ids
+    history: dict[int, list[int]] = {}
+    vacuumed_before: set[int] = set()
+    gen = 0
+    next_id = 0
+
+    def frame(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return spark.createDataFrame([(i,) for i in ids], "id long"), ids
+
+    for op, n in ops:
+        if op == "write":
+            df, ids = frame(n)
+            snapshot_write(df, path)
+            model = list(ids)
+        elif op == "append":
+            df, ids = frame(n)
+            if gen == 0:
+                snapshot_write(df, path)  # append to nothing == first write
+                model = list(ids)
+            else:
+                snapshot_append(df, path)
+                model = model + ids
+        elif op == "compact":
+            if gen == 0:
+                continue
+            snapshot_compact(spark, path, target_file_bytes=10**9)
+        else:
+            if gen == 0:
+                continue
+            vacuumed_before |= set(range(1, gen + 1))
+            snapshot_vacuum(path)
+        gen += 1
+        history[gen] = list(model)
+
+        cur = snapshot_current(path)
+        assert cur["generation"] == gen
+        assert cur["rows"] == len(model)
+        got = sorted(r["id"] for r in snapshot_read(spark, path).collect())
+        assert got == sorted(model), (op, gen)
+
+    # historical generations whose segments were never reclaimed still read
+    for g, state in history.items():
+        if g == gen or g in vacuumed_before:
+            continue
+        try:
+            old = sorted(
+                r["id"]
+                for r in snapshot_read(spark, path, at_generation=g).collect()
+            )
+        except Exception:
+            continue  # segments reclaimed by a later vacuum — loud is fine
+        assert old == sorted(state), g
