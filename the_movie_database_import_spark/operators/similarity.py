@@ -1077,3 +1077,138 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_centroids: int = 256,
+    shortlist: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full big-index recipe — IVF x PQ (FAISS's IVFPQ, Jegou et al.):
+    the coarse quantizer cuts WHICH codes a query scans
+    (n_probe/n_centroids of the corpus), product quantization cuts WHAT
+    each scanned row costs (m one-byte codes instead of d floats, 32x),
+    and the exact re-rank keeps every emitted cosine true. The two
+    compressions COMPOUND: at (16 centroids, 4 probes, m=8) a query
+    touches ~25% of the corpus at ~3% of the bytes — the shape that puts
+    a billion-vector index in RAM on a bounded cluster.
+
+    Codes here encode the RAW vectors (IVF-Flat-PQ), not residuals — on
+    near-isotropic corpora the residual refinement is noise, and raw
+    codes keep one codes table valid for any bucketing. The bucket id is
+    the cluster-by/partition key at scale (codes stored bucketed, the
+    probe is a partition-pruned scan).
+
+    Recall compounds the two stages' losses (IVF bucket recall x PQ
+    shortlist recall) — pinned in tests against both brute force and the
+    IVF-only path on the same corpus."""
+    centroids = train_ivf_centroids(embeddings, n_centroids, vec_col)
+    codebooks = train_pq_codebooks(
+        embeddings, m, pq_centroids, vec_col, id_col
+    )
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    kk = books[0].shape[0]
+
+    # corpus: bucket assignment (JVM exprs) + PQ codes (Arrow, pay-once)
+    corpus = pq_encode(embeddings, codebooks, id_col, vec_col)
+    vecs = fan_out(embeddings).select(
+        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    c_dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+    buckets = vecs.select(
+        "vec_id",
+        (F.array_position(c_dists, F.array_min(c_dists)) - 1)
+        .cast("int")
+        .alias("bucket"),
+    )
+    codes = corpus.join(buckets, "vec_id")
+
+    @pandas_udf("array<double>")
+    def adc_table(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            tab = np.concatenate(
+                [books[j] @ x[j * sub : (j + 1) * sub] for j in range(m)]
+            )
+            out.append([float(t) for t in tab])
+        return pd.Series(out)
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("q"),
+    )
+    q_dists = F.array(*[_sq_dist(F.col("q"), c) for c in centroids])
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(q_dists.getItem(i).alias("d"), F.lit(i).alias("i"))
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    probe = F.slice(F.transform(ranked, lambda s: s.getField("i")), 1, n_probe)
+    qexp = (
+        qs.withColumn("tab", adc_table(F.col("q")))
+        .withColumn("_pb", F.explode(probe))
+        .select(
+            "query_id", "tab", F.col("_pb").cast("int").alias("bucket")
+        )
+    )
+
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(
+                F.col("tab"), (j * F.lit(kk) + c + F.lit(1)).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "vec_id")
+    short = (
+        codes.join(F.broadcast(qexp), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score.alias("adc"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    rer = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_vec(F.col(vec_col)).alias("v"),
+    ).withColumn("v_norm", norm(F.col("v")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("q"),
+    ).withColumn("q_norm", norm(F.col("q")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        rer.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(
+                dot(F.col("v"), F.col("q")), F.col("v_norm"), F.col("q_norm")
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -24,12 +24,12 @@ from . import stats  # noqa: F401,E402
 
 # First 50 = the driver-checked window. Round-9 rotation on top of the
 # r08 layout (each in-window displacement is annotated in place, both here
-# and at the tail entry it freed): the four never-driver-checked r09
-# queries (PSI census, PQ ANN, seasonal z-score, TPC-H Q3 analog; the r09 multi-probe
+# and at the tail entry it freed): the five never-driver-checked r09
+# queries (PSI census, PQ ANN, IVFPQ ANN, seasonal z-score, TPC-H Q3 analog; the r09 multi-probe
 # upgrade rides the existing rows-only q_similarity_lsh_topk tail entry)
-# took slots from four green-r08 queries whose families keep in-window
+# took slots from five green-r08 queries whose families keep in-window
 # representatives (q_events_autocorr, q_twap_per_user, q_interevent_gaps,
-# q_golden_record — annotated at both ends). The r08 narrative below is
+# q_golden_record, q_source_syndication — annotated at both ends). The r08 narrative below is
 # retained because its displacement reasoning still governs most rows:
 #
 # - the three queries whose IMPLEMENTATION changed in r08 keep slots (the
@@ -130,10 +130,14 @@ DRIVER_WINDOW = [
                                  # integer prefix-min closed form; slot freed
                                  # by q_agg_avg_per_key -> tail (q_agg_multi
                                  # keeps per-key aggregation in-window)
-    "q_source_syndication",      # cross-source content-overlap matrix (no
-                                 # paragraph self-join); slot freed by
-                                 # q_text_jaccard_pairs -> tail (spans +
-                                 # clusters + this keep near-dup in-window)
+    "q_similarity_ivfpq_topk",   # NEW r09: IVF x PQ composed ANN (probe-
+                                 # pruned code scan + exact re-rank; PQ
+                                 # costs <=0.05 recall over IVF-Flat,
+                                 # pinned) — never driver-checked, so
+                                 # in-window; slot freed by
+                                 # q_source_syndication -> tail (green r08
+                                 # row; spans + paragraphs + tfidf pairs
+                                 # keep near-dup censuses in-window)
     "q_resample_interpolate",    # linear gap fill (straight-line twin of
                                  # resample_daily's ffill); slot freed by
                                  # q_text_chunks -> tail (q_pack_greedy keeps
@@ -286,6 +290,9 @@ TAIL_PRIORITY = [
     "q_golden_record",        # green r08 row; entity_resolution +
                               # temporal_dim_join keep the warehouse family
                               # in-window; local exact-parity at both SFs
+    "q_source_syndication",   # green r08 row; spans/paragraphs/tfidf-pairs
+                              # keep near-dup censuses in-window; local
+                              # exact-parity at both SFs every round
     # slots displaced by the never-driver-checked r08 session-3 stats queries
     "q_window_tumbling",      # frozen headline bench re-executes per-round
     "q_win_running_sum",      # frozen headline bench re-executes per-round

@@ -51,6 +51,7 @@ QUERIES = [
     "q_similarity_pq_topk",
     "q_seasonal_zscore",
     "q_shipping_priority_q3",
+    "q_similarity_ivfpq_topk",
     "q_hybrid_rrf_topk",
     "q_events_sessionize",
     "q_win_time_range",
