@@ -980,8 +980,17 @@ def test_snapshot_protocol_matches_list_model(spark, ops):
         else:
             if gen == 0:
                 continue
+            # vacuum reclaims files but COMMITS NOTHING: no new generation,
+            # no history entry — the current read must be untouched
             vacuumed_before |= set(range(1, gen + 1))
             snapshot_vacuum(path)
+            cur = snapshot_current(path)
+            assert cur["generation"] == gen and cur["rows"] == len(model)
+            got = sorted(
+                r["id"] for r in snapshot_read(spark, path).collect()
+            )
+            assert got == sorted(model), ("vacuum", gen)
+            continue
         gen += 1
         history[gen] = list(model)
 
