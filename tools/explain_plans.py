@@ -285,6 +285,14 @@ SHOWCASES = [
         "per-group result row, bit-reproducible across partitionings.",
     ),
     (
+        "q_shipping_priority_q3",
+        "TPC-H Q3 analog: the segment filter broadcast-prunes orders "
+        "BEFORE the fact joins (2 BroadcastHashJoins, zero sort-merge), "
+        "one aggregate exchange on the group key, and the global top-10 "
+        "plans as TakeOrderedAndProject — no full sort anywhere; both "
+        "date predicates push to their scans.",
+    ),
+    (
         "q_psi_value_drift",
         "PSI drift census: two full-data passes only (pooled min/max, "
         "then ONE map-side-combined (key, bin) census with both periods "
