@@ -1247,3 +1247,45 @@ def test_seasonal_zscore_hand_case(spark):
     for day in ["2024-01-02", "2024-01-09", "2024-01-16"]:
         assert got[(1, day)]["z_score"] is None
         assert got[(1, day)]["day_total"] == pytest.approx(7.0)
+
+
+# ---------------------------------------------------------------- mad
+def test_mad_is_robust_to_one_outlier(spark):
+    """[1,2,3,4,100]: median 3, MAD 1 — the outlier that would explode a
+    stddev moves the robust yardstick not at all. Even-n interpolation:
+    [1,2,3,4] -> median 2.5, MAD 1.0 (exact order-statistic lane)."""
+    from the_movie_database_import_spark.operators.stats import mad_per_key
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]] + [
+        ("b", v) for v in [1.0, 2.0, 3.0, 4.0]
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in mad_per_key(df, "k", "v").collect()}
+    assert got["a"]["n_obs"] == 5
+    assert got["a"]["median"] == 3.0 and got["a"]["mad"] == 1.0
+    assert got["b"]["median"] == 2.5 and got["b"]["mad"] == 1.0
+
+
+# ------------------------------------------------- source concentration
+def test_source_concentration_uniform_and_dominated(spark):
+    """Uniform weights score Gini 0 / HHI 1/n; one group holding 97% of
+    the mass scores Gini 0.72 (closed form) with top_share 0.97."""
+    from the_movie_database_import_spark.operators.stats import (
+        source_concentration,
+    )
+
+    uni = spark.createDataFrame(
+        [(f"s{i}", 5) for i in range(4)], "g string, w int"
+    )
+    r = source_concentration(uni, "g", F.col("w")).collect()[0]
+    assert r["n_groups"] == 4 and r["total"] == 20
+    assert r["gini"] == 0.0 and r["hhi"] == 0.25 and r["top_share"] == 0.25
+
+    dom = spark.createDataFrame(
+        [("s0", 1), ("s1", 1), ("s2", 1), ("s3", 97)], "g string, w int"
+    )
+    r = source_concentration(dom, "g", F.col("w")).collect()[0]
+    assert r["top_share"] == 0.97
+    # G = 2*(1*1+2*1+3*1+4*97)/(4*100) - 5/4 = 0.72 exactly
+    assert r["gini"] == pytest.approx(0.72, abs=1e-9)
+    assert r["hhi"] == pytest.approx((1 + 1 + 1 + 97 * 97) / 10000, abs=1e-9)

@@ -921,3 +921,115 @@ def psi_against_baseline(
     return df.sparkSession.createDataFrame(
         rows, f"{key_col} string, n_current bigint, psi double"
     )
+
+
+def mad_per_key(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Median absolute deviation per key ([ext] the ROBUST dispersion
+    census — the building block of robust z-scores, next to the Tukey
+    fences): ``(key, n_obs, median, mad)`` with
+    ``mad = median(|x - median(x)|)`` — unlike stddev, one wild outlier
+    cannot inflate the yardstick used to judge outliers.
+
+    Plan: ONE (key)-keyed aggregate collects each key's sorted values
+    (the exact-percentile memory profile — right for bounded-cardinality
+    census keys); BOTH medians compute in-row from that single sorted
+    array (deviations re-sort in-row — no second shuffle, no second
+    scan).
+
+    Determinism: medians use the explicit order-statistic interpolation
+    (``v_lo + (v_hi - v_lo) * frac`` with h = 0.5*(n-1) — 0.5 is a
+    binary fraction, the value_outliers lane: bit-exact cross-engine, NO
+    grid); |x - m| of exact inputs is a single correctly-rounded IEEE op
+    replayed identically by the oracle. Output rounds to 1e-6 as the
+    standard emission convention. NULL values are excluded; empty keys
+    do not appear."""
+    c = F.col(val_col).cast("double")
+    base = df.filter(c.isNotNull()).groupBy(key_col).agg(
+        F.sort_array(F.collect_list(c)).alias("_xs")
+    )
+
+    def interp_median(arr):
+        n = F.size(arr)
+        h = (n.cast("double") - F.lit(1.0)) * F.lit(0.5)
+        lo = F.floor(h).cast("int")
+        frac = h - lo.cast("double")
+        v_lo = F.element_at(arr, lo + 1)
+        v_hi = F.element_at(arr, F.least(lo + 2, n))
+        return v_lo + (v_hi - v_lo) * frac
+
+    med = interp_median(F.col("_xs"))
+    with_m = base.withColumn("_m", med).withColumn(
+        "_devs",
+        F.sort_array(
+            F.transform(F.col("_xs"), lambda x: F.abs(x - F.col("_m")))
+        ),
+    )
+    return with_m.select(
+        key_col,
+        F.size("_xs").cast("bigint").alias("n_obs"),
+        F.round("_m", 6).alias("median"),
+        F.round(interp_median(F.col("_devs")), 6).alias("mad"),
+    )
+
+
+def source_concentration(
+    df: DataFrame,
+    group_col: str,
+    weight: Column,
+) -> DataFrame:
+    """Corpus-concentration census over ``group_col`` ([ext] the "is my
+    training mix dominated by a few sources" audit run before fixing
+    mixture weights): ONE row ``(n_groups, total, top_share, hhi, gini)``
+    over the per-group totals of ``weight`` —
+    top_share = largest group's fraction; HHI = sum of squared shares
+    (the antitrust concentration index, 1/n_groups for uniform);
+    Gini = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n over ascending-sorted
+    totals (0 = uniform, ->1 = one group holds everything).
+
+    Plan: one map-side-combined (group) aggregate over the fact table is
+    the only full-data pass; the group-total table (|groups| rows)
+    collapses through a second tiny aggregate whose sorted-fold
+    statistics compute in-row. Integer weights make every sum exact and
+    order-invariant; the three ratios are single divisions of exact
+    integers, rounded 1e-6 (both engines form identical doubles)."""
+    totals = df.groupBy(group_col).agg(
+        F.sum(weight).cast("bigint").alias("_w")
+    )
+    one = totals.agg(F.sort_array(F.collect_list("_w")).alias("_ws"))
+    n = F.size("_ws").cast("bigint")
+    tot = F.aggregate(F.col("_ws"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # sum of i * x_i (1-indexed over the ascending sort) as exact integers
+    iweighted = F.aggregate(
+        F.zip_with(
+            F.col("_ws"),
+            F.sequence(F.lit(1).cast("bigint"), n),
+            lambda x, i: x * i,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    hhi = F.aggregate(
+        F.col("_ws"),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x * x,
+    )
+    return one.select(
+        n.alias("n_groups"),
+        tot.alias("total"),
+        F.round(
+            F.element_at("_ws", -1).cast("double") / tot.cast("double"), 6
+        ).alias("top_share"),
+        F.round(
+            hhi.cast("double") / (tot * tot).cast("double"), 6
+        ).alias("hhi"),
+        F.round(
+            F.lit(2.0) * iweighted.cast("double")
+            / (n * tot).cast("double")
+            - (n + 1).cast("double") / n.cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -24,12 +24,14 @@ from . import stats  # noqa: F401,E402
 
 # First 50 = the driver-checked window. Round-9 rotation on top of the
 # r08 layout (each in-window displacement is annotated in place, both here
-# and at the tail entry it freed): the five never-driver-checked r09
-# queries (PSI census, PQ ANN, IVFPQ ANN, seasonal z-score, TPC-H Q3 analog; the r09 multi-probe
+# and at the tail entry it freed): the seven never-driver-checked r09
+# queries (PSI census, PQ ANN, IVFPQ ANN, seasonal z-score, TPC-H Q3
+# analog, MAD census, source-concentration census; the r09 multi-probe
 # upgrade rides the existing rows-only q_similarity_lsh_topk tail entry)
-# took slots from five green-r08 queries whose families keep in-window
+# took slots from seven green-r08 queries whose families keep in-window
 # representatives (q_events_autocorr, q_twap_per_user, q_interevent_gaps,
-# q_golden_record, q_source_syndication — annotated at both ends). The r08 narrative below is
+# q_golden_record, q_source_syndication, q_event_transitions,
+# q_attribution_linear — annotated at both ends). The r08 narrative below is
 # retained because its displacement reasoning still governs most rows:
 #
 # - the three queries whose IMPLEMENTATION changed in r08 keep slots (the
@@ -84,7 +86,13 @@ DRIVER_WINDOW = [
                                  # q_events_autocorr -> tail (green r08 row;
                                  # trend/chi2/welch keep the statistical-
                                  # census family in-window)
-    "q_event_transitions",       # first-order Markov matrix
+    "q_mad_per_type",            # NEW r09: median-absolute-deviation
+                                 # robust dispersion census (exact order-
+                                 # statistic lane) — never driver-checked,
+                                 # so in-window; slot freed by
+                                 # q_event_transitions -> tail (green r08
+                                 # row; attribution_last_touch + trend +
+                                 # psi keep event/stats censuses in-window)
     "q_attribution_last_touch",  # last-touch conversion credit
     "q_chi2_independence",       # lang x source dependence audit
     "q_welch_ttest",             # unequal-variance A/B answer
@@ -142,10 +150,13 @@ DRIVER_WINDOW = [
                                  # resample_daily's ffill); slot freed by
                                  # q_text_chunks -> tail (q_pack_greedy keeps
                                  # chunk/pack in-window)
-    "q_attribution_linear",      # equal-split multi-touch credit (sibling
-                                 # of last_touch); slot freed by q_union_all
-                                 # -> tail (union_distinct/except/intersect
-                                 # hold r07 rows + local parity)
+    "q_source_concentration",    # NEW r09: corpus-concentration census
+                                 # (top share, HHI, Gini over exact integer
+                                 # token totals) — never driver-checked, so
+                                 # in-window; slot freed by
+                                 # q_attribution_linear -> tail (green r08
+                                 # row; attribution_last_touch keeps the
+                                 # attribution family in-window)
     "q_local_supplier_volume",   # TPC-H Q5 analog: two dim paths meet on
                                  # nationhood, 5 broadcasts, one exchange;
                                  # slot freed by q_text_vocab_coverage ->
@@ -292,6 +303,12 @@ TAIL_PRIORITY = [
                               # in-window; local exact-parity at both SFs
     "q_source_syndication",   # green r08 row; spans/paragraphs/tfidf-pairs
                               # keep near-dup censuses in-window; local
+                              # exact-parity at both SFs every round
+    "q_event_transitions",    # green r08 row; attribution_last_touch +
+                              # trend + psi keep event/stats censuses
+                              # in-window; local exact-parity at both SFs
+    "q_attribution_linear",   # green r08 row; attribution_last_touch keeps
+                              # the attribution family in-window; local
                               # exact-parity at both SFs every round
     # slots displaced by the never-driver-checked r08 session-3 stats queries
     "q_window_tumbling",      # frozen headline bench re-executes per-round

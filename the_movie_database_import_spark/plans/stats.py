@@ -1143,3 +1143,89 @@ def q_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return seasonal_zscore_daily(events, "event_type", "ts", "value")
+
+
+@register(
+    "q_mad_per_type",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    med AS (
+        SELECT event_type, xs, n,
+               xs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+                 + (xs[LEAST(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)]
+                    - xs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+                   * (0.5 * (n - 1) - floor(0.5 * (n - 1))) AS m
+        FROM g
+    ),
+    dev AS (
+        SELECT event_type, n, m,
+               list_sort(list_transform(xs, x -> abs(x - m))) AS ds
+        FROM med
+    )
+    SELECT event_type, n AS n_obs, ROUND(m, 6) AS median,
+           ROUND(ds[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+                 + (ds[LEAST(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)]
+                    - ds[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+                   * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS mad
+    FROM dev
+    """,
+    tags=("stats", "agg", "robust", "ext"),
+)
+def q_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of `value` per event type (north star
+    `mad_per_key`): the robust dispersion census — one outlier cannot
+    inflate the yardstick that judges outliers (the robust-z building
+    block next to the Tukey fences). ONE key aggregate collects sorted
+    values; both medians interpolate in-row on the exact order-statistic
+    lane (bit-exact cross-engine, no grid)."""
+    from ..operators.stats import mad_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    return mad_per_key(events, "event_type", "value")
+
+
+@register(
+    "q_source_concentration",
+    oracle="""
+    WITH totals AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w
+        FROM documents WHERE text IS NOT NULL GROUP BY source
+    ),
+    s AS (SELECT list_sort(list(w)) AS ws FROM totals)
+    SELECT CAST(len(ws) AS BIGINT) AS n_groups,
+           CAST(list_sum(ws) AS BIGINT) AS total,
+           ROUND(CAST(ws[-1] AS DOUBLE) / list_sum(ws), 6) AS top_share,
+           ROUND(CAST(list_sum(list_transform(ws, x -> x * x)) AS DOUBLE)
+                 / (CAST(list_sum(ws) AS DOUBLE)
+                    * CAST(list_sum(ws) AS DOUBLE)), 6) AS hhi,
+           ROUND(2.0 * CAST(list_sum(
+                     list_transform(list_zip(ws,
+                         generate_series(1, len(ws))),
+                         p -> p[1] * p[2])) AS DOUBLE)
+                 / (CAST(len(ws) AS DOUBLE) * CAST(list_sum(ws) AS DOUBLE))
+                 - CAST(len(ws) + 1 AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+             AS gini
+    FROM s
+    """,
+    tags=("stats", "text", "curation", "ext"),
+)
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration census of token mass across sources (north
+    star `source_concentration`): top-source share, HHI, and Gini over
+    per-source token totals — the "is my training mix dominated by a few
+    sources" audit run before fixing mixture weights. One full-data
+    census (exact integer token counts), everything after computes
+    in-row on the |sources|-sized sorted totals."""
+    from ..operators.stats import source_concentration
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return source_concentration(
+        docs, "source", F.size(F.split(F.col("text"), " "))
+    )

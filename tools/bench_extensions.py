@@ -52,6 +52,8 @@ QUERIES = [
     "q_seasonal_zscore",
     "q_shipping_priority_q3",
     "q_similarity_ivfpq_topk",
+    "q_mad_per_type",
+    "q_source_concentration",
     "q_hybrid_rrf_topk",
     "q_events_sessionize",
     "q_win_time_range",
