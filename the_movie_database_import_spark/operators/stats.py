@@ -727,9 +727,13 @@ def psi_drift(
     term = (p_c - p_b) * F.log(
         num.cast("double") / den.cast("double")
     )
+    # eqNullSafe (ADVICE r09): a NULL-key group survives the census
+    # groupBy, so the census-to-totals join must not drop it — the same
+    # null-safe margin-join convention as chi2_independence (the oracle
+    # mirrors with IS NOT DISTINCT FROM)
     return (
         census.join(
-            F.broadcast(totals), F.col(key_col) == F.col("_k2")
+            F.broadcast(totals), F.col(key_col).eqNullSafe(F.col("_k2"))
         )
         .select(
             F.col(key_col),
@@ -993,29 +997,34 @@ def source_concentration(
     Plan: one map-side-combined (group) aggregate over the fact table is
     the only full-data pass; the group-total table (|groups| rows)
     collapses through a second tiny aggregate whose sorted-fold
-    statistics compute in-row. Integer weights make every sum exact and
-    order-invariant; the three ratios are single divisions of exact
-    integers, rounded 1e-6 (both engines form identical doubles)."""
+    statistics compute in-row. The plain sums (group totals, grand
+    total) stay exact integers; the SQUARED/index-weighted folds and the
+    ratio denominators compute in DOUBLE (ADVICE r09: ``x*x`` and
+    ``tot*tot`` in int64 overflow once total weight passes ~3e9 — a
+    100 TB corpus holds ~1e13 tokens). At test scale every partial stays
+    under 2^53, so the double folds are still exact integers and
+    cross-engine bit-equal; at 100 TB the 1e-6 rounding absorbs the
+    ~1e-16·n relative double error."""
     totals = df.groupBy(group_col).agg(
         F.sum(weight).cast("bigint").alias("_w")
     )
     one = totals.agg(F.sort_array(F.collect_list("_w")).alias("_ws"))
     n = F.size("_ws").cast("bigint")
     tot = F.aggregate(F.col("_ws"), F.lit(0).cast("bigint"), lambda a, x: a + x)
-    # sum of i * x_i (1-indexed over the ascending sort) as exact integers
+    # sum of i * x_i (1-indexed over the ascending sort), double fold
     iweighted = F.aggregate(
         F.zip_with(
             F.col("_ws"),
             F.sequence(F.lit(1).cast("bigint"), n),
-            lambda x, i: x * i,
+            lambda x, i: x.cast("double") * i.cast("double"),
         ),
-        F.lit(0).cast("bigint"),
+        F.lit(0.0),
         lambda a, x: a + x,
     )
     hhi = F.aggregate(
         F.col("_ws"),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x * x,
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
     )
     return one.select(
         n.alias("n_groups"),
@@ -1024,11 +1033,11 @@ def source_concentration(
             F.element_at("_ws", -1).cast("double") / tot.cast("double"), 6
         ).alias("top_share"),
         F.round(
-            hhi.cast("double") / (tot * tot).cast("double"), 6
+            hhi / (tot.cast("double") * tot.cast("double")), 6
         ).alias("hhi"),
         F.round(
-            F.lit(2.0) * iweighted.cast("double")
-            / (n * tot).cast("double")
+            F.lit(2.0) * iweighted
+            / (n.cast("double") * tot.cast("double"))
             - (n + 1).cast("double") / n.cast("double"),
             6,
         ).alias("gini"),

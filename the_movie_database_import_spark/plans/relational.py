@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..session import maybe_broadcast
 from ..sources.readers import load_table
 from .registry import register
 
@@ -1222,7 +1223,21 @@ def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact joins); one aggregate exchange on the group key; the global
     top-10 plans as TakeOrderedAndProject — no full sort anywhere
     (plan-pinned). The reference has no joins at all (`loader.py` is a
-    single-table ETL); this is north-star canon coverage."""
+    single-table ETL); this is north-star canon coverage.
+
+    Scale posture (VERDICT r09 #1): the orders-side of the fact join is
+    FACT-DERIVED — the date filter keeps ~97% of BUILDING-segment
+    orders, a side that grows linearly with the warehouse — so it must
+    NOT carry an unconditional broadcast hint (at 100 TB that is a
+    multi-GB forced broadcast, the textbook driver-OOM). It routes
+    through `maybe_broadcast` instead: within the row budget the hint
+    is attached (and the pinned 2-BHJ/1-exchange/TakeOrdered shape
+    holds at every test SF); past the budget the edge degrades to a
+    co-keyed shuffle join, exactly like Q5's unhinted lineitem-orders
+    edge (`q_local_supplier_volume`). The budget probe is EAGER
+    (one count job at plan-construction time, `cache=False` because the
+    side is a cheap scan+broadcast-join that is cheaper to recompute
+    than to retain)."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1234,14 +1249,16 @@ def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = lineitem.filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast(sd)
     )
+    building_orders = maybe_broadcast(
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        ),
+        cache=False,
+    )
     return (
         lineitem.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(customer),
-                    orders.o_custkey == customer.c_custkey,
-                )
-            ),
+            building_orders,
             lineitem.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

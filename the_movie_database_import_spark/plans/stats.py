@@ -1067,7 +1067,7 @@ def q_ab_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * ln(CAST((cc + 1) * (tb + 10) AS DOUBLE)
                                / CAST((cb + 1) * (tc + 10) AS DOUBLE))
                           * 1000000.0) AS BIGINT) AS tq
-        FROM census JOIN tot ON census.k = tot.k
+        FROM census JOIN tot ON census.k IS NOT DISTINCT FROM tot.k
     )
     SELECT k AS event_type,
            CAST(MIN(tb) AS BIGINT) AS n_baseline,
@@ -1200,13 +1200,14 @@ def q_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(len(ws) AS BIGINT) AS n_groups,
            CAST(list_sum(ws) AS BIGINT) AS total,
            ROUND(CAST(ws[-1] AS DOUBLE) / list_sum(ws), 6) AS top_share,
-           ROUND(CAST(list_sum(list_transform(ws, x -> x * x)) AS DOUBLE)
+           ROUND(list_sum(list_transform(ws,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
                  / (CAST(list_sum(ws) AS DOUBLE)
                     * CAST(list_sum(ws) AS DOUBLE)), 6) AS hhi,
-           ROUND(2.0 * CAST(list_sum(
+           ROUND(2.0 * list_sum(
                      list_transform(list_zip(ws,
                          generate_series(1, len(ws))),
-                         p -> p[1] * p[2])) AS DOUBLE)
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                  / (CAST(len(ws) AS DOUBLE) * CAST(list_sum(ws) AS DOUBLE))
                  - CAST(len(ws) + 1 AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
              AS gini

@@ -415,10 +415,13 @@ def compact_small_files(
     locality) and swaps atomically-enough for a single-writer
     maintenance window: write to a sibling temp dir, rename the old
     directory ASIDE (``path._old``), rename the temp into place, then
-    delete the aside copy — the dataset is never absent from its
-    canonical path, and a crash mid-swap leaves a recoverable ``._old``
-    instead of a hole (each rename is atomic; only their PAIR is not,
-    and either crash ordering leaves every row on disk). For true
+    delete the aside copy. Crash contract (ADVICE r09): EVERY ROW
+    survives any crash ordering — each rename is atomic, so the data is
+    always fully present in ``path``, ``path._old``, or the temp dir —
+    but between the two renames the canonical path itself briefly does
+    not exist, so a crash in that window leaves a recoverable
+    ``._old`` rather than an intact canonical path (single-writer
+    maintenance-window semantics, not serving semantics). For true
     reader isolation — a scan of generation N unaffected by a
     concurrent compaction committing N+1 — use the snapshot protocol
     (``snapshot_write`` / ``snapshot_read`` / ``snapshot_compact``
