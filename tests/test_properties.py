@@ -923,6 +923,7 @@ _snap_ops = st.lists(
         st.tuples(st.just("append"), st.integers(1, 6)),
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("vacuum"), st.just(0)),
+        st.tuples(st.just("conflict"), st.integers(1, 6)),
     ),
     min_size=1,
     max_size=5,
@@ -973,6 +974,27 @@ def test_snapshot_protocol_matches_list_model(spark, ops):
             else:
                 snapshot_append(df, path)
                 model = model + ids
+        elif op == "conflict":
+            # a STALE committer (base pinned to a generation that is not
+            # current) must be rejected and leave the table byte-identical:
+            # no new generation, no history entry, same current read
+            df, _ = frame(n)
+            import pytest as _pytest
+
+            from the_movie_database_import_spark.sources.writers import (
+                SnapshotConflictError,
+            )
+
+            with _pytest.raises(SnapshotConflictError):
+                snapshot_write(df, path, expected_generation=gen + 1)
+            cur = snapshot_current(path)
+            assert (cur["generation"] if cur else 0) == gen
+            if gen:
+                got = sorted(
+                    r["id"] for r in snapshot_read(spark, path).collect()
+                )
+                assert got == sorted(model), ("conflict", gen)
+            continue
         elif op == "compact":
             if gen == 0:
                 continue

@@ -491,3 +491,158 @@ def test_snapshot_time_travel_reads_historical_states(spark, tmp_path):
     assert snapshot_read(spark, path).count() == 10
     with _pytest.raises(FileNotFoundError):
         snapshot_read(spark, path, at_generation=99)
+
+
+def test_snapshot_conflict_interleaved_committers(spark, tmp_path):
+    """Optimistic concurrency (VERDICT r09 #5): a truncate/rewrite whose
+    base generation moved must be DETECTED, not silently overwrite the
+    interleaved commit; a blind append rebases instead (Delta's rule);
+    a generation-pinned append is CAS-strict."""
+    import os
+
+    import pytest as _pytest
+
+    from the_movie_database_import_spark.sources.writers import (
+        SnapshotConflictError,
+        snapshot_append,
+        snapshot_current,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "cas")
+    snapshot_write(nation.filter("n_nationkey < 5"), path)        # gen 1
+    # committer A plans a rewrite against gen 1 ... committer B lands first
+    snapshot_write(nation.filter("n_nationkey < 10"), path)       # gen 2 (B)
+    with _pytest.raises(SnapshotConflictError):
+        snapshot_write(
+            nation.filter("n_nationkey < 3"), path, expected_generation=1
+        )
+    # B's commit survives untouched and A's staged temp was discarded
+    assert snapshot_current(path)["generation"] == 2
+    assert snapshot_read(spark, path).count() == 10
+    assert not [d for d in os.listdir(path) if d.startswith(".seg-")]
+
+    # pinned APPEND is CAS-strict too
+    with _pytest.raises(SnapshotConflictError):
+        snapshot_append(
+            nation.filter("n_nationkey >= 20"), path, expected_generation=1
+        )
+    # blind append REBASES onto gen 2 rather than conflicting
+    m = snapshot_append(nation.filter("n_nationkey >= 20"), path)
+    assert m["generation"] == 3
+    assert snapshot_read(spark, path).count() == 10 + nation.filter(
+        "n_nationkey >= 20"
+    ).count()
+    # A retries with the fresh base and succeeds
+    m = snapshot_write(nation.filter("n_nationkey < 3"), path,
+                       expected_generation=3)
+    assert m["generation"] == 4 and snapshot_read(spark, path).count() == 3
+
+
+def test_snapshot_compact_rejects_concurrent_append(spark, tmp_path):
+    """A compaction is a rewrite of the state it read: if an append lands
+    while it runs, publishing the rewrite would silently drop that
+    segment. The commit-time generation check must reject it and the
+    appended rows must survive. The interleave is simulated by firing a
+    REAL append from inside compaction's entry read of the manifest."""
+    import pytest as _pytest
+
+    from the_movie_database_import_spark.sources import writers
+
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "cc")
+    writers.snapshot_write(nation.filter("n_nationkey < 10"), path)  # gen 1
+
+    real = writers.snapshot_current
+    state = {"fired": False}
+
+    def racy(p):
+        cur = real(p)
+        if not state["fired"]:
+            state["fired"] = True  # guard BEFORE the recursive append
+            writers.snapshot_append(nation.filter("n_nationkey >= 10"), p)
+            # return the now-STALE gen-1 view, exactly what a committer
+            # that read just before the append would hold
+        return cur
+
+    writers.snapshot_current = racy
+    try:
+        with _pytest.raises(writers.SnapshotConflictError):
+            writers.snapshot_compact(spark, path, target_file_bytes=10**9)
+    finally:
+        writers.snapshot_current = real
+
+    # the concurrent append's rows survive; compaction retries cleanly
+    assert writers.snapshot_read(spark, path).count() == nation.count()
+    stats = writers.snapshot_compact(spark, path, target_file_bytes=10**9)
+    assert stats["rows"] == nation.count()
+    assert writers.snapshot_read(spark, path).count() == nation.count()
+
+
+def test_snapshot_orphan_generation_never_wedges_commits(spark, tmp_path):
+    """ADVICE r09: a committer crash between segment rename and manifest
+    replace leaves an unreferenced gen-(cur+1) directory. The next commit
+    must clear the orphan and land, not fail on the name collision
+    forever; staging temps from pre-commit crashes are inert and
+    vacuum-reclaimed."""
+    import os
+
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_append,
+        snapshot_current,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "orphan")
+    snapshot_write(nation.filter("n_nationkey < 10"), path)       # gen 1
+    # simulate the crashed committer: orphan gen-2 dir with junk data,
+    # plus an abandoned staging temp
+    os.makedirs(os.path.join(path, "gen-00000002"))
+    with open(os.path.join(path, "gen-00000002", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    os.makedirs(os.path.join(path, ".seg-deadbeef"))
+
+    m = snapshot_append(nation.filter("n_nationkey >= 10"), path)  # gen 2
+    assert m["generation"] == 2
+    assert snapshot_read(spark, path).count() == nation.count()
+
+    # the staging orphan never blocked anything; vacuum reclaims it
+    assert ".seg-deadbeef" in snapshot_vacuum(path)
+    assert not os.path.exists(os.path.join(path, ".seg-deadbeef"))
+    assert snapshot_current(path)["generation"] == 2
+
+
+def test_snapshot_pruning_string_column_uses_lexicographic_semantics(
+    spark, tmp_path
+):
+    """ADVICE r09 regression: a STRING column whose values look numeric
+    (['10','9','3'] -> lexicographic min '10', max '9') must be pruned
+    with the SAME comparison semantics as the row filter. The old
+    parse-as-float heuristic compared [10.0, 9.0] against ('2','5') and
+    pruned the segment even though row '3' matches lexicographically."""
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_current,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    df = spark.createDataFrame([("10",), ("9",), ("3",)], "k string")
+    path = str(tmp_path / "lexstats")
+    snapshot_write(df, path, stats_cols=["k"])
+    assert snapshot_current(path)["stat_types"] == {"k": "lex"}
+
+    got = snapshot_read(spark, path, where=("k", "2", "5")).collect()
+    assert [r["k"] for r in got] == ["3"], (
+        "string-typed stats must not be compared numerically"
+    )
+    # numeric columns still record and prune numerically
+    dfn = spark.createDataFrame([(10,), (9,), (3,)], "v long")
+    pathn = str(tmp_path / "numstats")
+    snapshot_write(dfn, pathn, stats_cols=["v"])
+    assert snapshot_current(pathn)["stat_types"] == {"v": "num"}
+    assert snapshot_read(spark, pathn, where=("v", 2, 5)).count() == 1

@@ -9,6 +9,8 @@ on (deviation D4), and batching maps to the JDBC writer's ``batchsize``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 
 # FK-safe write order (contrast ref B3: bridges-before-dims under disabled
@@ -500,8 +502,24 @@ def compact_small_files(
 # isolation). Appends add a segment; compaction rewrites the segment list
 # to one; superseded segments are reclaimed explicitly by
 # `snapshot_vacuum`, the same read/maintenance split every table format
-# makes. Concurrent committers are last-writer-wins (documented; real
-# multi-writer coordination is a table format's job, not a manifest's).
+# makes. Concurrent committers (r10, VERDICT r09 #5): data stages into a
+# UNIQUELY-NAMED temp dir (never a generation name, so a crash before
+# commit can never wedge a later commit), and the commit critical section
+# — re-read manifest, generation check, rename temp -> gen-N, manifest
+# replace — runs under an advisory `flock` on `_COMMIT.lock` (kernel-
+# released on process death, so no stale-lock recovery is needed).
+# POSIX rename cannot compare-and-swap by itself; the flock supplies the
+# mutual exclusion that turns check-then-replace into a real CAS for
+# local filesystems (on storage without lock semantics — S3 — this
+# degrades to check-then-replace with the race window between check and
+# replace, which is exactly why real table formats put the CAS in a
+# catalog service). Semantics mirror Delta's conflict matrix:
+# `snapshot_write` (replace) and `snapshot_compact` REJECT with
+# `SnapshotConflictError` when the table's generation moved past their
+# base — a stale truncate/rewrite must never silently drop a concurrent
+# commit's segment; `snapshot_append` REBASES onto the current manifest
+# (a blind append conflicts with nothing), unless the caller pins
+# `expected_generation`, which makes the append CAS-strict too.
 # The streaming sink (`streaming/sinks.stream_snapshot_sink`) records the
 # last committed micro-batch id in the manifest, making batch replay after
 # a failure idempotent — the same exactly-once recipe as the JDBC sink,
@@ -510,10 +528,63 @@ def compact_small_files(
 _MANIFEST_NAME = "_MANIFEST.json"
 
 
+class SnapshotConflictError(RuntimeError):
+    """A commit found the table generation moved past its base: the
+    committer's rewrite (snapshot_write / snapshot_compact, or a
+    generation-pinned append) was derived from a superseded state, so
+    publishing it would silently drop a concurrent commit's rows. The
+    staged temp segment is cleaned up before raising; retry by re-reading
+    the table and recomputing."""
+
+
 def _manifest_path(path: str) -> str:
     import os
 
     return os.path.join(path, _MANIFEST_NAME)
+
+
+@contextmanager
+def _commit_lock(path: str):
+    """Advisory exclusive lock for the commit critical section: `flock` on
+    `_COMMIT.lock` in the table directory. Kernel-owned, so a crashed
+    committer releases it automatically — no stale-lock recovery path.
+    Guards manifest read -> generation check -> segment rename ->
+    manifest replace; readers never take it (they only `os.replace`-read
+    the manifest, which is atomic on its own)."""
+    import fcntl
+    import os
+
+    fd = os.open(
+        os.path.join(path, "_COMMIT.lock"), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+_NUMERIC_TYPE_NAMES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _stat_kind(df: DataFrame, col: str) -> str:
+    """Pruning comparison semantics for a stat column, RECORDED IN THE
+    MANIFEST at write time (ADVICE r09: inferring numericness from whether
+    the stat strings parse as floats is wrong — a STRING column's min/max
+    are lexicographic extremes, e.g. ['10','9','3'] has min '10', and
+    comparing those as numbers prunes segments whose rows match the
+    lexicographic row filter). ``num`` = the column's own comparison is
+    numeric; ``lex`` = lexicographic (strings, and ISO-formatted
+    dates/timestamps, whose string order equals their value order)."""
+    dt = dict(df.dtypes).get(col, "")
+    return (
+        "num"
+        if dt in _NUMERIC_TYPE_NAMES or dt.startswith("decimal")
+        else "lex"
+    )
 
 
 def snapshot_current(path: str) -> dict | None:
@@ -580,6 +651,22 @@ def _segment_stats(spark, full: str, stats_cols: list[str]) -> tuple[int, dict]:
     return row["_n"], stats
 
 
+def _clear_orphan_generation(path: str, seg: str) -> None:
+    """Delete an UNREFERENCED ``gen-N`` directory that is about to be
+    (re)created. By construction any existing directory named for a
+    generation ABOVE the current manifest's is an orphan — a committer
+    that crashed between its segment rename and its manifest replace
+    (the only window that can produce one). Clearing it under the commit
+    lock un-wedges the table instead of failing the rename forever
+    (ADVICE r09)."""
+    import os
+    import shutil
+
+    full = os.path.join(path, seg)
+    if os.path.exists(full):
+        shutil.rmtree(full)
+
+
 def _snapshot_add_segment(
     df: DataFrame,
     path: str,
@@ -587,49 +674,106 @@ def _snapshot_add_segment(
     replace: bool,
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
+    expected_generation: int | None = None,
 ) -> dict:
     """Write ``df`` as a new immutable segment and commit it — appended to
     the current segment list, or replacing it (``replace=True``). The data
-    write happens entirely in an uncommitted ``gen-%08d`` directory; only
-    the manifest replace makes it visible. ``stats_cols`` (sticky: once
-    declared, later appends inherit them from the manifest) records
-    per-segment min/max in the manifest for `snapshot_read` segment
-    pruning — the one-field-deep version of Delta's file-level stats."""
+    stages entirely in a uniquely-named ``.seg-<uuid>`` temp dir — NEVER a
+    generation name, so a crash before commit leaves an inert orphan temp
+    (reclaimed by `snapshot_vacuum`) rather than a directory that blocks
+    the next commit's generation. The commit critical section (under
+    `_commit_lock`): re-read the manifest, check the generation, rename
+    the temp to ``gen-N``, replace the manifest.
+
+    Concurrency contract (VERDICT r09 #5): ``replace=True`` raises
+    `SnapshotConflictError` when the generation moved past the base read
+    at entry — a stale truncate must not silently drop a concurrent
+    commit. Appends REBASE onto whatever manifest is current (blind
+    appends conflict with nothing, Delta's append rule) unless the caller
+    pins ``expected_generation``, which makes the append CAS-strict.
+
+    ``stats_cols`` (sticky: once declared, later appends inherit them
+    from the manifest) records per-segment min/max in the manifest for
+    `snapshot_read` segment pruning — the one-field-deep version of
+    Delta's file-level stats — together with each column's comparison
+    kind (``stat_types``: num/lex), so pruning always compares the way
+    the row filter does."""
     import os
+    import shutil
+    import uuid
 
     os.makedirs(path, exist_ok=True)
-    cur = snapshot_current(path)
-    gen = (cur["generation"] + 1) if cur else 1
-    seg = f"gen-{gen:08d}"
-    full = os.path.join(path, seg)
-    df.write.mode("errorifexists").parquet(full)
-    cols = stats_cols or (cur or {}).get("stats_cols") or []
-    rows, seg_stats = _segment_stats(df.sparkSession, full, cols)
-    dirs = [seg] if (replace or cur is None) else [*cur["dirs"], seg]
-    total = rows if (replace or cur is None) else cur["rows"] + rows
-    manifest = {"generation": gen, "dirs": dirs, "rows": total}
-    if cols:
-        manifest["stats_cols"] = cols
-        old_stats = {} if replace else dict((cur or {}).get("stats", {}))
-        old_stats[seg] = seg_stats
-        manifest["stats"] = {d: old_stats[d] for d in dirs if d in old_stats}
-    if batch_id is not None:
-        manifest["last_batch_id"] = batch_id
-    elif cur and "last_batch_id" in cur:
-        manifest["last_batch_id"] = cur["last_batch_id"]
-    _snapshot_commit(path, manifest)
+    base = snapshot_current(path)
+    base_gen = base["generation"] if base else 0
+    pinned = expected_generation is not None
+    want_gen = expected_generation if pinned else base_gen
+    tmp_seg = f".seg-{uuid.uuid4().hex}"
+    tmp_full = os.path.join(path, tmp_seg)
+    df.write.mode("errorifexists").parquet(tmp_full)
+    cols = stats_cols or (base or {}).get("stats_cols") or []
+    rows, seg_stats = _segment_stats(df.sparkSession, tmp_full, cols)
+    kinds = {c: _stat_kind(df, c) for c in seg_stats}
+    with _commit_lock(path):
+        cur = snapshot_current(path)
+        cur_gen = cur["generation"] if cur else 0
+        if (replace or pinned) and cur_gen != want_gen:
+            shutil.rmtree(tmp_full)
+            raise SnapshotConflictError(
+                f"snapshot commit to {path} based on generation {want_gen} "
+                f"but generation {cur_gen} is current; "
+                + ("truncate/rewrite" if replace else "pinned append")
+                + " rejected, staged segment discarded"
+            )
+        gen = cur_gen + 1
+        seg = f"gen-{gen:08d}"
+        _clear_orphan_generation(path, seg)
+        os.rename(tmp_full, os.path.join(path, seg))
+        dirs = [seg] if (replace or cur is None) else [*cur["dirs"], seg]
+        total = rows if (replace or cur is None) else cur["rows"] + rows
+        manifest = {"generation": gen, "dirs": dirs, "rows": total}
+        if cols:
+            manifest["stats_cols"] = cols
+            old_stats = {} if replace else dict((cur or {}).get("stats", {}))
+            old_stats[seg] = seg_stats
+            manifest["stats"] = {
+                d: old_stats[d] for d in dirs if d in old_stats
+            }
+            old_kinds = (
+                {} if replace else dict((cur or {}).get("stat_types", {}))
+            )
+            old_kinds.update(kinds)
+            manifest["stat_types"] = old_kinds
+        if batch_id is not None:
+            manifest["last_batch_id"] = batch_id
+        elif cur and "last_batch_id" in cur:
+            manifest["last_batch_id"] = cur["last_batch_id"]
+        _snapshot_commit(path, manifest)
     return manifest
 
 
 def snapshot_write(
-    df: DataFrame, path: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+    expected_generation: int | None = None,
 ) -> dict:
     """Write ``df`` as the ENTIRE next table state (truncate-and-reload
     semantics — the manifest's segment list becomes just the new segment;
     prior segments become vacuum-reclaimable). ``stats_cols`` declares the
     columns whose per-segment min/max the manifest tracks for segment
-    pruning (sticky for later appends). Returns the committed manifest."""
-    return _snapshot_add_segment(df, path, replace=True, stats_cols=stats_cols)
+    pruning (sticky for later appends). Optimistic concurrency: raises
+    `SnapshotConflictError` when another commit landed after this
+    writer's base state (the generation read at entry, or
+    ``expected_generation`` when pinned) — a truncate derived from a
+    stale read must not silently drop concurrent commits. Returns the
+    committed manifest."""
+    return _snapshot_add_segment(
+        df,
+        path,
+        replace=True,
+        stats_cols=stats_cols,
+        expected_generation=expected_generation,
+    )
 
 
 def snapshot_append(
@@ -637,21 +781,34 @@ def snapshot_append(
     path: str,
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
+    expected_generation: int | None = None,
 ) -> dict:
     """APPEND ``df`` as a new segment of the table (ingest semantics): the
     commit extends the current segment list, touching no existing file —
     O(increment) work however large the table. ``batch_id`` is recorded in
-    the manifest when given (the streaming sink's replay guard)."""
+    the manifest when given (the streaming sink's replay guard).
+    Concurrency: a blind append REBASES onto whatever manifest is current
+    at commit time (it conflicts with nothing — Delta's append rule);
+    pass ``expected_generation`` to make it CAS-strict instead (raises
+    `SnapshotConflictError` on mismatch)."""
     return _snapshot_add_segment(
-        df, path, replace=False, batch_id=batch_id, stats_cols=stats_cols
+        df,
+        path,
+        replace=False,
+        batch_id=batch_id,
+        stats_cols=stats_cols,
+        expected_generation=expected_generation,
     )
 
 
-def _stat_overlaps(stat: list, lo, hi) -> bool:
+def _stat_overlaps(stat: list, lo, hi, kind: str) -> bool:
     """Typed overlap test between a segment's [min, max] (strings in the
-    manifest) and a query interval: numeric when both sides parse as
-    floats, lexicographic otherwise (correct for ISO timestamps and plain
-    strings). None bounds are open."""
+    manifest) and a query interval, using the comparison KIND the
+    manifest recorded for the column at write time (``num`` or ``lex`` —
+    ADVICE r09: guessing from whether values parse as floats silently
+    pruned matching rows for STRING columns with numeric-looking values,
+    whose manifest min/max are lexicographic extremes). An unknown kind
+    conservatively keeps the segment. None bounds are open."""
 
     def _cast(x):
         try:
@@ -660,19 +817,20 @@ def _stat_overlaps(stat: list, lo, hi) -> bool:
             return None
 
     s_lo, s_hi = stat[0], stat[1]
-    nums = [_cast(v) for v in (s_lo, s_hi, lo, hi)]
-    if all(n is not None or v is None for n, v in zip(nums, (s_lo, s_hi, lo, hi))):
-        s_lo = nums[0] if s_lo is not None else None
-        s_hi = nums[1] if s_hi is not None else None
-        lo = nums[2] if lo is not None else None
-        hi = nums[3] if hi is not None else None
-    else:
+    if kind == "num":
+        nums = [_cast(v) for v in (s_lo, s_hi, lo, hi)]
+        if any(
+            n is None and v is not None
+            for n, v in zip(nums, (s_lo, s_hi, lo, hi))
+        ):
+            return True  # unparseable bound on a numeric column: keep
+        s_lo, s_hi, lo, hi = nums
+    elif kind == "lex":
         s_lo, s_hi, lo, hi = (
-            str(s_lo) if s_lo is not None else None,
-            str(s_hi) if s_hi is not None else None,
-            str(lo) if lo is not None else None,
-            str(hi) if hi is not None else None,
+            str(v) if v is not None else None for v in (s_lo, s_hi, lo, hi)
         )
+    else:
+        return True  # no recorded kind (pre-r10 manifest): never prune
     if hi is not None and s_lo is not None and s_lo > hi:
         return False
     if lo is not None and s_hi is not None and s_hi < lo:
@@ -724,11 +882,12 @@ def snapshot_read(
     if where is not None:
         col, lo, hi = where
         stats = cur.get("stats", {})
+        kind = cur.get("stat_types", {}).get(col, "")
         dirs = [
             d
             for d in dirs
             if col not in stats.get(d, {})
-            or _stat_overlaps(stats[d][col], lo, hi)
+            or _stat_overlaps(stats[d][col], lo, hi, kind)
         ]
         if not dirs:
             # every segment pruned: an empty frame with the table schema
@@ -758,14 +917,21 @@ def snapshot_compact(
     manifest replace. Readers bound to the prior state are untouched —
     their files are not deleted, moved, or appended to; new readers bind
     the compacted state. Row count re-verified before the commit
-    (fail-loud). Returns ``{"files_before", "files_after", "bytes",
-    "rows", "generation"}``."""
+    (fail-loud), and the commit is CAS-guarded like `snapshot_write`: a
+    compaction is a REWRITE of the state it read, so if any commit landed
+    while it ran (e.g. a streaming append), publishing the rewrite would
+    silently drop that segment — it raises `SnapshotConflictError`
+    instead and the caller re-runs against the fresh state. Returns
+    ``{"files_before", "files_after", "bytes", "rows", "generation"}``."""
     import math
     import os
+    import shutil
+    import uuid
 
     cur = snapshot_current(path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot manifest under {path}")
+    base_gen = cur["generation"]
     srcs = [os.path.join(path, d) for d in cur["dirs"]]
     df = spark.read.parquet(*srcs)
     n_rows = df.count()
@@ -784,33 +950,46 @@ def snapshot_compact(
         )
     else:
         out = df.repartition(n_out)
-    gen = cur["generation"] + 1
-    seg = f"gen-{gen:08d}"
-    full = os.path.join(path, seg)
-    out.write.mode("errorifexists").parquet(full)
-    n_check = spark.read.parquet(full).count()
+    tmp_full = os.path.join(path, f".seg-{uuid.uuid4().hex}")
+    out.write.mode("errorifexists").parquet(tmp_full)
+    n_check = spark.read.parquet(tmp_full).count()
     if n_check != n_rows:
-        import shutil
-
-        shutil.rmtree(full)
+        shutil.rmtree(tmp_full)
         raise RuntimeError(
             f"compaction row mismatch: {n_rows} -> {n_check}; "
-            f"generation {cur['generation']} remains current"
+            f"generation {base_gen} remains current"
         )
     after = [
         f
-        for root, _, names in os.walk(full)
+        for root, _, names in os.walk(tmp_full)
         for f in names
         if f.endswith(".parquet")
     ]
-    manifest = {"generation": gen, "dirs": [seg], "rows": n_rows}
+    seg_stats = None
     if cur.get("stats_cols"):
-        manifest["stats_cols"] = cur["stats_cols"]
-        _, seg_stats = _segment_stats(spark, full, cur["stats_cols"])
-        manifest["stats"] = {seg: seg_stats}
-    if "last_batch_id" in cur:
-        manifest["last_batch_id"] = cur["last_batch_id"]
-    _snapshot_commit(path, manifest)
+        _, seg_stats = _segment_stats(spark, tmp_full, cur["stats_cols"])
+    with _commit_lock(path):
+        now = snapshot_current(path)
+        if now is None or now["generation"] != base_gen:
+            shutil.rmtree(tmp_full)
+            raise SnapshotConflictError(
+                f"compaction of {path} read generation {base_gen} but "
+                f"generation {now['generation'] if now else 'none'} is "
+                "current; rewrite rejected, staged segment discarded"
+            )
+        gen = base_gen + 1
+        seg = f"gen-{gen:08d}"
+        _clear_orphan_generation(path, seg)
+        os.rename(tmp_full, os.path.join(path, seg))
+        manifest = {"generation": gen, "dirs": [seg], "rows": n_rows}
+        if cur.get("stats_cols"):
+            manifest["stats_cols"] = cur["stats_cols"]
+            manifest["stats"] = {seg: seg_stats}
+            if cur.get("stat_types"):
+                manifest["stat_types"] = cur["stat_types"]
+        if "last_batch_id" in cur:
+            manifest["last_batch_id"] = cur["last_batch_id"]
+        _snapshot_commit(path, manifest)
     return {
         "files_before": len(files),
         "files_after": len(after),
@@ -825,7 +1004,12 @@ def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
     the ``keep - 1`` most recent unreferenced ones as grace for in-flight
     readers (the honest posture: a manifest has no reader registry, so the
     grace window is the caller's contract, exactly as with Delta's VACUUM
-    retention). Referenced segments are never touched. Returns the deleted
+    retention). Referenced segments are never touched. Also reclaims
+    ``.seg-*`` STAGING orphans — temp dirs left by committers that
+    crashed before their commit (never referenced by any manifest).
+    Like Delta's VACUUM, this assumes no write is IN FLIGHT against the
+    table during the maintenance window (an in-flight commit's staged
+    temp is indistinguishable from a crashed one's). Returns the deleted
     directory names."""
     import os
     import re
@@ -842,6 +1026,11 @@ def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
     )
     unreferenced = [d for d in segs if d not in set(cur["dirs"])]
     doomed = unreferenced[: max(0, len(unreferenced) - (keep - 1))] if keep > 1 else unreferenced
+    doomed += sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith(".seg-") and os.path.isdir(os.path.join(path, d))
+    )
     for d in doomed:
         shutil.rmtree(os.path.join(path, d))
     return doomed
