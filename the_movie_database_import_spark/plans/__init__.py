@@ -269,9 +269,14 @@ DRIVER_WINDOW = [
                              # freed by q_join_left_outer -> tail
                              # (q_join_inner_equi + q_join_semi keep
                              # joins in-window)
-    "q_events_ewma",         # sequential recurrence as in-row fold; slot
-                             # freed by q_filter_pred -> tail (q_json_fns
-                             # keeps row-ops in-window)
+    "q_similarity_pq_served", # NEW r10: PQ top-k SERVED from a persisted
+                             # snapshot-table index (stored codes +
+                             # codebook sidecar committed atomically; no
+                             # in-query k-means) — never driver-checked,
+                             # so in-window; slot freed by q_events_ewma
+                             # -> tail (green r09 row; cusum + seasonal
+                             # z-score + interpolation keep time-series
+                             # in-window)
     "q_text_tfidf_cosine_pairs",  # lexical-weighted near-dup pairs; slot
                              # freed by q_agg_percentiles -> tail
                              # (q_value_outliers keeps exact-quantile
@@ -288,6 +293,11 @@ DRIVER_WINDOW = [
 # r07-rows first (freshest evidence), then the r06-rows that did not fit
 # the r08 window (next rotation candidates).
 TAIL_PRIORITY = [
+    # slot displaced by the never-driver-checked r10 persisted-ANN query
+    "q_events_ewma",          # green r09 row; cusum + seasonal z-score +
+                              # interpolation keep time-series in-window;
+                              # the EWMA fold lane is also parity-tested
+                              # locally at both SFs every round
     # slots displaced by the never-driver-checked r09 queries (PSI, PQ)
     "q_events_autocorr",      # green r08 row; trend/chi2/welch/psi keep the
                               # statistical-census family in-window; local

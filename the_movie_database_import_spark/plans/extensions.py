@@ -320,6 +320,43 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=10, m=8, n_centroids=64, shortlist=100)
 
 
+_PQ_INDEX_CACHE: dict[str, str] = {}
+
+
+@register(
+    "q_similarity_pq_served", oracle=None, tags=("similarity", "ext", "pq")
+)
+def q_similarity_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k served from a PERSISTED index (VERDICT r09 #2): codebooks
+    + codes are trained/encoded ONCE (`pq_index_build` into a
+    snapshot-committed table whose manifest atomically references the
+    codebook sidecar) and every query after reads stored codes —
+    no k-means and no corpus re-encode in the query, the FAISS
+    write-index/serve split. Results are IDENTICAL to the in-query
+    `q_similarity_pq_topk` (pinned in tests — the serve path shares the
+    ADC + exact-re-rank core verbatim); the driver's rows-only check
+    still re-executes the full serve plan. The index build here is
+    per-process memoized so repeated registry runs measure the true
+    serve-only cost."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import pq_index_build, pq_index_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _PQ_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.exists(os.path.join(path, "_MANIFEST.json")):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_pqidx_"), "index"
+        )
+        pq_index_build(emb, path, m=8, n_centroids=64)
+        _PQ_INDEX_CACHE[sf_dir] = path
+    return pq_index_topk(
+        spark, path, emb, queries, k=10, shortlist=100
+    )
+
+
 @register(
     "q_similarity_ivfpq_topk", oracle=None, tags=("similarity", "ext", "ivfpq")
 )

@@ -675,6 +675,7 @@ def _snapshot_add_segment(
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
     expected_generation: int | None = None,
+    meta: dict | None = None,
 ) -> dict:
     """Write ``df`` as a new immutable segment and commit it — appended to
     the current segment list, or replacing it (``replace=True``). The data
@@ -697,7 +698,13 @@ def _snapshot_add_segment(
     `snapshot_read` segment pruning — the one-field-deep version of
     Delta's file-level stats — together with each column's comparison
     kind (``stat_types``: num/lex), so pruning always compares the way
-    the row filter does."""
+    the row filter does.
+
+    ``meta`` is opaque caller metadata committed ATOMICALLY with the data
+    (the persisted-ANN-index hook: the codebooks sidecar becomes visible
+    only when the codes segment commits). Appends without ``meta`` carry
+    the table's existing meta forward; a replace without ``meta`` drops
+    it (truncate-and-reload is a fresh table state)."""
     import os
     import shutil
     import uuid
@@ -743,6 +750,10 @@ def _snapshot_add_segment(
             )
             old_kinds.update(kinds)
             manifest["stat_types"] = old_kinds
+        if meta is not None:
+            manifest["meta"] = meta
+        elif not replace and cur and "meta" in cur:
+            manifest["meta"] = cur["meta"]
         if batch_id is not None:
             manifest["last_batch_id"] = batch_id
         elif cur and "last_batch_id" in cur:
@@ -756,6 +767,7 @@ def snapshot_write(
     path: str,
     stats_cols: list[str] | None = None,
     expected_generation: int | None = None,
+    meta: dict | None = None,
 ) -> dict:
     """Write ``df`` as the ENTIRE next table state (truncate-and-reload
     semantics — the manifest's segment list becomes just the new segment;
@@ -765,14 +777,16 @@ def snapshot_write(
     `SnapshotConflictError` when another commit landed after this
     writer's base state (the generation read at entry, or
     ``expected_generation`` when pinned) — a truncate derived from a
-    stale read must not silently drop concurrent commits. Returns the
-    committed manifest."""
+    stale read must not silently drop concurrent commits. ``meta`` is
+    opaque caller metadata committed atomically with the data. Returns
+    the committed manifest."""
     return _snapshot_add_segment(
         df,
         path,
         replace=True,
         stats_cols=stats_cols,
         expected_generation=expected_generation,
+        meta=meta,
     )
 
 
@@ -987,6 +1001,8 @@ def snapshot_compact(
             manifest["stats"] = {seg: seg_stats}
             if cur.get("stat_types"):
                 manifest["stat_types"] = cur["stat_types"]
+        if "meta" in cur:
+            manifest["meta"] = cur["meta"]
         if "last_batch_id" in cur:
             manifest["last_batch_id"] = cur["last_batch_id"]
         _snapshot_commit(path, manifest)

@@ -52,6 +52,7 @@ QUERIES = [
     "q_seasonal_zscore",
     "q_shipping_priority_q3",
     "q_similarity_ivfpq_topk",
+    "q_similarity_pq_served",
     "q_mad_per_type",
     "q_source_concentration",
     "q_hybrid_rrf_topk",
