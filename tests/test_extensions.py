@@ -1577,6 +1577,86 @@ def test_token_kl_divergence_model_and_grid_safety(spark):
             assert dist > 1e-6, (sf, c, g_, ng_, n_, v_, term, dist)
 
 
+def test_token_entropy_model_and_grid_safety(spark):
+    """Entropy census: (1) exact agreement with an independent python
+    model of the per-group Shannon entropy, quantization included; (2) a
+    uniform group has entropy_norm == 1.0 while a skewed sibling with
+    the same vocab is strictly lower; (3) a single-token group has
+    entropy 0 and NULL entropy_norm (ln(1) normalization undefined);
+    (4) the 1e-6 floor grid is hash-safe at every test SF — no distinct
+    (c/N)*ln(N/c) term sits within engine-rounding distance of a
+    boundary (the unigram_nll discipline)."""
+    import math
+
+    import duckdb
+
+    from the_movie_database_import_spark.operators.vocab import (
+        token_entropy_per_key,
+    )
+
+    corpus = [
+        (1, "uni", "a b c d"),      # uniform over 4 tokens: norm = 1
+        (2, "skew", "a a a a a b c d"),  # same vocab, skewed: norm < 1
+        (3, "mono", "z z z"),       # one token: H = 0, norm NULL
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["vocab_size"], r["entropy"], r["entropy_norm"]
+        )
+        for r in token_entropy_per_key(docs, group_col="source").collect()
+    }
+
+    from collections import Counter
+
+    want = {}
+    for _i, g, t in corpus:
+        cnt = Counter(t.split(" "))
+        n = sum(cnt.values())
+        hq = sum(
+            math.floor(1e6 * (c / n) * math.log(n / c)) for c in cnt.values()
+        )
+        v = len(cnt)
+        want[g] = (
+            n,
+            v,
+            round(hq / 1e6, 6),
+            round(hq / 1e6 / math.log(v), 6) if v > 1 else None,
+        )
+    assert got == want
+    # floor quantization shaves <=1e-6 per term off exact uniformity
+    assert 1 - 1e-5 <= got["uni"][3] <= 1.0
+    assert got["skew"][3] < got["uni"][3]
+    assert got["mono"][2] == 0.0 and got["mono"][3] is None
+
+    # grid-boundary safety on the real fixtures: every distinct (c, N)
+    # pair's term keeps >100x the 1-ulp ln() hazard off a grid boundary
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM '/root/testdata/{sf}/documents.parquet'
+                WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT source, token, COUNT(*) AS c
+                FROM tok GROUP BY source, token
+            ),
+            ng AS (SELECT source, SUM(c) AS ng FROM c GROUP BY source)
+            SELECT DISTINCT c.c, ng.ng
+            FROM c JOIN ng ON c.source = ng.source
+            """
+        ).fetchall()
+        assert rows
+        for c, ng_ in rows:
+            if c == ng_:
+                continue  # ln(1) = 0 exactly — on-grid by identity
+            term = 1e6 * (c / ng_) * math.log(ng_ / c)
+            dist = abs(term - round(term))
+            assert dist > 1e-6, (sf, c, ng_, term, dist)
+
+
 def test_token_pair_cooccurrence_hand_case(spark):
     """A-priori semantics: items under min_item_df never reach a pair
     (downward closure); pairs are unordered-unique with item_a < item_b;

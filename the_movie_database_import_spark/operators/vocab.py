@@ -231,6 +231,78 @@ def token_kl_divergence(
     )
 
 
+def token_entropy_per_key(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    grid: float = 1e6,
+) -> DataFrame:
+    """Shannon entropy of each group's token distribution ([ext] the
+    corpus-DIVERSITY census beside `source_concentration`'s mass census:
+    concentration asks "do few sources hold the token mass", entropy asks
+    "how varied is each source's own vocabulary usage" — a source whose
+    entropy collapses is emitting templated/boilerplate text even when its
+    volume share looks healthy; the Gopher/CCNet curation loop watches
+    both). For each group g over its token counts ``c_t`` with total
+    ``N_g``: ``H_g = sum_t (c_t/N_g) * ln(N_g/c_t)`` in nats, plus the
+    normalized ``H_g / ln(V_g)`` (0 = one token, 1 = uniform over the
+    group's own vocabulary; NULL when V_g = 1, where normalization is
+    undefined).
+
+    Determinism lane (the unigram_nll/KL discipline): each token's term
+    is FLOOR-QUANTIZED to an integer ``grid`` BEFORE the distributed sum
+    — integer sums are exact and addition-order-invariant where raw
+    double sums are not — so the result is bit-reproducible across
+    partitionings and engines and oracle-hashable; the term depends only
+    on the (c, N) pair, so the 1-ulp Java-vs-libm ``ln`` hazard is
+    checkable and pinned per SF (grid-boundary safety test). The final
+    ratios divide exact integers and round 1e-6.
+
+    Scale shape: ONE corpus pass — explode + (group, token) map-side-
+    combined census; the group totals ride an unbounded window over the
+    census PARTITIONED BY group (vocab x groups rows, never corpus rows
+    twice); terms compute per census row; one tiny per-group sum. Same
+    cost profile as `token_kl_divergence` minus its per-token exchange."""
+    tok = docs.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    c = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("_c"))
+    per_group = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_g = F.sum("_c").over(per_group)
+    term_q = F.floor(
+        F.lit(grid)
+        * (F.col("_c").cast("double") / F.col("_ng").cast("double"))
+        * F.log(F.col("_ng").cast("double") / F.col("_c").cast("double"))
+    ).cast("bigint")
+    out = (
+        c.withColumn("_ng", n_g)
+        .select(group_col, "_c", "_ng", term_q.alias("_t"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("_t").alias("_hq"),
+        )
+    )
+    h = F.round(F.col("_hq").cast("double") / F.lit(grid), 6)
+    return out.select(
+        group_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        h.alias("entropy"),
+        F.round(
+            F.when(
+                F.col("vocab_size") > 1,
+                (F.col("_hq").cast("double") / F.lit(grid))
+                / F.log(F.col("vocab_size").cast("double")),
+            ),
+            6,
+        ).alias("entropy_norm"),
+    )
+
+
 def token_pair_cooccurrence(
     docs: DataFrame,
     id_col: str = "doc_id",

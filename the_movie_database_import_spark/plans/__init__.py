@@ -22,7 +22,17 @@ from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
 
-# First 50 = the driver-checked window. Round-9 rotation on top of the
+# First 50 = the driver-checked window. Round-10 rotation on top of the
+# r09 layout: the never-driver-checked r10 queries (persisted-ANN serve
+# path, token-entropy census) are in-window; q_similarity_lsh_topk rotates
+# in because its r09 multi-probe upgrade never earned a driver row on the
+# new code (VERDICT r09 #3); and the 10 stalest green rows (all r05-era)
+# rotate back through for fresh evidence (VERDICT r09 #7) — every
+# displaced query is green-r09, keeps a family representative or per-round
+# local pin, and is annotated at both ends. The r09 narrative below is
+# retained where its displacement reasoning still governs rows.
+#
+# Round-9 rotation on top of the
 # r08 layout (each in-window displacement is annotated in place, both here
 # and at the tail entry it freed): the seven never-driver-checked r09
 # queries (PSI census, PQ ANN, IVFPQ ANN, seasonal z-score, TPC-H Q3
@@ -93,8 +103,6 @@ DRIVER_WINDOW = [
                                  # q_event_transitions -> tail (green r08
                                  # row; attribution_last_touch + trend +
                                  # psi keep event/stats censuses in-window)
-    "q_attribution_last_touch",  # last-touch conversion credit
-    "q_chi2_independence",       # lang x source dependence audit
     "q_welch_ttest",             # unequal-variance A/B answer
     # --- ...and the three time-series/curation follow-ups. Slots freed
     # by three r05-rotation entries that the FROZEN HEADLINE BENCH
@@ -117,16 +125,6 @@ DRIVER_WINDOW = [
                                  # by q_interevent_gaps -> tail (green r08
                                  # row; cusum + interpolation + deadline
                                  # curve keep time-series in-window)
-    "q_quality_calibrated_keep", # per-source quality cut (no hot window)
-    "q_rolling_active_users",    # mergeable-HLL trailing distinct (rows-only
-                                 # + pinned 5% error test); slot freed by
-                                 # q_json_fns -> tail (frozen headline bench
-                                 # re-executes it per-round)
-    "q_text_bigram_nll",         # conditional bigram perplexity (order-
-                                 # sensitive sibling of unigram_nll); slot
-                                 # freed by q_doc_fingerprint -> tail
-                                 # (token_count + vocab_coverage keep the
-                                 # text-census family in-window)
     "q_shipping_priority_q3",    # NEW r09: TPC-H Q3 analog — the canon's
                                  # join-agg-rank member (2 broadcasts, one
                                  # exchange, TakeOrderedAndProject pinned);
@@ -134,10 +132,6 @@ DRIVER_WINDOW = [
                                  # (green r08 row; entity_resolution +
                                  # temporal_dim_join keep the warehouse
                                  # family in-window)
-    "q_events_cusum",            # Page CUSUM drift census via the exact
-                                 # integer prefix-min closed form; slot freed
-                                 # by q_agg_avg_per_key -> tail (q_agg_multi
-                                 # keeps per-key aggregation in-window)
     "q_similarity_ivfpq_topk",   # NEW r09: IVF x PQ composed ANN (probe-
                                  # pruned code scan + exact re-rank; PQ
                                  # costs <=0.05 recall over IVF-Flat,
@@ -146,10 +140,6 @@ DRIVER_WINDOW = [
                                  # q_source_syndication -> tail (green r08
                                  # row; spans + paragraphs + tfidf pairs
                                  # keep near-dup censuses in-window)
-    "q_resample_interpolate",    # linear gap fill (straight-line twin of
-                                 # resample_daily's ffill); slot freed by
-                                 # q_text_chunks -> tail (q_pack_greedy keeps
-                                 # chunk/pack in-window)
     "q_source_concentration",    # NEW r09: corpus-concentration census
                                  # (top share, HHI, Gini over exact integer
                                  # token totals) — never driver-checked, so
@@ -167,16 +157,6 @@ DRIVER_WINDOW = [
                                  # tail (stateful_user_totals keeps streaming
                                  # in-window; sliding/session/watermark hold
                                  # r07 rows)
-    "q_conversion_by_deadline",  # deadline-budget conversion curve; slot
-                                 # freed by q_topk_global -> tail (every
-                                 # TakeOrderedAndProject query — bm25,
-                                 # similarity top-k — exercises the shape;
-                                 # topk_per_group holds an r07 row)
-    "q_substring_search_trgm",   # pg_trgm LIKE acceleration (prune via
-                                 # trigram index, verify candidates only);
-                                 # slot freed by q_sql_shared_text -> tail
-                                 # (q_sql_shared_window holds an r07 row and
-                                 # the SQL front door is sink-tested)
     "q_entity_resolution",       # fuzzy-pair -> connected-components ->
                                  # survivorship composite; slot freed by
                                  # q_dedup_clusters -> tail (the composite
@@ -206,17 +186,6 @@ DRIVER_WINDOW = [
                                  # (stream_cusum parity-tests the
                                  # applyInPandasWithState path per round;
                                  # sliding/session/watermark hold r07 rows)
-    "q_unpivot_melt",            # UNPIVOT Expand-node reshape (inverse of
-                                 # pivot); slot freed by
-                                 # q_pandas_udf_grouped_agg -> tail (scalar +
-                                 # applyInPandas hold r07 rows; the Arrow
-                                 # path also rides multimodal_frame_sample
-                                 # in-window)
-    "q_except_all",              # bag-semantics difference (counted anti) —
-                                 # becomes the set-op family's in-window rep;
-                                 # slot freed by q_conversion_latency ->
-                                 # tail (q_conversion_by_deadline exercises
-                                 # the same window + per-user machinery).
     "q_union_schema_evolution",  # by-name union with NULL fill; slot freed
                                  # by q_token_count -> tail (bigram_nll +
                                  # calibrated keep + syndication keep text
@@ -281,9 +250,58 @@ DRIVER_WINDOW = [
                              # freed by q_agg_percentiles -> tail
                              # (q_value_outliers keeps exact-quantile
                              # machinery in-window)
-    "q_benford_audit",       # first-digit fraud screen; slot freed by
-                             # q_join_range_binned -> tail (r06 row;
-                             # binned range join stays in headline bench)
+    # --- r10 rotation (VERDICT r09 #3/#7 + the new r10 operator) ---
+    "q_token_entropy",       # NEW r10: per-source Shannon-entropy diversity
+                             # census (1e-6 ln grid) — never driver-checked,
+                             # so in-window; slot freed by q_benford_audit ->
+                             # tail (green r09 row; trend/welch/psi/mad/
+                             # source_concentration keep stats censuses
+                             # in-window)
+    "q_similarity_lsh_topk", # VERDICT r09 #3: the r09 multi-probe upgrade
+                             # (n_probe=10, Lv et al.) rode this rows-only
+                             # entry in the tail and has never earned a
+                             # driver row on the new code — in-window now;
+                             # slot freed by q_quality_calibrated_keep ->
+                             # tail (green r09 row; quality_classifier +
+                             # token_kl keep the quality family in-window)
+    # --- VERDICT r09 #7: the 10 stalest green rows (all r05-era — three
+    # rounds of testdata generations ago) rotate back through the window
+    # for fresh driver evidence; each vacating query is annotated at its
+    # tail entry ---
+    "q_doc_fingerprint",     # r05 row; slot freed by q_rolling_active_users
+                             # -> tail (green r09 rows-only row; the HLL
+                             # <=5% error pin runs locally every round)
+    "q_dedup_by_key",        # r05 row; slot freed by q_text_bigram_nll ->
+                             # tail (green r09 row; token_kl + token_entropy
+                             # keep the ln-lane text censuses in-window)
+    "q_agg_avg_per_key",     # r05 row; slot freed by q_events_cusum -> tail
+                             # (green r09 row; seasonal z-score + resample
+                             # keep time-series in-window; stream_cusum
+                             # parity-pins the same closed form per round)
+    "q_text_jaccard_pairs",  # r05 row; slot freed by q_resample_interpolate
+                             # -> tail (green r09 row; q_resample_daily
+                             # keeps the resample family in-window)
+    "q_sample_split",        # r05 row; slot freed by
+                             # q_conversion_by_deadline -> tail (green r09
+                             # row; q_conversion_latency stays in-window —
+                             # same per-user window machinery)
+    "q_text_chunks",         # r05 row; slot freed by q_substring_search_trgm
+                             # -> tail (green r09 row; byte-equal-to-naive
+                             # pin + trgm showcase run locally every round)
+    "q_union_all",           # r05 row; becomes the set-op in-window rep;
+                             # slot freed by q_except_all -> tail (green r09
+                             # row)
+    "q_text_vocab_coverage", # r05 row; slot freed by q_unpivot_melt -> tail
+                             # (green r09 row; pivot holds an r07 row and
+                             # the Expand-node pin runs locally)
+    "q_dedup_first_event",   # r05 row; slot freed by q_attribution_last_touch
+                             # -> tail (green r09 row; sessionize +
+                             # conversion_latency keep event analytics
+                             # in-window)
+    "q_topk_global",         # r05 row; slot freed by q_chi2_independence ->
+                             # tail (green r09 row; welch + trend + psi +
+                             # mad keep the statistical-census family
+                             # in-window)
 ]
 
 
@@ -293,6 +311,37 @@ DRIVER_WINDOW = [
 # r07-rows first (freshest evidence), then the r06-rows that did not fit
 # the r08 window (next rotation candidates).
 TAIL_PRIORITY = [
+    # --- slots displaced by the r10 rotation (each vacated for a
+    # never-driver-checked r10 query, the multi-probe LSH evidence gap, or
+    # an r05-era stale-evidence refresh — the in-window entry that took
+    # each slot carries the matching annotation) ---
+    "q_benford_audit",        # green r09 row; trend/welch/psi/mad/
+                              # source_concentration keep stats censuses
+                              # in-window; local exact-parity every round
+    "q_quality_calibrated_keep",  # green r09 row; quality_classifier +
+                              # token_kl keep the quality family in-window
+    "q_rolling_active_users", # green r09 rows-only row; the mergeable-HLL
+                              # <=5% error pin runs locally every round
+    "q_text_bigram_nll",      # green r09 row; token_kl + token_entropy keep
+                              # the ln-lane text censuses in-window
+    "q_events_cusum",         # green r09 row; stream_cusum parity-pins the
+                              # same integer prefix-min closed form per
+                              # round; seasonal z + resample keep time-series
+    "q_resample_interpolate", # green r09 row; q_resample_daily keeps the
+                              # resample family in-window
+    "q_conversion_by_deadline",  # green r09 row; q_conversion_latency stays
+                              # in-window (same per-user window machinery)
+    "q_substring_search_trgm",  # green r09 row; byte-equal-to-naive pin +
+                              # trgm showcase run locally every round
+    "q_except_all",           # green r09 row; q_union_all rotates in as the
+                              # set-op family's in-window rep
+    "q_unpivot_melt",         # green r09 row; pivot holds an r07 row; the
+                              # native-Expand no-exchange pin runs locally
+    "q_attribution_last_touch",  # green r09 row; sessionize +
+                              # conversion_latency keep event analytics
+                              # in-window; attribution_linear holds r08
+    "q_chi2_independence",    # green r09 row; welch + trend + psi + mad
+                              # keep the statistical-census family in-window
     # slot displaced by the never-driver-checked r10 persisted-ANN query
     "q_events_ewma",          # green r09 row; cusum + seasonal z-score +
                               # interpolation keep time-series in-window;
@@ -325,16 +374,6 @@ TAIL_PRIORITY = [
     "q_win_running_sum",      # frozen headline bench re-executes per-round
     "q_text_quality",         # frozen headline bench re-executes per-round
     "q_json_fns",             # frozen headline bench re-executes per-round
-    "q_doc_fingerprint",      # text-census reps token_count/vocab in-window
-    "q_dedup_by_key",         # dedup reps first_event/clusters/spans in-window
-    "q_agg_avg_per_key",      # agg rep q_agg_multi in-window
-    "q_text_jaccard_pairs",   # near-dup reps spans/clusters/syndication in-window
-    "q_sample_split",         # split rep q_split_leakage_safe in-window
-    "q_text_chunks",          # chunk/pack rep q_pack_greedy in-window
-    "q_union_all",            # set-op family: r07 rows on distinct/except/intersect
-    "q_text_vocab_coverage",  # text-census rep q_token_count in-window
-    "q_dedup_first_event",    # streaming rep q_stateful_user_totals in-window
-    "q_topk_global",          # sort/limit: TakeOrderedAndProject shape everywhere
     "q_sql_shared_text",      # SQL front door: shared_window r07 row + sink test
     "q_dedup_clusters",       # connected_components driver-covered via
                               # q_entity_resolution (same operator)
@@ -360,7 +399,6 @@ TAIL_PRIORITY = [
     "q_intersect",            # set-op family rep q_union_all in-window
     "q_string_fns",           # row-ops reps q_filter_pred/q_json_fns in-window
     "q_agg_rollup",           # agg reps avg_per_key/multi/count_by_value in-window
-    "q_similarity_lsh_topk",  # vector reps topk_cosine (headline) in-window
     "q_join_left_outer",      # join reps inner_equi/semi in-window
     "q_filter_pred",          # row-ops rep q_json_fns in-window
     "q_agg_percentiles",      # exact-quantile rep q_value_outliers in-window

@@ -1238,6 +1238,61 @@ def q_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, token
+    ),
+    terms AS (
+        SELECT source, c,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS ng
+        FROM c
+    ),
+    q AS (
+        SELECT source, c, ng,
+               CAST(floor(1000000.0
+                   * (CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                   * ln(CAST(ng AS DOUBLE) / CAST(c AS DOUBLE))
+               ) AS BIGINT) AS t
+        FROM terms
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(CAST(SUM(t) AS DOUBLE) / 1000000.0, 6) AS entropy,
+           ROUND(CASE WHEN COUNT(*) > 1
+                      THEN (CAST(SUM(t) AS DOUBLE) / 1000000.0)
+                           / ln(CAST(COUNT(*) AS DOUBLE))
+                 END, 6) AS entropy_norm
+    FROM q GROUP BY source
+    """,
+    tags=("text", "vocab", "quality", "ext"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Shannon entropy census (north star
+    `token_entropy_per_key`, r10): the corpus-DIVERSITY audit beside
+    `q_source_concentration`'s mass audit — a source whose entropy
+    collapses is emitting templated/boilerplate text even when its volume
+    share looks healthy. One corpus pass (explode + map-side-combined
+    (source, token) census); per-token terms floor-quantize to the 1e-6
+    integer grid before the distributed sum (the unigram_nll ln lane —
+    order/partition-invariant, grid-boundary margins pinned per SF);
+    normalized entropy (H / ln V, NULL at V=1) rounds two exact-integer-
+    derived doubles."""
+    from ..operators.vocab import token_entropy_per_key
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return token_entropy_per_key(docs, group_col="source")
+
+
+@register(
     "q_quality_classifier",
     oracle=None,
     tags=("text", "quality", "ml", "ext"),

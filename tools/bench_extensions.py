@@ -47,6 +47,7 @@ QUERIES = [
     "q_corpus_mix_temperature",
     "q_quality_classifier",
     "q_token_kl_divergence",
+    "q_token_entropy",
     "q_psi_value_drift",
     "q_similarity_pq_topk",
     "q_seasonal_zscore",
