@@ -2407,3 +2407,82 @@ def test_pq_index_served_identical_to_in_query(spark, tmp_path):
         assert r.vec_id == r.query_id + n, r
         true_cos = float(V[r.query_id] @ W[r.vec_id - n])
         assert abs(r.cosine - true_cos) < 1e-6
+
+
+def test_heavy_hitters_exact_under_eviction_and_partitioning(spark):
+    """The sketch path is only honest when capacity << vocabulary forces
+    real Misra-Gries evictions: a seeded Zipf corpus (vocab 2000, docs
+    sharded adversarially so no partition sees the whole stream) with
+    capacity pinned to the 2/phi default must still emit EXACTLY the
+    brute-force phi-heavy set — same tokens, same exact counts — under
+    several different partitionings (the superset + exact-recount
+    guarantee is partitioning-invariant)."""
+    import random
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators.vocab import heavy_hitters
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(2000)]
+    weights = [1.0 / (i + 1) for i in range(2000)]  # Zipf(1)
+    docs, stream = [], []
+    for d in range(400):
+        toks = rng.choices(vocab, weights=weights, k=50)
+        stream.extend(toks)
+        docs.append((d, " ".join(toks)))
+    n = len(stream)
+    phi = 0.005
+    cnt = Counter(stream)
+    # threshold exactly the operator's way: ceil(phi * n)
+    import math
+
+    thr = math.ceil(phi * n)
+    want = {t: c for t, c in cnt.items() if c >= thr}
+    assert want, "fixture must produce heavy hitters"
+    assert len(cnt) > 800, "fixture must have vocab >> capacity (400)"
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for parts in (1, 7, 32):
+        got = {
+            r["token"]: r["n_occurrences"]
+            for r in heavy_hitters(
+                df.repartition(parts), phi=phi
+            ).collect()
+        }
+        assert got == want, (parts, len(got), len(want))
+
+
+def test_containment_scores_hand_case(spark):
+    """Containment semantics by construction: a doc that IS the benchmark
+    scores 1.0; a doc sharing half its distinct grams scores 0.5; a doc
+    sharing nothing scores 0.0 but still appears (complete audit table);
+    duplicate grams inside a doc count once (distinct-shingle
+    denominator); and the score is monotone in actual overlap."""
+    from the_movie_database_import_spark.operators.decontam import (
+        containment_scores,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams {ab, bc, cd} all in bench -> 1.0
+            (2, "a b x a b x a b"),  # distinct grams {ab, bx, xa}; only ab
+                                     # matches -> 1/3 (duplicates count once)
+            (3, "x y z w"),          # no overlap -> 0.0, still emitted
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in containment_scores(corpus, bench, n=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_grams"], got[1]["n_matched"]) == (3, 3)
+    assert got[1]["containment"] == 1.0
+    assert (got[2]["n_grams"], got[2]["n_matched"]) == (3, 1)
+    assert got[2]["containment"] == round(1 / 3, 6)
+    assert (got[3]["n_grams"], got[3]["n_matched"]) == (3, 0)
+    assert got[3]["containment"] == 0.0
+    with pytest.raises(ValueError):
+        containment_scores(corpus, bench, n=0)

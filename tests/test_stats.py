@@ -1289,3 +1289,58 @@ def test_source_concentration_uniform_and_dominated(spark):
     # G = 2*(1*1+2*1+3*1+4*97)/(4*100) - 5/4 = 0.72 exactly
     assert r["gini"] == pytest.approx(0.72, abs=1e-9)
     assert r["hhi"] == pytest.approx((1 + 1 + 1 + 97 * 97) / 10000, abs=1e-9)
+
+
+def test_ks_drift_hand_cases(spark):
+    """KS semantics pinned by construction: identical samples score
+    exactly 0; disjoint supports score exactly 1; a textbook half-shift
+    hand case hits its known sup exactly (integer lane, no tolerance);
+    a key missing one side emits NULL (statistic undefined)."""
+    from the_movie_database_import_spark.operators.stats import ks_drift
+
+    rows = (
+        # "same": identical 4-point samples on both sides -> D = 0
+        [("same", float(v), b) for v in (1, 2, 3, 4) for b in (True, False)]
+        # "disjoint": baseline all below current -> D = 1
+        + [("disjoint", float(v), True) for v in (1, 2)]
+        + [("disjoint", float(v), False) for v in (10, 20)]
+        # "half": base {1,2,3,4}, cur {3,4,5,6} -> sup at v=2: |2/4 - 0/4| = 0.5
+        + [("half", float(v), True) for v in (1, 2, 3, 4)]
+        + [("half", float(v), False) for v in (3, 4, 5, 6)]
+        # "onesided": no current rows -> NULL
+        + [("onesided", 1.0, True)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double, is_base boolean")
+    got = {r["k"]: r for r in ks_drift(df, "k", "v", "is_base").collect()}
+    assert got["same"]["ks_d"] == 0.0
+    assert got["disjoint"]["ks_d"] == 1.0
+    assert got["half"]["ks_d"] == 0.5
+    assert got["onesided"]["ks_d"] is None
+    assert got["onesided"]["n_baseline"] == 1
+    assert got["onesided"]["n_current"] == 0
+    assert (got["half"]["n_baseline"], got["half"]["n_current"]) == (4, 4)
+
+
+def test_ks_drift_matches_scipy_style_model(spark):
+    """Exact agreement with an independent python two-sample KS on a
+    mixed-tie corpus (ties across sides, duplicates within a side) — the
+    census path must weight duplicate values correctly."""
+    from the_movie_database_import_spark.operators.stats import ks_drift
+
+    base = [1.0, 1.0, 2.0, 3.0, 5.0, 5.0, 8.0]
+    cur = [1.0, 2.0, 2.0, 2.0, 4.0, 8.0, 9.0, 9.0]
+    rows = [("k", v, True) for v in base] + [("k", v, False) for v in cur]
+    df = spark.createDataFrame(rows, "k string, v double, is_base boolean")
+    got = ks_drift(df, "k", "v", "is_base").collect()[0]
+
+    pooled = sorted(set(base) | set(cur))
+    nb, nc = len(base), len(cur)
+    d_num = max(
+        abs(
+            sum(1 for x in base if x <= v) * nc
+            - sum(1 for x in cur if x <= v) * nb
+        )
+        for v in pooled
+    )
+    assert (got["n_baseline"], got["n_current"]) == (nb, nc)
+    assert got["ks_d"] == round(d_num / (nb * nc), 6)

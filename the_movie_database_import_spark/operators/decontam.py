@@ -119,3 +119,73 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(maybe_broadcast(contaminated), id_col, "left_anti")
+
+
+def containment_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark CONTAINMENT score — the fraction of the
+    document's distinct word n-grams that appear anywhere in the
+    benchmark: ``containment = |grams(doc) ∩ grams(bench)| /
+    |grams(doc)|`` ([ext] the graded decontamination policy beside
+    :func:`contamination_counts`' binary any-overlap rule: "any shared
+    13-gram" treats a quoted sentence and a wholesale test-set copy the
+    same, while thresholding containment (the PaLM/FLAN-style >= 70%
+    overlap rule) removes only documents that substantially ARE the
+    benchmark). Returns ``(id_col, n_grams, n_matched, containment)``
+    for every corpus doc with at least one n-gram — unmatched docs score
+    0.0 so the output is a complete audit table, not just the flagged
+    tail.
+
+    Plan shape: the denominator is computed IN-ROW (``word_shingles``
+    already emits distinct shingles; ``size`` never leaves the scan),
+    and the numerator reuses the sibling's broadcast-probe: benchmark
+    grams hash to 64-bit longs → distinct → budget-guarded broadcast;
+    corpus grams explode in-row and probe it, so the only aggregate
+    input is MATCHED (doc, gram) pairs. The per-doc matched counts
+    (one row per contaminated doc, tiny) broadcast-join back onto the
+    in-row totals — corpus rows are never shuffled at any stage. The
+    probe is EAGER like the sibling (the broadcast guard counts at
+    construction time). Ratio = one division of exact integers,
+    rounded 1e-6."""
+    from ..session import maybe_broadcast
+
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    bench_grams = (
+        benchmark.select(
+            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("gram_h")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(_gram_hashes(F.col(text_col), n)).alias("gram_h"),
+    )
+    matched = (
+        corpus_grams.join(maybe_broadcast(bench_grams), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    totals = corpus.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
+    return (
+        totals.join(maybe_broadcast(matched), id_col, "left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("_m"), F.lit(0)).cast("bigint").alias("n_matched"),
+            F.round(
+                F.coalesce(F.col("_m"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -1042,3 +1042,82 @@ def source_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    baseline_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per key ([ext] the
+    nonparametric sibling of `psi_drift`: PSI needs a bin grid and a
+    smoothing constant, KS needs NEITHER — D = sup_x |F_base(x) -
+    F_cur(x)| over the empirical CDFs, the classic "did this feature's
+    distribution move" test that is invariant to monotone rescaling and
+    sensitive anywhere in the distribution, not just where bins are).
+    Splits rows by the boolean ``baseline_col`` and returns
+    ``(key, n_baseline, n_current, ks_d)``; keys with either side empty
+    emit NULL ks_d (the statistic is undefined).
+
+    Exactness lane: both ECDFs are step functions that jump only at
+    observed values, so D is attained at a pooled distinct value.
+    Over the (key, value) census with per-side counts, the statistic is
+    ``max |cumB*nC - cumC*nB| / (nB*nC)`` — the numerator is EXACT
+    128-bit integer arithmetic (DECIMAL(38,0) here, HUGEINT in the
+    oracle; int64 would overflow at nB*nC > 2^63, i.e. ~3e9 rows per
+    side — real at 100 TB), the max compares exact integers (no
+    floating-point tie hazard), and only the FINAL division is a
+    double — one exact-integer ratio, rounded 1e-6 (the
+    source_concentration discipline).
+
+    Plan: ONE map-side-combined (key, value) census is the only
+    full-data pass; totals and running sums are two window passes OVER
+    THE CENSUS sharing one hash partitioning on ``key`` (distinct
+    values per key, never corpus rows twice); the max is a tiny per-key
+    aggregate. At 100 TB a skewed key's distinct-value census row count
+    bounds the window partition, not its row count."""
+    census = df.groupBy(key_col, F.col(val_col).alias("_v")).agg(
+        F.sum(F.when(F.col(baseline_col), 1).otherwise(0)).alias("_cb"),
+        F.sum(F.when(F.col(baseline_col), 0).otherwise(1)).alias("_cc"),
+    )
+    w_all = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(19,0)"
+    num = F.abs(
+        F.sum("_cb").over(w_cum).cast(dec) * F.sum("_cc").over(w_all).cast(dec)
+        - F.sum("_cc").over(w_cum).cast(dec) * F.sum("_cb").over(w_all).cast(dec)
+    )
+    stepped = census.select(
+        key_col,
+        F.sum("_cb").over(w_all).alias("_nb"),
+        F.sum("_cc").over(w_all).alias("_nc"),
+        num.alias("_num"),
+    )
+    out = stepped.groupBy(key_col).agg(
+        F.min("_nb").cast("bigint").alias("n_baseline"),
+        F.min("_nc").cast("bigint").alias("n_current"),
+        F.max("_num").alias("_d"),
+    )
+    return out.select(
+        key_col,
+        "n_baseline",
+        "n_current",
+        F.round(
+            F.when(
+                (F.col("n_baseline") > 0) & (F.col("n_current") > 0),
+                F.col("_d").cast("double")
+                / (
+                    F.col("n_baseline").cast("double")
+                    * F.col("n_current").cast("double")
+                ),
+            ),
+            6,
+        ).alias("ks_d"),
+    )

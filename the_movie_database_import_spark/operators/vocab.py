@@ -478,3 +478,89 @@ def bigram_nll(
         (-F.sum("_logp_q")).alias("nll_q_sum"),
         (-F.sum("_logp_q") / F.count(F.lit(1))).alias("avg_nll_q"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    phi: float = 0.003,
+    capacity: int | None = None,
+) -> DataFrame:
+    """All tokens with frequency >= ``phi`` of the corpus, EXACTLY —
+    found with a Misra–Gries sketch so the shuffle never carries the
+    long tail ([ext] the phi-heavy-hitters problem: stop-word discovery,
+    boilerplate-token screens, and skew-key detection all start here;
+    the MG/Space-Saving + exact-recount recipe is the standard
+    distributed answer — Misra & Gries 1982; mergeability per Agarwal
+    et al. 2012).
+
+    Three-stage plan, all full-data passes narrow and shuffle-free:
+    1. SKETCH: each partition folds its token stream through a
+       Misra–Gries summary of ``capacity`` counters (default
+       ceil(2/phi)) inside `mapInPandas` — Arrow-batched, value_counts-
+       vectorized, O(capacity) state per partition. MG guarantees any
+       token with partition frequency > n_p/(capacity+1) survives; a
+       globally phi-heavy token is (>= phi)-heavy in some partition
+       (pigeonhole), and capacity 2/phi puts the survival threshold at
+       phi/2 — so the union of partition summaries is a SUPERSET of the
+       true heavy hitters under ANY partitioning.
+    2. RECOUNT: the candidate set (<= capacity x partitions tokens,
+       thousands not millions) broadcast-semi-filters the token stream
+       and only candidate tokens enter the exact count aggregate — the
+       groupBy shuffles |candidates| keys instead of |vocab|.
+    3. THRESHOLD: keep count >= ceil(phi * N) (N from a map-side count
+       pass). Because the recount is exact and the candidate set is a
+       superset, the OUTPUT is exact and partition-invariant even
+       though the sketch isn't — which is what makes an approximate-
+       sketch operator oracle-checkable.
+
+    Returns ``(token, n_occurrences, share)``, share rounded 1e-6 (one
+    division of exact integers). At 100 TB the token stream is scanned
+    thrice (sketch, recount probe, total) but never shuffled wide; only
+    candidate counts and the one-row total move."""
+    import math
+
+    import pandas as pd
+
+    from ..session import maybe_broadcast
+
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0, 1): {phi}")
+    k = capacity or math.ceil(2.0 / phi)
+
+    def _mg(batches):
+        sketch = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            sketch = sketch.add(vc, fill_value=0)
+            if len(sketch) > k:
+                # MG merge rule (Agarwal et al.): subtract the (k+1)-th
+                # largest counter from all, keep the strictly positive
+                cut = sketch.nlargest(k + 1).iloc[-1]
+                sketch = sketch[sketch > cut] - cut
+        yield pd.DataFrame({"token": sketch.index.astype(str)})
+
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    cands = tok.mapInPandas(_mg, "token string").distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        tok.join(maybe_broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences")
+            >= F.ceil(F.lit(float(phi)) * F.col("_n")).cast("bigint")
+        )
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("share"),
+        )
+    )

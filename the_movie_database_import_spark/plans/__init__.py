@@ -103,7 +103,15 @@ DRIVER_WINDOW = [
                                  # q_event_transitions -> tail (green r08
                                  # row; attribution_last_touch + trend +
                                  # psi keep event/stats censuses in-window)
-    "q_welch_ttest",             # unequal-variance A/B answer
+    "q_ks_value_drift",          # NEW r10: two-sample Kolmogorov–Smirnov
+                                 # drift per key (census + shared-
+                                 # partitioning windows; exact 128-bit
+                                 # integer numerator max) — never
+                                 # driver-checked, so in-window; slot freed
+                                 # by q_welch_ttest -> tail (green r09 row;
+                                 # trend + psi + mad + source_concentration
+                                 # + ks keep the statistical-census family
+                                 # in-window)
     # --- ...and the three time-series/curation follow-ups. Slots freed
     # by three r05-rotation entries that the FROZEN HEADLINE BENCH
     # re-executes every round anyway (execution evidence per-round, and
@@ -186,15 +194,21 @@ DRIVER_WINDOW = [
                                  # (stream_cusum parity-tests the
                                  # applyInPandasWithState path per round;
                                  # sliding/session/watermark hold r07 rows)
-    "q_union_schema_evolution",  # by-name union with NULL fill; slot freed
-                                 # by q_token_count -> tail (bigram_nll +
-                                 # calibrated keep + syndication keep text
-                                 # censuses in-window)
-    "q_join_full_outer",         # the join canon's FULL OUTER (never
-                                 # broadcastable — SMJ pinned); slot freed
-                                 # by q_multimodal_frame_sample -> tail
-                                 # (metadata/features/resize hold r07 rows
-                                 # for the multimodal family)
+    "q_heavy_hitters",           # NEW r10: Misra–Gries phi-heavy hitters
+                                 # with exact candidate recount (sketch-
+                                 # accelerated yet oracle-hash-exact) —
+                                 # never driver-checked, so in-window; slot
+                                 # freed by q_union_schema_evolution -> tail
+                                 # (green r09 row; q_union_all keeps set-ops
+                                 # in-window, by-name NULL-fill pin local)
+    "q_decontaminate_containment",  # NEW r10: graded benchmark-containment
+                                 # audit (PaLM/FLAN >=tau overlap policy;
+                                 # in-row denominator + broadcast gram
+                                 # probe) — never driver-checked, so
+                                 # in-window; slot freed by
+                                 # q_join_full_outer -> tail (green r09 row;
+                                 # Q3/Q5/Q6 + entity_resolution keep joins
+                                 # in-window, SMJ FullOuter pin local)
     "q_conversion_latency",      # latency quartiles (restored: the repo's
                                  # own insurance test — correctly — rejects
                                  # leaving any never-driver-checked query
@@ -318,6 +332,15 @@ TAIL_PRIORITY = [
     "q_benford_audit",        # green r09 row; trend/welch/psi/mad/
                               # source_concentration keep stats censuses
                               # in-window; local exact-parity every round
+    "q_welch_ttest",          # green r09 row; trend + psi + mad + ks keep
+                              # the statistical-census family in-window
+    "q_union_schema_evolution",  # green r09 row; q_union_all keeps set-ops
+                              # in-window; by-name NULL-fill semantics
+                              # pinned locally every round
+    "q_join_full_outer",      # green r09 row; Q3/Q5/Q6 +
+                              # entity_resolution keep joins in-window;
+                              # the SMJ-FullOuter preservation pin runs
+                              # locally every round
     "q_quality_calibrated_keep",  # green r09 row; quality_classifier +
                               # token_kl keep the quality family in-window
     "q_rolling_active_users", # green r09 rows-only row; the mergeable-HLL

@@ -2560,3 +2560,93 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
         )
     )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences,
+           ROUND(CAST(n_occurrences AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS share
+    FROM c, tot
+    WHERE n_occurrences >= CAST(CEIL(0.003 * n) AS BIGINT)
+    """,
+    tags=("text", "sketch", "agg", "ext"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy hitters of the corpus token stream at phi = 0.003
+    (north star `heavy_hitters`): every token holding >= 0.3% of all
+    token mass, found with per-partition Misra–Gries sketches whose
+    candidate union is a guaranteed SUPERSET of the true heavy hitters,
+    then made EXACT by a candidate-only recount — the shuffle carries
+    |candidates| keys, never the vocabulary's long tail. Because the
+    recount is exact, the output is partition-invariant and the DuckDB
+    oracle (a plain census + threshold) must match hash-exactly — a
+    sketch-accelerated operator with a full-strength oracle, unlike the
+    rows-only HLL/MinHash family."""
+    from ..operators.vocab import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, phi=0.003)
+
+
+@register(
+    "q_decontaminate_containment",
+    oracle="""
+    WITH bt AS (
+        SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+        FROM bt, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    dt AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 97 <> 0
+    ),
+    dg AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+        FROM dt, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM dg GROUP BY doc_id
+    ),
+    matched AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m
+        FROM dg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT totals.doc_id, n_grams,
+           CAST(COALESCE(m, 0) AS BIGINT) AS n_matched,
+           ROUND(CAST(COALESCE(m, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+               AS containment
+    FROM totals LEFT JOIN matched ON totals.doc_id = matched.doc_id
+    """,
+    tags=("text", "decontam", "ext"),
+)
+def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-containment audit (north star `containment_scores`):
+    for every training document, the fraction of its distinct word
+    n-grams found anywhere in the eval set — the PaLM/FLAN-style
+    thresholdable decontamination policy beside `q_text_decontaminate`'s
+    binary any-overlap rule. Same synthetic split as the sibling
+    (benchmark = the doc_id % 97 == 0 slice, n=3); denominator counts
+    in-row (distinct shingles never leave the scan), numerator rides the
+    budget-guarded broadcast gram probe, matched counts broadcast back —
+    corpus rows never shuffle. The oracle replays it on gram strings;
+    the Spark side probes xxhash64(gram) and must agree hash-exactly."""
+    from ..operators.decontam import containment_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return containment_scores(corpus, bench, n=3)

@@ -1230,3 +1230,59 @@ def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_concentration(
         docs, "source", F.size(F.split(F.col("text"), " "))
     )
+
+
+@register(
+    "q_ks_value_drift",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS k, value AS v,
+               ts < TIMESTAMP '2024-01-16' AS b
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    census AS (
+        SELECT k, v,
+               SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+               SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS cc
+        FROM base GROUP BY k, v
+    ),
+    cum AS (
+        SELECT k,
+               SUM(cb) OVER (PARTITION BY k) AS nb,
+               SUM(cc) OVER (PARTITION BY k) AS nc,
+               SUM(cb) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+               SUM(cc) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        FROM census
+    )
+    SELECT k AS event_type,
+           CAST(MIN(nb) AS BIGINT) AS n_baseline,
+           CAST(MIN(nc) AS BIGINT) AS n_current,
+           ROUND(CASE WHEN MIN(nb) > 0 AND MIN(nc) > 0 THEN
+               CAST(MAX(ABS(CAST(cumb AS HUGEINT) * CAST(nc AS HUGEINT)
+                            - CAST(cumc AS HUGEINT) * CAST(nb AS HUGEINT)))
+                    AS DOUBLE)
+               / (CAST(MIN(nb) AS DOUBLE) * CAST(MIN(nc) AS DOUBLE))
+           END, 6) AS ks_d
+    FROM cum GROUP BY k
+    """,
+    tags=("stats", "drift", "agg", "ext"),
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of the metric value per
+    event type, first half of January (baseline) vs the rest (north star
+    `ks_drift`): the nonparametric twin of `q_psi_value_drift` — no bin
+    grid, no smoothing constant, sensitive to movement anywhere in the
+    distribution. D is attained at a pooled distinct value, so the
+    census + two shared-partitioning window passes compute it exactly:
+    the numerator max runs over EXACT 128-bit integers (DECIMAL(38,0) /
+    HUGEINT — int64 would overflow past ~3e9 rows per side) and only the
+    final ratio is a double, rounded 1e-6."""
+    from ..operators.stats import ks_drift
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter("value IS NOT NULL AND ts IS NOT NULL").withColumn(
+        "_is_base", F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")
+    )
+    return ks_drift(base, "event_type", "value", "_is_base")

@@ -48,6 +48,9 @@ QUERIES = [
     "q_quality_classifier",
     "q_token_kl_divergence",
     "q_token_entropy",
+    "q_ks_value_drift",
+    "q_heavy_hitters",
+    "q_decontaminate_containment",
     "q_psi_value_drift",
     "q_similarity_pq_topk",
     "q_seasonal_zscore",

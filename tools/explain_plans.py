@@ -302,6 +302,42 @@ SHOWCASES = [
         "and the 1e-6-grid term sum is order/partition-invariant.",
     ),
     (
+        "q_token_entropy",
+        "Per-source token-entropy census: one explode + map-side-combined "
+        "(source, token) census is the only corpus pass; group totals "
+        "ride a window OVER THE CENSUS (vocab x groups rows), each "
+        "(c/N)*ln(N/c) term floor-quantizes to the 1e-6 integer grid "
+        "before the distributed sum, and the normalization divides "
+        "exact-integer-derived doubles.",
+    ),
+    (
+        "q_ks_value_drift",
+        "Two-sample KS drift: ONE map-side-combined (key, value) census "
+        "is the only full-data pass; the totals window and the running-"
+        "sum window share a single hash partitioning on the key (one "
+        "exchange over census rows, never corpus rows twice); the "
+        "numerator max compares exact DECIMAL(38,0) integers and only "
+        "the final per-key ratio divides in double.",
+    ),
+    (
+        "q_heavy_hitters",
+        "Misra-Gries phi-heavy hitters: per-partition Arrow sketches "
+        "(O(capacity) state) emit a guaranteed candidate SUPERSET, the "
+        "exact recount's aggregate is broadcast-semi-filtered to "
+        "|candidates| keys — the vocabulary's long tail never enters a "
+        "shuffle — and the ceil(phi*N) threshold compares exact "
+        "integers, so the sketch-accelerated output is oracle-exact.",
+    ),
+    (
+        "q_decontaminate_containment",
+        "Graded containment decontamination: the denominator (distinct "
+        "gram count) computes in-row at the scan, benchmark grams hash "
+        "to longs and broadcast, only MATCHED (doc, gram) pairs enter "
+        "the per-doc aggregate, and the tiny matched-count table "
+        "broadcasts back onto the totals — corpus rows are never "
+        "shuffled at any stage.",
+    ),
+    (
         "q_substring_search_trgm",
         "Trigram-accelerated LIKE '%pattern%' (the pg_trgm recipe): the "
         "inverted trigram index prunes to docs containing EVERY pattern "
