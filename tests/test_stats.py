@@ -1344,3 +1344,66 @@ def test_ks_drift_matches_scipy_style_model(spark):
     )
     assert (got["n_baseline"], got["n_current"]) == (nb, nc)
     assert got["ks_d"] == round(d_num / (nb * nc), 6)
+
+
+def test_mann_whitney_u_hand_and_model_cases(spark):
+    """MWU semantics pinned: (1) exact agreement (U and tie-corrected z)
+    with an independent python model on a tie-heavy corpus; (2) symmetric
+    samples give U = nb*nc/2 and z = 0 exactly; (3) a stochastically
+    larger current side gives positive z; (4) all-tied values (zero
+    variance) and one-sided keys emit NULL z."""
+    import math
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators.stats import mann_whitney_u
+
+    def model(base, cur):
+        pooled = sorted(Counter(base + cur).items())
+        nb, nc, n = len(base), len(cur), len(base) + len(cur)
+        prev, r2, t3 = 0, 0, 0
+        curc = Counter(cur)
+        for v, c in pooled:
+            r2 += curc.get(v, 0) * (2 * prev + c + 1)
+            t3 += c * c * c - c
+            prev += c
+        u = (r2 - nc * (nc + 1)) / 2.0
+        var = nb * nc / 12.0 * ((n + 1) - t3 / (n * (n - 1)))
+        z = (
+            round((r2 - nc * (nc + 1) - nb * nc) / (2.0 * math.sqrt(var)), 6)
+            if nb and nc and var > 0
+            else None
+        )
+        return u, z
+
+    cases = {
+        "ties": ([1.0, 2.0, 2.0, 3.0, 5.0], [2.0, 3.0, 3.0, 4.0, 6.0, 6.0]),
+        "sym": ([1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]),
+        "shift": ([1.0, 2.0, 3.0, 4.0], [10.0, 11.0, 12.0, 13.0]),
+        "const": ([5.0, 5.0, 5.0], [5.0, 5.0]),
+    }
+    rows = [
+        (k, v, is_base)
+        for k, (b, c) in cases.items()
+        for vals, is_base in ((b, True), (c, False))
+        for v in vals
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, is_base boolean")
+    df = df.union(
+        spark.createDataFrame(
+            [("onesided", 1.0, True)], "k string, v double, is_base boolean"
+        )
+    )
+    got = {r["k"]: r for r in mann_whitney_u(df, "k", "v", "is_base").collect()}
+
+    for k, (b, c) in cases.items():
+        u, z = model(b, c)
+        assert got[k]["u_current"] == u, k
+        assert got[k]["z"] == z, k
+    assert got["sym"]["u_current"] == 8.0 and got["sym"]["z"] == 0.0
+    assert got["shift"]["u_current"] == 16.0 and got["shift"]["z"] > 2
+    assert got["const"]["z"] is None  # zero variance: all values tied
+    assert got["onesided"]["z"] is None
+    # cross-check the shift z against the textbook untied closed form
+    assert got["shift"]["z"] == round(
+        (16.0 - 8.0) / math.sqrt(4 * 4 * 9 / 12.0), 6
+    )

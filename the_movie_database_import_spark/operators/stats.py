@@ -1121,3 +1121,96 @@ def ks_drift(
             6,
         ).alias("ks_d"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    baseline_col: str,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test per key ([ext] the nonparametric
+    two-sample location test beside `welch_ttest` — no normality
+    assumption, robust to outliers — completing the drift/AB panel:
+    PSI (binned mass), KS (sup-CDF), Welch (means), MWU (ranks)).
+    Splits rows by the boolean ``baseline_col`` and returns
+    ``(key, n_baseline, n_current, u_current, z)`` where ``u_current``
+    counts (current, baseline) pairs with current > baseline (ties
+    half) and ``z`` is the tie-corrected normal approximation
+    ``(U - nb*nc/2) / sqrt(nb*nc/12 * (N+1 - T/(N(N-1))))`` with
+    ``T = sum(t^3 - t)`` over tie groups. Keys with either side empty
+    (or zero pooled variance — all values tied) emit NULL z.
+
+    Exactness lane: average ranks over a (key, value) census are
+    half-integers, so the plan carries DOUBLED ranks — ``rank2 =
+    2*cum_before + cnt + 1`` — which are EXACT integers; the doubled
+    rank-sum, ``U2 = 2*U``, and the z numerator ``U2 - nb*nc`` stay
+    integers end-to-end (bigint here: |numerator| <= nb*nc < 2^63 up to
+    ~3e9 rows per side; the KS decimal lane is the overflow escape
+    hatch). The variance term computes from exact integers in double
+    (< 2^53 at any plausible per-key cardinality) and ``sqrt`` is
+    IEEE-correctly-rounded — identical in both engines — so ``z``
+    rounds the same 1e-6 both sides.
+
+    Plan: identical shape to `ks_drift` — ONE map-side-combined
+    (key, value) census, totals + cumulative window sharing one hash
+    partitioning on the key, one tiny per-key aggregate."""
+    census = df.groupBy(key_col, F.col(val_col).alias("_v")).agg(
+        F.sum(F.when(F.col(baseline_col), 1).otherwise(0)).alias("_cb"),
+        F.sum(F.when(F.col(baseline_col), 0).otherwise(1)).alias("_cc"),
+    )
+    w_all = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = F.col("_cb") + F.col("_cc")
+    rank2 = (
+        F.lit(2) * F.coalesce(F.sum(F.col("_cb") + F.col("_cc")).over(w_prev), F.lit(0))
+        + cnt
+        + F.lit(1)
+    )
+    stepped = census.select(
+        key_col,
+        F.sum("_cb").over(w_all).alias("_nb"),
+        F.sum("_cc").over(w_all).alias("_nc"),
+        (F.col("_cc") * rank2).alias("_r2c"),
+        (cnt * cnt * cnt - cnt).alias("_t3"),
+    )
+    agg = stepped.groupBy(key_col).agg(
+        F.min("_nb").cast("bigint").alias("n_baseline"),
+        F.min("_nc").cast("bigint").alias("n_current"),
+        F.sum("_r2c").cast("bigint").alias("_r2"),
+        F.sum("_t3").cast("bigint").alias("_t"),
+    )
+    nb = F.col("n_baseline")
+    nc = F.col("n_current")
+    n = nb + nc
+    u2 = F.col("_r2") - nc * (nc + F.lit(1))  # doubled U_current, exact int
+    num2 = u2 - nb * nc  # doubled (U - mean), exact int
+    var = (
+        nb.cast("double")
+        * nc.cast("double")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("_t").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        key_col,
+        "n_baseline",
+        "n_current",
+        (u2.cast("double") / F.lit(2.0)).alias("u_current"),
+        F.round(
+            F.when(
+                (nb > 0) & (nc > 0) & (var > 0),
+                num2.cast("double") / (F.lit(2.0) * F.sqrt(var)),
+            ),
+            6,
+        ).alias("z"),
+    )

@@ -194,6 +194,14 @@ DRIVER_WINDOW = [
                                  # (stream_cusum parity-tests the
                                  # applyInPandasWithState path per round;
                                  # sliding/session/watermark hold r07 rows)
+    "q_mann_whitney_u",          # NEW r10: Mann–Whitney U rank-sum test per
+                                 # key (doubled-rank exact-integer lane,
+                                 # tie-corrected z; completes the drift/AB
+                                 # panel beside PSI/KS/Welch) — never
+                                 # driver-checked, so in-window; slot freed
+                                 # by q_value_outliers -> tail (green r09
+                                 # row; mad_per_type keeps robust dispersion
+                                 # in-window, Tukey fences pinned locally)
     "q_heavy_hitters",           # NEW r10: Misra–Gries phi-heavy hitters
                                  # with exact candidate recount (sketch-
                                  # accelerated yet oracle-hash-exact) —
@@ -233,9 +241,6 @@ DRIVER_WINDOW = [
     "q_resample_daily",      # daily grid + forward fill; slot freed by
                              # q_project_rename -> tail (q_filter_pred +
                              # q_string_fns keep row-ops in-window)
-    "q_value_outliers",      # per-group Tukey-fence census; slot freed by
-                             # q_intersect -> tail (q_union_all keeps
-                             # set-ops in-window)
     "q_token_pair_lift",     # A-priori pair census + lift; slot freed by
                              # q_string_fns -> tail (q_filter_pred +
                              # q_json_fns keep row-ops in-window)
@@ -341,6 +346,9 @@ TAIL_PRIORITY = [
                               # entity_resolution keep joins in-window;
                               # the SMJ-FullOuter preservation pin runs
                               # locally every round
+    "q_value_outliers",       # green r09 row; mad_per_type keeps robust
+                              # dispersion in-window; Tukey-fence hand
+                              # cases pinned locally every round
     "q_quality_calibrated_keep",  # green r09 row; quality_classifier +
                               # token_kl keep the quality family in-window
     "q_rolling_active_users", # green r09 rows-only row; the mergeable-HLL

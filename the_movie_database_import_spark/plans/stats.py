@@ -1286,3 +1286,76 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_is_base", F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")
     )
     return ks_drift(base, "event_type", "value", "_is_base")
+
+
+@register(
+    "q_mann_whitney_u",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS k, value AS v,
+               ts < TIMESTAMP '2024-01-16' AS b
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    census AS (
+        SELECT k, v,
+               SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+               SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS cc
+        FROM base GROUP BY k, v
+    ),
+    cum AS (
+        SELECT k, cb, cc,
+               SUM(cb) OVER (PARTITION BY k) AS nb,
+               SUM(cc) OVER (PARTITION BY k) AS nc,
+               COALESCE(SUM(cb + cc) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev
+        FROM census
+    ),
+    agg AS (
+        SELECT k,
+               CAST(MIN(nb) AS BIGINT) AS nb,
+               CAST(MIN(nc) AS BIGINT) AS nc,
+               CAST(SUM(cc * (2 * prev + cb + cc + 1)) AS BIGINT) AS r2,
+               CAST(SUM((cb + cc) * (cb + cc) * (cb + cc) - (cb + cc))
+                    AS BIGINT) AS t
+        FROM cum GROUP BY k
+    )
+    SELECT k AS event_type,
+           nb AS n_baseline,
+           nc AS n_current,
+           CAST(r2 - nc * (nc + 1) AS DOUBLE) / 2.0 AS u_current,
+           ROUND(CASE WHEN nb > 0 AND nc > 0
+                       AND CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE) / 12.0
+                           * (CAST(nb + nc + 1 AS DOUBLE)
+                              - CAST(t AS DOUBLE)
+                                / (CAST(nb + nc AS DOUBLE)
+                                   * CAST(nb + nc - 1 AS DOUBLE))) > 0
+                 THEN CAST(r2 - nc * (nc + 1) - nb * nc AS DOUBLE)
+                      / (2.0 * sqrt(
+                          CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE) / 12.0
+                          * (CAST(nb + nc + 1 AS DOUBLE)
+                             - CAST(t AS DOUBLE)
+                               / (CAST(nb + nc AS DOUBLE)
+                                  * CAST(nb + nc - 1 AS DOUBLE)))))
+                 END, 6) AS z
+    FROM agg
+    """,
+    tags=("stats", "drift", "agg", "ext"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test of the metric value per event type,
+    first half of January (baseline) vs the rest (north star
+    `mann_whitney_u`): the nonparametric location test completing the
+    drift/AB panel next to `q_psi_value_drift` (binned mass),
+    `q_ks_value_drift` (sup-CDF), and `q_welch_ttest` (means). Doubled
+    average ranks keep the rank-sum, U, and the z numerator exact
+    integers end-to-end over the same census + shared-partitioning
+    window shape as KS; the tie-corrected variance computes from exact
+    integers in double and z rounds 1e-6 on both engines."""
+    from ..operators.stats import mann_whitney_u
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter("value IS NOT NULL AND ts IS NOT NULL").withColumn(
+        "_is_base", F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")
+    )
+    return mann_whitney_u(base, "event_type", "value", "_is_base")

@@ -49,6 +49,7 @@ QUERIES = [
     "q_token_kl_divergence",
     "q_token_entropy",
     "q_ks_value_drift",
+    "q_mann_whitney_u",
     "q_heavy_hitters",
     "q_decontaminate_containment",
     "q_psi_value_drift",
