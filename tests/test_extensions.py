@@ -2486,3 +2486,76 @@ def test_containment_scores_hand_case(spark):
     assert got[3]["containment"] == 0.0
     with pytest.raises(ValueError):
         containment_scores(corpus, bench, n=0)
+
+
+def test_zipf_fit_model_and_grid_safety(spark):
+    """Zipf fit: (1) exact agreement with an independent python OLS model
+    (quantization included) on a constructed corpus; (2) an exact power
+    law c_r = 840/r fits slope ~ -1; (3) a single-token vocabulary emits
+    NULL slope/intercept; (4) the 1e-6 floor grid is hash-safe at every
+    test SF for BOTH axes — no distinct ln(rank) or ln(count) sits
+    within engine-rounding distance of a boundary (skipping ln(1) = 0,
+    on-grid by identity)."""
+    import math
+
+    import duckdb
+
+    from the_movie_database_import_spark.operators.vocab import zipf_fit_per_key
+
+    # exact-power-law corpus: token w_r appears 840/r times, r = 1..8
+    counts = {f"w{r}": 840 // r for r in range(1, 9)}
+    text = " ".join(t for t, c in sorted(counts.items()) for _ in range(c))
+    docs = spark.createDataFrame(
+        [(1, "zipf", text), (2, "mono", "z z z")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in zipf_fit_per_key(docs).collect()}
+
+    # independent model (quantized, ordinal ranks by count desc, token asc)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(1e6 * math.log(r + 1)) for r in range(len(ordered))]
+    ys = [math.floor(1e6 * math.log(c)) for _, c in ordered]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want_slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    want_icpt = round((sy * sxx - sx * sxy) / (n * sxx - sx * sx) / 1e6, 6)
+    z = got["zipf"]
+    assert (z["n_tokens"], z["vocab_size"]) == (sum(counts.values()), 8)
+    assert z["zipf_slope"] == want_slope
+    assert z["zipf_intercept"] == want_icpt
+    assert abs(z["zipf_slope"] - (-1.0)) < 0.02  # the law itself
+    assert got["mono"]["zipf_slope"] is None
+    assert got["mono"]["zipf_intercept"] is None
+
+    # grid-boundary safety on the real fixtures, both axes
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM '/root/testdata/{sf}/documents.parquet'
+                WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT source, token, COUNT(*) AS c
+                FROM tok GROUP BY source, token
+            ),
+            r AS (
+                SELECT source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY c DESC, token ASC) AS rnk, c
+                FROM c
+            )
+            SELECT DISTINCT v FROM (
+                SELECT rnk AS v FROM r UNION SELECT c AS v FROM r
+            )
+            """
+        ).fetchall()
+        assert rows
+        for (v,) in rows:
+            if v == 1:
+                continue  # ln(1) = 0 exactly — on-grid by identity
+            t = 1e6 * math.log(v)
+            dist = abs(t - round(t))
+            assert dist > 1e-6, (sf, v, t, dist)

@@ -564,3 +564,86 @@ def heavy_hitters(
             ).alias("share"),
         )
     )
+
+
+def zipf_fit_per_key(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    grid: float = 1e6,
+) -> DataFrame:
+    """Zipf rank-frequency power-law fit per group ([ext] the corpus-
+    health diagnostic beside `token_entropy_per_key`: natural language
+    follows freq ∝ rank^s with s ≈ -1 (Zipf 1949), while templated,
+    synthetic, or heavily-deduplicated text bends the log-log line — a
+    per-source slope census flags the sources whose token statistics
+    stopped looking like language). OLS of ln(freq) on ln(rank) over
+    each group's full token census; returns ``(group, n_tokens,
+    vocab_size, zipf_slope, zipf_intercept)`` with slope/intercept NULL
+    for single-token vocabularies (no line through one point).
+
+    Determinism lane (unigram_nll ln discipline + KS decimal lane):
+    ranks come from `row_number` over (count DESC, token ASC) — a total
+    deterministic order; both coordinates floor-quantize to the 1e-6
+    integer ``grid`` BEFORE the moment sums, and all five OLS moments
+    accumulate as EXACT integers (Sx/Sy in bigint; the Sxy/Sxx products
+    in DECIMAL(38,0) — grid-scaled products reach ~9e21 at a 1e13-token
+    corpus, past int64; HUGEINT in the oracle). Slope and intercept are
+    single divisions of exact 128-bit determinants (slope is grid-scale
+    invariant since both axes carry the same factor), rounded 1e-6.
+
+    Scale shape: ONE corpus pass (explode + map-side-combined census);
+    the rank window and moment aggregate run over census rows (vocab ×
+    groups), never corpus rows twice — same profile as the entropy
+    census plus the per-group rank sort."""
+    tok = docs.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    c = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("_c"))
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("_c").desc(), F.col("token").asc()
+    )
+    x = F.floor(F.lit(grid) * F.log(F.row_number().over(w_rank).cast("double")))
+    y = F.floor(F.lit(grid) * F.log(F.col("_c").cast("double")))
+    dec = "decimal(19,0)"
+    pts = c.select(
+        group_col,
+        F.col("_c"),
+        x.cast("bigint").alias("_x"),
+        y.cast("bigint").alias("_y"),
+    )
+    m = pts.groupBy(group_col).agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+    )
+    big = "decimal(38,0)"
+    n = F.col("vocab_size").cast(big)
+    det = n * F.col("_sxx") - F.col("_sx").cast(big) * F.col("_sx").cast(big)
+    slope_num = n * F.col("_sxy") - F.col("_sx").cast(big) * F.col("_sy").cast(big)
+    icpt_num = (
+        F.col("_sy").cast(big) * F.col("_sxx")
+        - F.col("_sx").cast(big) * F.col("_sxy")
+    )
+    return m.select(
+        group_col,
+        "n_tokens",
+        "vocab_size",
+        F.round(
+            F.when(
+                F.col("vocab_size") > 1,
+                slope_num.cast("double") / det.cast("double"),
+            ),
+            6,
+        ).alias("zipf_slope"),
+        F.round(
+            F.when(
+                F.col("vocab_size") > 1,
+                icpt_num.cast("double") / det.cast("double") / F.lit(grid),
+            ),
+            6,
+        ).alias("zipf_intercept"),
+    )

@@ -194,6 +194,13 @@ DRIVER_WINDOW = [
                                  # (stream_cusum parity-tests the
                                  # applyInPandasWithState path per round;
                                  # sliding/session/watermark hold r07 rows)
+    "q_zipf_fit",                # NEW r10: per-source Zipf rank-frequency
+                                 # OLS (1e-6 ln grid on both axes, exact
+                                 # 128-bit moment sums) — never driver-
+                                 # checked, so in-window; slot freed by
+                                 # q_token_pair_lift -> tail (green r09 row;
+                                 # token_entropy + heavy_hitters + zipf keep
+                                 # token censuses in-window)
     "q_mann_whitney_u",          # NEW r10: Mann–Whitney U rank-sum test per
                                  # key (doubled-rank exact-integer lane,
                                  # tie-corrected z; completes the drift/AB
@@ -241,9 +248,6 @@ DRIVER_WINDOW = [
     "q_resample_daily",      # daily grid + forward fill; slot freed by
                              # q_project_rename -> tail (q_filter_pred +
                              # q_string_fns keep row-ops in-window)
-    "q_token_pair_lift",     # A-priori pair census + lift; slot freed by
-                             # q_string_fns -> tail (q_filter_pred +
-                             # q_json_fns keep row-ops in-window)
     "q_fk_orphan_audit",     # referential-integrity audit (ref FK twin);
                              # slot freed by q_agg_rollup -> tail
                              # (avg_per_key/multi/count_by_value keep the
@@ -349,6 +353,10 @@ TAIL_PRIORITY = [
     "q_value_outliers",       # green r09 row; mad_per_type keeps robust
                               # dispersion in-window; Tukey-fence hand
                               # cases pinned locally every round
+    "q_token_pair_lift",      # green r09 row; token_entropy +
+                              # heavy_hitters + zipf_fit keep token
+                              # censuses in-window; A-priori hand case
+                              # pinned locally every round
     "q_quality_calibrated_keep",  # green r09 row; quality_classifier +
                               # token_kl keep the quality family in-window
     "q_rolling_active_users", # green r09 rows-only row; the mergeable-HLL

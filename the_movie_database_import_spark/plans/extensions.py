@@ -2650,3 +2650,64 @@ def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return containment_scores(corpus, bench, n=3)
+
+
+@register(
+    "q_zipf_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, token
+    ),
+    pts AS (
+        SELECT source, c,
+               CAST(FLOOR(1000000.0 * ln(CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY c DESC, token ASC
+               ) AS DOUBLE))) AS BIGINT) AS x,
+               CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+        FROM c
+    ),
+    m AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size,
+           ROUND(CASE WHEN vocab_size > 1 THEN
+               CAST(vocab_size * sxy - sx * sy AS DOUBLE)
+               / CAST(vocab_size * sxx - sx * sx AS DOUBLE)
+           END, 6) AS zipf_slope,
+           ROUND(CASE WHEN vocab_size > 1 THEN
+               CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(vocab_size * sxx - sx * sx AS DOUBLE) / 1000000.0
+           END, 6) AS zipf_intercept
+    FROM m
+    """,
+    tags=("text", "vocab", "stats", "ext"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency fit (north star `zipf_fit_per_key`):
+    OLS slope/intercept of ln(freq) on ln(rank) over each source's token
+    census — natural language sits near slope -1; templated or synthetic
+    text bends the log-log line, so the census flags sources whose token
+    statistics stopped looking like language. One corpus pass; ranks are
+    a deterministic (count DESC, token ASC) row_number over the census;
+    both axes floor-quantize to the 1e-6 grid and all OLS moments
+    accumulate as exact integers (DECIMAL(38,0) / HUGEINT for the
+    products); slope and intercept are single divisions of exact
+    determinants, rounded 1e-6."""
+    from ..operators.vocab import zipf_fit_per_key
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return zipf_fit_per_key(docs, group_col="source")

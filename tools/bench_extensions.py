@@ -48,6 +48,7 @@ QUERIES = [
     "q_quality_classifier",
     "q_token_kl_divergence",
     "q_token_entropy",
+    "q_zipf_fit",
     "q_ks_value_drift",
     "q_mann_whitney_u",
     "q_heavy_hitters",
