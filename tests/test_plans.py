@@ -926,3 +926,49 @@ def test_q3_shipping_priority_is_takeordered_one_exchange(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_ks_census_single_key_exchange_for_both_windows(spark):
+    """KS drift (and its MWU sibling) must hash-partition the CENSUS once
+    on the key and run both window passes (totals + cumulative) on that
+    one partitioning: exactly two Exchanges total — the (key, value)
+    census aggregate and the key repartition — and no exchange between
+    the windows and the final per-key aggregate."""
+    for q in ("q_ks_value_drift", "q_mann_whitney_u"):
+        plan = _plan(spark, q)
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n_ex == 2, (q, n_ex, "expected census + key exchanges only")
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_over_sketch(spark):
+    """The heavy-hitter recount must consume the Misra-Gries candidates
+    through a BROADCAST left-semi probe (the vocabulary's long tail never
+    enters a shuffle), with the sketch itself a MapInPandas over the
+    token scan and the total a broadcast one-row aggregate."""
+    plan = _plan(spark, "q_heavy_hitters")
+    assert "MapInPandas" in plan, "sketch stage must be Arrow mapInPandas"
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), (
+        "candidate filter must be a broadcast semi join"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_corpus_rows_never_shuffle(spark):
+    """Graded containment: the only row-exchange in the plan belongs to
+    the matched-pair per-doc aggregate; the denominator computes in-row
+    and joins the matched counts back behind a broadcast — corpus rows
+    reach the output without ever being hash-repartitioned."""
+    plan = _plan(spark, "q_decontaminate_containment")
+    keys = {
+        m.split("#")[0]
+        for m in re.findall(r"Exchange hashpartitioning\((\w+#\d+L?)", plan)
+    }
+    # gram_h = the TINY benchmark-side distinct; doc_id = the matched-pair
+    # aggregate (contaminated docs only). Nothing else may repartition —
+    # in particular no exchange keyed on the corpus rows themselves.
+    assert keys <= {"gram_h", "doc_id"}, keys
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "gram probe and matched-count rejoin must both broadcast"
+    )
+    assert "SortMergeJoin" not in plan
