@@ -2282,11 +2282,19 @@ def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
     dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-    w AS (
+    w0 AS (
         SELECT tf.doc_id, tf.block, tf.tok,
                CAST(floor(1000000.0 * (tf.tf * ln(CAST(nd.n_docs AS DOUBLE)
                                                   / dfx.df))) AS BIGINT) AS wq
         FROM tf JOIN dfx USING (tok) CROSS JOIN nd
+    ),
+    hot AS (
+        SELECT block, tok FROM w0 GROUP BY block, tok HAVING COUNT(*) > 1000
+    ),
+    w AS (
+        SELECT w0.* FROM w0 LEFT JOIN hot
+            ON w0.block = hot.block AND w0.tok = hot.tok
+        WHERE hot.tok IS NULL
     ),
     norms AS (
         SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nq FROM w GROUP BY doc_id
@@ -2317,11 +2325,27 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine). ONE weight quantization (floor grid under the
     cross-engine-soft ln), then everything to the final
     sqrt/divide tree is exact integer arithmetic — the threshold compare
-    can never flip (see operators/dedup.tfidf_cosine_pairs)."""
+    can never flip (see operators/dedup.tfidf_cosine_pairs).
+
+    Scale posture (r10, from the sf1.0 extension-tier measurement): this
+    was the series' one superlinear row — 18.8x wall for 10x docs,
+    because a token in d docs of a block contributes d^2 inverted-index
+    join rows and the SYNTHETIC corpus keeps every token stop-word-grade
+    (mean within-block df ~1000 of 2500 docs; sum(df^2) grew 89x for 10x
+    docs — measured 2.06e9 join rows at sf1 vs 23M at sf0.1). On a Zipf
+    corpus that mass sits in the rare tail and the blocked index stays
+    near-linear. The skew guard is now ON at max_token_df=1000 — a NO-OP
+    at every driver SF (blocks hold <=500 docs; results bit-identical to
+    the uncapped query, oracle replays the identical cap) — which bounds
+    any single token's fan-out to 1e6 rows at scale; it cannot fix the
+    synthetic corpus's sub-cap density (capped sf1 re-measures ~106 s,
+    within noise of uncapped), which is a data property, not a plan
+    defect. Pairs riding only on dropped tokens UNDERCOUNT (a lower
+    bound, never a false positive) — the documented guard semantics."""
     from ..operators.dedup import tfidf_cosine_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return tfidf_cosine_pairs(docs, threshold=0.75)
+    return tfidf_cosine_pairs(docs, threshold=0.75, max_token_df=1000)
 
 
 @register(
