@@ -1407,3 +1407,44 @@ def test_mann_whitney_u_hand_and_model_cases(spark):
     assert got["shift"]["z"] == round(
         (16.0 - 8.0) / math.sqrt(4 * 4 * 9 / 12.0), 6
     )
+
+
+def test_winsorized_mean_outlier_immunity_and_hand_case(spark):
+    """Winsorized-mean semantics: (1) on {1..8} + one 1000x outlier the
+    winsorized mean stays inside the quartile band while the raw mean is
+    dragged past every data point but the outlier; (2) exact hand values
+    for a small key (quartile interpolation + clamp replayed in python);
+    (3) outlier-free symmetric data: winsorized == raw == center."""
+    from the_movie_database_import_spark.operators.stats import (
+        winsorized_mean_per_key,
+    )
+
+    spiked = [float(v) for v in range(1, 9)] + [8000.0]
+    rows = (
+        [("spiked", v) for v in spiked]
+        + [("sym", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in winsorized_mean_per_key(df, "k", "v").collect()}
+
+    # python replay (h = q*(n-1), interpolate, clamp, mean)
+    def replay(xs):
+        xs = sorted(xs)
+        n = len(xs)
+
+        def interp(q):
+            h = q * (n - 1)
+            lo = int(h // 1)
+            return xs[lo] + (xs[min(lo + 1, n - 1)] - xs[lo]) * (h - lo)
+
+        q1, q3 = interp(0.25), interp(0.75)
+        w = [min(max(x, q1), q3) for x in xs]
+        return q1, q3, round(sum(xs) / n, 6), round(sum(w) / n, 6)
+
+    q1, q3, raw, wins = replay(spiked)
+    s = got["spiked"]
+    assert (s["q1"], s["q3"]) == (round(q1, 6), round(q3, 6))
+    assert (s["mean_raw"], s["mean_winsorized"]) == (raw, wins)
+    assert s["mean_raw"] > 800            # dragged by the spike
+    assert q1 <= s["mean_winsorized"] <= q3  # immune: stays in the band
+    assert got["sym"]["mean_winsorized"] == got["sym"]["mean_raw"] == 3.0

@@ -1214,3 +1214,67 @@ def mann_whitney_u(
             6,
         ).alias("z"),
     )
+
+
+def winsorized_mean_per_key(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+) -> DataFrame:
+    """IQR-winsorized mean per key ([ext] the robust location estimate
+    completing the robust-stats family — `mad_per_key` is the robust
+    SCALE, the Tukey fences the outlier CENSUS, this is the outlier-
+    immune MEAN: every value is clamped to the [Q1, Q3] quartile band
+    before averaging, so a fat tail moves the estimate by at most the
+    band edge instead of its full magnitude (Winsor's principle, the
+    standard robust aggregate for telemetry with occasional garbage).
+    Returns ``(key, n_values, q1, q3, mean_raw, mean_winsorized)``.
+
+    Determinism lanes: quartiles interpolate in-row from ONE sorted
+    collected array on the exact order-statistic lane (h = q·(n−1) with
+    q a binary fraction — bit-exact cross-engine, NO grid; the
+    mad_per_key discipline); both means are in-row LEFT FOLDS over that
+    same sorted array (the EWMA fold-replay lane: an identical IEEE
+    addition sequence on both engines is bit-exact, where a distributed
+    double sum is not), divided once and rounded 1e-6.
+
+    Scale shape: ONE key aggregate collects each key's sorted values —
+    the exact-percentile memory profile (a key's values must fit an
+    executor; the documented trade of every exact-order-statistic op
+    here) — and everything after computes in-row; no second shuffle."""
+    base = df.filter(F.col(val_col).isNotNull()).groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.col(val_col).cast("double"))).alias(
+            "_xs"
+        )
+    )
+
+    def interp(arr, q):
+        n = F.size(arr)
+        h = (n.cast("double") - F.lit(1.0)) * F.lit(q)
+        lo = F.floor(h).cast("int")
+        frac = h - lo.cast("double")
+        v_lo = F.element_at(arr, lo + 1)
+        v_hi = F.element_at(arr, F.least(lo + 2, n))
+        return v_lo + (v_hi - v_lo) * frac
+
+    q1 = interp(F.col("_xs"), 0.25)
+    q3 = interp(F.col("_xs"), 0.75)
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, x: a + x
+    )
+    w = base.withColumn("_q1", q1).withColumn("_q3", q3)
+    wmean = fold_sum(
+        F.transform(
+            F.col("_xs"),
+            lambda x: F.least(F.greatest(x, F.col("_q1")), F.col("_q3")),
+        )
+    ) / F.size("_xs").cast("double")
+    rmean = fold_sum(F.col("_xs")) / F.size("_xs").cast("double")
+    return w.select(
+        key_col,
+        F.size("_xs").cast("bigint").alias("n_values"),
+        F.round("_q1", 6).alias("q1"),
+        F.round("_q3", 6).alias("q3"),
+        F.round(rmean, 6).alias("mean_raw"),
+        F.round(wmean, 6).alias("mean_winsorized"),
+    )

@@ -194,6 +194,13 @@ DRIVER_WINDOW = [
                                  # (stream_cusum parity-tests the
                                  # applyInPandasWithState path per round;
                                  # sliding/session/watermark hold r07 rows)
+    "q_winsorized_mean",         # NEW r10: IQR-winsorized robust mean per
+                                 # key (order-stat + fold-replay lanes) —
+                                 # never driver-checked, so in-window; slot
+                                 # freed by q_embedding_centroids -> tail
+                                 # (green r09 row; in-window
+                                 # q_label_coherence RUNS label_centroids —
+                                 # the dedup_clusters precedent)
     "q_zipf_fit",                # NEW r10: per-source Zipf rank-frequency
                                  # OLS (1e-6 ln grid on both axes, exact
                                  # 128-bit moment sums) — never driver-
@@ -252,11 +259,6 @@ DRIVER_WINDOW = [
                              # slot freed by q_agg_rollup -> tail
                              # (avg_per_key/multi/count_by_value keep the
                              # agg family in-window)
-    "q_embedding_centroids", # quantized-mean class prototypes; slot freed
-                             # by q_similarity_lsh_topk -> tail
-                             # (q_similarity_topk_cosine headline +
-                             # q_dedup_embedding_cosine keep vectors
-                             # in-window)
     "q_label_coherence",     # nearest-centroid confusion census; slot
                              # freed by q_join_left_outer -> tail
                              # (q_join_inner_equi + q_join_semi keep
@@ -357,6 +359,10 @@ TAIL_PRIORITY = [
                               # heavy_hitters + zipf_fit keep token
                               # censuses in-window; A-priori hand case
                               # pinned locally every round
+    "q_embedding_centroids",  # green r09 row; in-window q_label_coherence
+                              # RUNS label_centroids (the dedup_clusters
+                              # precedent keeps the component driver-
+                              # covered); quantized-fold pins run locally
     "q_quality_calibrated_keep",  # green r09 row; quality_classifier +
                               # token_kl keep the quality family in-window
     "q_rolling_active_users", # green r09 rows-only row; the mergeable-HLL

@@ -1359,3 +1359,54 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_is_base", F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")
     )
     return mann_whitney_u(base, "event_type", "value", "_is_base")
+
+
+@register(
+    "q_winsorized_mean",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT k, list(v ORDER BY v) AS xs, COUNT(*) AS n
+        FROM base GROUP BY k
+    ),
+    q AS (
+        SELECT k, xs, n,
+               xs[CAST(FLOOR((n - 1) * 0.25) AS BIGINT) + 1]
+               + (xs[LEAST(CAST(FLOOR((n - 1) * 0.25) AS BIGINT) + 2, n)]
+                  - xs[CAST(FLOOR((n - 1) * 0.25) AS BIGINT) + 1])
+                 * ((n - 1) * 0.25 - FLOOR((n - 1) * 0.25)) AS q1,
+               xs[CAST(FLOOR((n - 1) * 0.75) AS BIGINT) + 1]
+               + (xs[LEAST(CAST(FLOOR((n - 1) * 0.75) AS BIGINT) + 2, n)]
+                  - xs[CAST(FLOOR((n - 1) * 0.75) AS BIGINT) + 1])
+                 * ((n - 1) * 0.75 - FLOOR((n - 1) * 0.75)) AS q3
+        FROM s
+    )
+    SELECT k AS event_type,
+           CAST(n AS BIGINT) AS n_values,
+           ROUND(q1, 6) AS q1,
+           ROUND(q3, 6) AS q3,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                             (a, x) -> a + x) / n, 6) AS mean_raw,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(xs, x -> LEAST(GREATEST(x, q1), q3))),
+                             (a, x) -> a + x) / n, 6) AS mean_winsorized
+    FROM q
+    """,
+    tags=("stats", "agg", "ext"),
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-winsorized mean of the metric value per event type (north star
+    `winsorized_mean_per_key`): the outlier-immune location estimate
+    completing the robust family — MAD is the robust scale, the Tukey
+    fences the outlier census, this the robust mean. Quartiles
+    interpolate in-row on the exact order-statistic lane (binary-
+    fraction q — bit-exact, no grid); both means are in-row left folds
+    over the same sorted array (the EWMA fold-replay lane), so the
+    oracle replays the identical IEEE sequence."""
+    from ..operators.stats import winsorized_mean_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    return winsorized_mean_per_key(events, "event_type", "value")

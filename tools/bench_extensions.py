@@ -51,6 +51,7 @@ QUERIES = [
     "q_zipf_fit",
     "q_ks_value_drift",
     "q_mann_whitney_u",
+    "q_winsorized_mean",
     "q_heavy_hitters",
     "q_decontaminate_containment",
     "q_psi_value_drift",
