@@ -783,3 +783,76 @@ def test_stream_psi_matches_batch_twin(spark, tmp_path):
     b2 = psi_against_baseline(wild, baseline, "event_type", "value")
     r = {x["event_type"]: x for x in b2.collect()}["view"]
     assert r["n_current"] == 1 and r["psi"] is not None
+
+
+def test_stream_heavy_hitters_superset_and_exact_recount(spark, tmp_path):
+    """Streaming MG tracker parity: stream a seeded Zipf corpus (vocab
+    2000 >> per-bucket capacity 40, so evictions really happen) in
+    micro-batches; the FINAL per-bucket candidate union must (1) bound
+    every candidate's true count inside [count_min, count_max], (2) be a
+    superset of the true phi-heavy set, and (3) after an exact recount +
+    ceil(phi*N) threshold equal the batch heavy_hitters output exactly —
+    the sketch is approximate, the serving answer exact, under any
+    micro-batching."""
+    import math
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from the_movie_database_import_spark.operators.vocab import heavy_hitters
+    from the_movie_database_import_spark.streaming.windows import (
+        run_to_memory,
+        stream_heavy_hitters,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(2000)]
+    weights = [1.0 / (i + 1) for i in range(2000)]
+    docs, stream_toks = [], []
+    for d in range(400):
+        toks = rng.choices(vocab, weights=weights, k=50)
+        stream_toks.extend(toks)
+        docs.append((d, " ".join(toks)))
+    phi = 0.005
+    n = len(stream_toks)
+    true_counts = Counter(stream_toks)
+    thr = math.ceil(phi * n)
+    want = {t: c for t, c in true_counts.items() if c >= thr}
+    assert want and len(true_counts) > 800
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "hh_docs")
+    df.repartition(6).write.parquet(src)
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_memory(
+        stream_heavy_hitters(raw, phi=phi, n_buckets=8, capacity=40),
+        "t_hh",
+        "update",
+    ).toPandas()
+    assert (out.groupby("bucket")["n_bucket"].nunique() > 1).any(), (
+        "expected multiple emissions per bucket across micro-batches"
+    )
+    # final emission per bucket = rows carrying that bucket's max n_bucket
+    final = out[
+        out["n_bucket"]
+        == out.groupby("bucket")["n_bucket"].transform("max")
+    ]
+    cands = dict(zip(final["token"], zip(final["count_min"], final["count_max"])))
+    # (1) bounds hold for every surviving candidate
+    for t, (lo_, hi_) in cands.items():
+        assert lo_ <= true_counts[t] <= hi_, (t, lo_, true_counts[t], hi_)
+    # (2) superset of the true heavy set
+    missing = set(want) - set(cands)
+    assert not missing, missing
+    # (3) exact recount of candidates == batch operator output
+    recount = {t: c for t, c in true_counts.items() if t in cands and c >= thr}
+    batch = {
+        r["token"]: r["n_occurrences"]
+        for r in heavy_hitters(df, phi=phi).collect()
+    }
+    assert recount == want == batch

@@ -15,6 +15,7 @@ from .windows import (  # noqa: F401
     stateful_user_totals,
     stream_cusum,
     stream_funnel,
+    stream_heavy_hitters,
     run_to_memory,
     run_to_parquet,
 )

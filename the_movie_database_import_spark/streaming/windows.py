@@ -671,3 +671,95 @@ def stream_psi(
     return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    phi: float = 0.003,
+    n_buckets: int = 32,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Streaming phi-heavy-hitter candidate tracker ([ext] streaming twin
+    of `operators/vocab.heavy_hitters`): per micro-batch, each of
+    ``n_buckets`` token-hash buckets maintains a Misra–Gries summary of
+    everything it has seen SO FAR (`applyInPandasWithState`, the
+    stream_psi pattern) and re-emits its surviving candidates with
+    deterministic count BOUNDS — ``count_min <= true count <=
+    count_max`` (count_max = counter + the bucket's accumulated
+    decrement). O(n_buckets x capacity) total state however long the
+    stream runs.
+
+    Correctness contract (what the parity test pins): a token's full
+    count lives in exactly ONE bucket (tokens hash to buckets), so a
+    globally phi-heavy token is phi-heavy within its bucket; MG with
+    ``capacity`` counters keeps every token whose bucket count exceeds
+    n_bucket/(capacity+1) — so after ANY micro-batching, the final
+    candidate union is a SUPERSET of the true phi-heavy set whenever
+    ``capacity + 1 > n_bucket/(phi*N)`` (the default 2/phi satisfies
+    this for any bucket split since n_bucket <= N). An exact recount of
+    the final candidates therefore equals the batch operator's output —
+    the sketch is approximate, the serving answer exact."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0, 1): {phi}")
+    k = capacity or math.ceil(2.0 / phi)
+
+    out_schema = StructType(
+        [
+            StructField("bucket", LongType()),
+            StructField("token", StringType()),
+            StructField("count_min", LongType()),
+            StructField("count_max", LongType()),
+            StructField("n_bucket", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("toks", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n", LongType()),
+            StructField("d", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        b = int(key[0])
+        toks, counts, n, d = (
+            state.get if state.exists else ([], [], 0, 0)
+        )
+        sketch = pd.Series(list(counts), index=list(toks), dtype="int64")
+        for pdf in pdfs:
+            vc = pdf["token"].value_counts()
+            n += int(vc.sum())
+            sketch = sketch.add(vc, fill_value=0)
+            if len(sketch) > k:
+                cut = int(sketch.nlargest(k + 1).iloc[-1])
+                d += cut
+                sketch = sketch[sketch > cut] - cut
+        state.update(
+            (list(sketch.index), [int(c) for c in sketch.values], n, d)
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": b,
+                "token": sketch.index.astype(str),
+                "count_min": sketch.values.astype("int64"),
+                "count_max": (sketch.values + d).astype("int64"),
+                "n_bucket": n,
+            }
+        )
+
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    buckets = tok.withColumn(
+        "bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("long")
+    )
+    return buckets.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
