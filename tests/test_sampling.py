@@ -395,3 +395,56 @@ def test_mix_corpus_temperature_semantics_and_margins(spark):
         margin = min(frac, 1 - frac)
         # 1 ulp of rate0 (~1e-16) scaled by 1e9 is ~1e-7; demand 100x that
         assert margin > 1e-5, (g, rate0, margin)
+
+
+def test_sample_weighted_per_group_semantics_and_grid(spark):
+    """Stratified A-ES: (1) exactly k rows per group (fewer only when the
+    group is smaller), ranks 1..k dense; (2) deterministic and
+    partition-invariant (same rows under different repartitionings);
+    (3) non-positive/NULL weights never sampled; (4) the 'wg'-salted
+    realized keys keep the pow-grid margin at every SF (the
+    weighted_sample_key discipline — margins are salt-specific)."""
+    import hashlib
+
+    import duckdb
+
+    from the_movie_database_import_spark.operators.sampling import (
+        sample_weighted_k_per_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(60)]
+    rows += [(100, "g0", 0.0), (101, "g1", -2.0), (102, "g2", None)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = sample_weighted_k_per_group(
+        df, 4, F.col("w"), F.col("doc_id"), "g"
+    )
+    got = [(r["g"], r["doc_id"], r["sample_rank"]) for r in out.collect()]
+    by_g = {}
+    for g, d, rk in got:
+        by_g.setdefault(g, []).append((rk, d))
+    assert set(by_g) == {"g0", "g1", "g2"}
+    for g, members in by_g.items():
+        assert sorted(rk for rk, _ in members) == [1, 2, 3, 4], (g, members)
+    assert not {100, 101, 102} & {d for _, d, _ in got}
+    # partition invariance
+    got13 = {
+        (r["g"], r["doc_id"], r["sample_rank"])
+        for r in sample_weighted_k_per_group(
+            df.repartition(13), 4, F.col("w"), F.col("doc_id"), "g"
+        ).collect()
+    }
+    assert got13 == set(got)
+
+    # pow-grid margins for THIS salt at every SF
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        drows = duckdb.sql(
+            f"SELECT doc_id, n_chars FROM '/root/testdata/{sf}/documents.parquet' "
+            "WHERE n_chars > 0"
+        ).fetchall()
+        worst = 1.0
+        for doc_id, w in drows:
+            h = hashlib.md5(f"wg:{doc_id}".encode()).hexdigest()[:8]
+            u = (int(h, 16) + 0.5) / 4294967296.0
+            v = 1e9 * (u ** (1.0 / w))
+            worst = min(worst, abs(v - round(v)))
+        assert worst > 1e-5, (sf, worst)

@@ -236,3 +236,41 @@ def sample_weighted_k(
         .orderBy(F.col("wkey_q").desc(), key)
         .limit(k)
     )
+
+
+def sample_weighted_k_per_group(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key: Column,
+    group_col: str,
+    salt: str = "wg",
+) -> DataFrame:
+    """Top-``k`` weighted sample without replacement WITHIN EVERY GROUP
+    ([ext] the stratified counterpart of :func:`sample_weighted_k` — the
+    draw a mixture builder actually needs: "k quality-biased exemplars
+    from EACH source", where a global weighted draw would let one heavy
+    domain swallow the budget). Same A-ES key (``u^(1/w)`` on the salted
+    md5 uniform, 1e9 floor grid under the cross-engine-soft ``pow``,
+    ties broken by the row key), ranked by ``row_number`` per group;
+    emits the surviving rows with their ``sample_rank`` (1 = strongest
+    draw) so downstream budget trims are a filter, not a re-draw.
+    Deterministic in (salt, key), partition-invariant, idempotent —
+    the module contract. Rows with non-positive/NULL weight are excluded
+    (probability 0).
+
+    Scale shape: the A-ES key is a scan-side expression; the only
+    exchange is one hash partitioning on the group for the window
+    row_number (map-side nothing to combine — rank needs the group
+    together), and groups stream independently. A skewed group costs its
+    own size, never the corpus."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_wkq").desc(), key
+    )
+    return (
+        df.filter(weight > 0)
+        .withColumn("_wkq", weighted_sample_key(key, weight, salt))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_wkq")
+    )

@@ -194,6 +194,14 @@ DRIVER_WINDOW = [
                                  # (stream_cusum parity-tests the
                                  # applyInPandasWithState path per round;
                                  # sliding/session/watermark hold r07 rows)
+    "q_sample_weighted_per_source",  # NEW r10: stratified A-ES weighted
+                                 # top-k per source (pow-grid lane, salt-
+                                 # specific margins pinned) — never driver-
+                                 # checked, so in-window; slot freed by
+                                 # q_fk_orphan_audit -> tail (green r09
+                                 # row; the golden ETL's FK-safe write
+                                 # order + live-FK Derby test run every
+                                 # round; data_quality_audit holds r07)
     "q_winsorized_mean",         # NEW r10: IQR-winsorized robust mean per
                                  # key (order-stat + fold-replay lanes) —
                                  # never driver-checked, so in-window; slot
@@ -255,10 +263,6 @@ DRIVER_WINDOW = [
     "q_resample_daily",      # daily grid + forward fill; slot freed by
                              # q_project_rename -> tail (q_filter_pred +
                              # q_string_fns keep row-ops in-window)
-    "q_fk_orphan_audit",     # referential-integrity audit (ref FK twin);
-                             # slot freed by q_agg_rollup -> tail
-                             # (avg_per_key/multi/count_by_value keep the
-                             # agg family in-window)
     "q_label_coherence",     # nearest-centroid confusion census; slot
                              # freed by q_join_left_outer -> tail
                              # (q_join_inner_equi + q_join_semi keep
@@ -363,6 +367,10 @@ TAIL_PRIORITY = [
                               # RUNS label_centroids (the dedup_clusters
                               # precedent keeps the component driver-
                               # covered); quantized-fold pins run locally
+    "q_fk_orphan_audit",      # green r09 row; the golden ETL's FK-safe
+                              # write order + live-FK Derby test run every
+                              # round; q_data_quality_audit holds an r07
+                              # row for the audit family
     "q_quality_calibrated_keep",  # green r09 row; quality_classifier +
                               # token_kl keep the quality family in-window
     "q_rolling_active_users", # green r09 rows-only row; the mergeable-HLL

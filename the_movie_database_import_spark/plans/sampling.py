@@ -509,3 +509,43 @@ def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight"),
         F.col("doc_id"),
     ).select("doc_id", "weight", "wkey_q")
+
+
+@register(
+    "q_sample_weighted_per_source",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+               CAST(floor(1e9 * pow(
+                   (('0x' || substr(md5('wg:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT + 0.5) / 4294967296.0,
+                   1.0 / n_chars)) AS BIGINT) AS wkq
+        FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT doc_id, source, weight,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY wkq DESC, doc_id) AS INTEGER) AS sample_rank
+        FROM keyed
+    )
+    SELECT doc_id, source, weight, sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    """,
+    tags=("sampling", "ext"),
+)
+def q_sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted top-5 sample (north star
+    `sample_weighted_k_per_group`, stratified Efraimidis–Spirakis):
+    five length-biased exemplar documents from EVERY source — the
+    stratified draw a mixture builder needs, where the global weighted
+    sample would let one heavy domain swallow the budget. Deterministic
+    in (salt, doc_id); the A-ES key is scan-side and the only exchange
+    is the per-source rank window."""
+    from ..operators.sampling import sample_weighted_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("weight")
+    )
+    return sample_weighted_k_per_group(
+        docs, 5, F.col("weight"), F.col("doc_id"), "source"
+    )

@@ -52,6 +52,7 @@ QUERIES = [
     "q_ks_value_drift",
     "q_mann_whitney_u",
     "q_winsorized_mean",
+    "q_sample_weighted_per_source",
     "q_heavy_hitters",
     "q_decontaminate_containment",
     "q_psi_value_drift",
