@@ -5,9 +5,9 @@ first 50 ``queries()`` entries, so DRIVER_WINDOW pins one query per
 SURVEY.md §2 component (including every LLM-pipeline / UDF / extension
 operator) into that window. The tail past 50 holds redundant variants of
 components already covered in-window — each tail entry was driver-green in
-a recent CORRECTNESS_r*.json (r06/r07 for the current layout) and remains
-locally oracle-checked by tests/test_oracle_parity.py and
-tools/exact_parity.py at every SF.
+a recent CORRECTNESS_r*.json (r08/r09 at the head of the tail for the r10
+layout) and remains locally oracle-checked by tests/test_oracle_parity.py
+and tools/exact_parity.py at every SF.
 """
 
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401
