@@ -1034,3 +1034,53 @@ def test_snapshot_protocol_matches_list_model(spark, ops):
         except Exception:
             continue  # segments reclaimed by a later vacuum — loud is fine
         assert old == sorted(state), g
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+@SETTINGS
+@given(
+    doc_lens=st.lists(st.integers(5, 30), min_size=3, max_size=12),
+    vocab_size=st.integers(3, 40),
+    skew=st.sampled_from([1.0, 1.5, 2.5]),
+    phi=st.sampled_from([0.02, 0.05, 0.1]),
+    parts=st.integers(1, 5),
+    seed=st.integers(0, 10_000),
+)
+def test_heavy_hitters_matches_bruteforce_model(
+    spark, doc_lens, vocab_size, skew, phi, parts, seed
+):
+    """Property: for ANY corpus shape (vocab size, Zipf skew, doc
+    lengths), phi, and partitioning, the Misra-Gries + exact-recount
+    operator emits EXACTLY the brute-force phi-heavy set with exact
+    counts — the sketch may differ per partitioning, the output may not.
+    Hypothesis hunts the boundary cases a fixed fixture misses (counts
+    exactly AT ceil(phi*N), vocab smaller than capacity, single-token
+    corpora, one-doc partitions)."""
+    import math
+    import random
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators.vocab import heavy_hitters
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(vocab_size)]
+    weights = [1.0 / (i + 1) ** skew for i in range(vocab_size)]
+    docs, stream = [], []
+    for d, length in enumerate(doc_lens):
+        toks = rng.choices(vocab, weights=weights, k=length)
+        stream.extend(toks)
+        docs.append((d, " ".join(toks)))
+    cnt = Counter(stream)
+    thr = math.ceil(phi * len(stream))
+    want = {t: c for t, c in cnt.items() if c >= thr}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(
+        parts
+    )
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in heavy_hitters(df, phi=phi).collect()
+    }
+    assert got == want, (phi, thr, len(stream))
