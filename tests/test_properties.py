@@ -1084,3 +1084,66 @@ def test_heavy_hitters_matches_bruteforce_model(
         for r in heavy_hitters(df, phi=phi).collect()
     }
     assert got == want, (phi, thr, len(stream))
+
+
+@SETTINGS
+@given(
+    base=st.lists(st.integers(-5, 5), min_size=1, max_size=25),
+    cur=st.lists(st.integers(-5, 5), min_size=1, max_size=25),
+    parts=st.integers(1, 4),
+)
+def test_ks_and_mwu_match_python_models(spark, base, cur, parts):
+    """Property: over ANY two integer-valued samples (heavy ties by
+    construction — values drawn from just 11 levels) and any
+    partitioning, ks_drift and mann_whitney_u equal their independent
+    python models EXACTLY (the 128-bit integer lanes leave no room for
+    partitioning or tie-order effects)."""
+    import math
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators.stats import (
+        ks_drift,
+        mann_whitney_u,
+    )
+
+    rows = [("k", float(v), True) for v in base] + [
+        ("k", float(v), False) for v in cur
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, v double, is_base boolean"
+    ).repartition(parts)
+
+    nb, nc = len(base), len(cur)
+    pooled = sorted(set(base) | set(cur))
+    cb = Counter(base)
+    cc = Counter(cur)
+
+    # KS model
+    d_num, cum_b, cum_c = 0, 0, 0
+    for v in pooled:
+        cum_b += cb.get(v, 0)
+        cum_c += cc.get(v, 0)
+        d_num = max(d_num, abs(cum_b * nc - cum_c * nb))
+    ks = ks_drift(df, "k", "v", "is_base").collect()[0]
+    assert (ks["n_baseline"], ks["n_current"]) == (nb, nc)
+    assert ks["ks_d"] == round(d_num / (nb * nc), 6)
+
+    # MWU model (doubled ranks)
+    prev, r2, t3 = 0, 0, 0
+    for v in pooled:
+        c = cb.get(v, 0) + cc.get(v, 0)
+        r2 += cc.get(v, 0) * (2 * prev + c + 1)
+        t3 += c * c * c - c
+        prev += c
+    n = nb + nc
+    u = (r2 - nc * (nc + 1)) / 2.0
+    var = nb * nc / 12.0 * ((n + 1) - t3 / (n * (n - 1))) if n > 1 else 0.0
+    z = (
+        round((r2 - nc * (nc + 1) - nb * nc) / (2.0 * math.sqrt(var)), 6)
+        if var > 0
+        else None
+    )
+    mw = mann_whitney_u(df, "k", "v", "is_base").collect()[0]
+    assert (mw["n_baseline"], mw["n_current"]) == (nb, nc)
+    assert mw["u_current"] == u
+    assert mw["z"] == z
