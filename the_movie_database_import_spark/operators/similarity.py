@@ -1274,28 +1274,63 @@ def pq_index_build(
         json.dump({"codebooks": codebooks, "centroids": centroids}, fh)
     from ..sources.writers import snapshot_write
 
-    return snapshot_write(
-        codes,
-        path,
-        meta={
-            "index": "ivfpq" if centroids is not None else "pq",
-            "m": m,
-            "n_centroids": n_centroids,
-            "ivf_centroids": ivf_centroids,
-            "model_file": sidecar,
-            "id_col": id_col,
-        },
-    )
+    # The sidecar lands BEFORE the manifest commit (it must exist the
+    # instant the commit makes meta.model_file visible), so a failed
+    # commit — SnapshotConflictError or any write error — must reclaim it
+    # here or it orphans forever (ADVICE r10: snapshot_vacuum only knew
+    # about segment dirs; it now also reclaims unreferenced sidecars,
+    # covering the crash-between-write-and-commit case this except cannot).
+    try:
+        return snapshot_write(
+            codes,
+            path,
+            meta={
+                "index": "ivfpq" if centroids is not None else "pq",
+                "m": m,
+                "n_centroids": n_centroids,
+                "ivf_centroids": ivf_centroids,
+                "model_file": sidecar,
+                "id_col": id_col,
+            },
+        )
+    except BaseException:
+        try:
+            os.remove(os.path.join(path, sidecar))
+        except OSError:
+            pass
+        raise
 
 
 def pq_index_append(
     embeddings: DataFrame,
     path: str,
     vec_col: str = "embedding",
+    expected_generation: int | None = None,
 ) -> dict:
     """Encode NEW vectors with the index's COMMITTED codebooks and append
     them as one snapshot segment — O(increment) ingest, no retrain (the
-    frozen-codebook regime; rebuild when drift warrants)."""
+    frozen-codebook regime; rebuild when drift warrants).
+
+    Concurrency: a blind append rebases onto whatever index state is
+    current (codes segments commute — Delta's append rule; the codebooks
+    the encoding used are immutable by construction, so a concurrent
+    append can never have changed them). Pass ``expected_generation`` to
+    make the commit CAS-strict (`SnapshotConflictError` on mismatch) —
+    the right mode when an external ledger assigns batches, so a retried
+    ingest job can't double-append its codes.
+
+    REBUILD-ON-DRIFT recipe (the frozen-codebook regime's maintenance
+    contract): codebooks trained at build time quantize DRIFTED data
+    worse — measure it on each appended batch by comparing
+    `pq_index_topk` restricted to the batch's vectors against exact
+    `cosine_topk` over the same corpus (recall@k on the batch, the same
+    recall probe tests pin at build time). When batch recall falls below
+    the deployment's floor (e.g. build-time recall − 0.05), retrain with
+    a fresh `pq_index_build` at the SAME path: it replaces the table
+    state under the snapshot protocol (readers bound to the old state
+    keep their segments until vacuum), commits new codes + a NEW
+    codebook sidecar atomically, and `snapshot_vacuum` then reclaims the
+    superseded segments and sidecar."""
     spark = embeddings.sparkSession
     _, books, centroids, meta = _pq_index_load(spark, path)
     id_col = meta["id_col"]
@@ -1306,7 +1341,7 @@ def pq_index_append(
         )
     from ..sources.writers import snapshot_append
 
-    return snapshot_append(codes, path)
+    return snapshot_append(codes, path, expected_generation=expected_generation)
 
 
 def _pq_index_load(spark, path: str):

@@ -1076,7 +1076,16 @@ def ks_drift(
     THE CENSUS sharing one hash partitioning on ``key`` (distinct
     values per key, never corpus rows twice); the max is a tiny per-key
     aggregate. At 100 TB a skewed key's distinct-value census row count
-    bounds the window partition, not its row count."""
+    bounds the window partition, not its row count.
+
+    NULL ``val_col`` rows are excluded HERE (ADVICE r10): a NULL value
+    has no position on the real line, yet it would form a census row
+    that counts toward n_* and ranks as the extreme value — and Spark
+    orders NULLs first ascending while DuckDB defaults NULLS LAST, so
+    the cumulative windows would diverge cross-engine. Oracle contract:
+    mirror ``WHERE v IS NOT NULL`` (the winsorized_mean_per_key
+    convention, now uniform across the drift/AB panel)."""
+    df = df.filter(F.col(val_col).isNotNull())
     census = df.groupBy(key_col, F.col(val_col).alias("_v")).agg(
         F.sum(F.when(F.col(baseline_col), 1).otherwise(0)).alias("_cb"),
         F.sum(F.when(F.col(baseline_col), 0).otherwise(1)).alias("_cc"),
@@ -1154,7 +1163,12 @@ def mann_whitney_u(
 
     Plan: identical shape to `ks_drift` — ONE map-side-combined
     (key, value) census, totals + cumulative window sharing one hash
-    partitioning on the key, one tiny per-key aggregate."""
+    partitioning on the key, one tiny per-key aggregate. NULL
+    ``val_col`` rows are excluded here, like `ks_drift` (ADVICE r10):
+    NULLs have no rank, and Spark/DuckDB disagree on NULL sort position,
+    so an unfiltered census would diverge cross-engine. Oracle contract:
+    mirror ``WHERE v IS NOT NULL``."""
+    df = df.filter(F.col(val_col).isNotNull())
     census = df.groupBy(key_col, F.col(val_col).alias("_v")).agg(
         F.sum(F.when(F.col(baseline_col), 1).otherwise(0)).alias("_cb"),
         F.sum(F.when(F.col(baseline_col), 0).otherwise(1)).alias("_cc"),

@@ -512,7 +512,17 @@ def heavy_hitters(
        pass). Because the recount is exact and the candidate set is a
        superset, the OUTPUT is exact and partition-invariant even
        though the sketch isn't — which is what makes an approximate-
-       sketch operator oracle-checkable.
+       sketch operator oracle-checkable. The cutoff itself is EXACT
+       integer arithmetic (ADVICE r10): ``phi`` snaps to the nearest
+       rational num/den with den <= 1e6 (exact for any decimal-literal
+       phi, e.g. 0.003 -> 3/1000), and the compare is the
+       cross-multiplication ``count * den >= num * N`` — for integer
+       count that is equivalent to ``count >= ceil(num*N/den)``, with no
+       double product whose binary rounding could shift the ceil by one
+       at exact-integer boundaries (an oracle computing ceil in exact
+       DECIMAL would then disagree for phi values that round up, e.g.
+       0.004). decimal(38,0) operands keep the products exact past the
+       int64 range (num*N reaches ~1e19 at a 1e13-token corpus).
 
     Returns ``(token, n_occurrences, share)``, share rounded 1e-6 (one
     division of exact integers). At 100 TB the token stream is scanned
@@ -526,6 +536,9 @@ def heavy_hitters(
 
     if not 0 < phi < 1:
         raise ValueError(f"phi must be in (0, 1): {phi}")
+    from fractions import Fraction
+
+    phi_frac = Fraction(phi).limit_denominator(1_000_000)
     k = capacity or math.ceil(2.0 / phi)
 
     def _mg(batches):
@@ -550,11 +563,12 @@ def heavy_hitters(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+    dec = "decimal(38,0)"
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(
-            F.col("n_occurrences")
-            >= F.ceil(F.lit(float(phi)) * F.col("_n")).cast("bigint")
+            F.col("n_occurrences").cast(dec) * F.lit(phi_frac.denominator)
+            >= F.lit(phi_frac.numerator) * F.col("_n").cast(dec)
         )
         .select(
             "token",

@@ -738,10 +738,20 @@ def _snapshot_add_segment(
         dirs = [seg] if (replace or cur is None) else [*cur["dirs"], seg]
         total = rows if (replace or cur is None) else cur["rows"] + rows
         manifest = {"generation": gen, "dirs": dirs, "rows": total}
-        if cols:
-            manifest["stats_cols"] = cols
+        # Sticky stats_cols derive from CUR (read under the lock), not the
+        # pre-lock base: a blind append rebases onto whatever manifest is
+        # current, and a concurrent commit may have declared stats_cols
+        # between the base read and this commit — dropping them here would
+        # silently discard the concurrent commit's pruning metadata
+        # (ADVICE r10). If cur declared columns this append did not compute
+        # stats for, its segment simply has no stats entry — snapshot_read
+        # keeps statless segments conservatively, so reads stay exact.
+        sticky = stats_cols or (cur or {}).get("stats_cols") or cols
+        if sticky:
+            manifest["stats_cols"] = sticky
             old_stats = {} if replace else dict((cur or {}).get("stats", {}))
-            old_stats[seg] = seg_stats
+            if cols:
+                old_stats[seg] = seg_stats
             manifest["stats"] = {
                 d: old_stats[d] for d in dirs if d in old_stats
             }
@@ -1022,11 +1032,17 @@ def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
     grace window is the caller's contract, exactly as with Delta's VACUUM
     retention). Referenced segments are never touched. Also reclaims
     ``.seg-*`` STAGING orphans — temp dirs left by committers that
-    crashed before their commit (never referenced by any manifest).
+    crashed before their commit (never referenced by any manifest) —
+    and ``_pqindex-*.json`` MODEL SIDECARS the current manifest's
+    ``meta.model_file`` no longer references (ADVICE r10: a sidecar is
+    written before its commit, so an aborted `pq_index_build` strands
+    one, and every index rebuild supersedes one; like segments, a
+    vacuumed sidecar makes time-traveling to the index state that
+    referenced it fail loudly at load, never silently).
     Like Delta's VACUUM, this assumes no write is IN FLIGHT against the
     table during the maintenance window (an in-flight commit's staged
     temp is indistinguishable from a crashed one's). Returns the deleted
-    directory names."""
+    directory/file names."""
     import os
     import re
     import shutil
@@ -1049,4 +1065,15 @@ def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
     )
     for d in doomed:
         shutil.rmtree(os.path.join(path, d))
-    return doomed
+    live_model = (cur.get("meta") or {}).get("model_file")
+    stale_sidecars = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("_pqindex-")
+        and f.endswith(".json")
+        and f != live_model
+        and os.path.isfile(os.path.join(path, f))
+    )
+    for f in stale_sidecars:
+        os.remove(os.path.join(path, f))
+    return doomed + stale_sidecars
