@@ -61,6 +61,8 @@ QUERIES = [
     "q_shipping_priority_q3",
     "q_similarity_ivfpq_topk",
     "q_similarity_pq_served",
+    "q_similarity_ivfpq_served",
+    "q_dedup_minhash_incremental",
     "q_mad_per_type",
     "q_source_concentration",
     "q_hybrid_rrf_topk",

@@ -152,6 +152,26 @@ SHOWCASES = [
         "aggregate and in-row rebuild as the full operator.",
     ),
     (
+        "q_dedup_minhash_incremental",
+        "Daily-maintenance NEAR-dup (r11): the new batch's band signatures "
+        "probe the corpus band-signature side table — the corpus side "
+        "scans, explodes its band array in-map, and streams through a "
+        "BroadcastHashJoin against the budget-guarded broadcast of the "
+        "batch (zero hash exchange in the cross-probe plan, pinned in "
+        "tests/test_plans.py); exact-Jaccard verify runs on the stored "
+        "token-hash arrays so corpus TEXT is never re-read; within-batch "
+        "pairs delegate to the full banded operator over batch rows only.",
+    ),
+    (
+        "q_similarity_ivfpq_served",
+        "Persisted IVFxPQ serve (r11): coarse-centroid probe pruning over "
+        "STORED codes read from the snapshot table (bucket column "
+        "persisted with the codes), ADC scoring from the committed "
+        "codebook sidecar, exact cosine re-rank against the raw vector "
+        "table — no k-means and no corpus re-encode anywhere in the "
+        "query; pinned identical to the in-query IVFxPQ twin.",
+    ),
+    (
         "q_select_token_budget",
         "Token-budget corpus selection: doc rows NEVER enter a global "
         "window — the quantized-score census (bounded <= grid+1 rows by "
