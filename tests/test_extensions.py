@@ -2598,6 +2598,26 @@ def test_registry_ivfpq_served_matches_in_query(spark):
     assert key(served) == key(inquery)
 
 
+def test_heavy_hitters_threshold_boundary_exact(spark):
+    """ADVICE r10 boundary pin: phi=0.004 (binary double rounds UP:
+    0.004000...083) over a 250-token corpus puts phi·N exactly at the
+    integer 1 — ceil of the double product reads 2 and silently excludes
+    boundary tokens, while the exact-rational compare (count·den >=
+    num·N, phi snapped to 1/250) keeps them, matching what DuckDB's
+    exact DECIMAL ceil would compute. Every one of the 250 distinct
+    single-occurrence tokens is phi-heavy at this boundary."""
+    from the_movie_database_import_spark.operators.vocab import heavy_hitters
+
+    text = " ".join(f"w{i}" for i in range(250))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = heavy_hitters(docs, phi=0.004).collect()
+    assert len(got) == 250, (
+        f"boundary tokens excluded: {len(got)} of 250 "
+        "(double-rounded ceil regressed)"
+    )
+    assert all(r.n_occurrences == 1 for r in got)
+
+
 def test_heavy_hitters_exact_under_eviction_and_partitioning(spark):
     """The sketch path is only honest when capacity << vocabulary forces
     real Misra-Gries evictions: a seeded Zipf corpus (vocab 2000, docs

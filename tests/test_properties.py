@@ -1044,7 +1044,7 @@ def test_snapshot_protocol_matches_list_model(spark, ops):
     doc_lens=st.lists(st.integers(5, 30), min_size=3, max_size=12),
     vocab_size=st.integers(3, 40),
     skew=st.sampled_from([1.0, 1.5, 2.5]),
-    phi=st.sampled_from([0.02, 0.05, 0.1]),
+    phi=st.sampled_from([0.004, 0.02, 0.05, 0.1]),
     parts=st.integers(1, 5),
     seed=st.integers(0, 10_000),
 )
@@ -1057,10 +1057,15 @@ def test_heavy_hitters_matches_bruteforce_model(
     counts — the sketch may differ per partitioning, the output may not.
     Hypothesis hunts the boundary cases a fixed fixture misses (counts
     exactly AT ceil(phi*N), vocab smaller than capacity, single-token
-    corpora, one-doc partitions)."""
-    import math
+    corpora, one-doc partitions). The model's threshold is the same
+    EXACT-rational rule the operator adopted in r11 (ADVICE r10:
+    count·den >= num·N with phi snapped to num/den, den <= 1e6 — for
+    integer counts this equals count >= ceil of the exact product,
+    never the double-rounded ceil that shifts by one for phi values
+    whose binary double rounds up, e.g. 0.004)."""
     import random
     from collections import Counter
+    from fractions import Fraction
 
     from the_movie_database_import_spark.operators.vocab import heavy_hitters
 
@@ -1073,8 +1078,12 @@ def test_heavy_hitters_matches_bruteforce_model(
         stream.extend(toks)
         docs.append((d, " ".join(toks)))
     cnt = Counter(stream)
-    thr = math.ceil(phi * len(stream))
-    want = {t: c for t, c in cnt.items() if c >= thr}
+    fr = Fraction(phi).limit_denominator(1_000_000)
+    want = {
+        t: c
+        for t, c in cnt.items()
+        if c * fr.denominator >= fr.numerator * len(stream)
+    }
 
     df = spark.createDataFrame(docs, "doc_id long, text string").repartition(
         parts
@@ -1083,7 +1092,7 @@ def test_heavy_hitters_matches_bruteforce_model(
         r["token"]: r["n_occurrences"]
         for r in heavy_hitters(df, phi=phi).collect()
     }
-    assert got == want, (phi, thr, len(stream))
+    assert got == want, (phi, fr, len(stream))
 
 
 @SETTINGS

@@ -541,6 +541,49 @@ def test_snapshot_conflict_interleaved_committers(spark, tmp_path):
     assert m["generation"] == 4 and snapshot_read(spark, path).count() == 3
 
 
+def test_snapshot_append_rebase_keeps_concurrent_stats_cols(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a blind append whose base read predates a concurrent
+    commit that declared stats_cols must inherit them from the CUR
+    manifest read under the commit lock — not silently drop the
+    concurrent commit's pruning metadata. Simulated by pinning the
+    append's pre-lock base read to the stale pre-stats manifest. The
+    rebased segment contributes no stats entry of its own (it computed
+    none) and must be conservatively KEPT by pruned reads."""
+    import the_movie_database_import_spark.sources.writers as W
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "stats_race")
+    W.snapshot_write(ev.filter("event_id < 50"), path)  # gen 1, no stats
+    stale = W.snapshot_current(path)
+    W.snapshot_append(
+        ev.filter("event_id >= 50 AND event_id < 100"),
+        path,
+        stats_cols=["event_id"],
+    )  # gen 2 declares stats (the "concurrent" commit)
+    real = W.snapshot_current
+    calls = {"n": 0}
+
+    def stale_first(p):
+        calls["n"] += 1
+        return dict(stale) if calls["n"] == 1 else real(p)
+
+    monkeypatch.setattr(W, "snapshot_current", stale_first)
+    m = W.snapshot_append(
+        ev.filter("event_id >= 100 AND event_id < 150"), path
+    )
+    monkeypatch.undo()
+    assert m["generation"] == 3
+    assert m["stats_cols"] == ["event_id"], (
+        "rebase dropped the concurrent commit's stats_cols"
+    )
+    assert m.get("stats"), "gen-2's per-segment stats must survive the rebase"
+    want = ev.filter("event_id < 150").count()
+    got = W.snapshot_read(spark, path, where=("event_id", 0, 10**9)).count()
+    assert got == want, "statless rebased segment must be conservatively kept"
+
+
 def test_snapshot_compact_rejects_concurrent_append(spark, tmp_path):
     """A compaction is a rewrite of the state it read: if an append lands
     while it runs, publishing the rewrite would silently drop that
