@@ -620,6 +620,108 @@ def test_stream_span_dedup_matches_sequential_batches(spark, tmp_path):
     assert side_df.count() == side_df.distinct().count()
 
 
+def test_stream_minhash_dedup_matches_sequential_batches(spark, tmp_path):
+    """Streaming MinHash near-dup (r11, foreachBatch maintenance loop):
+    batch 1's kept docs' band signatures join the side table, so batch 2
+    loses every doc near-duplicating batch 1's survivors; the streamed
+    output equals threading the BATCH operators file-by-file with the
+    keep rule applied in independent python-set logic — the side table
+    IS the cross-batch state. Also pins the keep rule itself: within a
+    batch the smaller id wins, vs the corpus the corpus always wins, and
+    a doc pairing only with an already-dropped batch doc is still
+    dropped (the documented conservative one-pass rule)."""
+    import json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from the_movie_database_import_spark.operators.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from the_movie_database_import_spark.streaming import (
+        stream_jsonl,
+        stream_minhash_dedup,
+    )
+
+    base = " ".join(f"t{i}" for i in range(20))
+    near = lambda tag: " ".join(  # noqa: E731 — 19/20 shared, j = 19/21
+        [f"t{i}" for i in range(19)] + [tag]
+    )
+    batch1 = [
+        {"doc_id": 1, "text": base},            # kept (first of its cluster)
+        {"doc_id": 2, "text": near("x2")},      # within-batch near-dup of 1
+        {"doc_id": 3, "text": " ".join(f"u{i}" for i in range(12))},  # novel
+    ]
+    batch2 = [
+        {"doc_id": 10, "text": near("y")},      # vs side table (doc 1): drop
+        {"doc_id": 11, "text": " ".join(f"v{i}" for i in range(12))},  # novel
+        {"doc_id": 12, "text": batch1[2]["text"]},  # exact dup of kept doc 3
+    ]
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(json.dumps(r) for r in batch1) + "\n")
+    (d / "b.jsonl").write_text("\n".join(json.dumps(r) for r in batch2) + "\n")
+    now = _time.time()
+    _os.utime(d / "a.jsonl", (now - 60, now - 60))
+    _os.utime(d / "b.jsonl", (now, now))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    side = str(tmp_path / "bands")
+    out = str(tmp_path / "kept")
+
+    stream = stream_jsonl(spark, str(d), schema, max_files_per_trigger=1)
+    stream_minhash_dedup(
+        stream.select("doc_id", "text"), side, out,
+        str(tmp_path / "ckpt"), threshold=0.8,
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+
+    # sequential-batch reference: batch pair operators threaded by hand,
+    # keep rule in python-set logic
+    seen = None
+    want = {}
+    for rows in (batch1, batch2):
+        df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+        )
+        if seen is None:
+            pairs = minhash_lsh_pairs(df, threshold=0.8)
+        else:
+            pairs = minhash_lsh_pairs_incremental(df, seen, threshold=0.8)
+        bid = {r["doc_id"] for r in rows}
+        drop = set()
+        for p in pairs.collect():
+            if p.doc_b in bid:
+                drop.add(p.doc_b)
+            if p.doc_a in bid and p.doc_b not in bid:
+                drop.add(p.doc_a)
+        kept_rows = [r for r in rows if r["doc_id"] not in drop]
+        want.update({r["doc_id"]: r["text"] for r in kept_rows})
+        kdf = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in kept_rows],
+            "doc_id long, text string",
+        )
+        sigs = minhash_band_signatures(kdf, threshold=0.8)
+        seen = sigs if seen is None else seen.unionByName(sigs).localCheckpoint()
+
+    assert got == want
+    # the semantics actually exercised: within-batch drop, cross-batch
+    # drop via the side table, exact-dup drop of a kept doc, novels kept
+    assert set(got) == {1, 3, 11}
+    side_df = spark.read.parquet(side)
+    assert side_df.count() == side_df.select("doc_id").distinct().count()
+    assert set(r["doc_id"] for r in side_df.select("doc_id").collect()) == {
+        1, 3, 11,
+    }
+
+
 def test_stream_cusum_matches_batch_operator(spark, tmp_path):
     """Streaming CUSUM parity: split the events into 4 EVENT-TIME-ordered
     chunks (CUSUM is sequential — unlike the totals test, arrival order

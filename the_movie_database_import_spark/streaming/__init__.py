@@ -6,6 +6,7 @@ from .windows import (  # noqa: F401
     stream_events,
     stream_incremental_dedup,
     stream_jsonl,
+    stream_minhash_dedup,
     stream_span_dedup,
     tumbling_agg,
     sliding_agg,

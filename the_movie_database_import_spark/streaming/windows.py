@@ -520,6 +520,103 @@ def stream_span_dedup(
     )
 
 
+def stream_minhash_dedup(
+    stream_docs: DataFrame,
+    side_table_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming maintenance loop of the NEAR-dup family ([ext], r11):
+    continuously ingest new documents, drop every doc that
+    near-duplicates (MinHash-LSH candidates, exact-Jaccard verified at
+    ``threshold``) the accumulated corpus — represented only by its
+    band-signature side table at ``side_table_path`` — or an
+    earlier-id doc in the same micro-batch, append the survivors to
+    ``out_path``, and append the survivors' band-signature rows back to
+    the side table so each micro-batch sees every earlier batch's
+    signatures. The streaming twin of
+    ``operators.dedup.minhash_lsh_pairs_incremental`` exactly as
+    ``stream_span_dedup`` twins the span operator — pair generation
+    needs banded self/probe joins no continuous-streaming operator
+    expresses, so the batch operators run inside ``foreachBatch``.
+
+    Keep rule (deterministic, one-pass): a batch doc is DROPPED when it
+    verifies against any corpus doc (corpus copy always wins — the
+    ``dup_of_existing`` convention) or against any SMALLER-id doc of its
+    own batch, even if that smaller doc was itself dropped —
+    near-duplication of a dropped doc is still redundancy evidence, and
+    the conservative rule is what keeps maintenance one-pass (a
+    keep-exactly-one-per-cluster policy composes downstream via
+    `connected_components` over the pair stream instead).
+
+    Cross-batch semantics: the side table IS the dedup state — the same
+    structure the batch pipeline maintains — so a batch backfill with the
+    side table threaded through agrees with the stream (pinned in
+    tests/test_streaming.py). Replayed micro-batches re-append docs
+    (at-least-once on the doc sink, like the span twin) while the side
+    table converges: signature appends anti-join on ``doc_id``. Geometry
+    ``(num_hashes, bands)`` is fixed for the side table's lifetime.
+    """
+    from ..operators.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        try:
+            seen = spark_b.read.parquet(side_table_path)
+        except Exception:  # first batch: side table not bootstrapped yet
+            seen = None
+        kw = dict(
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        if seen is None:
+            pairs = minhash_lsh_pairs(batch_df, **kw)
+        else:
+            pairs = minhash_lsh_pairs_incremental(batch_df, seen, **kw)
+        bids = batch_df.select(F.col(id_col).alias("doc_b"))
+        # batch docs on the b side lose (within-batch: to the smaller id;
+        # cross: to the corpus partner); pairs whose b side is NOT in the
+        # batch are cross pairs normalized the other way — their a side is
+        # the batch doc and loses to the corpus copy.
+        losers_b = pairs.join(bids, "doc_b", "left_semi").select(
+            F.col("doc_b").alias(id_col)
+        )
+        losers_a = pairs.join(bids, "doc_b", "left_anti").select(
+            F.col("doc_a").alias(id_col)
+        )
+        losers = losers_b.unionByName(losers_a).distinct()
+        kept = batch_df.join(losers, id_col, "left_anti")
+        kept.persist()  # two consumers: doc append + signature append
+        try:
+            kept.write.mode("append").parquet(out_path)
+            sigs = minhash_band_signatures(kept, **kw)
+            if seen is not None:
+                sigs = sigs.join(seen.select("doc_id"), "doc_id", "left_anti")
+            sigs.write.mode("append").parquet(side_table_path)
+        finally:
+            kept.unpersist()
+
+    (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_cusum(
     events: DataFrame,
     target: float = 50.0,
