@@ -689,3 +689,69 @@ def test_snapshot_pruning_string_column_uses_lexicographic_semantics(
     snapshot_write(dfn, pathn, stats_cols=["v"])
     assert snapshot_current(pathn)["stat_types"] == {"v": "num"}
     assert snapshot_read(spark, pathn, where=("v", 2, 5)).count() == 1
+
+
+def test_snapshot_restore_rolls_back_without_rewriting(spark, tmp_path):
+    """RESTORE (r11): rolling back a bad ingest is ONE manifest commit
+    re-referencing the target state's immutable segments — history stays
+    linear (a new generation), readers of any bound state are untouched,
+    pruning stats travel with the restored state, a subsequent vacuum
+    reclaims the rolled-back segments but never the re-referenced ones,
+    and the guardrails fail loudly (CAS pin mismatch; restore to a
+    vacuumed state)."""
+    import pytest as _pytest
+
+    from the_movie_database_import_spark.sources.writers import (
+        SnapshotConflictError,
+        snapshot_append,
+        snapshot_current,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "restore")
+    snapshot_write(
+        nation.filter("n_nationkey < 5"), path, stats_cols=["n_nationkey"]
+    )  # gen 1: the good state
+    snapshot_append(
+        nation.filter("n_nationkey >= 5 AND n_nationkey < 10"), path
+    )  # gen 2: bad ingest #1
+    snapshot_append(nation.filter("n_nationkey >= 10"), path)  # gen 3: #2
+    assert snapshot_read(spark, path).count() == 25
+
+    # CAS pin on a stale generation is rejected before anything commits
+    with _pytest.raises(SnapshotConflictError):
+        snapshot_restore(path, 1, expected_generation=2)
+    assert snapshot_current(path)["generation"] == 3
+
+    man = snapshot_restore(path, 1, expected_generation=3)
+    assert man["generation"] == 4, "restore is a NEW commit, not a rewind"
+    assert man["dirs"] == ["gen-00000001"], "restore re-references, never copies"
+    assert snapshot_read(spark, path).count() == 5
+    # restored pruning stats still prune (the where= path skips gen-1? no —
+    # gen-1 IS the only segment; assert the stats survived the restore)
+    assert man.get("stats_cols") == ["n_nationkey"]
+    assert "gen-00000001" in man.get("stats", {})
+    assert snapshot_read(spark, path, where=("n_nationkey", 0, 2)).count() == 3
+
+    # history stays linear: the pre-restore state is still time-travelable
+    assert snapshot_read(spark, path, at_generation=3).count() == 25
+
+    # vacuum reclaims the rolled-back segments, keeps the re-referenced one
+    reclaimed = snapshot_vacuum(path)
+    assert "gen-00000002" in reclaimed and "gen-00000003" in reclaimed
+    assert "gen-00000001" not in reclaimed
+    assert snapshot_read(spark, path).count() == 5
+
+    # restoring TO a vacuumed state fails loudly, and the table is intact
+    with _pytest.raises(FileNotFoundError):
+        snapshot_restore(path, 2)
+    assert snapshot_current(path)["generation"] == 4
+    # a restore can itself be restored away from (it is just a commit)
+    snapshot_append(nation.filter("n_nationkey >= 20"), path)  # gen 5
+    man6 = snapshot_restore(path, 4)
+    assert man6["generation"] == 6
+    assert snapshot_read(spark, path).count() == 5

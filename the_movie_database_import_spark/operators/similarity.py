@@ -1389,3 +1389,65 @@ def pq_index_topk(
         centroids=centroids, n_probe=n_probe,
     )
     return _exact_rerank(embeddings, queries, short, k, id_col, vec_col)
+
+
+def pq_index_recall_probe(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 500,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measure the SERVED index's recall@k per query against exact cosine
+    — the measurable half of the rebuild-on-drift maintenance contract
+    (`pq_index_append`'s recipe: codebooks trained at build time quantize
+    DRIFTED data worse, and the honest way to know is to probe each
+    appended batch, not to guess from age). Run it with the new batch's
+    vectors as ``queries`` right after an append; when the batch's mean
+    recall falls below the deployment floor (build-time recall minus a
+    margin), rebuild with `pq_index_build` at the same path.
+
+    Returns one row per query: ``(query_id, hits, recall)`` where hits =
+    |served top-k ∩ exact top-k| and recall = hits/k. Self-matches are
+    excluded from BOTH sides (`cosine_topk` never emits them; the served
+    side over-fetches k+1 and drops self) so a corpus-member query is not
+    an automatic free hit. ``embeddings`` must be the raw vector table
+    the index covers — the same table the serve path re-ranks against.
+
+    Scale shape: the probe batch is serving-request-sized (broadcast);
+    the exact side is one brute-force pass over the corpus (the
+    deliberate cost of ground truth — run it on the BATCH, never the
+    corpus, and the bill is batch x corpus dot products exactly once per
+    ingest); the intersect/count runs on two k-row-per-query frames."""
+    served = pq_index_topk(
+        spark, path, embeddings, queries,
+        k=k + 1, shortlist=shortlist, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    served_k = (
+        served.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "vec_id")
+    )
+    exact_k = cosine_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "vec_id")
+    hits = (
+        served_k.join(exact_k, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(float(k)),
+            6,
+        ).alias("recall"),
+    )

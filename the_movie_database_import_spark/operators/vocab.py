@@ -661,3 +661,147 @@ def zipf_fit_per_key(
             6,
         ).alias("zipf_intercept"),
     )
+
+
+def token_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Per-token burstiness census over the corpus's most frequent tokens
+    ([ext] the token-level sibling of the per-source diversity censuses:
+    `token_entropy_per_key` asks "how varied is a source's vocabulary",
+    this asks "how is each TOKEN's mass distributed across documents" —
+    the classic Church/Gale observation that content words are BURSTY,
+    arriving in clumps inside few documents, while function words spread
+    thin and even. The curation payoffs: a stop-token list derived from
+    DISPERSION rather than raw frequency (a templated boilerplate phrase
+    is high-cf AND bursty; a true function word is high-cf and flat), and
+    a drift probe — a token whose burstiness jumps between crawls marks
+    new template/spam mass even when its total count barely moves).
+
+    Per token over the documents CONTAINING it (count c_d > 0):
+    ``df`` (containing docs), ``cf = sum c_d`` (corpus frequency),
+    ``burst = cf / df`` (Katz's E[c | c>0] — mean occurrences per
+    containing doc), and the Fisher variance-to-mean ratio
+    ``vmr = (df * sum(c_d^2) - cf^2) / ((df - 1) * cf)`` (1 under a
+    Poisson null; >1 = overdispersed/bursty; NULL at df = 1 where the
+    sample variance is undefined). Top ``top_k`` tokens by cf,
+    tie-broken by token — a bounded report however large the corpus.
+
+    Exactness lane: df, cf, sum(c_d^2) are exact integer aggregates
+    (c_d^2 summed as DECIMAL(38,0) — overflow-proof far past 100 TB,
+    the zipf_fit discipline), both ratios divide exact integers in one
+    correctly-rounded double op each, rounded 1e-6 — no accumulation-
+    order hazard anywhere, so the census is oracle-hashable.
+
+    Scale shape: ONE corpus pass — explode + map-side-combined
+    (token, doc) count, then a (token) re-aggregate of census rows
+    (bounded by corpus vocab x avg-df, the inverted-index row count,
+    never corpus text twice); the top-k is a TakeOrderedAndProject on
+    the per-token table (vocab-sized)."""
+    dec = "decimal(38,0)"
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "_doc")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("_c").cast("bigint").alias("cf"),
+        F.sum(F.col("_c").cast(dec) * F.col("_c").cast(dec)).alias("_sc2"),
+    )
+    big = "decimal(38,0)"
+    vmr_num = (
+        F.col("df").cast(big) * F.col("_sc2")
+        - F.col("cf").cast(big) * F.col("cf").cast(big)
+    )
+    vmr_den = (F.col("df") - 1).cast(big) * F.col("cf").cast(big)
+    return (
+        per_tok.select(
+            "token",
+            "df",
+            "cf",
+            F.round(
+                F.col("cf").cast("double") / F.col("df").cast("double"), 6
+            ).alias("burst"),
+            F.round(
+                F.when(
+                    F.col("df") > 1,
+                    vmr_num.cast("double") / vmr_den.cast("double"),
+                ),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("cf").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources ([ext] the
+    REDUNDANCY census over the corpus mix: `source_concentration` asks
+    "do few sources hold the mass", `token_entropy_per_key` asks "is each
+    source internally varied" — this asks "are two sources the SAME
+    vocabulary wearing different names" (mirror sites, syndication
+    networks, scraped re-hosts), the signal that feeds a source-level
+    dedup/downweight decision before any document-level pass runs. For
+    every unordered source pair (a < b): distinct-token vocabulary sizes
+    ``vocab_a``/``vocab_b``, intersection size, and
+    ``jaccard = inter / (vocab_a + vocab_b - inter)`` — one exact
+    integer ratio, rounded 1e-6.
+
+    Scale shape: the corpus collapses to the DISTINCT (source, token)
+    table in one explode + map-side-combined aggregate (vocab x sources
+    upper bound — millions of rows at 100 TB, never corpus text); pairs
+    come from the census self-joined ON TOKEN (a token present in s of
+    the sources contributes s^2/2 rows — bounded by sources^2 per token,
+    and sources are a catalog-sized dimension, not data); per-source
+    vocab sizes broadcast back onto the pair counts. No document ever
+    pairs with another document."""
+    vocab = (
+        docs.select(
+            F.col(group_col).alias("_g"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("_g").agg(F.count(F.lit(1)).alias("_v"))
+    a = vocab.select(F.col("_g").alias("source_a"), "token")
+    b = vocab.select(F.col("_g").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    from ..session import maybe_broadcast
+
+    sa = maybe_broadcast(sizes.select(F.col("_g").alias("source_a"), F.col("_v").alias("vocab_a")))
+    sb = maybe_broadcast(sizes.select(F.col("_g").alias("source_b"), F.col("_v").alias("vocab_b")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

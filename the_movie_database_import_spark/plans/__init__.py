@@ -26,11 +26,16 @@ from . import stats  # noqa: F401,E402
 # evidence-refresh rotation (VERDICT r10 #5 demanded that after r11 no
 # registry query's last driver row be older than r06):
 #
-# - The 2 never-driver-checked r11 queries are in-window (hard rule,
+# - The 5 never-driver-checked r11 queries are in-window (hard rule,
 #   enforced by tests/test_driver_window.py): q_dedup_minhash_incremental
-#   (the incremental near-dup member, VERDICT r10 #2) and
+#   (the incremental near-dup member, VERDICT r10 #2),
 #   q_similarity_ivfpq_served (the persisted-IVFPQ serve path,
-#   VERDICT r10 #3).
+#   VERDICT r10 #3), q_token_burstiness + q_source_vocab_overlap (the r11
+#   dispersion/redundancy censuses, oracle-checked), and
+#   q_ann_recall_probe (the rebuild-on-drift probe, rows-only). The last
+#   three took the slots of q_agg_collect_set / q_date_fns /
+#   q_sort_multi_key (see TAIL_PRIORITY head for the family-rep
+#   justifications).
 # - The 4 queries whose IMPLEMENTATION changed in r11 keep their slots so
 #   the driver re-checks the new code (the standing rule from r08/r10):
 #   q_text_tfidf_cosine_pairs (relative-df stop-token guard),
@@ -64,6 +69,9 @@ DRIVER_WINDOW = [
     # --- new r11 operators (never driver-checked, must be in-window) ---
     "q_dedup_minhash_incremental",  # band-signature side-table probe
     "q_similarity_ivfpq_served",    # persisted IVFxPQ serve path
+    "q_token_burstiness",           # dispersion census (r11)
+    "q_source_vocab_overlap",       # source-level redundancy census (r11)
+    "q_ann_recall_probe",           # rebuild-on-drift recall probe (r11)
     # --- all r05-era rows refresh (VERDICT r10 #5 list, complete) ---
     "q_agg_count_by_value",
     "q_agg_multi",
@@ -85,7 +93,6 @@ DRIVER_WINDOW = [
     # --- 27 of the 36 r06-era rows refresh (the 9 left out are annotated
     # in the header comment and at their tail entries) ---
     "q_agg_approx_count_distinct",
-    "q_agg_collect_set",
     "q_agg_percentiles",
     "q_agg_rollup",
     "q_apply_delta",
@@ -93,7 +100,6 @@ DRIVER_WINDOW = [
     "q_boilerplate_census",
     "q_corpus_mix",
     "q_corpus_mix_epochs",
-    "q_date_fns",
     "q_dedup_embedding_cosine",
     "q_dedup_paragraphs",
     "q_dedup_simhash",
@@ -105,7 +111,6 @@ DRIVER_WINDOW = [
     "q_scd2_history",
     "q_shuffle_shards",
     "q_similarity_ivf_topk",
-    "q_sort_multi_key",
     "q_surrogate_keys",
     "q_text_repetition",
     "q_text_tfidf_top_term",
@@ -121,6 +126,17 @@ DRIVER_WINDOW = [
 # slots for the r05/r06-era refreshes. All remain locally oracle-checked by
 # tests/test_oracle_parity.py + tools/exact_parity.py at every SF per round.
 TAIL_PRIORITY = [
+    # --- r06-era rows displaced late in r11 to make window room for the 3
+    # never-checked r11 queries (the hard in-window rule outranks an r06
+    # refresh): each keeps its green r06 row and an in-window family rep —
+    # q_agg_collect_set (agg family: multi/count_by_value/rollup/
+    # percentiles/approx_count_distinct all in-window), q_date_fns (row-ops
+    # reps q_json_fns + q_array_fns in-window; every date-filtered query
+    # exercises it), q_sort_multi_key (q_topk_global holds an r10 row and
+    # every windowed query sorts) ---
+    "q_agg_collect_set",
+    "q_date_fns",
+    "q_sort_multi_key",
     # --- green r10 rows displaced by the r11 refresh rotation ---
     "q_dedup_substring_spans",
     "q_dedup_spans_incremental",

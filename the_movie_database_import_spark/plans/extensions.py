@@ -2814,3 +2814,144 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     return zipf_fit_per_key(docs, group_col="source")
+
+
+@register(
+    "q_token_burstiness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pd AS (
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY token, doc_id
+    ),
+    pt AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS cf,
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sc2
+        FROM pd GROUP BY token
+    )
+    SELECT token, df, cf,
+           ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst,
+           ROUND(CASE WHEN df > 1 THEN
+               CAST(CAST(df AS HUGEINT) * sc2
+                    - CAST(cf AS HUGEINT) * CAST(cf AS HUGEINT) AS DOUBLE)
+               / CAST(CAST(df - 1 AS HUGEINT) * CAST(cf AS HUGEINT) AS DOUBLE)
+           END, 6) AS vmr
+    FROM pt
+    ORDER BY cf DESC, token
+    LIMIT 50
+    """,
+    tags=("text", "vocab", "quality", "ext"),
+)
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness census (north star `token_burstiness`, r11): for
+    the corpus's 50 most frequent tokens, how is each token's mass spread
+    across documents — Katz's per-containing-doc mean (burst = cf/df) and
+    the Fisher variance-to-mean ratio over containing docs (1 = Poisson-
+    flat function word; >1 = clumped content/template mass). The
+    dispersion-aware stop-token signal beside raw frequency: a templated
+    boilerplate phrase is high-cf AND bursty, a true function word is
+    high-cf and flat — and a token whose vmr jumps between crawls marks
+    new template/spam mass even at stable volume. One corpus pass
+    (explode + map-side-combined (token, doc) census), a vocab-sized
+    re-aggregate with exact integer moments (DECIMAL(38,0) / HUGEINT for
+    the squared terms), two exact-integer-ratio divisions rounded 1e-6,
+    and a TakeOrderedAndProject top-50 (cf DESC, token ASC — fully
+    deterministic, so the row SET is oracle-hashable)."""
+    from ..operators.vocab import token_burstiness
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return token_burstiness(docs, top_k=50)
+
+
+@register(
+    "q_source_vocab_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+        FROM tok GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           sa.v AS vocab_a, sb.v AS vocab_b, inter,
+           ROUND(CAST(inter AS DOUBLE)
+                 / CAST(sa.v + sb.v - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.source_a
+    JOIN sizes sb ON sb.source = inter.source_b
+    """,
+    tags=("text", "vocab", "dedup", "ext"),
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (north star
+    `source_vocab_overlap`, r11): the source-LEVEL redundancy census —
+    two sources whose distinct-token vocabularies overlap near-totally
+    are the same text wearing different names (mirrors, syndication,
+    scraped re-hosts), the signal that feeds a source-level
+    dedup/downweight decision BEFORE any document-level pass pays its
+    bill. Pairs with an empty intersection are omitted (inner join on
+    token; their jaccard is 0 by definition — mirrored in the oracle).
+    The corpus collapses to the distinct (source, token) census in one
+    pass; pairs come from the census self-joined on token (a token in s
+    sources contributes s^2/2 pair rows, bounded by the catalog-sized
+    source dimension, never documents); the jaccard is one exact integer
+    ratio rounded 1e-6."""
+    from ..operators.vocab import source_vocab_overlap
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return source_vocab_overlap(docs, group_col="source")
+
+
+@register(
+    "q_ann_recall_probe", oracle=None, tags=("similarity", "ext", "pq")
+)
+def q_ann_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k probe of the persisted PQ index against exact cosine
+    (north star `pq_index_recall_probe`, r11): the measurable half of
+    the rebuild-on-drift maintenance recipe — after each
+    `pq_index_append`, probe the index WITH THE APPENDED BATCH as
+    queries and compare served top-k to exact brute-force top-k; when
+    batch recall falls below the deployment floor, the frozen codebooks
+    have drifted and `pq_index_build` retrains in place under the
+    snapshot protocol. Here the probe batch is a fixed 10-query slice of
+    the corpus (the served twins' shape); the exact side is the
+    deliberate ground-truth cost, paid batch x corpus once per ingest.
+    NO SQL ORACLE by design (recall of a hash/quantization structure is
+    engine-specific — the q_similarity_* rows-only category); the pinned
+    floor and the served==in-query identity live in
+    tests/test_extensions.py."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import pq_index_build, pq_index_recall_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _PQ_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.exists(os.path.join(path, "_MANIFEST.json")):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_pqidx_"), "index"
+        )
+        pq_index_build(emb, path, m=8, n_centroids=64)
+        _PQ_INDEX_CACHE[sf_dir] = path
+    return pq_index_recall_probe(
+        spark, path, emb, queries, k=10, shortlist=100
+    )

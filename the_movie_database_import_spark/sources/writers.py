@@ -1077,3 +1077,68 @@ def snapshot_vacuum(path: str, keep: int = 1) -> list[str]:
     for f in stale_sidecars:
         os.remove(os.path.join(path, f))
     return doomed + stale_sidecars
+
+
+def snapshot_restore(
+    path: str, to_generation: int, expected_generation: int | None = None
+) -> dict:
+    """RESTORE the table to a prior committed state (Delta's `RESTORE
+    TABLE ... VERSION AS OF` — the bad-ingest undo button): commit a NEW
+    generation whose segment list, row count, stats, and meta are those
+    of generation ``to_generation``. History stays LINEAR and append-only
+    — nothing is deleted or rewritten, the restore is one manifest commit
+    re-referencing the old state's immutable segments, so it is O(1)
+    however large the table, readers bound to the pre-restore state are
+    untouched, and the restore itself can be time-traveled past or
+    restored away from. Because the current manifest re-references the
+    restored segments, `snapshot_vacuum` afterwards reclaims the rolled-
+    back generations' segments and keeps the restored data live.
+
+    Fails loudly (FileNotFoundError) when the target state's manifest
+    history entry is missing or any of its segments was already vacuumed
+    — a restore must never commit a state whose data is partially gone.
+    Concurrency: the read-check-commit runs entirely under the commit
+    lock, so a blind restore linearizes like an append (it drops whatever
+    is current BY DESIGN — that is what restore means); pass
+    ``expected_generation`` to make it CAS-strict (raises
+    `SnapshotConflictError` when the table moved past the state the
+    operator decided to roll back from — the right mode for an automated
+    rollback job that must not clobber a fix racing it)."""
+    import json
+    import os
+
+    hist = os.path.join(path, f"_MANIFEST.v{to_generation:08d}.json")
+    if not os.path.exists(hist):
+        raise FileNotFoundError(
+            f"no manifest for generation {to_generation} under {path}"
+        )
+    with open(hist) as fh:
+        target = json.load(fh)
+    with _commit_lock(path):
+        # segment-liveness check INSIDE the lock: a commit racing this
+        # restore can un-reference target segments and a vacuum could then
+        # reclaim them; checking under the lock closes the commit race
+        # (vacuum itself is lock-free by contract — its maintenance-window
+        # assumption covers restores like any other committer)
+        missing = [
+            d
+            for d in target["dirs"]
+            if not os.path.isdir(os.path.join(path, d))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {path} to generation {to_generation}: "
+                f"segments {missing} were vacuumed"
+            )
+        cur = snapshot_current(path)
+        cur_gen = cur["generation"] if cur else 0
+        if expected_generation is not None and cur_gen != expected_generation:
+            raise SnapshotConflictError(
+                f"restore of {path} pinned to generation "
+                f"{expected_generation} but generation {cur_gen} is "
+                "current; restore rejected"
+            )
+        manifest = dict(target)
+        manifest["generation"] = cur_gen + 1
+        _snapshot_commit(path, manifest)
+    return manifest
