@@ -2903,3 +2903,94 @@ def test_pq_index_recall_probe_exactness_and_floor(spark, tmp_path):
     assert all(abs(r.recall - r.hits / 5) < 1e-9 for r in tight)
     mean_recall = sum(r.recall for r in tight) / len(tight)
     assert mean_recall >= 0.5, f"probe floor collapsed: {mean_recall}"
+
+
+def test_vocab_merge_incremental_composition_identity(spark, tmp_path):
+    """k CAS-pinned merges of disjoint batches must equal ONE full recount
+    bit-exactly (integer sums — the incremental family's contract), each
+    merge committing a new generation; an empty batch is a no-op on the
+    counts."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.vocab import (
+        build_vocab,
+        vocab_merge_incremental,
+    )
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_current,
+        snapshot_read,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(9),
+                "text": [
+                    "a b c", "a a b", "c d", "e a", "b b b",
+                    "d e f", "a", "f f", "g a b",
+                ],
+            }
+        )
+    )
+    side = str(tmp_path / "vocab")
+    for r in (0, 1, 2):
+        vocab_merge_incremental(docs.filter(F.col("doc_id") % 3 == r), side)
+    assert snapshot_current(side)["generation"] == 3
+    merged = {
+        r.token: r.n for r in snapshot_read(spark, side).collect()
+    }
+    full = {
+        r.token: r.n
+        for r in build_vocab(docs).select("token", F.col("n")).collect()
+    } if "n" in build_vocab(docs).columns else None
+    recount = {
+        r.token: r.cnt
+        for r in docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("t", "token")
+        .collect()
+    }
+    assert merged == recount, (merged, recount)
+    if full is not None:
+        assert merged == full
+
+    vocab_merge_incremental(docs.filter(F.lit(False)), side)  # empty batch
+    assert {
+        r.token: r.n for r in snapshot_read(spark, side).collect()
+    } == recount
+    assert snapshot_current(side)["generation"] == 4
+
+
+def test_vocab_growth_curve_hand_model(spark):
+    """Hand-built 4-doc corpus at 2 checkpoints: every output cell is
+    computable by hand, including the distinct-vocabulary count via each
+    token's first document."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.vocab import (
+        vocab_growth_curve,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b",        # vocab {a,b}, 2 toks
+                    "a c c",      # +{c}, 3 toks
+                    "a b",        # +{}, 2 toks
+                    "d d d d",    # +{d}, 4 toks
+                ],
+            }
+        )
+    )
+    rows = vocab_growth_curve(docs, n_checkpoints=2).collect()
+    assert [r.bucket for r in rows] == [1, 2]
+    b1, b2 = rows
+    assert (b1.last_doc, b1.docs_seen, b1.cum_tokens, b1.cum_vocab) == (
+        2, 2, 5, 3
+    )
+    assert (b2.last_doc, b2.docs_seen, b2.cum_tokens, b2.cum_vocab) == (
+        4, 4, 11, 4
+    )

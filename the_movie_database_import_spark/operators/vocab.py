@@ -805,3 +805,126 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def vocab_merge_incremental(
+    new_docs: DataFrame,
+    side_path: str,
+    text_col: str = "text",
+) -> dict:
+    """Maintain a PERSISTED corpus token-count table across ingest batches
+    ([ext] the vocabulary member of the incremental daily-crawl family
+    beside `incremental_dedup` (exact digests), `dedup_spans_incremental`
+    (substring grams) and `minhash_lsh_pairs_incremental` (near-dup
+    signatures): a tokenizer retrain, OOV audit, or drift census needs
+    CURRENT corpus-wide token counts, and recounting 100 TB because 1 TB
+    arrived is the failure mode). Counts the NEW batch in one pass,
+    merges with the side table by token (map-side-combined integer sum —
+    exact, so k merged batches are BIT-IDENTICAL to one full recount:
+    the composition identity the tests pin), and commits the merged
+    state under the snapshot protocol with the read generation PINNED —
+    two racing merges cannot silently lose counts; the loser gets
+    `SnapshotConflictError` and re-merges against the fresh state.
+
+    Cost shape: batch pass is O(batch); the merge shuffles the token-
+    count tables (corpus vocab + batch vocab — Heaps-law-bounded,
+    millions of rows at 100 TB, never corpus text); the rewrite is
+    O(vocab). Read the current state with `snapshot_read(spark,
+    side_path)` — columns ``(token, n)``."""
+    from ..sources.writers import snapshot_current, snapshot_read, snapshot_write
+
+    spark = new_docs.sparkSession
+    batch = (
+        new_docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cur = snapshot_current(side_path)
+    if cur is None:
+        return snapshot_write(batch, side_path)
+    merged = (
+        snapshot_read(spark, side_path)
+        .unionByName(batch)
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    return snapshot_write(
+        merged, side_path, expected_generation=cur["generation"]
+    )
+
+
+def vocab_growth_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Empirical Heaps-law vocabulary growth curve ([ext] the corpus-
+    MARGINAL-VALUE census: sweep the corpus in ``id_col`` order and
+    report, at ``n_checkpoints`` document-count checkpoints, how many
+    tokens have been seen and how many DISTINCT tokens — the curve whose
+    flattening says new data is mostly vocabulary the corpus already has
+    (dedup/continued-crawl ROI falling) and whose kinks localize where a
+    source switch or template flood changed the corpus's growth regime.
+    Natural corpora follow V ≈ k·N^beta with beta ~0.4-0.6; a curve that
+    goes flat mid-crawl is re-crawled content, one that goes LINEAR is
+    synthetic/noise vocabulary).
+
+    Exactness lane: everything is an exact integer — per-doc token
+    counts, ntile bucket boundaries over the total doc order (ntile's
+    earlier-buckets-get-the-remainder rule is shared by Spark and the
+    oracle engines), cumulative sums over the checkpoint table, and the
+    distinct-vocabulary count via each token's FIRST document. No
+    floating point anywhere, so the curve is oracle-hash-exact.
+
+    Scale shape: ONE corpus pass builds the (doc, n_tokens) table and
+    the per-token first-doc table (both map-side-combined; the windows
+    run over the PER-DOC table for bucketing — rows = documents, never
+    token occurrences — and over the checkpoint table for the cumsums,
+    which is ``n_checkpoints`` rows); cum_vocab joins the vocab-sized
+    first-doc table against the BROADCAST checkpoint list (each token
+    lands in at most n_checkpoints buckets). Corpus text is read once."""
+    tok = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = tok.groupBy("_doc").agg(F.count(F.lit(1)).alias("_nt"))
+    bucketed = per_doc.withColumn(
+        "bucket", F.ntile(n_checkpoints).over(Window.orderBy("_doc"))
+    )
+    cp = bucketed.groupBy("bucket").agg(
+        F.max("_doc").alias("last_doc"),
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum("_nt").alias("_toks"),
+    )
+    cum_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cp.select(
+        "bucket",
+        "last_doc",
+        F.sum("_docs").over(cum_w).cast("bigint").alias("docs_seen"),
+        F.sum("_toks").over(cum_w).cast("bigint").alias("cum_tokens"),
+    )
+    first_doc = tok.groupBy("token").agg(F.min("_doc").alias("_fdoc"))
+    from ..session import maybe_broadcast
+
+    cv = (
+        first_doc.join(
+            maybe_broadcast(cum.select("bucket", "last_doc")),
+            F.col("_fdoc") <= F.col("last_doc"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cum_vocab"))
+    )
+    return (
+        cum.join(cv, "bucket")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("last_doc").cast("bigint").alias("last_doc"),
+            "docs_seen",
+            "cum_tokens",
+            "cum_vocab",
+        )
+        .orderBy("bucket")
+    )

@@ -2955,3 +2955,111 @@ def q_ann_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_index_recall_probe(
         spark, path, emb, queries, k=10, shortlist=100
     )
+
+
+@register(
+    "q_vocab_incremental",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 30
+    """,
+    tags=("text", "vocab", "incremental", "ext"),
+)
+def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained corpus token counts (north star
+    `vocab_merge_incremental`, r11 — the vocabulary member of the
+    daily-crawl family): the corpus arrives as THREE batches (doc_id mod
+    3), each merged into a persisted snapshot side table by exact
+    integer sum with the read generation CAS-pinned; the query returns
+    the side table's top 30 tokens. The ORACLE is a full recount over
+    the whole corpus — so the driver's hash check IS the composition
+    identity (k merges == one recount, bit-exact), the strongest form of
+    incremental-correctness evidence. Merge cost is vocab-sized
+    (Heaps-law-bounded), never corpus text."""
+    import tempfile
+
+    from ..operators.vocab import vocab_merge_incremental
+    from ..sources.writers import snapshot_read
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    side = tempfile.mkdtemp(prefix="spark_graft_vocab_") + "/counts"
+    for r in (0, 1, 2):
+        vocab_merge_incremental(
+            docs.filter(F.col("doc_id") % 3 == r), side
+        )
+    return (
+        snapshot_read(spark, side)
+        .orderBy(F.col("n").desc(), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "q_vocab_growth",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM tok GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT doc_id, nt, ntile(10) OVER (ORDER BY doc_id) AS b
+        FROM pd
+    ),
+    cp AS (
+        SELECT b, MAX(doc_id) AS last_doc,
+               COUNT(*) AS docs, SUM(nt) AS toks
+        FROM bk GROUP BY b
+    ),
+    cum AS (
+        SELECT b, last_doc,
+               CAST(SUM(docs) OVER (ORDER BY b) AS BIGINT) AS docs_seen,
+               CAST(SUM(toks) OVER (ORDER BY b) AS BIGINT) AS cum_tokens
+        FROM cp
+    ),
+    fd AS (
+        SELECT token, MIN(doc_id) AS fdoc FROM tok GROUP BY token
+    ),
+    cv AS (
+        SELECT cum.b, CAST(COUNT(*) AS BIGINT) AS cum_vocab
+        FROM cum JOIN fd ON fd.fdoc <= cum.last_doc
+        GROUP BY cum.b
+    )
+    SELECT CAST(cum.b AS BIGINT) AS bucket,
+           CAST(cum.last_doc AS BIGINT) AS last_doc,
+           docs_seen, cum_tokens, cv.cum_vocab
+    FROM cum JOIN cv ON cv.b = cum.b
+    ORDER BY bucket
+    """,
+    tags=("text", "vocab", "quality", "ext"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Heaps-law vocabulary growth curve (north star
+    `vocab_growth_curve`, r11): sweep the corpus in doc_id order and
+    report tokens-seen vs distinct-tokens-seen at 10 document-count
+    checkpoints — the marginal-value census whose flattening says new
+    data is mostly vocabulary the corpus already has (continued-crawl /
+    dedup ROI falling) and whose kinks localize template floods. Exact
+    integers end to end (per-doc counts, ntile boundaries with the
+    shared earlier-buckets-take-remainder rule, checkpoint cumsums, and
+    the distinct count via each token's FIRST document) — hash-exact
+    against the oracle. One corpus pass; windows run over the per-doc
+    and 10-row checkpoint tables only; cum_vocab joins the vocab-sized
+    first-doc table against the broadcast checkpoint list."""
+    from ..operators.vocab import vocab_growth_curve
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return vocab_growth_curve(docs, n_checkpoints=10)

@@ -63,6 +63,11 @@ QUERIES = [
     "q_similarity_pq_served",
     "q_similarity_ivfpq_served",
     "q_dedup_minhash_incremental",
+    "q_ann_recall_probe",
+    "q_token_burstiness",
+    "q_source_vocab_overlap",
+    "q_vocab_incremental",
+    "q_vocab_growth",
     "q_mad_per_type",
     "q_source_concentration",
     "q_hybrid_rrf_topk",
