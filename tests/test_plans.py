@@ -1003,3 +1003,41 @@ def test_containment_corpus_rows_never_shuffle(spark):
         "gram probe and matched-count rejoin must both broadcast"
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_growth_curve_no_global_doc_window(spark):
+    """The growth curve's global doc rank must be the DISTRIBUTED form:
+    row_number windows partitioned by the range-partition id plus a
+    broadcast offsets table — never one windowspecdefinition that orders
+    ALL per-doc rows with no partition columns (documents are the data
+    axis; a global window funnels them into one partition). In the
+    printed plan the distributed rank reads 'windowspecdefinition(_pid#…,
+    _doc# ASC' (partitioned); the forbidden global form would read
+    'windowspecdefinition(_doc# ASC' with no leading partition column.
+    The legitimate unpartitioned windows in this plan order the bounded
+    stats tables only (_pid offsets ≤ #partitions rows; bucket cumsums =
+    n_checkpoints rows) and never carry _doc."""
+    import re
+
+    from the_movie_database_import_spark.operators.vocab import (
+        vocab_growth_curve,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    plan = (
+        vocab_growth_curve(docs, n_checkpoints=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, "offsets/checkpoints must broadcast"
+    assert re.search(
+        r"windowspecdefinition\(_pid#\d+, _doc#\d+L? ASC", plan
+    ), f"distributed per-partition rank window missing:\n{plan}"
+    assert not re.search(
+        r"windowspecdefinition\(_doc#\d+L? ASC", plan
+    ), f"global doc-level window found:\n{plan}"

@@ -872,26 +872,76 @@ def vocab_growth_curve(
 
     Exactness lane: everything is an exact integer — per-doc token
     counts, ntile bucket boundaries over the total doc order (ntile's
-    earlier-buckets-get-the-remainder rule is shared by Spark and the
-    oracle engines), cumulative sums over the checkpoint table, and the
-    distinct-vocabulary count via each token's FIRST document. No
-    floating point anywhere, so the curve is oracle-hash-exact.
+    earlier-buckets-get-the-remainder rule, replayed here in exact
+    integer arithmetic and shared by the oracle engines), cumulative
+    sums over the checkpoint table, and the distinct-vocabulary count
+    via each token's FIRST document. No floating point anywhere, so the
+    curve is oracle-hash-exact.
 
     Scale shape: ONE corpus pass builds the (doc, n_tokens) table and
-    the per-token first-doc table (both map-side-combined; the windows
-    run over the PER-DOC table for bucketing — rows = documents, never
-    token occurrences — and over the checkpoint table for the cumsums,
-    which is ``n_checkpoints`` rows); cum_vocab joins the vocab-sized
-    first-doc table against the BROADCAST checkpoint list (each token
-    lands in at most n_checkpoints buckets). Corpus text is read once."""
+    the per-token first-doc table (both map-side-combined). The global
+    doc rank is NOT a global single-partition window (documents are the
+    DATA axis — a window ordered over 10^9 per-doc rows funnels them
+    into one partition, the anti-pattern `select_token_budget`
+    documents): the per-doc table range-partitions on ``id_col``, each
+    partition ranks ITS OWN rows (row_number partitioned by the range
+    bucket), and cross-partition offsets come from a bounded
+    per-partition count table (≤ #partitions rows — stats, not data)
+    broadcast back; the ntile bucket is then a map-side exact-integer
+    formula of (rank, N). The only single-partition windows run over
+    that stats table and the n-row checkpoint table. cum_vocab joins
+    the vocab-sized first-doc table against the BROADCAST checkpoint
+    list (each token lands in at most n_checkpoints buckets). Corpus
+    text is read once; the range-partitioned per-doc table is cached so
+    the offsets job and the rank pass see one partitioning."""
+    from ..session import maybe_broadcast, tracked_cache
+
     tok = docs.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
     per_doc = tok.groupBy("_doc").agg(F.count(F.lit(1)).alias("_nt"))
-    bucketed = per_doc.withColumn(
-        "bucket", F.ntile(n_checkpoints).over(Window.orderBy("_doc"))
+    # distributed exact rank: range-partition by doc, rank within each
+    # partition, add broadcast cumulative offsets of earlier partitions
+    n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    staged = tracked_cache(
+        per_doc.repartitionByRange(n_part, "_doc").withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
+    pc = staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = pc.select(
+        "_pid",
+        F.coalesce(F.sum("_pc").over(off_w), F.lit(0)).alias("_off"),
+    )
+    total = pc.agg(F.sum("_pc").cast("bigint").alias("_n"))
+    rank_w = Window.partitionBy("_pid").orderBy("_doc")
+    ranked = (
+        staged.join(maybe_broadcast(offsets), "_pid")
+        .withColumn(
+            "_rank",
+            (F.row_number().over(rank_w) + F.col("_off")).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # ntile(n) remainder-first semantics in exact integers: q = N div n,
+    # r = N mod n; the first r buckets take q+1 rows. ceil(a/b) as
+    # (a + b - 1) div b keeps every step integral.
+    n = F.lit(n_checkpoints).cast("bigint")
+    q = F.floor(F.col("_n") / n).cast("bigint")
+    r = (F.col("_n") % n).cast("bigint")
+    cut = r * (q + 1)
+    rank = F.col("_rank")
+    bucket = F.when(
+        rank <= cut,
+        F.floor((rank + q) / (q + 1)),
+    ).otherwise(
+        r + F.floor((rank - cut + F.greatest(q, F.lit(1)) - 1) / F.greatest(q, F.lit(1)))
+    )
+    bucketed = ranked.withColumn("bucket", bucket.cast("bigint"))
     cp = bucketed.groupBy("bucket").agg(
         F.max("_doc").alias("last_doc"),
         F.count(F.lit(1)).alias("_docs"),
