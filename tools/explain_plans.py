@@ -163,6 +163,18 @@ SHOWCASES = [
         "pairs delegate to the full banded operator over batch rows only.",
     ),
     (
+        "q_vocab_growth",
+        "Heaps-law growth curve (r11): the global document rank is the "
+        "DISTRIBUTED form — range-partition on doc id, row_number "
+        "windows partitioned by the range bucket, cumulative offsets "
+        "from a bounded per-partition count table broadcast back, and "
+        "the ntile bucket as a map-side exact-integer formula; no "
+        "windowspecdefinition orders all per-doc rows unpartitioned "
+        "(pinned in tests/test_plans.py). Single-partition windows "
+        "touch only the stats-sized offsets and 10-row checkpoint "
+        "tables.",
+    ),
+    (
         "q_similarity_ivfpq_served",
         "Persisted IVFxPQ serve (r11): coarse-centroid probe pruning over "
         "STORED codes read from the snapshot table (bucket column "
