@@ -924,6 +924,7 @@ _snap_ops = st.lists(
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("vacuum"), st.just(0)),
         st.tuples(st.just("conflict"), st.integers(1, 6)),
+        st.tuples(st.just("restore"), st.integers(0, 10)),
     ),
     min_size=1,
     max_size=5,
@@ -934,9 +935,12 @@ _snap_ops = st.lists(
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 def test_snapshot_protocol_matches_list_model(spark, ops):
-    """Random write/append/compact/vacuum sequences: the committed table
-    always equals the model, per-generation states survive until their
-    segments are vacuumed, and vacuum is invisible to the current read."""
+    """Random write/append/compact/vacuum/restore sequences: the committed
+    table always equals the model, per-generation states survive until
+    their segments are vacuumed, vacuum is invisible to the current read,
+    and restore (r11) replays a surviving historical state as a NEW
+    generation — or fails loudly leaving the table untouched when the
+    target state was reclaimed."""
     import tempfile
 
     from the_movie_database_import_spark.sources.writers import (
@@ -944,6 +948,7 @@ def test_snapshot_protocol_matches_list_model(spark, ops):
         snapshot_compact,
         snapshot_current,
         snapshot_read,
+        snapshot_restore,
         snapshot_vacuum,
         snapshot_write,
     )
@@ -995,6 +1000,23 @@ def test_snapshot_protocol_matches_list_model(spark, ops):
                 )
                 assert got == sorted(model), ("conflict", gen)
             continue
+        elif op == "restore":
+            if gen == 0:
+                continue
+            target = 1 + (n % gen)
+            try:
+                snapshot_restore(path, target)
+            except FileNotFoundError:
+                # target state's segments were vacuumed: the restore must
+                # refuse and leave the table byte-identical
+                cur = snapshot_current(path)
+                assert cur["generation"] == gen, ("restore-refused", gen)
+                got = sorted(
+                    r["id"] for r in snapshot_read(spark, path).collect()
+                )
+                assert got == sorted(model), ("restore-refused", gen)
+                continue
+            model = list(history[target])
         elif op == "compact":
             if gen == 0:
                 continue
