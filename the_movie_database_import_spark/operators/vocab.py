@@ -842,8 +842,12 @@ def vocab_merge_incremental(
     cur = snapshot_current(side_path)
     if cur is None:
         return snapshot_write(batch, side_path)
+    # read AT the pinned generation: the merge input and the CAS base are
+    # the same state by construction, so a conflict means exactly "another
+    # merge committed after this one's base" — never a window between a
+    # current-pointer read and a second manifest read
     merged = (
-        snapshot_read(spark, side_path)
+        snapshot_read(spark, side_path, at_generation=cur["generation"])
         .unionByName(batch)
         .groupBy("token")
         .agg(F.sum("n").cast("bigint").alias("n"))
