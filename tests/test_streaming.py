@@ -958,3 +958,74 @@ def test_stream_heavy_hitters_superset_and_exact_recount(spark, tmp_path):
         for r in heavy_hitters(df, phi=phi).collect()
     }
     assert recount == want == batch
+
+
+def test_stream_vocab_merge_exactly_once_and_recount_parity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """Streaming twin of the incremental vocab merge (r11): batches merged
+    through the idempotent writer equal ONE full recount bit-exactly; a
+    REPLAYED batch id is skipped wholesale (counts are the one derived
+    state where at-least-once is silent corruption — a replayed merge
+    would double-count forever); a fresh batch id after the replay still
+    commits."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_current,
+        snapshot_read,
+    )
+    from the_movie_database_import_spark.streaming.sinks import (
+        vocab_merge_batch_writer,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(9),
+                "text": [
+                    "a b c", "a a b", "c d", "e a", "b b b",
+                    "d e f", "a", "f f", "g a b",
+                ],
+            }
+        )
+    )
+    side = str(tmp_path / "vocab_stream")
+    writer = vocab_merge_batch_writer(side)
+    for bid in (0, 1, 2):
+        writer(docs.filter(F.col("doc_id") % 3 == bid), bid)
+
+    def counts():
+        return {r.token: r.n for r in snapshot_read(spark, side).collect()}
+
+    recount = {
+        r.token: r.cnt
+        for r in docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("t", "token")
+        .collect()
+    }
+    assert counts() == recount
+    cur = snapshot_current(side)
+    assert cur["last_batch_id"] == 2
+
+    # replay batches 1 and 2 (the Structured Streaming restart contract):
+    # the ledger recognizes them, counts and generation are untouched
+    gen_before = cur["generation"]
+    writer(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    writer(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    assert snapshot_current(side)["generation"] == gen_before
+    assert counts() == recount
+
+    # a genuinely new batch still merges and advances the ledger
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["a z"]})
+    )
+    writer(extra, 3)
+    cur = snapshot_current(side)
+    assert cur["last_batch_id"] == 3 and cur["generation"] == gen_before + 1
+    want = dict(recount)
+    want["a"] = want["a"] + 1
+    want["z"] = 1
+    assert counts() == want

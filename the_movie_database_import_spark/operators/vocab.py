@@ -811,6 +811,7 @@ def vocab_merge_incremental(
     new_docs: DataFrame,
     side_path: str,
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> dict:
     """Maintain a PERSISTED corpus token-count table across ingest batches
     ([ext] the vocabulary member of the incremental daily-crawl family
@@ -830,7 +831,12 @@ def vocab_merge_incremental(
     count tables (corpus vocab + batch vocab — Heaps-law-bounded,
     millions of rows at 100 TB, never corpus text); the rewrite is
     O(vocab). Read the current state with `snapshot_read(spark,
-    side_path)` — columns ``(token, n)``."""
+    side_path)` — columns ``(token, n)``.
+
+    ``batch_id`` threads a streaming replay-ledger entry into the commit
+    (recorded atomically with the merged counts — the streaming twin's
+    exactly-once hook; counts must NEVER be at-least-once, a replayed
+    merge would double-count)."""
     from ..sources.writers import snapshot_current, snapshot_read, snapshot_write
 
     spark = new_docs.sparkSession
@@ -841,7 +847,7 @@ def vocab_merge_incremental(
     )
     cur = snapshot_current(side_path)
     if cur is None:
-        return snapshot_write(batch, side_path)
+        return snapshot_write(batch, side_path, batch_id=batch_id)
     # read AT the pinned generation: the merge input and the CAS base are
     # the same state by construction, so a conflict means exactly "another
     # merge committed after this one's base" — never a window between a
@@ -853,7 +859,10 @@ def vocab_merge_incremental(
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
     return snapshot_write(
-        merged, side_path, expected_generation=cur["generation"]
+        merged,
+        side_path,
+        expected_generation=cur["generation"],
+        batch_id=batch_id,
     )
 
 

@@ -778,6 +778,7 @@ def snapshot_write(
     stats_cols: list[str] | None = None,
     expected_generation: int | None = None,
     meta: dict | None = None,
+    batch_id: int | None = None,
 ) -> dict:
     """Write ``df`` as the ENTIRE next table state (truncate-and-reload
     semantics — the manifest's segment list becomes just the new segment;
@@ -788,7 +789,11 @@ def snapshot_write(
     writer's base state (the generation read at entry, or
     ``expected_generation`` when pinned) — a truncate derived from a
     stale read must not silently drop concurrent commits. ``meta`` is
-    opaque caller metadata committed atomically with the data. Returns
+    opaque caller metadata committed atomically with the data.
+    ``batch_id`` records a streaming replay-ledger entry in the manifest
+    atomically with the rewrite (the exactly-once pattern for DERIVED
+    state tables a stream REWRITES per batch — e.g. the incremental
+    vocab merge — where appends' ledger semantics don't apply). Returns
     the committed manifest."""
     return _snapshot_add_segment(
         df,
@@ -797,6 +802,7 @@ def snapshot_write(
         stats_cols=stats_cols,
         expected_generation=expected_generation,
         meta=meta,
+        batch_id=batch_id,
     )
 
 

@@ -207,3 +207,61 @@ def run_to_snapshot(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def vocab_merge_batch_writer(
+    side_path: str, text_col: str = "text"
+) -> Callable[[DataFrame, int], None]:
+    """Idempotent ``foreachBatch`` function maintaining the incremental
+    vocabulary side table from a document stream ([ext], r11 — the
+    streaming twin of ``operators.vocab.vocab_merge_incremental``,
+    completing the incremental family's stream coverage beside the
+    digest/span/minhash twins). Each micro-batch's token counts merge
+    into the snapshot table by exact integer sum, and the manifest
+    commit records the batch id ATOMICALLY with the merged counts — so
+    a replayed batch (Structured Streaming's post-failure contract) is
+    recognized and skipped wholesale. This sink MUST be exactly-once
+    where the doc sinks tolerate at-least-once: a replayed append
+    re-emits rows a reader can dedup, but a replayed COUNT MERGE would
+    silently double-count forever. The manifest is the ledger and its
+    `os.replace` is the transaction (the snapshot_batch_writer rule,
+    applied to a REWRITE-per-batch derived state instead of an append).
+
+    Batch numbering is scoped to the checkpoint lineage — a fresh
+    checkpoint restarts at 0, so a new logical run targets a new side
+    table (or vacuums + resets), the same lineage rule as the other
+    exactly-once sinks."""
+    from ..operators.vocab import vocab_merge_incremental
+    from ..sources.writers import snapshot_current
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = snapshot_current(side_path)
+        if cur is not None and cur.get("last_batch_id") is not None:
+            if batch_id <= cur["last_batch_id"]:
+                return  # replayed batch: counts already merged, skip
+        vocab_merge_incremental(
+            batch_df, side_path, text_col=text_col, batch_id=batch_id
+        )
+
+    return sink
+
+
+def run_vocab_merge(
+    stream_df: DataFrame,
+    side_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Run a document stream into the incremental vocabulary side table
+    via the idempotent merge writer. ``availableNow`` drains the source
+    and stops (the batch-parity testing mode); False for continuous."""
+    writer = stream_df.writeStream.foreachBatch(
+        vocab_merge_batch_writer(side_path, text_col=text_col)
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
