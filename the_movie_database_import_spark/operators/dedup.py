@@ -1081,16 +1081,22 @@ def tfidf_cosine_pairs(
     fans out on (block, token); the blocking key bounds candidates the
     way LSH buckets do, and ``max_token_df`` is the same skew guard — a
     token in d docs of a block contributes d² join rows, so capping
-    drops stop-word-grade tokens (scores for pairs riding on dropped
-    tokens UNDERCOUNT — a lower bound, never a false positive). Norms
-    stay global (one per-doc aggregate); the corpus-size scalar is a
-    one-row broadcast (data never moves for statistics).
+    drops stop-word-grade tokens. Dropped tokens leave the vocabulary
+    ENTIRELY — numerator terms AND norm mass — exactly sklearn's
+    ``max_df`` semantics: the guarded score is the true cosine on the
+    reduced vocabulary, which can sit on either side of the unguarded
+    score (a pair sharing a stop token loses numerator mass, but each
+    doc's norm shrinks too); pairs riding ONLY on dropped tokens
+    disappear. Norms are one per-doc aggregate over surviving tokens;
+    the corpus-size scalar is a one-row broadcast (data never moves
+    for statistics).
 
     ``max_df_frac`` is the RELATIVE stop-token guard (VERDICT r10 #1 —
     the sklearn ``max_df`` / CCNet convention): a token present in more
     than ``max(min_df_floor, max_df_frac · n_block)`` of its block's
-    documents is a stop token and leaves the index entirely (weights and
-    norms of survivors unchanged — same anti-join as the absolute cap).
+    documents is a stop token and leaves the index entirely — the same
+    anti-join (and the same reduced-vocabulary score semantics) as the
+    absolute cap; surviving tokens' weights are unchanged.
     The absolute cap alone cannot bound SUB-cap density: a corpus whose
     every token sits just under ``max_token_df`` still pays Σdf² join
     rows that grow quadratically with block size (measured 18.8× wall

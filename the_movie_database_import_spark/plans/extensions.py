@@ -2415,10 +2415,11 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (99.9 s -> ~8 s; the synthetic sf1 corpus is ALL stop tokens, so the
     guarded index empties and the query reports zero pairs — exactly
     what sklearn max_df does on a corpus with no informative vocabulary;
-    BASELINE.md r11). Pairs riding only on
-    dropped tokens UNDERCOUNT (a lower bound, never a false positive) —
-    the documented guard semantics, now matching how every deployed
-    tf-idf similarity index treats stop tokens."""
+    BASELINE.md r11). Guard semantics are
+    sklearn's: dropped tokens leave the vocabulary entirely (numerator
+    terms and norm mass alike — the guarded score is the true cosine on
+    the reduced vocabulary, not a bound on the unguarded one), mirrored
+    verbatim in the oracle's anti-join-then-norms order."""
     from ..operators.dedup import tfidf_cosine_pairs
 
     docs = load_table(spark, sf_dir, "documents")
