@@ -2994,3 +2994,48 @@ def test_vocab_growth_curve_hand_model(spark):
     assert (b2.last_doc, b2.docs_seen, b2.cum_tokens, b2.cum_vocab) == (
         4, 4, 11, 4
     )
+
+
+def test_dedup_savings_census_hand_model(spark):
+    """Hand-built graph: docs {1,2,3} one cluster (7+3+4 tokens, keep 1 →
+    7 kept, 7 removable), {4,5} a pair (2+2, keep 4 → 2 removable),
+    {6} a singleton (5 tokens, nothing removable). The census must sum
+    to the whole corpus and match exactly per cluster size."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_savings_census,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "a b c d e f g",
+                    "a b c",
+                    "a b c d",
+                    "x y",
+                    "x y",
+                    "p q r s t",
+                ],
+            }
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 4], "doc_b": [2, 3, 5]})
+    )
+    rows = {
+        r.cluster_size: r for r in dedup_savings_census(docs, edges).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    s1, s2, s3 = rows[1], rows[2], rows[3]
+    assert (s1.n_clusters, s1.n_docs, s1.docs_removable) == (1, 1, 0)
+    assert (s1.tokens_total, s1.tokens_removable) == (5, 0)
+    assert (s2.n_clusters, s2.n_docs, s2.docs_removable) == (1, 2, 1)
+    assert (s2.tokens_total, s2.tokens_removable) == (4, 2)
+    assert (s3.n_clusters, s3.n_docs, s3.docs_removable) == (1, 3, 2)
+    assert (s3.tokens_total, s3.tokens_removable) == (14, 7)
+    # self-normalizing: the census covers the whole corpus exactly once
+    assert sum(r.n_docs for r in rows.values()) == 6
+    assert sum(r.tokens_total for r in rows.values()) == 23

@@ -26,7 +26,7 @@ from . import stats  # noqa: F401,E402
 # evidence-refresh rotation (VERDICT r10 #5 demanded that after r11 no
 # registry query's last driver row be older than r06):
 #
-# - The 7 never-driver-checked r11 queries are in-window (hard rule,
+# - The 8 never-driver-checked r11 queries are in-window (hard rule,
 #   enforced by tests/test_driver_window.py): q_dedup_minhash_incremental
 #   (the incremental near-dup member, VERDICT r10 #2),
 #   q_similarity_ivfpq_served (the persisted-IVFPQ serve path,
@@ -34,19 +34,21 @@ from . import stats  # noqa: F401,E402
 #   dispersion/redundancy censuses, oracle-checked), and
 #   q_ann_recall_probe (the rebuild-on-drift probe, rows-only), and
 #   q_vocab_incremental + q_vocab_growth (the r11 incremental-vocab and
-#   Heaps-curve censuses, oracle-checked). The last five took the slots
-#   of q_agg_collect_set / q_date_fns / q_sort_multi_key /
-#   q_win_lag_lead / q_corpus_mix_epochs (see TAIL_PRIORITY head for
-#   the family-rep justifications).
+#   Heaps-curve censuses, oracle-checked), and q_dedup_savings (the
+#   dedup-ROI census, oracle-checked through the recursive-CTE
+#   fixpoint). The last six took the slots of q_agg_collect_set /
+#   q_date_fns / q_sort_multi_key / q_win_lag_lead /
+#   q_corpus_mix_epochs / q_text_repetition (see TAIL_PRIORITY head
+#   for the family-rep justifications).
 # - The 4 queries whose IMPLEMENTATION changed in r11 keep their slots so
 #   the driver re-checks the new code (the standing rule from r08/r10):
 #   q_text_tfidf_cosine_pairs (relative-df stop-token guard),
 #   q_heavy_hitters (exact-rational threshold lane), q_ks_value_drift and
 #   q_mann_whitney_u (NULL-value contract moved into the operators).
 # - ALL 17 queries whose last driver row was r05 rotate in (listed in
-#   VERDICT r10 #5), plus 22 of the 36 r06-era queries — the freshest
+#   VERDICT r10 #5), plus 21 of the 36 r06-era queries — the freshest
 #   full-registry evidence compatible with the 7 new-query slots.
-# - The 14 r06-era queries that did NOT fit keep their green r06 rows and
+# - The 15 r06-era queries that did NOT fit keep their green r06 rows and
 #   carry per-round redundant execution or an in-window family rep; each
 #   is annotated at its tail entry: q_pricing_summary, q_join_range_binned
 #   and q_dedup_minhash_lsh (frozen headline bench re-executes them every
@@ -76,6 +78,7 @@ DRIVER_WINDOW = [
     "q_ann_recall_probe",           # rebuild-on-drift recall probe (r11)
     "q_vocab_incremental",          # CAS-merged token-count side table (r11)
     "q_vocab_growth",               # Heaps-law growth curve (r11)
+    "q_dedup_savings",              # dedup ROI census (r11)
     # --- all r05-era rows refresh (VERDICT r10 #5 list, complete) ---
     "q_agg_count_by_value",
     "q_agg_multi",
@@ -115,7 +118,6 @@ DRIVER_WINDOW = [
     "q_shuffle_shards",
     "q_similarity_ivf_topk",
     "q_surrogate_keys",
-    "q_text_repetition",
     "q_text_tfidf_top_term",
     "q_win_ntile_pctrank",
 ]
@@ -146,6 +148,10 @@ TAIL_PRIORITY = [
     # q_corpus_mix_temperature holds r10) ---
     "q_win_lag_lead",
     "q_corpus_mix_epochs",
+    # --- displaced for q_dedup_savings: q_text_repetition (text-quality
+    # family reps q_text_quality + q_token_count + q_token_burstiness
+    # in-window; repetition holds its green r06 row) ---
+    "q_text_repetition",
     # --- green r10 rows displaced by the r11 refresh rotation ---
     "q_dedup_substring_spans",
     "q_dedup_spans_incremental",

@@ -3064,3 +3064,95 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     return vocab_growth_curve(docs, n_checkpoints=10)
+
+
+@register(
+    "q_dedup_savings",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM tok a
+        JOIN tok b ON a.tok = b.tok AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    ),
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, undirected.v AS r
+        FROM reach JOIN undirected ON undirected.u = reach.r
+    ),
+    labeled AS (
+        SELECT node AS doc_id, MIN(r) AS rep,
+               (MIN(r) = node) AS is_kept
+        FROM reach GROUP BY node
+    ),
+    nt AS (
+        SELECT doc_id,
+               CAST(CASE WHEN text IS NULL THEN 0
+                         ELSE len(string_split(text, ' ')) END AS BIGINT)
+                   AS ntok
+        FROM documents
+    ),
+    per_cluster AS (
+        SELECT rep,
+               CAST(COUNT(*) AS BIGINT) AS csize,
+               CAST(SUM(ntok) AS BIGINT) AS toks,
+               CAST(SUM(CASE WHEN NOT is_kept THEN ntok ELSE 0 END)
+                    AS BIGINT) AS rem_toks,
+               CAST(SUM(CASE WHEN NOT is_kept THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rem_docs
+        FROM labeled JOIN nt USING (doc_id)
+        GROUP BY rep
+    )
+    SELECT csize AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs,
+           CAST(SUM(rem_docs) AS BIGINT) AS docs_removable,
+           CAST(SUM(toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(rem_toks) AS BIGINT) AS tokens_removable
+    FROM per_cluster
+    GROUP BY csize
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "ext", "iterative"),
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI census (north star `dedup_savings_census`, r11): per
+    near-dup-cluster SIZE, how many clusters/docs/tokens exist and how
+    much is REMOVABLE by keeping one doc per cluster — the budget-level
+    readout on top of `q_dedup_clusters`' doc-level keep/drop labels
+    ("dedup buys back N tokens, and the mass is in mirror pairs, not
+    mega-clusters"). Singletons appear as cluster_size 1 with zero
+    removable, so the census sums to the whole corpus. The component
+    labels come from the iterative min-label fixpoint, yet the census is
+    hash-gated: it depends only on the converged PARTITION, and every
+    count is an exact integer (oracle replays the same fixpoint as a
+    recursive-CTE closure). Same exact blocked-Jaccard edge semantics as
+    q_dedup_clusters; at 100 TB the edge list drops in from the banded
+    MinHash path instead."""
+    from ..operators.dedup import dedup_savings_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs_exact(docs, threshold=0.8)
+    return dedup_savings_census(docs, edges)

@@ -68,6 +68,7 @@ QUERIES = [
     "q_source_vocab_overlap",
     "q_vocab_incremental",
     "q_vocab_growth",
+    "q_dedup_savings",
     "q_mad_per_type",
     "q_source_concentration",
     "q_hybrid_rrf_topk",
