@@ -663,11 +663,15 @@ def test_connected_components_single_action_per_iteration(spark, monkeypatch):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long"
     )
-    # With AQE off, one action = one job, so the count is exact: 1 initial
-    # label checkpoint + 4 propagation rounds (path 1-2-3-4 converges on
-    # round 4) = 5. The old shape paid 2 actions per round (checkpoint +
-    # count) = 9. AQE merely splits each action into shuffle-stage jobs;
-    # the action count is the 100 TB-relevant quantity.
+    # With AQE off, one action = one job, so the count is exact: 1 edge
+    # materialization (r11 — pay-once, so iterations stop re-executing the
+    # caller's edge-GENERATION plan, the dominant cost when edges come from
+    # a banded-MinHash or inverted-index join) + 1 initial label checkpoint
+    # + 4 propagation rounds (path 1-2-3-4 converges on round 4) = 6. The
+    # old shapes paid 2 actions per round (checkpoint + count) = 9, then 5
+    # with per-round edge re-execution hidden INSIDE each round's job. AQE
+    # merely splits each action into shuffle-stage jobs; the action count
+    # is the 100 TB-relevant quantity.
     sc = spark.sparkContext
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -680,7 +684,9 @@ def test_connected_components_single_action_per_iteration(spark, monkeypatch):
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
-    assert n_jobs == 5, f"expected 1 init + 4 iteration jobs, saw {n_jobs}"
+    assert n_jobs == 6, (
+        f"expected 1 edge-materialize + 1 init + 4 iteration jobs, saw {n_jobs}"
+    )
     assert not calls, "convergence check ran a separate count() job"
 
 
