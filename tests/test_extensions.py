@@ -3045,3 +3045,94 @@ def test_dedup_savings_census_hand_model(spark):
     # self-normalizing: the census covers the whole corpus exactly once
     assert sum(r.n_docs for r in rows.values()) == 6
     assert sum(r.tokens_total for r in rows.values()) == 23
+
+
+def test_vocab_merge_first_write_race_conflicts(spark, tmp_path, monkeypatch):
+    """The FIRST merge is CAS-pinned to generation 0 (ADVICE r11): if a
+    concurrent merge commits generation 1 between this merge's None read
+    and its commit, the loser must get SnapshotConflictError — NOT
+    silently replace the table with only its own batch's counts.
+    Simulated by patching the merge's current-pointer read to report None
+    while a concurrent commit has already landed."""
+    import pandas as pd
+    import pytest
+
+    from the_movie_database_import_spark.operators import vocab as vocab_mod
+    from the_movie_database_import_spark.operators.vocab import (
+        vocab_merge_incremental,
+    )
+    from the_movie_database_import_spark.sources import writers
+    from the_movie_database_import_spark.sources.writers import (
+        SnapshotConflictError,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    side = str(tmp_path / "vocab")
+    concurrent = spark.createDataFrame(
+        pd.DataFrame({"token": ["a", "b"], "n": [3, 1]})
+    )
+    snapshot_write(concurrent, side)  # the racing merge: generation 1
+
+    real_current = writers.snapshot_current
+    calls = {"n": 0}
+
+    def racing_current(path):
+        # first read (the merge's branch decision) sees the pre-race None;
+        # every later read (inside the commit path) sees reality
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None
+        return real_current(path)
+
+    monkeypatch.setattr(writers, "snapshot_current", racing_current)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["z z"]})
+    )
+    with pytest.raises(SnapshotConflictError):
+        vocab_merge_incremental(docs, side)
+    monkeypatch.undo()
+    # the concurrent merge's counts survive untouched
+    assert {r.token: r.n for r in snapshot_read(spark, side).collect()} == {
+        "a": 3,
+        "b": 1,
+    }
+    # and a non-racing retry merges cleanly on top
+    vocab_merge_incremental(docs, side)
+    assert {r.token: r.n for r in snapshot_read(spark, side).collect()} == {
+        "a": 3,
+        "b": 1,
+        "z": 2,
+    }
+
+
+def test_dedup_savings_census_custom_id_col(spark):
+    """The census must work for any id column name (ADVICE r11:
+    connected_components hardcodes 'doc_id' in its output, which broke
+    the join for id_col='movie_id')."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_savings_census,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "movie_id": [10, 11, 12],
+                "body": ["a b c", "a b c", "q r"],
+            }
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [10], "doc_b": [11]})
+    )
+    rows = {
+        r.cluster_size: r
+        for r in dedup_savings_census(
+            docs, edges, id_col="movie_id", text_col="body"
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert (rows[2].docs_removable, rows[2].tokens_removable) == (1, 3)
+    assert (rows[1].n_docs, rows[1].tokens_removable) == (1, 0)

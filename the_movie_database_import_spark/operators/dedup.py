@@ -1402,9 +1402,12 @@ def dedup_savings_census(
     label table twice (doc→cluster, cluster→size), both map-side
     combinable, and the output is bounded by the distinct cluster
     sizes — a handful of rows at any corpus scale."""
+    # connected_components always names its node column ``doc_id``; rename
+    # to the caller's id so the join below resolves for any id_col
+    # (ADVICE r11 — id_col='movie_id' raised unresolved-column before).
     comp = connected_components(
         docs.select(F.col(id_col)), edges, node_col=id_col
-    )
+    ).withColumnRenamed("doc_id", id_col)
     ntok = docs.select(
         F.col(id_col),
         F.when(

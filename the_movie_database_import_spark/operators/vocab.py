@@ -847,7 +847,15 @@ def vocab_merge_incremental(
     )
     cur = snapshot_current(side_path)
     if cur is None:
-        return snapshot_write(batch, side_path, batch_id=batch_id)
+        # The FIRST write is CAS-pinned to generation 0 too (ADVICE r11):
+        # an unpinned truncate rebases onto whatever manifest is current at
+        # commit time, so a concurrent merge landing generation 1 between
+        # this None read and the commit would be silently REPLACED by only
+        # this batch's counts. Pinning makes the racing first-writer lose
+        # with SnapshotConflictError, same as every later merge.
+        return snapshot_write(
+            batch, side_path, expected_generation=0, batch_id=batch_id
+        )
     # read AT the pinned generation: the merge input and the CAS base are
     # the same state by construction, so a conflict means exactly "another
     # merge committed after this one's base" — never a window between a

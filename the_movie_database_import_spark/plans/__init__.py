@@ -97,7 +97,7 @@ DRIVER_WINDOW = [
     "q_token_count",
     "q_win_running_sum",
     "q_window_tumbling",
-    # --- 27 of the 36 r06-era rows refresh (the 9 left out are annotated
+    # --- 21 of the 36 r06-era rows refresh (the 15 left out are annotated
     # in the header comment and at their tail entries) ---
     "q_agg_approx_count_distinct",
     "q_agg_percentiles",

@@ -2982,7 +2982,15 @@ def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus — so the driver's hash check IS the composition
     identity (k merges == one recount, bit-exact), the strongest form of
     incremental-correctness evidence. Merge cost is vocab-sized
-    (Heaps-law-bounded), never corpus text."""
+    (Heaps-law-bounded), never corpus text.
+
+    The side table is deliberately FRESH per execution (re-merging into a
+    memoized table would double counts — the three merges ARE the
+    measured work, unlike the serve-only _PQ_INDEX_CACHE queries); the
+    temp parent is atexit-reclaimed so repeated driver/bench runs don't
+    accumulate orphan directories (ADVICE r11)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..operators.vocab import vocab_merge_incremental
@@ -2991,7 +2999,9 @@ def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    side = tempfile.mkdtemp(prefix="spark_graft_vocab_") + "/counts"
+    parent = tempfile.mkdtemp(prefix="spark_graft_vocab_")
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    side = parent + "/counts"
     for r in (0, 1, 2):
         vocab_merge_incremental(
             docs.filter(F.col("doc_id") % 3 == r), side
