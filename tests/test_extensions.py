@@ -652,7 +652,10 @@ def test_connected_components_single_action_per_iteration(spark, monkeypatch):
     count() job. Spy on DataFrame.count to prove the loop never calls it,
     and pin the fixpoint labels on a 2-cluster path graph (diameter 3, so
     the loop genuinely iterates multiple rounds)."""
-    from pyspark.sql import DataFrame
+    # Patch the CONCRETE class: pyspark.sql.DataFrame is the abstract base
+    # in Spark 4 and classic.dataframe.DataFrame overrides count, so a spy
+    # on the base never fires (r12 fix — the assertion was vacuous before).
+    from pyspark.sql.classic.dataframe import DataFrame
     from the_movie_database_import_spark.operators.dedup import connected_components
 
     calls: list[int] = []
@@ -3136,3 +3139,223 @@ def test_dedup_savings_census_custom_id_col(spark):
     assert set(rows) == {1, 2}
     assert (rows[2].docs_removable, rows[2].tokens_removable) == (1, 3)
     assert (rows[1].n_docs, rows[1].tokens_removable) == (1, 0)
+
+
+def test_dedup_survivors_quality_policy(spark):
+    """Hand-built graph: cluster {1,2,3} keeps the HIGHEST-score doc (2),
+    pair {4,5} has a score tie -> smallest id (4), {6,7} has one NULL
+    score -> the scored doc wins even with larger id, singleton {8}
+    survives itself. Survivor sets must partition the corpus (exactly one
+    survivor per cluster) and drop counts must reconcile with
+    dedup_savings_census."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_savings_census,
+        dedup_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                "text": ["t"] * 8,
+                "score": [0.2, 0.9, 0.5, 0.7, 0.7, None, 0.1, None],
+            }
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 4, 6], "doc_b": [2, 3, 5, 7]})
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_survivors(docs, edges, score_col="score").collect()
+    }
+    assert len(rows) == 8
+    assert rows[1].survivor_id == 2 and not rows[1].is_survivor
+    assert rows[2].survivor_id == 2 and rows[2].is_survivor
+    assert rows[3].survivor_id == 2 and not rows[3].is_survivor
+    # score tie -> smallest id
+    assert rows[4].survivor_id == 4 and rows[4].is_survivor
+    assert rows[5].survivor_id == 4 and not rows[5].is_survivor
+    # NULL score loses to any scored doc regardless of id order
+    assert rows[6].survivor_id == 7 and not rows[6].is_survivor
+    assert rows[7].is_survivor
+    # singleton survives itself
+    assert rows[8].survivor_id == 8 and rows[8].is_survivor
+    # one survivor per cluster: survivor sets partition the corpus
+    by_cluster: dict = {}
+    for r in rows.values():
+        by_cluster.setdefault(r.cluster_rep, []).append(r)
+    for members in by_cluster.values():
+        assert sum(m.is_survivor for m in members) == 1
+        assert len({m.survivor_id for m in members}) == 1
+    # drop counts reconcile with the census
+    census = dedup_savings_census(docs, edges).collect()
+    assert sum(r.docs_removable for r in census) == sum(
+        not r.is_survivor for r in rows.values()
+    )
+
+
+def test_dedup_survivors_all_null_scores_fall_back_to_min_id(spark):
+    """An all-NULL cluster falls back to the census's keep-smallest-id
+    convention."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [3, 9, 12],
+                "text": ["x", "x", "x"],
+                "score": [None, None, None],
+            }
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [3, 9], "doc_b": [9, 12]})
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_survivors(docs, edges, score_col="score").collect()
+    }
+    assert all(r.survivor_id == 3 for r in rows.values())
+    assert rows[3].is_survivor and not rows[9].is_survivor
+
+
+def test_dedup_survivors_plan_has_no_corpus_window(spark):
+    """The survivor argmax must be ONE aggregate over the label table —
+    never a row_number window partitioned by cluster over corpus rows
+    (the shape that funnels a mega-cluster through one task's sort)."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["a", "b"], "score": [0.1, 0.2]}
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1], "doc_b": [2]})
+    )
+    plan = (
+        dedup_survivors(docs, edges, score_col="score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "max_by" in plan.lower() or "HashAggregate" in plan
+
+
+def test_savings_census_minhash_edges_match_exact_when_recall_one(spark):
+    """On a corpus where banding recall is provably 1.0 (duplicate groups
+    are EXACT copies — identical token sets give identical signatures, so
+    they collide in every band) the banded-MinHash edge path must produce
+    the SAME savings census as the exact blocked-Jaccard path: the census
+    depends only on the connected partition, not which edge generator
+    drew it."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_savings_census,
+        jaccard_pairs_exact,
+        minhash_lsh_pairs,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",      # dup of 1
+        3: "one two three four five six seven",
+        4: "one two three four five six seven",   # dup of 3
+        5: "one two three four five six seven",   # dup of 3
+        6: "completely different words here now", # singleton
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "source": ["s"] * len(texts),
+                "text": list(texts.values()),
+            }
+        )
+    )
+    banded = minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    exact = jaccard_pairs_exact(docs, threshold=0.8).select("doc_a", "doc_b")
+    c_banded = sorted(
+        dedup_savings_census(docs, banded).collect(),
+        key=lambda r: r.cluster_size,
+    )
+    c_exact = sorted(
+        dedup_savings_census(docs, exact).collect(),
+        key=lambda r: r.cluster_size,
+    )
+    assert [tuple(r) for r in c_banded] == [tuple(r) for r in c_exact]
+    sizes = {r.cluster_size: r.n_clusters for r in c_banded}
+    assert sizes == {1: 1, 2: 1, 3: 1}
+
+
+def test_savings_census_minhash_edge_plan_paid_once(spark, monkeypatch):
+    """The banded edge-generation plan (the pipeline's dominant cost) must
+    be materialized ONCE, not re-executed per fixpoint iteration (the r11
+    localCheckpoint contract in connected_components). Spy on every
+    localCheckpoint the census performs: the FIRST is the undirected edge
+    union and must contain the minhash generator shape (Generate/explode
+    of band signatures); every LATER checkpoint is an iteration's label
+    table and must reference the checkpointed RDD instead of re-embedding
+    the generator plan."""
+    import pandas as pd
+    # the concrete class — spies on the pyspark.sql.DataFrame abstract
+    # base never fire in Spark 4 (classic.dataframe overrides the method)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_savings_census,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "source": ["s"] * 6,
+                "text": [
+                    "alpha beta gamma delta epsilon",
+                    "alpha beta gamma delta epsilon",
+                    "alpha beta gamma delta epsilon",
+                    "alpha beta gamma delta epsilon",
+                    "zeta eta theta iota kappa lambda",
+                    "zeta eta theta iota kappa lambda",
+                ],
+            }
+        )
+    )
+    plans: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **k):
+        plans.append(self._jdf.queryExecution().analyzed().toString())
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    edges = minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    rows = dedup_savings_census(docs, edges).collect()
+    monkeypatch.undo()
+
+    got = {r.cluster_size: (r.n_clusters, r.docs_removable) for r in rows}
+    assert got == {2: (1, 1), 4: (1, 3)}
+    # clique {1,2,3,4} + pair {5,6}: 1 edge checkpoint + 1 init + 2 rounds
+    assert len(plans) == 4, f"expected 4 localCheckpoints, saw {len(plans)}"
+    assert "Generate" in plans[0], (
+        "first checkpoint must materialize the banded edge plan"
+    )
+    for i, p in enumerate(plans[1:], 1):
+        assert "Generate" not in p, (
+            f"checkpoint {i} re-embeds the edge-generation plan:\n{p[:2000]}"
+        )
+    # iteration-round plans (after edge + label-init checkpoints) must join
+    # against the CHECKPOINTED edge RDD, never the generator plan
+    for i, p in enumerate(plans[2:], 2):
+        assert "LogicalRDD" in p or "ExistingRDD" in p, p[:2000]

@@ -1442,3 +1442,71 @@ def dedup_savings_census(
         )
         .orderBy("cluster_size")
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    edges: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked survivor selection per near-dup cluster ([ext] r12 —
+    the cluster POLICY `dedup_savings_census` motivates: keep-smallest-id
+    is fine for mirror pairs, but a 10k-doc template cluster should keep
+    its BEST document, not its numerically-first one). Composes the
+    connected-components labels with any per-doc ``score_col`` the caller
+    provides (the blended `quality_metrics` score in the registry query;
+    a model score, length prior, or recency rank drop in identically) and
+    keeps, per cluster, the highest-scoring doc with a DETERMINISTIC
+    tiebreak on smallest id. NULL scores rank below every non-NULL score
+    (a doc with no score never beats a scored doc; an all-NULL cluster
+    falls back to pure smallest-id — the census's keep convention).
+
+    Returns one row per input doc: ``(id_col, cluster_rep, survivor_id,
+    is_survivor)`` — a keep/drop labeling of the WHOLE corpus under the
+    quality policy (singletons survive themselves), so
+    ``filter(is_survivor)`` IS the deduplicated corpus and the drop
+    counts reconcile exactly with `dedup_savings_census`
+    (sum over clusters of (size-1) — pinned in tests).
+
+    Scale shape: NO window over corpus rows (a row_number partitioned by
+    cluster ordered by score is the shape that funnels a mega-cluster's
+    rows through one task's sort). Instead: label propagation (bounded by
+    cluster diameter), one hash join doc→label, ONE max_by aggregate over
+    the label table (map-side combinable — each partition keeps a single
+    running (score, -id) champion per cluster), and one join of the
+    survivor table back onto the labels. The survivor side is NOT
+    broadcast: singletons make #clusters ≈ #docs on a lightly-duplicated
+    corpus, so it is corpus-scale in the worst case — the join shuffles
+    on cluster_rep, and the aggregate already produced the survivor side
+    hash-partitioned by that key, so only the label side moves. The
+    argmax rides a struct ordering ``(score_not_null, score, -id)`` so
+    the tiebreak is total and engine-independent."""
+    # connected_components names its node column doc_id; realign to the
+    # caller's id (same contract note as dedup_savings_census).
+    comp = connected_components(
+        docs.select(F.col(id_col)), edges, node_col=id_col
+    ).withColumnRenamed("doc_id", id_col)
+    scored = comp.join(
+        docs.select(F.col(id_col), F.col(score_col).cast("double").alias("_s")),
+        id_col,
+    )
+    # max_by over a struct: non-NULL beats NULL, then higher score, then
+    # smaller id (negated so max picks the minimum). One aggregate, no window.
+    champion_key = F.struct(
+        F.col("_s").isNotNull().alias("has_s"),
+        F.coalesce(F.col("_s"), F.lit(float("-inf"))).alias("s"),
+        (-F.col(id_col)).alias("neg_id"),
+    )
+    survivors = scored.groupBy("cluster_rep").agg(
+        F.max_by(F.col(id_col), champion_key).alias("survivor_id")
+    )
+    return (
+        scored.join(survivors, "cluster_rep")
+        .select(
+            F.col(id_col),
+            "cluster_rep",
+            "survivor_id",
+            (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
+        )
+    )

@@ -3166,3 +3166,124 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = jaccard_pairs_exact(docs, threshold=0.8)
     return dedup_savings_census(docs, edges)
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM tok a
+        JOIN tok b ON a.tok = b.tok AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    ),
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, undirected.v AS r
+        FROM reach JOIN undirected ON undirected.u = reach.r
+    ),
+    labeled AS (
+        SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 0.5
+               + (1 - CAST(len(list_filter(string_split(text, ' '),
+                              x -> list_contains([{_STOP_LITS}], x))) AS DOUBLE)
+                      / len(string_split(text, ' '))) * 0.3
+               + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100,
+                       1.0) * 0.2 AS s
+        FROM documents
+    ),
+    surv AS (
+        SELECT rep, doc_id AS survivor_id FROM (
+            SELECT l.rep, l.doc_id,
+                   row_number() OVER (
+                       PARTITION BY l.rep
+                       ORDER BY (q.s IS NOT NULL) DESC, q.s DESC,
+                                l.doc_id ASC
+                   ) AS rn
+            FROM labeled l JOIN q USING (doc_id)
+        ) WHERE rn = 1
+    )
+    SELECT l.doc_id, l.rep AS cluster_rep, surv.survivor_id,
+           (l.doc_id = surv.survivor_id) AS is_survivor
+    FROM labeled l JOIN surv ON surv.rep = l.rep
+    """,
+    tags=("dedup", "ext", "iterative", "quality"),
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection (north star `dedup_survivors`,
+    r12 — the cluster policy `dedup_savings_census`'s docstring calls
+    for): over the same exact blocked-Jaccard near-dup graph as
+    q_dedup_savings, keep each cluster's HIGHEST-`quality_metrics`-score
+    document (deterministic smallest-id tiebreak; NULL scores rank last)
+    instead of its smallest id. Returns the per-doc keep/drop labeling —
+    ``filter(is_survivor)`` is the curated corpus. Hash-gated even
+    through the iterative fixpoint AND the double-typed blended score:
+    the labels depend only on the converged partition, the score is the
+    same IEEE blend q_text_quality pins bit-exact cross-engine, and the
+    argmax tiebreak is total. The oracle replays closure + survivorship
+    as recursive CTE + window; the Spark plan is ONE map-side-combinable
+    max_by aggregate over the label table — no window over corpus rows
+    (tests pin that survivor sets partition the corpus and drop counts
+    reconcile with the savings census)."""
+    from ..operators.dedup import dedup_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "q_score", quality_metrics(F.col("text"))["quality_score"]
+    )
+    edges = jaccard_pairs_exact(docs, threshold=0.8)
+    return dedup_survivors(scored, edges, score_col="q_score")
+
+
+@register(
+    "q_dedup_savings_minhash",
+    oracle=None,
+    tags=("dedup", "ext", "lsh", "iterative"),
+)
+def q_dedup_savings_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI census over BANDED-MinHASH edges (r12 — the production
+    edge path: q_dedup_savings' docstring says "at 100 TB the edge list
+    drops in from the banded MinHash path instead"; this query IS that
+    drop-in, previously exercised only by one-off scale probes). Same
+    `dedup_savings_census` downstream — label propagation, two map-side-
+    combinable aggregates, bounded output — fed by `minhash_lsh_pairs`
+    (signature → bands → bucket join → exact-Jaccard verify; no blocking
+    column needed, so unlike the exact-edge twin it also links
+    cross-source near-dups). Banding is hash-family-specific, so
+    rows-only at the driver; tests pin (a) census equality with the
+    exact-edge path on a corpus whose banding recall is provably 1.0
+    (exact duplicates always collide) and (b) that the edge-generation
+    plan — the pipeline's dominant cost — is paid ONCE, not once per
+    fixpoint iteration (the r11 localCheckpoint contract in
+    `connected_components`)."""
+    from ..operators.dedup import dedup_savings_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup_savings_census(docs, edges.select("doc_a", "doc_b"))
