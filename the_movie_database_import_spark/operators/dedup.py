@@ -319,6 +319,102 @@ def minhash_lsh_pairs(
     return cross.unionByName(intra)
 
 
+def _minhash_pairs_from_signatures(
+    sig: DataFrame, threshold: float, bands: int
+) -> DataFrame:
+    """Verified near-dup pairs from an ALREADY-COMPUTED per-doc signature
+    table ``(doc_id, n_toks, th, bands)`` (`minhash_band_signatures`
+    output) — the batch enumeration of :func:`minhash_lsh_pairs`
+    (identical-set collapse → banded rep self-join with
+    first-collision-band emission → exact-Jaccard verify → membership
+    expansion) without re-tokenizing or re-signaturing. Bit-identical to
+    ``minhash_lsh_pairs`` over the same docs/geometry: setkey, band
+    hashes, candidate enumeration and the jaccard doubles are all pure
+    functions of ``th``, which both paths share (pinned by the
+    incremental composition-identity test). Exists so
+    `minhash_lsh_pairs_incremental`'s within-batch leg signatures the
+    delta ONCE (ADVICE r11 — it used to tokenize + signature the new
+    batch a second time inside the nested ``minhash_lsh_pairs`` call)."""
+    sigt = sig.withColumn("setkey", F.xxhash64(F.sort_array(F.col("th"))))
+    sigt = tracked_cache(sigt)
+    members = sigt.select("doc_id", "setkey")
+    # every member of a set has identical th (as a set) and hence identical
+    # signature/band arrays; min_by picks the smallest-id member's copies
+    # to mirror the batch operator's representative exactly
+    reps = sigt.groupBy("setkey").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("th", "doc_id").alias("th"),
+        F.min_by("n_toks", "doc_id").alias("n_toks"),
+        F.min_by("bands", "doc_id").alias("_bands"),
+    )
+    banded = reps.select(
+        "doc_id",
+        "setkey",
+        "th",
+        "n_toks",
+        *[F.col("_bands").getItem(b).alias(f"b{b}") for b in range(bands)],
+        F.posexplode("_bands").alias("band_id", "band_sig"),
+    )
+    no_earlier = first_collision_band(bands)
+    size_compatible = F.least(F.col("a.n_toks"), F.col("b.n_toks")) >= (
+        F.greatest(F.col("a.n_toks"), F.col("b.n_toks")) * F.lit(threshold)
+    )
+    # same optimizer-barrier discipline as minhash_lsh_pairs: intersection
+    # computed once per candidate in the join's output projection
+    scored = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & no_earlier
+            & size_compatible,
+        )
+        .select(
+            F.col("a.setkey").alias("ka"),
+            F.col("b.setkey").alias("kb"),
+            F.col("a.n_toks").alias("n_a"),
+            F.col("b.n_toks").alias("n_b"),
+            F.size(F.array_intersect("a.th", "b.th")).cast("bigint").alias("n_inter"),
+            F.monotonically_increasing_id().alias("_pushdown_barrier"),
+        )
+    )
+    rep_pairs = (
+        scored.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter((F.col("jaccard") >= threshold) & (F.col("_pushdown_barrier") >= 0))
+        .select("ka", "kb", "jaccard")
+    )
+    cross = (
+        rep_pairs.join(
+            members.withColumnsRenamed({"doc_id": "da", "setkey": "ka"}), "ka"
+        )
+        .join(members.withColumnsRenamed({"doc_id": "db", "setkey": "kb"}), "kb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.setkey") == F.col("y.setkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_band_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -397,8 +493,12 @@ def minhash_lsh_pairs_incremental(
     near-duplicate pairs between a NEW batch and the existing corpus —
     the corpus represented ONLY by its :func:`minhash_band_signatures`
     side table, its text never read, never re-signatured — plus, by
-    default, the within-batch pairs from :func:`minhash_lsh_pairs` over
-    the new docs alone. This is the daily-crawl maintenance form of
+    default, the within-batch pairs (bit-identical to
+    :func:`minhash_lsh_pairs` over the new docs alone, but enumerated
+    from the batch's ALREADY-COMPUTED signatures via
+    :func:`_minhash_pairs_from_signatures`, so the delta is tokenized
+    and signatured exactly once — ADVICE r11). This is the
+    daily-crawl maintenance form of
     near-dup dedup: before r11 a user had to rerun ``minhash_lsh_pairs``
     over old+new every day (re-tokenizing and re-hashing the whole
     corpus); now only the delta is signatured.
@@ -451,6 +551,12 @@ def minhash_lsh_pairs_incremental(
     new_sig = minhash_band_signatures(
         new_docs, text_col, id_col, threshold, num_hashes, bands
     )
+    if include_within_batch:
+        # the delta is signatured ONCE (ADVICE r11): the cached signature
+        # table feeds both the corpus probe below and the within-batch
+        # enumeration — before this cache the within-batch leg re-tokenized
+        # and re-signatured the whole batch inside minhash_lsh_pairs
+        new_sig = tracked_cache(new_sig)
     corpus_banded = banded_view(seen_bands)
     probe = banded_view(new_sig)
     no_earlier = first_collision_band(bands)
@@ -493,14 +599,7 @@ def minhash_lsh_pairs_incremental(
     )
     if not include_within_batch:
         return cross
-    within = minhash_lsh_pairs(
-        new_docs,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=threshold,
-        num_hashes=num_hashes,
-        bands=bands,
-    )
+    within = _minhash_pairs_from_signatures(new_sig, threshold, bands)
     return cross.unionByName(within)
 
 

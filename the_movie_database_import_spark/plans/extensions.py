@@ -2962,27 +2962,37 @@ def q_ann_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_vocab_incremental",
     oracle="""
     WITH tok AS (
-        SELECT unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents WHERE text IS NOT NULL
+    ),
+    pd AS (
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY token, doc_id
     )
-    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-    FROM tok GROUP BY token
+    SELECT token,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c * c) AS BIGINT) AS sc2
+    FROM pd GROUP BY token
     ORDER BY n DESC, token
     LIMIT 30
     """,
     tags=("text", "vocab", "incremental", "ext"),
 )
 def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incrementally-maintained corpus token counts (north star
-    `vocab_merge_incremental`, r11 — the vocabulary member of the
-    daily-crawl family): the corpus arrives as THREE batches (doc_id mod
-    3), each merged into a persisted snapshot side table by exact
-    integer sum with the read generation CAS-pinned; the query returns
-    the side table's top 30 tokens. The ORACLE is a full recount over
-    the whole corpus — so the driver's hash check IS the composition
-    identity (k merges == one recount, bit-exact), the strongest form of
-    incremental-correctness evidence. Merge cost is vocab-sized
-    (Heaps-law-bounded), never corpus text.
+    """Incrementally-maintained corpus token statistics (north star
+    `vocab_merge_incremental`; r12 widens the side table to
+    ``(token, n, df, sc2)`` per VERDICT r11 #4): the corpus arrives as
+    THREE batches (doc_id mod 3), each merged into a persisted snapshot
+    side table by exact integer sum with the read generation CAS-pinned;
+    the query returns the side table's top 30 tokens with all three
+    maintained statistics (sc2 emitted as BIGINT — far within range at
+    driver SFs; the TABLE stores DECIMAL(38,0)). The ORACLE is a full
+    recount over the whole corpus — so the driver's hash check IS the
+    composition identity (k merges == one recount, bit-exact) for every
+    maintained column at once, the strongest form of incremental-
+    correctness evidence. Merge cost is vocab-sized (Heaps-law-bounded),
+    never corpus text.
 
     The side table is deliberately FRESH per execution (re-merging into a
     memoized table would double counts — the three merges ARE the
@@ -3008,6 +3018,12 @@ def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         snapshot_read(spark, side)
+        .select(
+            "token",
+            "n",
+            "df",
+            F.col("sc2").cast("bigint").alias("sc2"),
+        )
         .orderBy(F.col("n").desc(), "token")
         .limit(30)
     )
@@ -3287,3 +3303,66 @@ def q_dedup_savings_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = minhash_lsh_pairs(docs, threshold=0.8)
     return dedup_savings_census(docs, edges.select("doc_a", "doc_b"))
+
+
+@register(
+    "q_token_burstiness_incremental",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pd AS (
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY token, doc_id
+    ),
+    pt AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS cf,
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sc2
+        FROM pd GROUP BY token
+    )
+    SELECT token, df, cf,
+           ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst,
+           ROUND(CASE WHEN df > 1 THEN
+               CAST(CAST(df AS HUGEINT) * sc2
+                    - CAST(cf AS HUGEINT) * CAST(cf AS HUGEINT) AS DOUBLE)
+               / CAST(CAST(df - 1 AS HUGEINT) * CAST(cf AS HUGEINT) AS DOUBLE)
+           END, 6) AS vmr
+    FROM pt
+    ORDER BY cf DESC, token
+    LIMIT 50
+    """,
+    tags=("text", "vocab", "incremental", "quality", "ext"),
+)
+def q_token_burstiness_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness census served from the INCREMENTAL vocabulary side table
+    (north star `token_burstiness_from_vocab`, r12 — what VERDICT r11 #4
+    widened the table for): the corpus arrives as three merged batches,
+    then the dispersion census reads ONLY the maintained
+    ``(token, n, df, sc2)`` statistics — O(vocab) per refresh instead of
+    O(corpus), the daily-crawl cost model. The ORACLE is the full-corpus
+    burstiness recount (identical SQL to q_token_burstiness), so the
+    driver's hash gate certifies merge-composition correctness of df and
+    sc2 THROUGH the derived ratios — burst and vmr doubles included.
+    Fresh side table per execution (re-merging a memoized table would
+    double counts); temp parent atexit-reclaimed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.vocab import (
+        token_burstiness_from_vocab,
+        vocab_merge_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    parent = tempfile.mkdtemp(prefix="spark_graft_vocab_")
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    side = parent + "/counts"
+    for r in (0, 1, 2):
+        vocab_merge_incremental(docs.filter(F.col("doc_id") % 3 == r), side)
+    return token_burstiness_from_vocab(spark, side, top_k=50)
