@@ -5,9 +5,10 @@ first 50 ``queries()`` entries, so DRIVER_WINDOW pins one query per
 SURVEY.md §2 component (including every LLM-pipeline / UDF / extension
 operator) into that window. The tail past 50 holds redundant variants of
 components already covered in-window — each tail entry was driver-green in
-a recent CORRECTNESS_r*.json (r08/r09 at the head of the tail for the r10
-layout) and remains locally oracle-checked by tests/test_oracle_parity.py
-and tools/exact_parity.py at every SF.
+a recent CORRECTNESS_r*.json (r11 displaced rows at the head of the tail
+for the r12 layout; the oldest remaining evidence anywhere is r07) and
+remains locally oracle-checked by tests/test_oracle_parity.py and
+tools/exact_parity.py at every SF.
 """
 
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401
@@ -22,280 +23,253 @@ from . import sql_text  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
 
-# First 50 = the driver-checked window. ROUND-11 LAYOUT — a wholesale
-# evidence-refresh rotation (VERDICT r10 #5 demanded that after r11 no
-# registry query's last driver row be older than r06):
+# First 50 = the driver-checked window. ROUND-12 LAYOUT — data-driven from
+# the per-query last-green-driver-row ages (computed over every
+# CORRECTNESS_r*.json; see the r12 session notes):
 #
-# - The 8 never-driver-checked r11 queries are in-window (hard rule,
-#   enforced by tests/test_driver_window.py): q_dedup_minhash_incremental
-#   (the incremental near-dup member, VERDICT r10 #2),
-#   q_similarity_ivfpq_served (the persisted-IVFPQ serve path,
-#   VERDICT r10 #3), q_token_burstiness + q_source_vocab_overlap (the r11
-#   dispersion/redundancy censuses, oracle-checked), and
-#   q_ann_recall_probe (the rebuild-on-drift probe, rows-only), and
-#   q_vocab_incremental + q_vocab_growth (the r11 incremental-vocab and
-#   Heaps-curve censuses, oracle-checked), and q_dedup_savings (the
-#   dedup-ROI census, oracle-checked through the recursive-CTE
-#   fixpoint). The last six took the slots of q_agg_collect_set /
-#   q_date_fns / q_sort_multi_key / q_win_lag_lead /
-#   q_corpus_mix_epochs / q_text_repetition (see TAIL_PRIORITY head
-#   for the family-rep justifications).
-# - The 4 queries whose IMPLEMENTATION changed in r11 keep their slots so
-#   the driver re-checks the new code (the standing rule from r08/r10):
-#   q_text_tfidf_cosine_pairs (relative-df stop-token guard),
-#   q_heavy_hitters (exact-rational threshold lane), q_ks_value_drift and
-#   q_mann_whitney_u (NULL-value contract moved into the operators).
-# - ALL 17 queries whose last driver row was r05 rotate in (listed in
-#   VERDICT r10 #5), plus 21 of the 36 r06-era queries — the freshest
-#   full-registry evidence compatible with the 7 new-query slots.
-# - The 15 r06-era queries that did NOT fit keep their green r06 rows and
-#   carry per-round redundant execution or an in-window family rep; each
-#   is annotated at its tail entry: q_pricing_summary, q_join_range_binned
-#   and q_dedup_minhash_lsh (frozen headline bench re-executes them every
-#   round), q_join_inner_equi (flagship + multiway in the bench,
-#   q_join_semi in-window), q_filter_pred / q_project_rename /
-#   q_string_fns (row-ops rep q_json_fns + q_array_fns + q_date_fns
-#   in-window; every query in the registry exercises filter/project),
-#   q_sample_stratified (q_sample_weighted_per_source holds an r10 row;
-#   per-group grid-margin pins run locally), q_intersect (set-op reps
-#   q_union_all in-window, except/except_all hold r09/r10 rows).
-# - Every query displaced from the r10 window holds a GREEN r10 row (the
-#   r10 window was 44 oracle-green + 6 rows-only-by-design, 0 failures),
-#   so nothing loses evidence; all displaced entries head the tail below.
-#   Local exact-parity (tools/exact_parity.py, both SFs) still covers the
-#   full registry every round.
+# - The 3 never-driver-checked r12 queries are in-window (hard rule,
+#   enforced by tests/test_driver_window.py): q_dedup_survivors
+#   (quality-ranked survivor selection, VERDICT r11 #1),
+#   q_dedup_savings_minhash (the banded-edge savings census — the
+#   production edge path, VERDICT r11 #2), and
+#   q_token_burstiness_incremental (dispersion census served from the
+#   widened vocab side table, VERDICT r11 #4).
+# - The 4 queries whose IMPLEMENTATION changed in r12 keep slots so the
+#   driver re-checks the new code (the standing rule from r08/r10/r11):
+#   q_vocab_incremental (side table widened to (token, n, df, sc2)),
+#   q_dedup_minhash_incremental (delta signatured once — within-batch leg
+#   now enumerates from the cached signature table),
+#   q_token_burstiness (report stage extracted to the shared
+#   _burstiness_report), q_dedup_savings (census id_col realignment).
+# - ALL 15 remaining r06-era rows rotate in (VERDICT r11 #5's list:
+#   q_pricing_summary, q_join_range_binned, q_dedup_minhash_lsh,
+#   q_join_inner_equi, q_filter_pred, q_project_rename, q_string_fns,
+#   q_sample_stratified, q_intersect, plus the 6 displaced late in r11:
+#   q_agg_collect_set, q_date_fns, q_sort_multi_key, q_win_lag_lead,
+#   q_corpus_mix_epochs, q_text_repetition) — after r12 NO query's last
+#   driver row is older than r07.
+# - The remaining 28 slots refresh 28 of the 47 r07-era rows, prioritizing
+#   queries with no frozen-bench or in-window family redundancy (streaming,
+#   UDF, multimodal, corpus-pipeline, text-curation families). The 19
+#   r07-era rows left out each carry a standing redundancy story, annotated
+#   at their tail entries; they are first in line for the r13 window.
 DRIVER_WINDOW = [
-    # --- r11 implementation changes earn driver evidence on the new code ---
-    "q_text_tfidf_cosine_pairs",  # + relative-df stop-token guard (r11)
-    "q_heavy_hitters",            # + exact-rational threshold compare (r11)
-    "q_ks_value_drift",           # + operator-level NULL exclusion (r11)
-    "q_mann_whitney_u",           # + operator-level NULL exclusion (r11)
-    # --- new r11 operators (never driver-checked, must be in-window) ---
-    "q_dedup_minhash_incremental",  # band-signature side-table probe
-    "q_similarity_ivfpq_served",    # persisted IVFxPQ serve path
-    "q_token_burstiness",           # dispersion census (r11)
-    "q_source_vocab_overlap",       # source-level redundancy census (r11)
-    "q_ann_recall_probe",           # rebuild-on-drift recall probe (r11)
-    "q_vocab_incremental",          # CAS-merged token-count side table (r11)
-    "q_vocab_growth",               # Heaps-law growth curve (r11)
-    "q_dedup_savings",              # dedup ROI census (r11)
-    # --- all r05-era rows refresh (VERDICT r10 #5 list, complete) ---
+    # --- new r12 operators (never driver-checked, must be in-window) ---
+    "q_dedup_survivors",
+    "q_dedup_savings_minhash",
+    "q_token_burstiness_incremental",
+    # --- r12 implementation changes earn driver evidence on the new code ---
+    "q_vocab_incremental",
+    "q_dedup_minhash_incremental",
+    "q_token_burstiness",
+    "q_dedup_savings",
+    # --- all 15 remaining r06-era rows refresh (clears r06 entirely) ---
+    "q_agg_collect_set",
+    "q_corpus_mix_epochs",
+    "q_date_fns",
+    "q_dedup_minhash_lsh",
+    "q_filter_pred",
+    "q_intersect",
+    "q_join_inner_equi",
+    "q_join_range_binned",
+    "q_pricing_summary",
+    "q_project_rename",
+    "q_sample_stratified",
+    "q_sort_multi_key",
+    "q_string_fns",
+    "q_text_repetition",
+    "q_win_lag_lead",
+    # --- 28 of the 47 r07-era rows refresh (the 19 left out are annotated
+    # at their tail entries and head the r13 rotation queue) ---
+    "q_applyinpandas_group_pct",
+    "q_bm25_topk",
+    "q_corpus_curation",
+    "q_corpus_delta",
+    "q_data_quality_audit",
+    "q_dedup_embedding_cosine_lsh",
+    "q_dedup_exact",
+    "q_events_funnel",
+    "q_fuzzy_name_pairs",
+    "q_incremental_dedup",
+    "q_join_anti",
+    "q_join_theta_range",
+    "q_multimodal_dedup",
+    "q_multimodal_features",
+    "q_multimodal_metadata",
+    "q_multimodal_resize",
+    "q_pandas_udf_scalar",
+    "q_sample_fixed_k",
+    "q_sample_weighted_k",
+    "q_sql_shared_window",
+    "q_stream_stream_join",
+    "q_text_decontaminate",
+    "q_text_langid",
+    "q_text_unigram_nll",
+    "q_training_order",
+    "q_window_session",
+    "q_window_sliding",
+    "q_window_watermark",
+]
+
+
+# Tail: ordered by evidence freshness — youngest displaced rows first (they
+# can vacate precisely because their evidence is newest), the annotated
+# r07-era leftovers last. Functionally only the first 50 of the registry
+# matter to the driver; the tail order documents the rotation queue. All
+# tail queries remain locally oracle-checked by tests/test_oracle_parity.py
+# + tools/exact_parity.py at every SF per round.
+TAIL_PRIORITY = [
+    # --- green r11 rows displaced by the r12 refresh rotation (the r11
+    # window minus the 4 implementation-changed queries that kept slots) ---
+    "q_agg_approx_count_distinct",
     "q_agg_count_by_value",
     "q_agg_multi",
-    "q_dedup_canonical",
-    "q_dedup_clusters",
-    "q_join_semi",
-    "q_json_fns",
-    "q_multimodal_frame_sample",
-    "q_pack_greedy",
-    "q_pandas_udf_grouped_agg",
-    "q_sql_shared_text",
-    "q_stateful_user_totals",
-    "q_text_ngram_jaccard",
-    "q_text_quality",
-    "q_text_redact_pii",
-    "q_token_count",
-    "q_win_running_sum",
-    "q_window_tumbling",
-    # --- 21 of the 36 r06-era rows refresh (the 15 left out are annotated
-    # in the header comment and at their tail entries) ---
-    "q_agg_approx_count_distinct",
     "q_agg_percentiles",
     "q_agg_rollup",
+    "q_ann_recall_probe",
     "q_apply_delta",
     "q_array_fns",
     "q_boilerplate_census",
     "q_corpus_mix",
+    "q_dedup_canonical",
+    "q_dedup_clusters",
     "q_dedup_embedding_cosine",
     "q_dedup_paragraphs",
     "q_dedup_simhash",
+    "q_heavy_hitters",
     "q_join_left_outer",
     "q_join_salted_skew",
+    "q_join_semi",
+    "q_json_fns",
+    "q_ks_value_drift",
+    "q_mann_whitney_u",
+    "q_multimodal_frame_sample",
     "q_numeric_histogram",
     "q_oov_rate",
+    "q_pack_greedy",
+    "q_pandas_udf_grouped_agg",
     "q_retention_cohorts",
     "q_scd2_history",
     "q_shuffle_shards",
     "q_similarity_ivf_topk",
+    "q_similarity_ivfpq_served",
+    "q_source_vocab_overlap",
+    "q_sql_shared_text",
+    "q_stateful_user_totals",
     "q_surrogate_keys",
+    "q_text_ngram_jaccard",
+    "q_text_quality",
+    "q_text_redact_pii",
+    "q_text_tfidf_cosine_pairs",
     "q_text_tfidf_top_term",
+    "q_token_count",
+    "q_vocab_growth",
     "q_win_ntile_pctrank",
-]
-
-
-# Tail: ordered by evidence freshness. The first block is the entire r10
-# window displaced by the r11 refresh rotation — every entry holds a GREEN
-# r10 driver row (44 oracle-green + 6 rows-only-by-design, 0 failures), the
-# youngest evidence in the registry, which is exactly why they can vacate
-# slots for the r05/r06-era refreshes. All remain locally oracle-checked by
-# tests/test_oracle_parity.py + tools/exact_parity.py at every SF per round.
-TAIL_PRIORITY = [
-    # --- r06-era rows displaced late in r11 to make window room for the 3
-    # never-checked r11 queries (the hard in-window rule outranks an r06
-    # refresh): each keeps its green r06 row and an in-window family rep —
-    # q_agg_collect_set (agg family: multi/count_by_value/rollup/
-    # percentiles/approx_count_distinct all in-window), q_date_fns (row-ops
-    # reps q_json_fns + q_array_fns in-window; every date-filtered query
-    # exercises it), q_sort_multi_key (q_topk_global holds an r10 row and
-    # every windowed query sorts) ---
-    "q_agg_collect_set",
-    "q_date_fns",
-    "q_sort_multi_key",
-    # --- likewise displaced for q_vocab_incremental / q_vocab_growth:
-    # q_win_lag_lead (window family reps q_win_running_sum +
-    # q_win_ntile_pctrank in-window, q_win_time_range holds r10),
-    # q_corpus_mix_epochs (q_corpus_mix in-window,
-    # q_corpus_mix_temperature holds r10) ---
-    "q_win_lag_lead",
-    "q_corpus_mix_epochs",
-    # --- displaced for q_dedup_savings: q_text_repetition (text-quality
-    # family reps q_text_quality + q_token_count + q_token_burstiness
-    # in-window; repetition holds its green r06 row) ---
-    "q_text_repetition",
-    # --- green r10 rows displaced by the r11 refresh rotation ---
-    "q_dedup_substring_spans",
-    "q_dedup_spans_incremental",
-    "q_pipeline_end_to_end",
-    "q_split_leakage_safe",
-    "q_trend_per_type",
-    "q_psi_value_drift",
-    "q_mad_per_type",
-    "q_similarity_pq_topk",
-    "q_seasonal_zscore",
-    "q_shipping_priority_q3",
-    "q_similarity_ivfpq_topk",   # serve twin q_similarity_ivfpq_served is
-                                 # in-window and pinned identical to this
-    "q_source_concentration",
-    "q_local_supplier_volume",
-    "q_revenue_change_q6",
-    "q_entity_resolution",
-    "q_temporal_dim_join",
-    "q_embedding_pca_spectrum",
-    "q_bootstrap_se",
+    "q_win_running_sum",
+    "q_window_tumbling",
+    # --- green r10 rows ---
     "q_ab_funnel_lift",
+    "q_agg_avg_per_key",
+    "q_bootstrap_se",
+    "q_conversion_latency",
+    "q_corpus_mix_temperature",
+    "q_decontaminate_containment",
+    "q_dedup_by_key",
+    "q_dedup_first_event",
+    "q_dedup_spans_incremental",
+    "q_dedup_substring_spans",
+    "q_doc_fingerprint",
+    "q_embedding_pca_spectrum",
+    "q_entity_resolution",
+    "q_events_sessionize",
+    "q_hybrid_rrf_topk",
+    "q_label_coherence",
+    "q_local_supplier_volume",
+    "q_mad_per_type",
+    "q_pipeline_end_to_end",
+    "q_psi_value_drift",
+    "q_quality_classifier",
+    "q_resample_daily",
+    "q_revenue_change_q6",
+    "q_sample_split",
     "q_sample_weighted_per_source",
+    "q_seasonal_zscore",
+    "q_select_token_budget",
+    "q_shipping_priority_q3",
+    "q_similarity_ivfpq_topk",
+    "q_similarity_lsh_topk",
+    "q_similarity_pq_served",
+    "q_similarity_pq_topk",
+    "q_source_concentration",
+    "q_split_leakage_safe",
+    "q_temporal_dim_join",
+    "q_text_chunks",
+    "q_text_jaccard_pairs",
+    "q_text_vocab_coverage",
+    "q_token_entropy",
+    "q_token_kl_divergence",
+    "q_topk_global",
+    "q_trend_per_type",
+    "q_union_all",
+    "q_win_time_range",
     "q_winsorized_mean",
     "q_zipf_fit",
-    "q_decontaminate_containment",
-    "q_conversion_latency",
-    "q_select_token_budget",
-    "q_corpus_mix_temperature",
-    "q_quality_classifier",
-    "q_token_kl_divergence",
-    "q_hybrid_rrf_topk",
-    "q_events_sessionize",
-    "q_win_time_range",
-    "q_resample_daily",
-    "q_label_coherence",
-    "q_similarity_pq_served",    # flat-PQ serve twin; ivfpq_served (the
-                                 # production shape) is in-window
-    "q_token_entropy",
-    "q_similarity_lsh_topk",
-    "q_doc_fingerprint",
-    "q_dedup_by_key",
-    "q_agg_avg_per_key",
-    "q_text_jaccard_pairs",
-    "q_sample_split",
-    "q_text_chunks",
-    "q_union_all",
-    "q_text_vocab_coverage",
-    "q_dedup_first_event",
-    "q_topk_global",
-    # --- green r09 rows (displaced by the r10 rotation; annotations from
-    # the r10 layout still govern) ---
-    "q_benford_audit",
-    "q_welch_ttest",
-    "q_union_schema_evolution",
-    "q_join_full_outer",
-    "q_value_outliers",
-    "q_token_pair_lift",
-    "q_embedding_centroids",
-    "q_fk_orphan_audit",
-    "q_quality_calibrated_keep",
-    "q_rolling_active_users",
-    "q_text_bigram_nll",
-    "q_events_cusum",
-    "q_resample_interpolate",
-    "q_conversion_by_deadline",
-    "q_substring_search_trgm",
-    "q_except_all",
-    "q_unpivot_melt",
+    # --- green r09 rows ---
     "q_attribution_last_touch",
+    "q_benford_audit",
     "q_chi2_independence",
+    "q_conversion_by_deadline",
+    "q_embedding_centroids",
+    "q_events_cusum",
     "q_events_ewma",
+    "q_except_all",
+    "q_fk_orphan_audit",
+    "q_join_full_outer",
+    "q_quality_calibrated_keep",
+    "q_resample_interpolate",
+    "q_rolling_active_users",
+    "q_substring_search_trgm",
+    "q_text_bigram_nll",
+    "q_token_pair_lift",
+    "q_union_schema_evolution",
+    "q_unpivot_melt",
+    "q_value_outliers",
+    "q_welch_ttest",
     # --- green r08 rows ---
-    "q_events_autocorr",
-    "q_twap_per_user",
-    "q_interevent_gaps",
-    "q_golden_record",
-    "q_source_syndication",
-    "q_event_transitions",
     "q_attribution_linear",
-    # --- the 9 r06-era rows that did not fit the r11 window (redundancy
-    # stories in the header comment) ---
-    "q_pricing_summary",      # frozen headline bench re-measures per round
-    "q_join_range_binned",    # frozen headline bench re-executes per round
-    "q_dedup_minhash_lsh",    # headline bench per round + recall pins; the
-                              # in-window incremental query RUNS
-                              # minhash_lsh_pairs for its within-batch leg
-    "q_join_inner_equi",      # flagship + multiway in bench; join family
-                              # reps Q-semi/left_outer/salted in-window
-    "q_filter_pred",          # row-ops reps json/array/date_fns in-window
-    "q_project_rename",       # row-ops reps json/array/date_fns in-window
-    "q_string_fns",           # row-ops reps in-window; text censuses
-                              # exercise string functions every round
-    "q_sample_stratified",    # q_sample_weighted_per_source holds r10 row;
-                              # per-group grid-margin pins run locally
-    "q_intersect",            # set-op rep q_union_all in-window;
-                              # except/except_all hold r09/r10 rows
-    # --- r07 rows (unchanged relative order from the r10 layout) ---
-    "q_agg_percentiles_approx",
-    "q_dedup_embedding_cosine_lsh",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_multimodal_metadata",
-    "q_win_sliding_frame",
-    "q_agg_cube",
-    "q_union_distinct",
-    "q_sample_fixed_k",
-    "q_join_anti",
-    "q_agg_pivot",
-    "q_window_sliding",
-    "q_except",
-    "q_positive_or_null",
-    "q_safe_cast",
-    "q_incremental_dedup",
-    "q_corpus_curation",
-    "q_training_order",
-    "q_text_unigram_nll",
-    "q_events_funnel",
-    "q_data_quality_audit",
-    "q_multimodal_dedup",
-    "q_sql_shared_window",
-    "q_bm25_topk",
-    "q_sample_weighted_k",
-    "q_fuzzy_name_pairs",
-    "q_similarity_topk_cosine",
-    "q_math_fns",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_theta_range",
-    "q_join_multiway_star",
-    "q_agg_first_nonnull",
-    "q_agg_grouping_sets",
-    "q_agg_count_distinct",
-    "q_win_rank",
-    "q_topk_per_group",
-    "q_window_watermark",
-    "q_window_session",
-    "q_stream_stream_join",
-    "q_pandas_udf_scalar",
-    "q_applyinpandas_group_pct",
-    "q_dedup_exact",
-    "q_text_langid",
-    "q_text_decontaminate",
-    "q_corpus_delta",
-    "q_flagship_star_revenue",
+    "q_event_transitions",
+    "q_events_autocorr",
+    "q_golden_record",
+    "q_interevent_gaps",
+    "q_source_syndication",
+    "q_twap_per_user",
+    # --- the 19 r07-era rows that did not fit the r12 window — each has a
+    # standing redundancy story; they head the r13 rotation queue ---
+    "q_flagship_star_revenue",   # entry() flagship + frozen bench, executed
+                                 # and smoke-checked every round
+    "q_join_multiway_star",      # frozen headline bench re-executes per round
+    "q_join_asof",               # headline bench re-measures per round
+    "q_similarity_topk_cosine",  # headline bench (similarity_topk) per round
+    "q_topk_per_group",          # headline bench re-executes per round
+    "q_join_broadcast",          # join family reps semi/left/salted r11;
+                                 # broadcast exercised by most in-window plans
+    "q_math_fns",                # row-ops reps json/array r11 + date/string/
+                                 # filter/project refreshing in this window
+    "q_positive_or_null",        # row-op twin, same family rep story
+    "q_safe_cast",               # golden ETL exercises safe_cast per round
+    "q_union_distinct",          # set-op family: union_all r10, intersect
+                                 # in-window, except/except_all r09/r10
+    "q_except",                  # same set-op family story
+    "q_win_rank",                # window family: running_sum/ntile r11,
+                                 # lag_lead in-window
+    "q_win_sliding_frame",       # same window family story
+    "q_agg_percentiles_approx",  # agg family: percentiles r11 exact twin,
+                                 # approx_count_distinct r11
+    "q_agg_first_nonnull",       # agg family reps multi/rollup/count r11
+    "q_agg_cube",                # grouping-sets code family: rollup r11
+    "q_agg_grouping_sets",       # same grouping-sets family
+    "q_agg_pivot",               # same family
+    "q_agg_count_distinct",      # count_by_value + approx variant r11
 ]
 
 
