@@ -992,6 +992,12 @@ def vocab_growth_curve(
     # distributed exact rank: range-partition by doc, rank within each
     # partition, add broadcast cumulative offsets of earlier partitions
     n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    # INVARIANT this rank depends on (nothing else in the repo does):
+    # repartitionByRange assigns partition ids in RANGE ORDER — partition
+    # i's docs all precede partition i+1's — so per-partition row_number
+    # plus the cumulative count of lower-id partitions is the exact global
+    # rank. The tracked_cache pins the sampled range boundaries, so the
+    # offsets job and the rank pass see the SAME partitioning.
     staged = tracked_cache(
         per_doc.repartitionByRange(n_part, "_doc").withColumn(
             "_pid", F.spark_partition_id()
@@ -1045,8 +1051,6 @@ def vocab_growth_curve(
         F.sum("_toks").over(cum_w).cast("bigint").alias("cum_tokens"),
     )
     first_doc = tok.groupBy("token").agg(F.min("_doc").alias("_fdoc"))
-    from ..session import maybe_broadcast
-
     cv = (
         first_doc.join(
             maybe_broadcast(cum.select("bucket", "last_doc")),
