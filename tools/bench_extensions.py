@@ -68,12 +68,16 @@ QUERIES = [
     "q_source_vocab_overlap",
     "q_vocab_incremental",
     "q_vocab_growth",
-    # q_dedup_savings is deliberately NOT in this series: its registry
-    # form takes edges from jaccard_pairs_exact — the ORACLE-TWIN edge
-    # generator (all within-block pairs, the documented quadratic
-    # exactness baseline, same reason q_dedup_clusters is absent here).
-    # The census itself is cluster-table-sized; at scale the edge list
-    # drops in from the banded MinHash path instead.
+    # q_dedup_savings and q_dedup_survivors are deliberately NOT in this
+    # series: their registry forms take edges from jaccard_pairs_exact —
+    # the ORACLE-TWIN edge generator (all within-block pairs, the
+    # documented quadratic exactness baseline, same reason
+    # q_dedup_clusters is absent here). The census/argmax themselves are
+    # cluster-table-sized; at scale the edge list drops in from the
+    # banded MinHash path — which is exactly what q_dedup_savings_minhash
+    # (r12, below) measures.
+    "q_dedup_savings_minhash",
+    "q_token_burstiness_incremental",
     "q_mad_per_type",
     "q_source_concentration",
     "q_hybrid_rrf_topk",
