@@ -377,6 +377,17 @@ SHOWCASES = [
         "verifies candidates only — byte-equal to the naive full scan "
         "without reading the whole corpus per query.",
     ),
+    (
+        "q_dedup_survivors",
+        "Quality-ranked survivor selection (r12): the per-cluster argmax "
+        "is ONE map-side-combinable max_by aggregate over the label "
+        "table — no Window partitioned by cluster over corpus rows (the "
+        "shape that funnels a mega-cluster through a single task's "
+        "sort); the survivor table joins back on cluster_rep unhinted "
+        "(worst-case corpus-scale: singletons), and the connected-"
+        "components fixpoint reads its localCheckpointed edge table, "
+        "never the edge generator plan.",
+    ),
 ]
 
 
