@@ -3416,3 +3416,65 @@ def test_burstiness_from_vocab_matches_corpus_scan(spark, tmp_path):
     by_tok = {r.token: r for r in derived}
     assert (by_tok["a"].df, by_tok["a"].cf) == (5, 7)
     assert by_tok["g"].vmr is None  # df == 1: variance undefined
+
+
+def test_minhash_star_intra_edges_connectivity_equivalent(spark):
+    """intra_edges='star' (r12): a k-doc exact-duplicate group emits k-1
+    spanning-star rows instead of k(k-1)/2 clique rows, cross-set pairs
+    are unchanged, and every partition-consumer (census, survivors) gets
+    an IDENTICAL answer because the star reaches exactly the clique's
+    nodes."""
+    import pandas as pd
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_savings_census,
+        dedup_survivors,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6, 7],
+                "source": ["s"] * 7,
+                "text": ["alpha beta gamma delta epsilon"] * 4
+                + ["zeta eta theta iota kappa"] * 2
+                + ["totally different words here"],
+                "score": [0.1, 0.9, 0.5, 0.3, None, 0.2, 0.8],
+            }
+        )
+    )
+    clique = minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    star = minhash_lsh_pairs(
+        docs, threshold=0.8, intra_edges="star"
+    ).select("doc_a", "doc_b")
+    # 4-clique: 6 -> 3 rows; pair: 1 -> 1; rep is the min id in each group
+    assert clique.count() == 7 and star.count() == 4
+    star_rows = {(r.doc_a, r.doc_b) for r in star.collect()}
+    assert star_rows == {(1, 2), (1, 3), (1, 4), (5, 6)}
+    # the partition consumers agree exactly
+    c_star = sorted(
+        dedup_savings_census(docs, star).collect(), key=lambda r: r.cluster_size
+    )
+    c_clique = sorted(
+        dedup_savings_census(docs, clique).collect(),
+        key=lambda r: r.cluster_size,
+    )
+    assert [tuple(r) for r in c_star] == [tuple(r) for r in c_clique]
+    s_star = {
+        r.doc_id: (r.cluster_rep, r.survivor_id, r.is_survivor)
+        for r in dedup_survivors(docs, star, score_col="score").collect()
+    }
+    s_clique = {
+        r.doc_id: (r.cluster_rep, r.survivor_id, r.is_survivor)
+        for r in dedup_survivors(docs, clique, score_col="score").collect()
+    }
+    assert s_star == s_clique
+    # quality policy through the banded path: doc 2 (score 0.9) survives
+    # the 4-clique even though doc 1 is the components representative
+    assert s_star[1] == (1, 2, False) and s_star[2][2]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, threshold=0.8, intra_edges="tree")

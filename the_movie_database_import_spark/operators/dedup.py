@@ -110,8 +110,22 @@ def minhash_lsh_pairs(
     num_hashes: int | None = None,
     bands: int | None = None,
     target_recall: float = 0.95,
+    intra_edges: str = "clique",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
+
+    ``intra_edges`` selects how IDENTICAL-set groups emit their pairs
+    (r12): ``"clique"`` (default — every pair within the group, the
+    complete evidence form) or ``"star"`` (each non-representative member
+    paired with the group's smallest id only). A k-doc exact-duplicate
+    group emits k·(k-1)/2 clique rows but k-1 star rows — on a
+    template-flooded 100 TB corpus with 10k-copy clusters that is 50M vs
+    10k rows PER CLUSTER, and the star is CONNECTIVITY-EQUIVALENT: any
+    consumer that only needs the connected partition (components, the
+    savings census, survivor selection, leakage-safe splits) gets an
+    identical answer (pinned in tests), because a spanning star reaches
+    exactly the clique's nodes. Cross-set (genuinely near-dup) pairs are
+    unaffected. Use clique when the pair LIST itself is the deliverable.
 
     Pipeline: tokenize → hash tokens to longs → MinHash signature →
     ``bands`` band signatures → explode → shuffle on (band, signature) →
@@ -181,6 +195,8 @@ def minhash_lsh_pairs(
         num_hashes, bands = choose_minhash_params(threshold, target_recall)
     if num_hashes % bands != 0:
         raise ValueError(f"bands must divide num_hashes: {num_hashes=} {bands=}")
+    if intra_edges not in ("clique", "star"):
+        raise ValueError(f"intra_edges must be 'clique' or 'star': {intra_edges!r}")
     docs = fan_out(docs)
     rows_per_band = num_hashes // bands
     toksets = docs.select(
@@ -303,19 +319,36 @@ def minhash_lsh_pairs(
     )
     # Identical-set pairs: always collide (same signature in every band) and
     # verify at exactly 1.0 — generated directly from the membership table.
-    intra = (
-        members.alias("x")
-        .join(
-            members.alias("y"),
-            (F.col("x.setkey") == F.col("y.setkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    if intra_edges == "star":
+        # spanning star per set: rep = the group's min id (already computed
+        # in `reps`), one (rep, member) row per non-rep member — linear in
+        # group size, connectivity-equivalent to the clique; doc_a < doc_b
+        # holds because rep is the minimum
+        intra = (
+            members.join(
+                reps.select("setkey", F.col("doc_id").alias("_rep")), "setkey"
+            )
+            .filter(F.col("doc_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+    else:
+        intra = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.setkey") == F.col("y.setkey"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
         )
-    )
     return cross.unionByName(intra)
 
 

@@ -3297,11 +3297,17 @@ def q_dedup_savings_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact duplicates always collide) and (b) that the edge-generation
     plan — the pipeline's dominant cost — is paid ONCE, not once per
     fixpoint iteration (the r11 localCheckpoint contract in
-    `connected_components`)."""
+    `connected_components`).
+
+    Edges use ``intra_edges="star"`` (r12): the census only consumes the
+    CONNECTED PARTITION, for which a spanning star per identical-set
+    group is equivalent to the clique (pinned in tests) — and linear in
+    group size where the clique is quadratic, the term that dominates a
+    template-flooded corpus (k·(k-1)/2 → k-1 rows per k-copy cluster)."""
     from ..operators.dedup import dedup_savings_census
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_lsh_pairs(docs, threshold=0.8)
+    edges = minhash_lsh_pairs(docs, threshold=0.8, intra_edges="star")
     return dedup_savings_census(docs, edges.select("doc_a", "doc_b"))
 
 
