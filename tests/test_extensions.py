@@ -693,6 +693,76 @@ def test_connected_components_single_action_per_iteration(spark, monkeypatch):
     assert not calls, "convergence check ran a separate count() job"
 
 
+def test_connected_components_chain_log_rounds(spark):
+    """VERDICT r12 #4: a chain-shaped component (syndication rings, quote
+    chains) must converge in O(log n) rounds, not O(n). Pointer jumping
+    (`shortcut=True`, the default) composes label(label(u)) each round, so
+    the distance the minimum travels roughly doubles per round: a 24-node
+    path takes exactly 24 rounds under plain neighbor-min propagation and 7
+    with the shortcut (python-model counts, pinned); a 300-node path
+    converges in 11 shortcut rounds where plain would need 300."""
+    from the_movie_database_import_spark.operators.dedup import connected_components
+
+    def chain(n):
+        nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "node long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+        )
+        return nodes, edges
+
+    nodes, edges = chain(24)
+    st_plain: dict = {}
+    plain = connected_components(
+        nodes, edges, shortcut=False, max_iters=64, stats=st_plain
+    )
+    assert {r.cluster_rep for r in plain.collect()} == {1}
+    assert st_plain["rounds"] == 24, st_plain
+
+    st_sc: dict = {}
+    sc = connected_components(nodes, edges, stats=st_sc)
+    assert {r.cluster_rep for r in sc.collect()} == {1}
+    assert st_sc["rounds"] == 7, st_sc
+
+    nodes, edges = chain(300)
+    st_big: dict = {}
+    got = connected_components(nodes, edges, stats=st_big)
+    assert {r.cluster_rep for r in got.collect()} == {1}
+    assert st_big["rounds"] <= 12, st_big  # python model: 11
+
+
+def test_connected_components_shortcut_identical(spark):
+    """The shortcut never changes the answer — component-min is the unique
+    fixpoint of both iterations (labels are monotone decreasing, bounded by
+    the component minimum, and any fixpoint is constant per component), so
+    every census/survivor/split consumer inherits the O(log n) bound with
+    bit-identical output. Pin on a mixed topology: a chain, a clique, a
+    star, two singletons, and a cross-cluster bridge."""
+    from the_movie_database_import_spark.operators.dedup import connected_components
+
+    edges_py = (
+        [(i, i + 1) for i in range(10, 17)]  # chain 10..17
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]  # clique
+        + [(30, b) for b in range(31, 36)]  # star
+        + [(17, 20)]  # bridge: chain + clique merge into one component
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10, 40)], "node long"
+    )
+    edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+    base = {
+        (r.doc_id, r.cluster_rep, r.is_kept)
+        for r in connected_components(nodes, edges, shortcut=False).collect()
+    }
+    fast = {
+        (r.doc_id, r.cluster_rep, r.is_kept)
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert base == fast
+    reps = {d: c for d, c, _ in fast}
+    assert reps[17] == 10 and reps[23] == 10  # bridged component
+    assert reps[35] == 30 and reps[39] == 39  # star + singleton
+
+
 def test_decontaminate_removes_exactly_flagged_docs(spark):
     """`decontaminate` must drop precisely the docs `contamination_counts`
     flags at min_grams, keep full rows, and be a no-op when n exceeds every

@@ -642,17 +642,39 @@ def connected_components(
     node_col: str = "node",
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iters: int = 20,
+    max_iters: int = 64,
+    shortcut: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation: every node's
-    label converges to the smallest node id reachable from it — the cluster
-    representative a dedup pipeline keeps.
+    """Connected components by iterative min-label propagation WITH pointer
+    jumping (r13): every node's label converges to the smallest node id
+    reachable from it — the cluster representative a dedup pipeline keeps.
 
     This is the canonical iterative-algorithm shape on Spark (the reference
     has nothing like it — SURVEY.md §2.1): each round is one shuffle-join +
-    aggregate, the loop runs until a fixpoint (at most the graph diameter;
-    near-dup clusters are dense, so 2-4 rounds in practice, `max_iters` is
-    a safety bound). `localCheckpoint` truncates lineage each round so the
+    aggregate, the loop runs until a fixpoint. Plain neighbor-min
+    propagation needs graph-DIAMETER rounds — fine for dense near-dup
+    clusters (2-4 rounds) but O(n) on a chain-shaped component (syndication
+    rings, quote chains, VERDICT r12 #4). The ``shortcut`` step composes
+    each node's label with its LABEL'S label every round
+    (``label <- min(label, min_neighbor_label, label(label))``) — the
+    Shiloach–Vishkin shortcutting / pointer-jumping idea, which makes the
+    distance-to-representative roughly double per round and bounds the loop
+    at O(log n) rounds on ANY topology (chain stress test:
+    tests/test_extensions.py::test_connected_components_chain_log_rounds).
+    We use shortcutting rather than Kiveris et al.'s alternating
+    large-star/small-star rounds (MR-CC, "Connected Components in MapReduce
+    and Beyond") for the same O(log n) bound because it slots into this
+    loop as ONE extra ids-only self-join while preserving the engine's
+    Observation-fused exact convergence check (n_changed rides the
+    materializing action — star-contraction needs a separate edge-set
+    equality probe per round, a second full job). The final labeling is
+    BIT-IDENTICAL to the plain fixpoint (component-min is the unique
+    fixpoint of both; pinned by
+    tests/test_extensions.py::test_connected_components_shortcut_identical),
+    so every census/survivor/split consumer inherits the bound for free.
+    ``stats`` (optional) receives ``{"rounds": k}`` for round-count tests.
+    `localCheckpoint` truncates lineage each round so the
     plan doesn't grow with iterations — at cluster scale this would be a
     persisted table per round (or GraphFrames/Pregel), same loop body.
 
@@ -686,6 +708,7 @@ def connected_components(
         .withColumn("label", F.col("u"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iters):
         neighbor_min = (
             undirected.join(labels.withColumnsRenamed({"u": "v2", "label": "vlabel"}),
@@ -693,13 +716,29 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nb_min"))
         )
+        stepped = labels.join(neighbor_min, "u", "left")
+        if shortcut:
+            # Pointer jumping: every label VALUE is itself a node id in
+            # `labels` (labels start as ids and only ever take neighbor /
+            # pointer label values), so label(label(u)) is one ids-only
+            # equi-join of the labels table with itself. least(NULL-safe:
+            # nb_min/_plabel may be NULL for isolated nodes) keeps the
+            # monotone-decreasing invariant, so convergence and the final
+            # component-min fixpoint are unchanged — the shortcut only
+            # SHORTENS the path the minimum travels.
+            ptr = labels.select(
+                F.col("u").alias("_p"), F.col("label").alias("_plabel")
+            )
+            stepped = stepped.join(ptr, F.col("label") == F.col("_p"), "left")
+            new_label = F.least("label", "nb_min", "_plabel")
+        else:
+            new_label = F.least("label", "nb_min")
         obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
+            stepped.select(
                 "u",
                 F.col("label").alias("_old_label"),
-                F.least("label", "nb_min").alias("label"),
+                new_label.alias("label"),
             )
             .observe(
                 obs,
@@ -711,8 +750,11 @@ def connected_components(
             .localCheckpoint()  # eager: one job materializes AND measures
         )
         labels = new_labels
+        rounds += 1
         if not obs.get["n_changed"]:  # None (empty graph) or 0: fixpoint
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_rep"),
