@@ -473,11 +473,17 @@ def _poisson1_weight(bucket: Column) -> Column:
     """Deterministic Poisson(1) draw from a uniform hex bucket: 0 below
     the first threshold, else the number of thresholds cleared (capped
     at 5). Lexicographic compare of fixed-width lowercase hex == numeric
-    compare — identical in any engine."""
-    w = F.lit(0)
-    for t in _POISSON1_HEX:
-        w = w + F.when(bucket >= F.lit(t), 1).otherwise(0)
-    return w
+    compare — identical in any engine. A short-circuiting when-chain
+    (r13): the draw is the index of the FIRST threshold above the
+    bucket, so codegen stops at the matching branch — expected ~1.7
+    compares per draw instead of always-5 with the additive ladder
+    (P(w=0)=e^-1 alone resolves 37% of draws in one compare). Same
+    function of the bucket, so oracle weights are unchanged."""
+    w: Column = F.lit(len(_POISSON1_HEX))
+    chain = F.when(bucket < F.lit(_POISSON1_HEX[0]), 0)
+    for i, t in enumerate(_POISSON1_HEX[1:], 1):
+        chain = chain.when(bucket < F.lit(t), i)
+    return chain.otherwise(w)
 
 
 def bootstrap_se_mean(
@@ -505,6 +511,11 @@ def bootstrap_se_mean(
 
     Determinism — three lanes composed: hash weights are exact integers
     from the sampling family's md5-hex convention (engine-identical);
+    one md5 yields FOUR independent 32-bit buckets (the 32-hex digest
+    byte-sliced into 8-hex windows), so B=32 weights cost ceil(B/4)=8
+    digests per row instead of 32 — the r12 verdict's scan-CPU fix
+    (#3; xxhash64 would pack 8 weights per call but DuckDB has no
+    xxhash64, and the oracle must replay the identical derivation);
     values floor-quantize to the integer ``grid`` before the weighted
     sums (order-invariant exact sums, the unigram_nll lane); the
     replicate-mean divisions and the stddev tree run on exact inputs in
@@ -514,14 +525,28 @@ def bootstrap_se_mean(
     drop out of the SE via NULL means; keys need >= 2 live replicates
     for a non-NULL SE.
     """
+    from ..sources.readers import fan_out
+
     vq = F.floor(F.col(val_col) * F.lit(grid)).cast("bigint")
-    cols = [F.col(key_col), vq.alias("_vq")]
-    for b in range(n_replicates):
-        bucket = F.md5(
-            F.concat(F.col(id_col).cast("string"), F.lit(f":{b}"))
-        ).substr(1, 8)
-        cols.append(_poisson1_weight(bucket).cast("bigint").alias(f"_w{b}"))
-    rows = df.filter(F.col(val_col).isNotNull()).select(*cols)
+    # Project to the 3 needed columns BEFORE fan_out: the weight derivation
+    # is the scan-side CPU (8 digests + 32 when-chains per row), and a
+    # single local parquet file arrives as a handful of splits — fan_out
+    # spreads the narrow (key, vq, id) rows across cores first (a metadata
+    # no-op on a real thousands-of-splits scan; weights are a pure hash of
+    # the id, so the repartition cannot change any value).
+    narrow = fan_out(
+        df.filter(F.col(val_col).isNotNull()).select(
+            F.col(key_col), vq.alias("_vq"), F.col(id_col).alias("_bid")
+        )
+    )
+    cols = [F.col(key_col), F.col("_vq")]
+    for g in range((n_replicates + 3) // 4):
+        digest = F.md5(F.concat(F.col("_bid").cast("string"), F.lit(f":{g}")))
+        for j in range(min(4, n_replicates - 4 * g)):
+            bucket = digest.substr(1 + 8 * j, 8)
+            b = 4 * g + j
+            cols.append(_poisson1_weight(bucket).cast("bigint").alias(f"_w{b}"))
+    rows = narrow.select(*cols)
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("_vq").alias("_sv"),

@@ -874,7 +874,9 @@ def q_embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_oracle(n_replicates: int = 32) -> str:
-    """Oracle for q_bootstrap_se: the same md5-hex Poisson(1) weights,
+    """Oracle for q_bootstrap_se: the same md5-hex Poisson(1) weights —
+    four 8-hex buckets byte-sliced from each digest (r13: 8 md5 calls
+    per row, not 32, identical derivation in both engines) —
     grid-quantized integer sums, and fold-identical in-row SE tree
     (DuckDB list_reduce's first step m1 == Spark's 0.0 + m1 exactly, so
     the two folds run the same IEEE sequence)."""
@@ -884,7 +886,10 @@ def _bootstrap_oracle(n_replicates: int = 32) -> str:
     agg_exprs = []
     mean_exprs = []
     for b in range(n_replicates):
-        bucket = f"substr(md5(CAST(event_id AS VARCHAR) || ':{b}'), 1, 8)"
+        g, j = divmod(b, 4)
+        bucket = (
+            f"substr(md5(CAST(event_id AS VARCHAR) || ':{g}'), {1 + 8 * j}, 8)"
+        )
         ladder = " + ".join(
             f"(CASE WHEN {bucket} >= '{t}' THEN 1 ELSE 0 END)"
             for t in _POISSON1_HEX
@@ -936,7 +941,8 @@ def _bootstrap_oracle(n_replicates: int = 32) -> str:
 def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Poisson-bootstrap standard error of the per-type mean
     value (north star `bootstrap_se_mean`, Chamandy et al.): B=32
-    deterministic md5-derived Poisson(1) weights per row; 2B+2
+    deterministic md5-derived Poisson(1) weights per row (four 32-bit
+    buckets sliced from each of 8 digests — r13 scan-CPU fix); 2B+2
     conditional sums in ONE hash aggregate; replicate means and their
     stddev compute in-row — the error bar without B resampling passes.
     Hash weights + grid-quantized integer sums + fold-identical SE tree
