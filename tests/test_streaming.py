@@ -835,6 +835,7 @@ def test_stream_psi_matches_batch_twin(spark, tmp_path):
     from the_movie_database_import_spark.operators.stats import (
         psi_against_baseline,
         psi_baseline,
+        psi_baseline_dict,
     )
     from the_movie_database_import_spark.streaming.windows import (
         _events_raw_schema,
@@ -847,7 +848,8 @@ def test_stream_psi_matches_batch_twin(spark, tmp_path):
     cut = "2024-01-16"
     base_df = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
     cur_df = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
-    baseline = psi_baseline(base_df, "event_type", "value", n_bins=10)
+    baseline_census = psi_baseline(base_df, "event_type", "value", n_bins=10)
+    baseline = psi_baseline_dict(baseline_census)  # the streaming-state form
     assert baseline["hi"] > baseline["lo"] and baseline["keys"]
 
     src = str(tmp_path / "cur_events")
@@ -868,9 +870,20 @@ def test_stream_psi_matches_batch_twin(spark, tmp_path):
     assert (stream_out.groupby("key").size() > 1).any(), (
         "expected multiple emissions per key across micro-batches"
     )
-    batch = psi_against_baseline(
-        cur_df, baseline, "event_type", "value"
-    ).toPandas()
+    # the batch path must stay fully distributed (r13, VERDICT r12 #5):
+    # spy that building + executing it never collect()s a census — the
+    # only collect is the one the TEST performs on the final result
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    collects: list[int] = []
+    orig_collect = CDF.collect
+    try:
+        CDF.collect = lambda self: collects.append(1) or orig_collect(self)
+        batch_df = psi_against_baseline(cur_df, baseline_census, "event_type", "value")
+        assert not collects, "psi_against_baseline collected during build"
+        batch = batch_df.toPandas()
+    finally:
+        CDF.collect = orig_collect
     got = {r.key: (r.n_current, r.psi) for r in final.itertuples()}
     want = {r.event_type: (r.n_current, r.psi) for r in batch.itertuples()}
     assert got == want
@@ -882,9 +895,14 @@ def test_stream_psi_matches_batch_twin(spark, tmp_path):
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    b2 = psi_against_baseline(wild, baseline, "event_type", "value")
-    r = {x["event_type"]: x for x in b2.collect()}["view"]
+    b2 = psi_against_baseline(wild, baseline_census, "event_type", "value")
+    rows2 = {x["event_type"]: x for x in b2.collect()}
+    r = rows2["view"]
     assert r["n_current"] == 1 and r["psi"] is not None
+    # keys absent from the current period still score (n_current = 0),
+    # and every emitted key comes from the baseline
+    assert set(rows2) == set(baseline["keys"])
+    assert all(x["n_current"] == 0 for k, x in rows2.items() if k != "view")
 
 
 def test_stream_heavy_hitters_superset_and_exact_recount(spark, tmp_path):
