@@ -693,6 +693,94 @@ def test_connected_components_single_action_per_iteration(spark, monkeypatch):
     assert not calls, "convergence check ran a separate count() job"
 
 
+def test_ppm_wav_codec_roundtrip():
+    """The r13 pure-numpy codecs are REAL format implementations: encode ->
+    decode is the identity on arbitrary arrays, the PPM parser honors
+    netpbm whitespace/comment rules, the WAV parser walks chunk lists (so
+    payloads with extra chunks still decode), and compressed formats still
+    raise the documented NotImplementedError."""
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.multimodal import (
+        decode_image,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 5, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(img))
+    assert out.shape == (11, 5, 3) and (out == img).all()
+
+    # netpbm allows comments and arbitrary whitespace inside the header
+    body = img.tobytes()
+    weird = b"P6 # a comment\n# another\n 5\t11 #w h\n255\n" + body
+    assert (decode_ppm(weird) == img).all()
+
+    samples = rng.integers(-32768, 32768, size=333, dtype=np.int16)
+    rate, back = decode_wav(encode_wav(samples, sample_rate=44100))
+    assert rate == 44100 and (back == samples).all()
+
+    # chunk-walk: a LIST chunk between fmt and data must be skipped
+    import struct
+
+    raw = encode_wav(samples, sample_rate=8000)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:36] + extra + raw[36:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate2, back2 = decode_wav(patched)
+    assert rate2 == 8000 and (back2 == samples).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI LIST")
+
+
+def test_decoded_features_match_python_model(spark):
+    """End-to-end decode queries vs a direct python replay of the pixel /
+    sample rules — independent of the DuckDB oracle (which replays the
+    same rules in SQL), this pins the Spark plumbing: Arrow batches carry
+    real PPM/WAV bytes and the features come from decoded arrays."""
+    import numpy as np
+
+    from the_movie_database_import_spark.plans import REGISTRY
+
+    img = (
+        REGISTRY["q_multimodal_decode_image"]
+        .spark_fn(spark, SF_DIR)
+        .orderBy("asset_id")
+        .limit(5)
+        .collect()
+    )
+    for r in img:
+        px = (r.asset_id * 31 + np.arange(192, dtype=np.int64) * 17) % 256
+        assert (r.width, r.height) == (8, 8)
+        assert r.sum_r == int(px[0::3].sum())
+        assert r.sum_g == int(px[1::3].sum())
+        assert r.sum_b == int(px[2::3].sum())
+
+    aud = (
+        REGISTRY["q_multimodal_decode_audio"]
+        .spark_fn(spark, SF_DIR)
+        .orderBy("asset_id")
+        .limit(5)
+        .collect()
+    )
+    for r in aud:
+        s = ((r.asset_id * 7 + np.arange(256, dtype=np.int64) * 13) % 65536) - 32768
+        assert (r.sample_rate, r.n_samples) == (8000, 256)
+        assert (r.sum_sample, r.min_sample, r.max_sample) == (
+            int(s.sum()),
+            int(s.min()),
+            int(s.max()),
+        )
+
+
 def test_connected_components_chain_log_rounds(spark):
     """VERDICT r12 #4: a chain-shaped component (syndication rings, quote
     chains) must converge in O(log n) rounds, not O(n). Pointer jumping
