@@ -1178,3 +1178,163 @@ def test_ks_and_mwu_match_python_models(spark, base, cur, parts):
     assert (mw["n_baseline"], mw["n_current"]) == (nb, nc)
     assert mw["u_current"] == u
     assert mw["z"] == z
+
+
+# ---------------------------------------------------------------------------
+# Cross-operator incremental side-table interleaving (r13, VERDICT r12 #7)
+# ---------------------------------------------------------------------------
+# The per-family composition identities are each pinned in isolation (vocab
+# k-merge == one recount; minhash old-union-new; span cover rule). The
+# untested axis was INTERLEAVING: three side tables (vocab counts, band
+# signatures, gram digests) maintained under one shared tempdir root while
+# their ingest steps arrive in arbitrary relative order. Every final state
+# must be order-invariant and equal the full-batch recompute: vocab rows
+# merge by exact integer sum, band signatures are pure functions of each
+# doc's token set, gram digests are a set union — and a pair {a, b} is
+# emitted by the minhash probe exactly when the LATER of the two is
+# ingested, so the union of emitted pairs equals the one-shot pair set.
+
+_docs_tokens = st.lists(
+    st.lists(st.sampled_from(["w0", "w1", "w2", "w3", "w4", "w5"]),
+             min_size=4, max_size=10),
+    min_size=6,
+    max_size=9,
+)
+
+
+@given(
+    token_lists=_docs_tokens,
+    data=st.data(),
+)
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_side_tables_interleave_to_full_recompute(
+    spark, token_lists, data
+):
+    """Random batch split + random interleaving of (operator, batch) steps
+    over a SHARED tempdir root: the three persisted side tables and the
+    union of emitted near-dup pairs must equal the full-batch recompute
+    bit-for-bit — no ordering, no neighbor table, no shared-root effect
+    may leak into any family's state."""
+    import shutil
+    import tempfile
+
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_substring_spans_incremental,
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        substring_gram_digests,
+    )
+    from the_movie_database_import_spark.operators.vocab import (
+        vocab_merge_incremental,
+    )
+    from the_movie_database_import_spark.sources.writers import (
+        snapshot_append,
+        snapshot_current,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    texts = [" ".join(toks) for toks in token_lists]
+    n_batches = 3
+    # docs 0..2 anchor batches 0..2 so every batch is nonempty; the rest
+    # are assigned by the strategy
+    assign = [i % n_batches for i in range(3)] + [
+        data.draw(st.integers(0, n_batches - 1)) for _ in range(len(texts) - 3)
+    ]
+    batches = [
+        [(i, texts[i]) for i in range(len(texts)) if assign[i] == b]
+        for b in range(n_batches)
+    ]
+    steps = data.draw(
+        st.permutations(
+            [(op, b) for op in ("vocab", "minhash", "grams")
+             for b in range(n_batches)]
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="interleave_prop_")
+    vocab_path = root + "/vocab"
+    bands_path = root + "/bands"
+    grams_path = root + "/grams"
+    K = 4
+    emitted_pairs: set[tuple[int, int]] = set()
+    try:
+        for op, b in steps:
+            df = spark.createDataFrame(batches[b], "doc_id long, text string")
+            if op == "vocab":
+                vocab_merge_incremental(df, vocab_path)
+            elif op == "minhash":
+                if snapshot_current(bands_path) is None:
+                    pairs = minhash_lsh_pairs(df, threshold=0.5)
+                    snapshot_write(
+                        minhash_band_signatures(df, threshold=0.5), bands_path
+                    )
+                else:
+                    seen = snapshot_read(spark, bands_path)
+                    pairs = minhash_lsh_pairs_incremental(
+                        df, seen, threshold=0.5
+                    )
+                    snapshot_append(
+                        minhash_band_signatures(df, threshold=0.5), bands_path
+                    )
+                emitted_pairs |= {
+                    (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+                    for r in pairs.select("doc_a", "doc_b").collect()
+                }
+            else:
+                if snapshot_current(grams_path) is None:
+                    snapshot_write(substring_gram_digests(df, k=K), grams_path)
+                else:
+                    seen = snapshot_read(spark, grams_path)
+                    # exercise the probe against the shared-root state
+                    dedup_substring_spans_incremental(
+                        df, seen, k=K, dedup_seen=True
+                    ).count()
+                    snapshot_append(substring_gram_digests(df, k=K), grams_path)
+
+        all_docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+        # vocab: interleaved merges == one recount into a fresh table
+        full_vocab_path = root + "/vocab_full"
+        vocab_merge_incremental(all_docs, full_vocab_path)
+        as_rows = lambda p: sorted(  # noqa: E731
+            tuple(r) for r in snapshot_read(spark, p).collect()
+        )
+        assert as_rows(vocab_path) == as_rows(full_vocab_path)
+
+        # bands: appended side table == one-shot signatures over all docs
+        got_bands = sorted(
+            (r.doc_id, r.n_toks, tuple(r.th), tuple(r.bands))
+            for r in snapshot_read(spark, bands_path).collect()
+        )
+        want_bands = sorted(
+            (r.doc_id, r.n_toks, tuple(r.th), tuple(r.bands))
+            for r in minhash_band_signatures(all_docs, threshold=0.5).collect()
+        )
+        assert got_bands == want_bands
+
+        # pair union == the one-shot pair set
+        want_pairs = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in minhash_lsh_pairs(all_docs, threshold=0.5)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        assert emitted_pairs == want_pairs
+
+        # grams: distinct digest set == one-shot digest set
+        got_grams = {
+            r.gram_digest
+            for r in snapshot_read(spark, grams_path).distinct().collect()
+        }
+        want_grams = {
+            r.gram_digest
+            for r in substring_gram_digests(all_docs, k=K).collect()
+        }
+        assert got_grams == want_grams
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
