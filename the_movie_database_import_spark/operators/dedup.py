@@ -717,7 +717,7 @@ def connected_components(
             .agg(F.min("vlabel").alias("nb_min"))
         )
         stepped = labels.join(neighbor_min, "u", "left")
-        if shortcut:
+        if shortcut and rounds > 0:
             # Pointer jumping: every label VALUE is itself a node id in
             # `labels` (labels start as ids and only ever take neighbor /
             # pointer label values), so label(label(u)) is one ids-only
@@ -725,7 +725,11 @@ def connected_components(
             # nb_min/_plabel may be NULL for isolated nodes) keeps the
             # monotone-decreasing invariant, so convergence and the final
             # component-min fixpoint are unchanged — the shortcut only
-            # SHORTENS the path the minimum travels.
+            # SHORTENS the path the minimum travels. Round 1 skips it
+            # (rounds == 0): the pointer graph is still the identity, so
+            # label(label(u)) == label(u) and the join would be a pure
+            # cost — this keeps the dense-cluster common case (2-3 rounds
+            # total) at almost exactly the pre-shortcut price.
             ptr = labels.select(
                 F.col("u").alias("_p"), F.col("label").alias("_plabel")
             )

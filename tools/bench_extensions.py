@@ -121,6 +121,9 @@ QUERIES = [
     "q_union_schema_evolution",
     "q_join_full_outer",
     "q_pipeline_end_to_end",
+    # r13 additions: the real-codec multimodal paths
+    "q_multimodal_decode_image",
+    "q_multimodal_decode_audio",
 ]
 
 
