@@ -1054,3 +1054,167 @@ def test_benford_census_hand_case(spark):
     assert got[1]["expected_p"] == math.log10(2.0)
     assert got[7]["excess"] == 0.25 - math.log10(1 + 1 / 7)
     assert sum(r["frac"] for r in got.values()) == pytest.approx(1.0)
+
+
+def test_coalesce_intervals_swallowed_interval(spark):
+    """The textbook gaps-and-islands bug: a long interval swallows a short
+    one whose early end must NOT reopen a span (running-MAX rule, not
+    lag(end)). [1,10] swallows [2,3]; [4,12] overlaps the running max 10;
+    [13,14] touches nothing before it only via the gap at 12->13."""
+    from the_movie_database_import_spark.operators.analytics import (
+        coalesce_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("k", 1, 10),
+            ("k", 2, 3),   # swallowed: lag(end)=10? no — lag is 3 for next row
+            ("k", 4, 12),  # start 4 <= running max 10 -> same span
+            ("k", 13, 14),  # 13 > running max 12 -> new span
+            ("k2", 5, 6),
+        ],
+        "key string, s int, e int",
+    )
+    rows = {
+        (r.key, r.span_id): (r.span_start, r.span_end, r.n_intervals)
+        for r in coalesce_intervals(df, "key", "s", "e").collect()
+    }
+    assert rows == {
+        ("k", 1): (1, 12, 3),
+        ("k", 2): (13, 14, 1),
+        ("k2", 1): (5, 6, 1),
+    }
+
+
+def test_coalesce_intervals_touching_merge_and_nulls(spark):
+    """Closed-interval semantics: start == prior end merges; NULL bounds
+    are excluded like sessionize excludes NULL timestamps."""
+    from the_movie_database_import_spark.operators.analytics import (
+        coalesce_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 5), ("k", 5, 9), ("k", None, 3), ("k", 20, None)],
+        "key string, s int, e int",
+    )
+    rows = [
+        (r.span_start, r.span_end, r.n_intervals)
+        for r in coalesce_intervals(df, "key", "s", "e").collect()
+    ]
+    assert rows == [(1, 9, 2)]
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    """SNM pairs == all pairs within rank distance w-1 of the total
+    (key, id) order — checked against a python re-derivation, including
+    duplicate keys (id tiebreak keeps the order total)."""
+    from the_movie_database_import_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    data = [(i, k) for i, k in enumerate(["b", "a", "c", "a", "d", "b", "e"])]
+    w = 3
+    order = sorted(data, key=lambda r: (r[1], r[0]))
+    expect = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + w, len(order))):
+            expect.add((order[i][0], order[j][0]))
+    df = spark.createDataFrame(data, "id long, key string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=w).collect()
+    }
+    assert got == expect
+    assert len(got) == (len(data) - 1) + (len(data) - 2)  # n*(w-1) minus tail
+
+
+def test_sorted_neighborhood_partition_invariant(spark):
+    """Global ranks (and therefore the pair set) must not depend on the
+    input's partitioning — the range-partition + broadcast-offsets rank is
+    exact, not partition-relative."""
+    from the_movie_database_import_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    data = [(i, f"k{i % 5}") for i in range(40)]
+    df1 = spark.createDataFrame(data, "id long, key string").repartition(1)
+    df7 = spark.createDataFrame(data, "id long, key string").repartition(7)
+    p1 = sorted(
+        (r.id_a, r.id_b, r.rank_a, r.rank_b)
+        for r in sorted_neighborhood_pairs(df1, "id", "key", window=4).collect()
+    )
+    p7 = sorted(
+        (r.id_a, r.id_b, r.rank_a, r.rank_b)
+        for r in sorted_neighborhood_pairs(df7, "id", "key", window=4).collect()
+    )
+    assert p1 == p7 and len(p1) == 39 + 38 + 37
+
+
+def test_key_skew_census_hand_case(spark):
+    """Counts, deterministic tie order (cnt DESC, key ASC), share and
+    skew ratio as rounded integer quotients."""
+    from the_movie_database_import_spark.operators.skew import key_skew_census
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 2,
+        "k string",
+    )
+    rows = [
+        (r.rank, r.key, r.cnt, r.share, r.n_keys, r.n_rows, r.skew_ratio)
+        for r in key_skew_census(df, "k", top_k=3).collect()
+    ]
+    # mean group = 14/4 = 3.5; skew = 6/3.5 = 1.7143
+    assert rows == [
+        (1, "a", 6, round(6 / 14, 6), 4, 14, 1.7143),
+        (2, "b", 3, round(3 / 14, 6), 4, 14, 1.7143),
+        (3, "c", 3, round(3 / 14, 6), 4, 14, 1.7143),
+    ]
+
+
+def test_gopher_rules_fail_reason_priority_and_rules(spark):
+    """Each rule trips on a crafted row, and fail_reason reports the FIRST
+    violated rule in GOPHER_RULE_ORDER."""
+    from the_movie_database_import_spark.functions.text import gopher_rules
+
+    import pyspark.sql.functions as F
+
+    good = "the a " + " ".join(f"tok{i}" for i in range(40))
+    cases = [
+        ("short", "the a and of"),                     # n_tokens
+        ("long_words", "the a " + " ".join(["verylongword"] * 30)),  # word_len
+        # 4-char digit tokens keep mean word length in [3, 5] so the
+        # alpha rule, not word_len, is the first failure
+        ("no_alpha", "the a " + " ".join(["1234"] * 30)),
+        ("no_stops", " ".join(f"tok{i % 7}" for i in range(40))),  # stopwords
+        ("symbols", "the a " + " ".join(["#"] * 5 + [f"tok{i}" for i in range(30)])),
+        ("repeat", "the a " + " ".join(["xxxx yyyy"] * 20)),  # repetition
+        ("keeper", good),
+    ]
+    df = spark.createDataFrame(cases, "name string, text string")
+    g = gopher_rules(F.col("text"))
+    out = {
+        r.name: (r.keep, r.fail_reason)
+        for r in df.select(
+            "name", g["keep"].alias("keep"), g["fail_reason"].alias("fail_reason")
+        ).collect()
+    }
+    assert out["keeper"] == (True, None)
+    assert out["short"] == (False, "n_tokens")
+    assert out["long_words"] == (False, "word_len")
+    assert out["no_alpha"] == (False, "alpha")
+    assert out["no_stops"] == (False, "stopwords")
+    assert out["symbols"] == (False, "symbols")
+    assert out["repeat"] == (False, "repetition")
+
+
+def test_gopher_rules_discriminate_on_fixture(spark):
+    """The default thresholds must split the real corpus non-trivially —
+    a filter that keeps (or drops) everything is a vacuous test of the
+    rule machinery."""
+    from the_movie_database_import_spark.plans import REGISTRY
+
+    from conftest import SF_DIR
+
+    out = REGISTRY["q_quality_gopher_rules"].spark_fn(spark, SF_DIR).collect()
+    kept = sum(1 for r in out if r.keep)
+    assert 0 < kept < len(out)

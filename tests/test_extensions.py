@@ -3636,3 +3636,189 @@ def test_minhash_star_intra_edges_connectivity_equivalent(spark):
 
     with pytest.raises(ValueError):
         minhash_lsh_pairs(docs, threshold=0.8, intra_edges="tree")
+
+
+def _py_bpe(word_counts: dict, n_merges: int, min_count: int = 2):
+    """Reference single-machine BPE (Sennrich et al. get_stats/merge loop)
+    with the engine's tie order: count DESC, left ASC, right ASC."""
+    vocab = {w: (list(w), c) for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats = {}
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] = stats.get((syms[i], syms[i + 1]), 0) + c
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        for w, (syms, c) in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            vocab[w] = (out, c)
+    return merges
+
+
+def test_bpe_train_matches_python_model(spark):
+    """The distributed trainer must reproduce the classic single-machine
+    BPE loop exactly — merge-for-merge, count-for-count — on the real
+    fixture corpus (the merge table is a pure function of the word
+    census)."""
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators.bpe import train_bpe
+
+    docs = _docs(spark)
+    words = Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in (r.text or "").split(" ")
+        if w
+    )
+    expect = _py_bpe(dict(words), n_merges=8)
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == expect
+    assert len(got) == 8  # the fixture corpus supports at least 8 merges
+
+
+def test_bpe_merge_fold_is_leftmost_greedy(spark):
+    """'aaaa' under merge (a,a) -> [aa, aa]; 'aaa' -> [aa, a]; and a merged
+    symbol is immediately eligible as a LEFT operand ('ab'+'c' after (a,b)
+    then (ab,c))."""
+    from the_movie_database_import_spark.operators.bpe import _apply_merge, _chars
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("abc",)], "w string")
+    m1 = df.select(
+        "w", _apply_merge(_chars(F.col("w")), "a", "a", "aa").alias("s")
+    )
+    got = {r.w: r.s for r in m1.collect()}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    m2 = df.select(
+        "w",
+        _apply_merge(
+            _apply_merge(_chars(F.col("w")), "a", "b", "ab"), "ab", "c", "abc"
+        ).alias("s"),
+    )
+    assert {r.w: r.s for r in m2.collect()}["abc"] == ["abc"]
+
+
+def test_bpe_train_early_stop_below_min_count(spark):
+    """No pair reaches min_count=2 on an all-distinct-characters corpus ->
+    empty merge table (early stop, not an error)."""
+    from the_movie_database_import_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([(1, "ab cd"), (2, "ef gh")], "doc_id long, text string")
+    assert train_bpe(docs, n_merges=4, min_count=2).count() == 0
+
+
+def test_bloom_prefilter_semi_join_equals_plain_semi(spark):
+    """The Bloom probe must be invisible in the result (false positives
+    removed by the exact join, false negatives impossible) while actually
+    pruning rows BEFORE the shuffle."""
+    from the_movie_database_import_spark.operators.skew import (
+        bloom_might_contain,
+        bloom_prefiltered_semi_join,
+        build_bloom_bitmap,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    urgent = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in bloom_prefiltered_semi_join(
+            li, urgent, "l_orderkey", "o_orderkey"
+        )
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    expect = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.join(
+            urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+            "l_orderkey",
+            "left_semi",
+        )
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    assert got == expect and len(got) > 0
+    # the prefilter itself must prune: survivors << fact rows (urgent keys
+    # are ~20% of orders; 8 KiB bitmap on this key count has a tiny FP rate)
+    bitmap = build_bloom_bitmap(urgent, "o_orderkey")
+    survivors = li.filter(
+        bloom_might_contain(F.col("l_orderkey"), bitmap)
+    ).count()
+    assert survivors < 0.5 * li.count()
+    assert survivors >= len(got)
+
+
+def test_bloom_bitmap_never_false_negative(spark):
+    """Every inserted key must probe true — the Bloom guarantee the exact
+    join correctness rests on."""
+    from the_movie_database_import_spark.operators.skew import (
+        bloom_might_contain,
+        build_bloom_bitmap,
+    )
+
+    keys = spark.range(0, 5000).select((F.col("id") * 7 + 3).alias("k"))
+    bitmap = build_bloom_bitmap(keys, "k")
+    misses = keys.filter(~bloom_might_contain(F.col("k"), bitmap)).count()
+    assert misses == 0
+
+
+def test_semantic_dedup_matches_numpy_leader_rule(spark):
+    """Given the SAME centroids, the distributed SemDeDup must reproduce
+    the numpy brute-force leader rule exactly: drop x iff some earlier-id
+    y in x's cluster has cosine(x, y) >= tau."""
+    import numpy as np
+
+    from the_movie_database_import_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    tau = 0.45
+    centroids = train_ivf_centroids(emb, 8)
+    got = {
+        r.vec_id: (r.cluster_id, r.is_kept)
+        for r in semantic_dedup(emb, tau=tau, n_clusters=8, centroids=centroids).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([[float(x) for x in r.embedding] for r in rows])
+    cen = np.array(centroids)
+    # nearest centroid, ties to the lowest index (array_position semantics)
+    d = ((vecs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    cl = d.argmin(axis=1)
+    norms = np.sqrt((vecs**2).sum(axis=1))
+    expect = {}
+    order = np.argsort(ids)
+    for c in range(len(centroids)):
+        members = [i for i in order if cl[i] == c]
+        for pos, i in enumerate(members):
+            dominated = any(
+                (vecs[i] @ vecs[j]) / (norms[i] * norms[j]) >= tau
+                for j in members[:pos]
+            )
+            expect[int(ids[i])] = (c, not dominated)
+    assert got == expect
+    kept = sum(1 for _, k in got.values() if k)
+    assert 0 < kept < len(got)  # tau actually drops something, keeps something

@@ -152,6 +152,166 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+# Gopher-rules defaults (Rae et al. 2021 §A1.1, the public heuristic-filter
+# recipe every LLM-corpus pipeline re-implements). Thresholds are config —
+# these defaults are tuned so the synthetic fixture splits non-trivially
+# (each rule both keeps and drops real rows at sf0.01).
+GOPHER_DEFAULTS: dict[str, float] = {
+    "min_tokens": 20,
+    "max_tokens": 90,
+    "min_word_len": 3.0,
+    "max_word_len": 5.0,
+    "min_alpha_frac": 0.80,
+    "min_stop_hits": 2,
+    "max_symbol_ratio": 0.10,
+    "min_distinct_bigram_ratio": 0.50,
+}
+
+_GOPHER_SYMBOL_RE = r"#|\.\.\."
+
+# (rule name, threshold keys) in FIRST-FAIL priority order — the order is
+# part of the contract (fail_reason reports the first violated rule) and is
+# mirrored verbatim by gopher_rules_oracle_sql.
+GOPHER_RULE_ORDER: tuple[str, ...] = (
+    "n_tokens",
+    "word_len",
+    "alpha",
+    "stopwords",
+    "symbols",
+    "repetition",
+)
+
+
+def gopher_rules(
+    text: Column, thresholds: dict[str, float] | None = None
+) -> dict[str, Column]:
+    """Gopher-style composite quality filter (Rae et al. 2021; the
+    RefinedWeb/Dolma heuristic stage): six per-document rules — token-count
+    bounds, mean-word-length bounds, alphabetic-word fraction, stop-word
+    floor, symbol ratio (# / ellipsis), and a duplicate-bigram ceiling
+    (distinct/total bigram ratio, the in-row stand-in for Gopher's
+    duplicate-n-gram family). Returns the per-rule features, per-rule pass
+    flags, the conjunctive ``keep``, and ``fail_reason`` = first violated
+    rule in :data:`GOPHER_RULE_ORDER` (NULL when kept).
+
+    Everything is a single-pass in-row expression (token array bound once,
+    array ops + one regexp count) — whole-stage codegen, zero shuffles, so
+    the filter runs at scan speed on any corpus size. Every feature is an
+    exact integer or a quotient of exact integers, so the DuckDB oracle
+    (:func:`gopher_rules_oracle_sql`) is hash-exact."""
+    th = {**GOPHER_DEFAULTS, **(thresholds or {})}
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("bigint")
+    mean_word_len = n_chars / n_tokens
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("bigint")
+    alpha_frac = n_alpha / n_tokens
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast(
+        "bigint"
+    )
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(_GOPHER_SYMBOL_RE), 0)).cast(
+        "bigint"
+    )
+    symbol_ratio = n_symbols / n_tokens
+    bigrams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 1),
+                    lambda x, i: F.concat(x, F.lit(" "), F.element_at(t, i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+    n_bigrams = F.size(bigrams).cast("bigint")
+    n_distinct_bigrams = F.size(F.array_distinct(bigrams)).cast("bigint")
+    # single-token docs have zero bigrams: vacuously non-repetitive
+    bigram_ratio = F.when(n_bigrams > 0, n_distinct_bigrams / n_bigrams).otherwise(
+        F.lit(1.0)
+    )
+    passes = {
+        "n_tokens": (n_tokens >= int(th["min_tokens"]))
+        & (n_tokens <= int(th["max_tokens"])),
+        "word_len": (mean_word_len >= th["min_word_len"])
+        & (mean_word_len <= th["max_word_len"]),
+        "alpha": alpha_frac >= th["min_alpha_frac"],
+        "stopwords": stop_hits >= int(th["min_stop_hits"]),
+        "symbols": symbol_ratio <= th["max_symbol_ratio"],
+        "repetition": bigram_ratio >= th["min_distinct_bigram_ratio"],
+    }
+    keep = None
+    fail = None
+    for rule in GOPHER_RULE_ORDER:
+        keep = passes[rule] if keep is None else (keep & passes[rule])
+        branch = F.when(~passes[rule], F.lit(rule))
+        fail = branch if fail is None else fail.when(~passes[rule], F.lit(rule))
+    return {
+        "n_tokens": n_tokens,
+        "mean_word_len": F.round(mean_word_len, 4),
+        "alpha_frac": F.round(alpha_frac, 4),
+        "stop_hits": stop_hits,
+        "symbol_ratio": F.round(symbol_ratio, 4),
+        "distinct_bigram_ratio": F.round(bigram_ratio, 4),
+        "keep": keep,
+        "fail_reason": fail.otherwise(F.lit(None).cast("string")),
+    }
+
+
+def gopher_rules_oracle_sql(thresholds: dict[str, float] | None = None) -> str:
+    """DuckDB twin of :func:`gopher_rules` over the ``documents`` view —
+    same feature expressions, same first-fail CASE order."""
+    th = {**GOPHER_DEFAULTS, **(thresholds or {})}
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    conds = {
+        "n_tokens": f"(n_tokens >= {int(th['min_tokens'])} AND n_tokens <= {int(th['max_tokens'])})",
+        "word_len": f"(mean_wl >= {th['min_word_len']} AND mean_wl <= {th['max_word_len']})",
+        "alpha": f"(alpha_frac >= {th['min_alpha_frac']})",
+        "stopwords": f"(stop_hits >= {int(th['min_stop_hits'])})",
+        "symbols": f"(symbol_ratio <= {th['max_symbol_ratio']})",
+        "repetition": f"(bigram_ratio >= {th['min_distinct_bigram_ratio']})",
+    }
+    keep = " AND ".join(conds[r] for r in GOPHER_RULE_ORDER)
+    first_fail = " ".join(
+        f"WHEN NOT {conds[r]} THEN '{r}'" for r in GOPHER_RULE_ORDER
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               len(replace(text, ' ', '')) * 1.0 / len(toks) AS mean_wl,
+               len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                   * 1.0 / len(toks) AS alpha_frac,
+               CAST(len(list_filter(toks, w -> list_contains([{stops}], w)))
+                   AS BIGINT) AS stop_hits,
+               len(regexp_extract_all(text, '{_GOPHER_SYMBOL_RE}'))
+                   * 1.0 / len(toks) AS symbol_ratio,
+               CASE WHEN len(toks) >= 2 THEN
+                   len(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1]))) * 1.0
+                   / (len(toks) - 1)
+               ELSE 1.0 END AS bigram_ratio
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(mean_wl, 4) AS mean_word_len,
+           round(alpha_frac, 4) AS alpha_frac,
+           stop_hits,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(bigram_ratio, 4) AS distinct_bigram_ratio,
+           ({keep}) AS keep,
+           CASE {first_fail} ELSE NULL END AS fail_reason
+    FROM feat
+    """
+
+
 def regex_token_count(text: Column, pattern: str = "[a-z]+|[0-9]+") -> Column:
     """BPE-ish regex token count (letter runs / digit runs)."""
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")

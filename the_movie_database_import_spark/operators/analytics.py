@@ -964,3 +964,58 @@ def temporal_dimension_join(
         F.col("_h.value").alias("dim_value"),
         F.col("_h.version").alias("dim_version"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands interval coalescing: merge each key's OVERLAPPING
+    (or touching, closed-interval semantics) ``[start, end]`` intervals into
+    maximal disjoint spans — one row per span with ``(key, span_start,
+    span_end, n_intervals)``. The classic warehouse primitive under
+    contract-coverage, machine-uptime, and ad-flight reporting; distinct
+    from :func:`sessionize` because intervals carry heterogeneous DURATIONS:
+    a long interval can swallow many later ones, which no point-gap rule can
+    express.
+
+    Membership rule: ordered by ``(start, end)`` within a key, a row opens a
+    new span iff its start exceeds the RUNNING MAX of all prior ends (not
+    ``lag(end)`` — the textbook bug: an already-swallowed short interval's
+    early end would otherwise reopen a span inside its swallower). Equal
+    starts are order-insensitive: whichever of two equal-start rows sorts
+    first, the second's start <= running max end, so span membership — and
+    therefore every output row — is deterministic without a unique
+    tiebreak column.
+
+    Scale design — ONE key-partitioned shuffle end to end: the running-max
+    window and the span-numbering running sum share the same
+    ``(key) x (start, end)`` spec (single window Exchange), and the final
+    rollup groups on ``(key, span_id)`` — a superset of the window's hash
+    key, so EnsureRequirements reuses the partitioning with NO second
+    Exchange (the sessionize/scd2 plan shape). Per-key window width is
+    bounded by that key's own interval count. NULL starts/ends are
+    unorderable and excluded, as in :func:`sessionize`.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prior_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .withColumn(
+            "_new_span",
+            F.when(
+                prior_max_end.isNull() | (F.col(start_col) > prior_max_end),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("span_id", F.sum("_new_span").over(w))
+    )
+    return flagged.groupBy(F.col(key_col), F.col("span_id")).agg(
+        F.min(start_col).alias("span_start"),
+        F.max(end_col).alias("span_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -229,3 +229,84 @@ def resolve_entities(
             F.col(name_col).alias("canonical_name"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    key_col: str = "key",
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995, the OTHER
+    classic ER candidate generator next to symmetric-delete): sort all rows
+    by ``(key, id)``, slide a ``window``-row frame down the sorted order,
+    and emit every pair that co-occurs in some frame — i.e. all pairs whose
+    global sorted ranks differ by at most ``window - 1``. Returns
+    ``(id_a, id_b, key_a, key_b, rank_a, rank_b)`` with ``rank_a <
+    rank_b``; output is EXACTLY n_rows x (window-1) pairs minus the tail,
+    linear by construction — the blocking guarantee that makes SNM usable
+    where deletion-variant blocking explodes (long keys) or misses
+    (typos beyond edit-1 that still sort adjacently).
+
+    Scale design — no global-window single-partition bottleneck: the exact
+    global rank is the vocab-growth-curve pattern (repartitionByRange
+    assigns partition ids in RANGE ORDER, so per-partition row_number +
+    the broadcast cumulative count of lower-id partitions is the global
+    rank; the tracked_cache pins the sampled range boundaries so the
+    offsets job and the rank pass see one partitioning). Neighbor pairing
+    is then ONE equi-join on rank blocks: bucket = rank div window; a
+    right-neighbor within window-1 ranks lives in bucket or bucket+1, so
+    the left side duplicates into exactly two probe keys (linear, no
+    theta-join) and the rank-distance filter trims the block fringe.
+    Ranks, not keys, ride the candidate shuffle — 8-byte join keys
+    however long the entity names (the shuffle-digests-never-text
+    principle).
+    """
+    from ..session import maybe_broadcast, tracked_cache
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key"))
+    n_part = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    staged = tracked_cache(
+        base.repartitionByRange(n_part, "_key", "_id").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    pc = staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pc.select(
+        "_pid", F.coalesce(F.sum("_pc").over(off_w), F.lit(0)).alias("_off")
+    )
+    rank_w = Window.partitionBy("_pid").orderBy("_key", "_id")
+    ranked = (
+        staged.join(maybe_broadcast(offsets), "_pid")
+        .withColumn(
+            "_rank",
+            (F.row_number().over(rank_w) + F.col("_off")).cast("bigint"),
+        )
+        .drop("_pid", "_off")
+    )
+    ranked = tracked_cache(ranked)
+    w = int(window)
+    left = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("_rank").alias("rank_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_rank") / w),
+                F.floor(F.col("_rank") / w) + 1,
+            )
+        ).alias("_bucket"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_rank").alias("rank_b"),
+        F.floor(F.col("_rank") / w).alias("_bucket"),
+    )
+    dist = F.col("rank_b") - F.col("rank_a")
+    return (
+        left.join(right, "_bucket")
+        .filter((dist > 0) & (dist <= w - 1))
+        .drop("_bucket")
+    )

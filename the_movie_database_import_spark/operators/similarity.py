@@ -1451,3 +1451,71 @@ def pq_index_recall_probe(
             6,
         ).alias("recall"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float = 0.45,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, the public embedding-space dedup recipe
+    for LLM corpora): k-means-cluster the embeddings, then WITHIN each
+    cluster drop every vector that has a near-identical neighbor
+    (cosine >= ``tau``) with a smaller id — the deterministic leader rule:
+    exactly one representative (the lowest id) survives per tight semantic
+    group. Returns ``(vec_id, cluster_id, is_kept)`` for every input row.
+
+    Scale design — the whole point of the clustering stage: pairing is
+    confined within clusters (bucket equi-join, never corpus all-pairs),
+    so the quadratic term is bounded by the largest cluster, which
+    ``n_clusters`` controls; at 100 TB the k-means fit runs on a sample
+    (tiny centroid list broadcasts into codegen assignment expressions,
+    :func:`train_ivf_centroids`), assignment is one scan, and the
+    domination probe is a LEFT SEMI join — candidates short-circuit at
+    the first dominator instead of materializing all qualifying pairs.
+    Like the IVF/PQ family, cluster assignment is k-means-specific, so
+    the registry row is rows-only; the leader-rule semantics are pinned
+    against a numpy brute-force model in tests/test_extensions.py."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_clusters, vec_col)
+    corpus = fan_out(embeddings).select(
+        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    c_dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+    assigned = corpus.withColumn(
+        "cluster_id",
+        (F.array_position(c_dists, F.array_min(c_dists)) - 1).cast("bigint"),
+    ).withColumn("v_norm", norm(F.col("v")))
+    from ..session import tracked_cache
+
+    assigned = tracked_cache(assigned)
+    a = assigned.select(
+        F.col("cluster_id").alias("_c"),
+        F.col("vec_id").alias("_id"),
+        F.col("v").alias("_v"),
+        F.col("v_norm").alias("_n"),
+    )
+    dominated = a.alias("x").join(
+        a.alias("y"),
+        (F.col("x._c") == F.col("y._c"))
+        & (F.col("y._id") < F.col("x._id"))
+        & (
+            cosine(
+                dot(F.col("x._v"), F.col("y._v")), F.col("x._n"), F.col("y._n")
+            )
+            >= tau
+        ),
+        "left_semi",
+    ).select(F.col("_id").alias("vec_id"), F.lit(False).alias("is_kept"))
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
+        )
+    )

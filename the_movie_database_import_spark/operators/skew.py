@@ -15,7 +15,7 @@ when it does not.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_SALTS = 8
 
@@ -58,4 +58,160 @@ def salted_join(
     return (
         big_salted.join(small_salted.hint("shuffle_hash"), [key, "_salt"], how)
         .drop("_salt")
+    )
+
+
+def key_skew_census(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostics for shuffle planning (the census a 100 TB
+    operator runs BEFORE picking between broadcast / salted / plain
+    shuffle join): the ``top_k`` heaviest keys by row count, each annotated
+    with the global distribution — total rows, distinct keys, mean group
+    size, and the skew ratio (heaviest group / mean group). A skew ratio
+    near 1 says hash partitioning balances; a large one says this key needs
+    :func:`salted_join` or an AQE skew split, and the census names exactly
+    which key values are hot.
+
+    Returns ``(rank, key, cnt, share, n_keys, n_rows, skew_ratio)`` with
+    ``rank`` 1-based by ``(cnt DESC, key ASC)`` — the tie order makes the
+    census deterministic. ``share`` and ``skew_ratio`` are quotients of
+    exact integers rounded to 6/4 places, so a SQL oracle is hash-exact.
+
+    Scale shape: ONE map-side-combinable groupBy(key) count — the widest
+    shuffle is key-cardinality-bounded — then a TakeOrdered top-k and a
+    single-row global aggregate broadcast back onto k rows. Nothing
+    corpus-sized survives the first aggregate."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("_max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(
+        int(top_k)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            "n_keys",
+            "n_rows",
+            F.round(F.col("_max_cnt") * F.col("n_keys") / F.col("n_rows"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+    )
+
+
+BLOOM_M_BITS = 1 << 16  # 8 KiB bitmap — constant, independent of data size
+BLOOM_K = 5
+
+
+def build_bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Distributed Bloom-filter build over a key set: k xxhash64 probes per
+    key set bits in an ``m_bits`` bitmap, OR-reduced as 64-bit words with
+    the ``bit_or`` aggregate (map-side combinable; the shuffle key is the
+    word index — at most ``m_bits/64`` groups). The returned bitmap is a
+    python list of ``m_bits/64`` longs: CONSTANT size (8 KiB at the
+    default), so collecting it to the driver is a bounded scalar fetch
+    like the PQ codebook sample, never a data-sized collect."""
+    n_words = m_bits // 64
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    pos = (
+        keys.select(F.col(key_col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .select(
+            F.explode(
+                F.transform(
+                    seeds,
+                    lambda s: F.pmod(
+                        F.xxhash64(F.col("_k"), s), F.lit(m_bits)
+                    ).cast("long"),
+                )
+            ).alias("_pos")
+        )
+    )
+    words = (
+        pos.select(
+            (F.col("_pos") / 64).cast("long").alias("_word"),
+            # call_function: pyspark's shiftleft() only takes a literal int
+            # for the bit count, the SQL function accepts a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_pos") % 64).cast("int")
+            ).alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[int(r._word)] = int(r._bits)
+    return bitmap
+
+
+def bloom_might_contain(
+    key: "F.Column", bitmap: list[int], m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+):
+    """In-row membership probe against a literal bitmap: AND over the k
+    xxhash64 bit tests — pure codegen, no join, no shuffle. False positives
+    possible (that is the contract), false negatives never."""
+    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    cond = None
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)).cast("long")
+        word = F.element_at(arr, ((pos / 64).cast("int") + 1))
+        test = (
+            F.call_function("shiftright", word, (pos % 64).cast("int")).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+        ) == 1
+        cond = test if cond is None else (cond & test)
+    return cond
+
+
+def bloom_prefiltered_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Semi join with a runtime Bloom prefilter — the hand-rolled twin of
+    Spark's InjectRuntimeFilter (which only fires on its own cost
+    heuristics): build an 8 KiB Bloom bitmap over the small side's keys
+    (one bounded aggregate), probe it IN-ROW on the big side BEFORE the
+    join shuffle, then run the exact semi join on the survivors.
+
+    Result is EXACTLY ``big SEMI JOIN small`` (the probe never produces
+    false negatives; false positives are removed by the exact join), but
+    at 100 TB the shuffle moves only ``matches + fp_rate x non_matches``
+    rows instead of the whole fact table — the classic runtime-filter win
+    when the dimension predicate is selective. The bitmap is constant-size
+    (driver-safe) and rides into codegen as a literal array; nothing about
+    the filter depends on data volume."""
+    bitmap = build_bloom_bitmap(small, small_key, m_bits, k)
+    prefiltered = big.filter(
+        bloom_might_contain(F.col(big_key), bitmap, m_bits, k)
+    )
+    return prefiltered.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(),
+        big_key,
+        "left_semi",
     )

@@ -28,10 +28,15 @@ from . import stats  # noqa: F401,E402
 # CORRECTNESS_r*.json; pre-rotation distribution: r07x19, r08x7, r09x20,
 # r10x46, r11x46, r12x50, never-checked x2):
 #
-# - The 2 NEW r13 queries are in-window (hard rule, enforced by
+# - The NEW r13 queries are in-window (hard rule, enforced by
 #   tests/test_driver_window.py): q_multimodal_decode_image and
 #   q_multimodal_decode_audio — the real pure-numpy codec paths
-#   (VERDICT r12 #2), both full-oracle rows.
+#   (VERDICT r12 #2), plus the round's new operators
+#   (q_quality_gopher_rules, q_interval_coalesce,
+#   q_er_sorted_neighborhood, q_key_skew_census, ...) — all full-oracle
+#   rows. Each new operator displaces one r09-era refresh row whose
+#   family keeps other in-window representatives (annotated at their
+#   tail entries).
 # - The 7 queries whose IMPLEMENTATION changed in r13 keep/take slots so
 #   the driver re-checks the new code (standing rule): q_bootstrap_se
 #   (sliced-md5 weight lane + when-chain draws + fan-out, VERDICT r12 #3)
@@ -43,13 +48,21 @@ from . import stats  # noqa: F401,E402
 #   remaining tail of stale evidence; after r13 the oldest driver row
 #   anywhere is r08).
 # - ALL 7 r08-era rows rotate in.
-# - The remaining 15 slots refresh 15 of the 20 r09-era rows. The 5 left
-#   out each have in-window family redundancy, annotated at their tail
-#   entries; they head the r14 rotation queue.
+# - The remaining slots refresh r09-era rows. The r09 rows left out each
+#   have in-window family redundancy, annotated at their tail entries;
+#   they head the r14 rotation queue.
 DRIVER_WINDOW = [
     # --- new r13 operators (never driver-checked, must be in-window) ---
     "q_multimodal_decode_image",
     "q_multimodal_decode_audio",
+    "q_quality_gopher_rules",
+    "q_interval_coalesce",
+    "q_er_sorted_neighborhood",
+    "q_key_skew_census",
+    "q_bpe_pair_census",
+    "q_bpe_train",
+    "q_join_bloom_prefilter",
+    "q_dedup_semantic",
     # --- r13 implementation changes earn driver evidence on the new code
     # (bootstrap weight lane; pointer-jumping connected components) ---
     "q_bootstrap_se",
@@ -87,22 +100,14 @@ DRIVER_WINDOW = [
     "q_interevent_gaps",
     "q_source_syndication",
     "q_twap_per_user",
-    # --- 15 of the 20 r09-era rows refresh (the 5 left out are annotated
-    # at their tail entries and head the r14 rotation queue) ---
+    # --- r09-era rows refresh (the ones left out are annotated at their
+    # tail entries and head the r14 rotation queue) ---
     "q_benford_audit",
-    "q_chi2_independence",
-    "q_conversion_by_deadline",
-    "q_embedding_centroids",
     "q_events_cusum",
     "q_fk_orphan_audit",
-    "q_join_full_outer",
     "q_quality_calibrated_keep",
-    "q_resample_interpolate",
-    "q_rolling_active_users",
     "q_substring_search_trgm",
     "q_text_bigram_nll",
-    "q_token_pair_lift",
-    "q_unpivot_melt",
     "q_value_outliers",
 ]
 
@@ -253,8 +258,33 @@ TAIL_PRIORITY = [
     "q_win_time_range",
     "q_winsorized_mean",
     "q_zipf_fit",
-    # --- the 5 r09-era rows that did not fit the r13 window — each has a
+    # --- the r09-era rows that did not fit the r13 window — each has a
     # standing redundancy story; they head the r14 rotation queue ---
+    "q_join_full_outer",         # join family: broadcast/asof/multiway/
+                                 # full refreshes share the join code path;
+                                 # displaced for a new r13 operator
+    "q_unpivot_melt",            # set-op/reshape family: q_except and
+                                 # q_union_distinct in-window; displaced
+                                 # for a new r13 operator
+    "q_resample_interpolate",    # resample family: same per-key ordered
+                                 # scan as q_events_cusum/autocorr
+                                 # (in-window); displaced for r13 operator
+    "q_rolling_active_users",    # rolling-window family: q_win_sliding
+                                 # _frame in-window shares the frame
+                                 # machinery; displaced for r13 operator
+    "q_chi2_independence",       # census-then-in-row-stat family: benford
+                                 # and value_outliers refresh in-window;
+                                 # displaced for a new r13 operator
+    "q_token_pair_lift",         # token-census family: bigram_nll stays
+                                 # in-window, burstiness/unigram r12-green;
+                                 # displaced for a new r13 operator
+    "q_conversion_by_deadline",  # conversion family: q_conversion_latency
+                                 # shares the journey scan, funnel r12-green;
+                                 # displaced for a new r13 operator
+    "q_embedding_centroids",     # embedding-census family: the new
+                                 # q_dedup_semantic drives the same
+                                 # centroid-assignment machinery in-window;
+                                 # displaced for a new r13 operator
     "q_attribution_last_touch",  # attribution family: the linear twin
                                  # (q_attribution_linear, r08-era) is
                                  # in-window; both share the journey scan

@@ -657,3 +657,158 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return benford_census(lineitem, "l_extendedprice")
 
+
+
+@register(
+    "q_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey,
+               o_orderdate AS s,
+               o_orderdate + to_days(CAST(o_orderkey % 60 + 1 AS INT)) AS e
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+    ),
+    flagged AS (
+        SELECT o_custkey, s, e,
+               CASE WHEN MAX(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s > MAX(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS new_span
+        FROM iv
+    ),
+    spans AS (
+        SELECT o_custkey, s, e,
+               SUM(new_span) OVER (
+                   PARTITION BY o_custkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS span_id
+        FROM flagged
+    )
+    SELECT o_custkey,
+           CAST(span_id AS BIGINT) AS span_id,
+           strftime(MIN(s), '%Y-%m-%d %H:%M:%S') AS span_start,
+           strftime(MAX(e), '%Y-%m-%d %H:%M:%S') AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM spans
+    GROUP BY o_custkey, span_id
+    """,
+    tags=("analytics", "intervals", "ext"),
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing (`coalesce_intervals`): each
+    customer's order-activity intervals — [o_orderdate, o_orderdate +
+    (o_orderkey % 60 + 1) days], deterministic heterogeneous durations —
+    merged into maximal disjoint activity spans. Distinct from sessionize:
+    a long interval swallows later short ones (running-MAX-of-ends rule,
+    not lag(end) — the textbook island bug). One customer-keyed shuffle
+    end to end: the running-max window, span-numbering sum, and the
+    (key, span_id) rollup all reuse a single Exchange."""
+    from ..operators.analytics import coalesce_intervals
+
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 60 + 1 AS INT), o_orderdate)"
+        ).alias("e"),
+    )
+    out = coalesce_intervals(iv, "o_custkey", "s", "e")
+    # timestamps ride out as formatted strings — the driver's value hash is
+    # dtype-sensitive and pandas ns-vs-us units differ across engines (the
+    # q_events_sessionize convention)
+    return out.select(
+        "o_custkey",
+        F.col("span_id").cast("bigint").alias("span_id"),
+        F.date_format("span_start", "yyyy-MM-dd HH:mm:ss").alias("span_start"),
+        F.date_format("span_end", "yyyy-MM-dd HH:mm:ss").alias("span_end"),
+        F.col("n_intervals").cast("bigint").alias("n_intervals"),
+    )
+
+
+@register(
+    "q_er_sorted_neighborhood",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey AS id, p_name AS key,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS BIGINT)
+                   AS rnk
+        FROM part
+    )
+    SELECT a.id AS id_a, a.key AS key_a, CAST(a.rnk AS BIGINT) AS rank_a,
+           b.id AS id_b, b.key AS key_b, CAST(b.rnk AS BIGINT) AS rank_b
+    FROM ranked a JOIN ranked b
+      ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+    """,
+    tags=("fuzzy", "blocking", "ext"),
+)
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández-Stolfo SNM, the classic ER
+    candidate generator): all part pairs whose global (p_name, p_partkey)
+    sort ranks differ by at most 3 — a window-4 slide down the sorted
+    order, exactly n x 3 candidate pairs minus the tail. The global rank
+    is the distributed range-partition + broadcast-offsets pattern (no
+    single-partition window), and pairing is ONE equi-join on rank-div-
+    window blocks with the left side duplicated into two probe buckets —
+    linear, never a theta-join. The oracle replays the same total order
+    with a window self-join; ranks are engine-independent because the
+    (key, id) order is total."""
+    from ..operators.fuzzy import sorted_neighborhood_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    out = sorted_neighborhood_pairs(
+        part.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("key")),
+        "id",
+        "key",
+        window=4,
+    )
+    return out.select("id_a", "key_a", "rank_a", "id_b", "key_b", "rank_b")
+
+
+@register(
+    "q_key_skew_census",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM counts
+    ),
+    top AS (
+        SELECT key, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT)
+                   AS rank
+        FROM counts
+        ORDER BY cnt DESC, key ASC
+        LIMIT 10
+    )
+    SELECT rank, key, cnt,
+           round(cnt * 1.0 / n_rows, 6) AS share,
+           n_keys, n_rows,
+           round(max_cnt * n_keys * 1.0 / n_rows, 4) AS skew_ratio
+    FROM top, stats
+    """,
+    tags=("skew", "diagnostics", "ext"),
+)
+def q_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (`key_skew_census`): the 10 heaviest event
+    user_ids with their global share and the distribution's skew ratio
+    (heaviest group / mean group) — the census a 100 TB operator runs
+    before choosing broadcast vs salted vs plain shuffle join on a key.
+    One map-side-combinable groupBy(key) count, a TakeOrdered top-k, and
+    a single-row global aggregate broadcast onto k rows; nothing
+    corpus-sized survives the first aggregate."""
+    from ..operators.skew import key_skew_census
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_census(events, "user_id", top_k=10)

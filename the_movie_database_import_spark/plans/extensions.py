@@ -536,6 +536,42 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _install_gopher_query() -> None:
+    from ..functions.text import gopher_rules, gopher_rules_oracle_sql
+
+    @register(
+        "q_quality_gopher_rules",
+        oracle=gopher_rules_oracle_sql(),
+        tags=("text", "curation", "ext"),
+    )
+    def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style composite heuristic filter (Rae et al. 2021 §A1.1;
+        the RefinedWeb/Dolma curation stage): six per-document rules —
+        token-count bounds, mean-word-length bounds, alphabetic-word
+        fraction, stop-word floor, symbol ratio, duplicate-bigram ceiling —
+        with per-rule features, the conjunctive `keep`, and `fail_reason` =
+        first violated rule. Single-pass in-row expressions (token array
+        bound once), whole-stage codegen, zero shuffles: the filter runs at
+        scan speed at any corpus size, and every feature is exact-integer
+        math so the oracle is hash-exact."""
+        docs = load_table(spark, sf_dir, "documents")
+        g = gopher_rules(F.col("text"))
+        return docs.select(
+            "doc_id",
+            g["n_tokens"].alias("n_tokens"),
+            g["mean_word_len"].alias("mean_word_len"),
+            g["alpha_frac"].alias("alpha_frac"),
+            g["stop_hits"].alias("stop_hits"),
+            g["symbol_ratio"].alias("symbol_ratio"),
+            g["distinct_bigram_ratio"].alias("distinct_bigram_ratio"),
+            g["keep"].alias("keep"),
+            g["fail_reason"].alias("fail_reason"),
+        )
+
+
+_install_gopher_query()
+
+
 @register(
     "q_token_count",
     oracle="""
@@ -3432,3 +3468,122 @@ def q_token_burstiness_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     for r in (0, 1, 2):
         vocab_merge_incremental(docs.filter(F.col("doc_id") % 3 == r), side)
     return token_burstiness_from_vocab(spark, side, top_k=50)
+
+
+@register(
+    "q_bpe_pair_census",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c
+        FROM wc, unnest(generate_series(1, length(w) - 1)) AS g(i)
+    )
+    SELECT l AS "left", r AS "right", CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY l, r
+    """,
+    tags=("text", "bpe", "ext"),
+)
+def q_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-0 statistic (`bpe_pair_census`): adjacent character-pair
+    counts over the word census, weighted by word frequency — the exact
+    quantity the first tokenizer merge argmaxes over (Sennrich et al.
+    2016). One corpus pass builds the Heaps-bounded word census; the pair
+    explode runs over the census, not the corpus, and the widest shuffle
+    key is (left, right) — alphabet-bounded. Overlapping pairs all count
+    ('aaa' -> (a,a) twice), matching the classic get_stats and the
+    oracle's substr indexing."""
+    from ..operators.bpe import bpe_pair_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_census(docs)
+
+
+@register(
+    "q_bpe_train",
+    oracle=None,  # iterative argmax-dependent training is not expressible in
+    # non-recursive SQL; rows-only driver check + the python-reference-model
+    # parity pin in tests/test_extensions.py::test_bpe_train_matches_python_model
+    tags=("text", "bpe", "ext"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (`train_bpe`): 12 merge rounds over the
+    word census — per round, a map-side-combinable pair count, a 1-row
+    argmax collect (ties break (count DESC, left ASC, right ASC)), and a
+    pure-codegen leftmost-greedy fold that rewrites the symbol arrays;
+    the census is eagerly localCheckpoint-ed so plan depth stays O(1) per
+    round. Corpus is read ONCE; training cost is n_merges x O(word
+    vocab), corpus-size-independent. Deterministic: the merge table is a
+    pure function of the word census (pinned against a python reference
+    model in tests)."""
+    from ..operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe(docs, n_merges=12)
+
+
+@register(
+    "q_join_bloom_prefilter",
+    oracle="""
+    WITH urgent AS (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "bloom", "ext"),
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-prefiltered semi join (`bloom_prefiltered_semi_join`,
+    the hand-rolled twin of Spark's InjectRuntimeFilter): lineitems of
+    URGENT orders. An 8 KiB Bloom bitmap built over the urgent orderkeys
+    (one bounded bit_or aggregate) probes IN-ROW on the fact side BEFORE
+    the join shuffle — at 100 TB the shuffle moves matches + a hash-false-
+    positive sliver instead of the whole fact table, and the exact semi
+    join removes the sliver, so the oracle is the plain IN-subquery. The
+    decimal-lane revenue rollup proves the join content, not just its
+    cardinality."""
+    from ..operators.skew import bloom_prefiltered_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_prefiltered_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=None,  # cluster assignment is k-means-specific (like the whole
+    # IVF/PQ family) — rows-only driver check; the leader-rule semantics are
+    # pinned against a numpy brute-force model in tests/test_extensions.py
+    tags=("dedup", "similarity", "ext"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus,
+    then within each cluster keep only the lowest-id representative of
+    every tight semantic group (cosine >= 0.45 to an earlier vector drops
+    the later one). Pairing is confined within clusters — bucket equi-join
+    bounded by the largest cluster, never corpus all-pairs — and the
+    domination probe is a LEFT SEMI join that short-circuits at the first
+    dominator. Returns every vector with its cluster and keep flag."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, tau=0.45, n_clusters=8)
