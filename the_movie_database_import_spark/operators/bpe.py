@@ -149,3 +149,51 @@ def train_bpe(
         merges,
         "merge_rank bigint, left string, right string, merged string, pair_count bigint",
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Apply learned BPE merges — the tokenizer SERVE path that prices every
+    training batch: returns ``(doc_id, n_ws_tokens, n_bpe_tokens)`` per
+    document, where ``n_bpe_tokens`` counts the symbols left after replaying
+    ``merges`` (as ``(left, right, merged)`` triples, in rank order) over
+    each word.
+
+    Scale design: each DISTINCT word is encoded exactly once — the merge
+    folds run over the Heaps-bounded word census, never over corpus
+    occurrences (encode cost is O(word_vocab x n_merges), corpus-size-
+    independent), and the per-word token counts join back onto the exploded
+    corpus through the budget-guarded broadcast. The merge chain
+    checkpoints every ``checkpoint_every`` rounds so expression depth stays
+    bounded instead of nesting n_merges fold lambdas into one tree."""
+    from ..session import maybe_broadcast
+
+    vocab = word_census(docs, text_col).select(
+        "word", _chars(F.col("word")).alias("syms")
+    )
+    for i, (left, right, merged) in enumerate(merges):
+        vocab = vocab.select(
+            "word", _apply_merge(F.col("syms"), left, right, merged).alias("syms")
+        )
+        if (i + 1) % int(checkpoint_every) == 0 and i + 1 < len(merges):
+            vocab = vocab.localCheckpoint()
+    word_counts = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("_wtoks")
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        exploded.join(maybe_broadcast(word_counts), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ws_tokens"),
+            F.sum("_wtoks").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

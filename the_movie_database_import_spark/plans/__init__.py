@@ -63,6 +63,7 @@ DRIVER_WINDOW = [
     "q_bpe_train",
     "q_join_bloom_prefilter",
     "q_dedup_semantic",
+    "q_bpe_encode",
     # --- r13 implementation changes earn driver evidence on the new code
     # (bootstrap weight lane; pointer-jumping connected components) ---
     "q_bootstrap_se",
@@ -107,7 +108,6 @@ DRIVER_WINDOW = [
     "q_fk_orphan_audit",
     "q_quality_calibrated_keep",
     "q_substring_search_trgm",
-    "q_text_bigram_nll",
     "q_value_outliers",
 ]
 
@@ -284,6 +284,9 @@ TAIL_PRIORITY = [
     "q_embedding_centroids",     # embedding-census family: the new
                                  # q_dedup_semantic drives the same
                                  # centroid-assignment machinery in-window;
+                                 # displaced for a new r13 operator
+    "q_text_bigram_nll",         # LM-NLL family: q_text_unigram_nll is
+                                 # r12-green on the shared integer-ln lane;
                                  # displaced for a new r13 operator
     "q_attribution_last_touch",  # attribution family: the linear twin
                                  # (q_attribution_linear, r08-era) is

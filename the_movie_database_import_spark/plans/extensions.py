@@ -3587,3 +3587,29 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, tau=0.45, n_clusters=8)
+
+
+@register(
+    "q_bpe_encode",
+    oracle=None,  # replays the learned (iterative, argmax-dependent) merge
+    # table — no non-recursive SQL form; rows-only driver check + the
+    # end-to-end python-model parity pin in tests/test_extensions.py
+    tags=("text", "bpe", "ext"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer SERVE path (`bpe_encode_counts`): learn 12 merges,
+    then price every document — whitespace token count vs post-merge BPE
+    token count (the number a context-window budget or a token-priced
+    mixture actually consumes). Each DISTINCT word is encoded once over
+    the Heaps-bounded word census (O(vocab x n_merges), corpus-size-
+    independent) and the counts broadcast-join back onto the exploded
+    corpus; the merge chain checkpoints every 4 rounds to bound
+    expression depth."""
+    from ..operators.bpe import bpe_encode_counts, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in train_bpe(docs, n_merges=12).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode_counts(docs, merges)

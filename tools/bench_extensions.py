@@ -124,6 +124,16 @@ QUERIES = [
     # r13 additions: the real-codec multimodal paths
     "q_multimodal_decode_image",
     "q_multimodal_decode_audio",
+    # r13 additions: new operator families
+    "q_quality_gopher_rules",
+    "q_interval_coalesce",
+    "q_er_sorted_neighborhood",
+    "q_key_skew_census",
+    "q_bpe_pair_census",
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_join_bloom_prefilter",
+    "q_dedup_semantic",
 ]
 
 
