@@ -105,6 +105,21 @@ def _apply_merge(syms: Column, left: str, right: str, merged: str) -> Column:
     )
 
 
+def _persistent_ids(sc) -> set[int]:
+    """Ids of the RDDs currently pinned in the executor block store —
+    localCheckpoint blocks live here, NOT in the SQL cache manager, so the
+    session-level release_caches() cannot reclaim them."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_ids(sc, ids: set[int]) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 12,
@@ -115,8 +130,19 @@ def train_bpe(
     ``(merge_rank, left, right, merged, pair_count)`` — tiny (one row per
     merge), assembled on the driver from one 1-row argmax collect per
     round while ALL counting/merging stays distributed over the word
-    census. Stops early when no pair reaches ``min_count``."""
+    census. Stops early when no pair reaches ``min_count``.
+
+    Job shape: the per-round checkpoint is LAZY (``eager=False``) so the
+    NEXT round's argmax job materializes it — one job per round instead of
+    two. Checkpoint blocks are freed explicitly as rounds retire (RDD ids
+    are monotonic: everything this function pinned except the newest is
+    dead weight) and ALL of them at return — the merge table is driver
+    data, so nothing downstream reads the vocab chain. Without this, a
+    shared session accumulates n_merges vocab snapshots per call in the
+    executor block store (the r13 ext-bench interference finding)."""
     spark = docs.sparkSession
+    sc = spark.sparkContext
+    outside = _persistent_ids(sc)
     vocab = (
         word_census(docs, text_col)
         .withColumn("syms", _chars(F.col("word")))
@@ -124,27 +150,35 @@ def train_bpe(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, int(n_merges) + 1):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(
-                F.col("pair_count").desc(),
-                F.col("left").asc(),
-                F.col("right").asc(),
+    try:
+        for rank in range(1, int(n_merges) + 1):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("left").asc(),
+                    F.col("right").asc(),
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0].pair_count < min_count:
-            break
-        left, right, cnt = best[0].left, best[0].right, int(best[0].pair_count)
-        merged = left + right
-        merges.append((rank, left, right, merged, cnt))
-        # eager checkpoint: keeps per-round plan depth O(1) instead of
-        # stacking n_merges nested aggregate lambdas
-        vocab = vocab.select(
-            "wcount", _apply_merge(F.col("syms"), left, right, merged).alias("syms")
-        ).localCheckpoint()
+            # the argmax job just materialized this round's lazy
+            # checkpoint; every older one of ours is now unreachable
+            mine = _persistent_ids(sc) - outside
+            if len(mine) > 1:
+                _unpersist_ids(sc, mine - {max(mine)})
+            if not best or best[0].pair_count < min_count:
+                break
+            left, right = best[0].left, best[0].right
+            cnt = int(best[0].pair_count)
+            merged = left + right
+            merges.append((rank, left, right, merged, cnt))
+            vocab = vocab.select(
+                "wcount",
+                _apply_merge(F.col("syms"), left, right, merged).alias("syms"),
+            ).localCheckpoint(eager=False)
+    finally:
+        _unpersist_ids(sc, _persistent_ids(sc) - outside)
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, left string, right string, merged string, pair_count bigint",
@@ -171,8 +205,10 @@ def bpe_encode_counts(
     corpus through the budget-guarded broadcast. The merge chain
     checkpoints every ``checkpoint_every`` rounds so expression depth stays
     bounded instead of nesting n_merges fold lambdas into one tree."""
-    from ..session import maybe_broadcast
+    from ..session import BROADCAST_BUDGET_ROWS, tracked_cache
 
+    sc = docs.sparkSession.sparkContext
+    outside = _persistent_ids(sc)
     vocab = word_census(docs, text_col).select(
         "word", _chars(F.col("word")).alias("syms")
     )
@@ -182,15 +218,34 @@ def bpe_encode_counts(
         )
         if (i + 1) % int(checkpoint_every) == 0 and i + 1 < len(merges):
             vocab = vocab.localCheckpoint()
+            # retire the previous chain checkpoint — only the newest one
+            # (max id: RDD ids are monotonic) feeds the rest of the plan
+            mine = _persistent_ids(sc) - outside
+            if len(mine) > 1:
+                _unpersist_ids(sc, mine - {max(mine)})
     word_counts = vocab.select(
         "word", F.size("syms").cast("bigint").alias("_wtoks")
     )
+    # Materialize the per-word counts into the tracked SQL cache (released
+    # by the registry/bench discipline at the next query) and THEN free the
+    # chain checkpoints — they are dead weight once the cache holds the
+    # counts. The cache must stay retained on BOTH broadcast paths: the
+    # freed checkpoints cannot back a lineage recompute (localCheckpoint
+    # truncates lineage), so this deliberately does not route through
+    # maybe_broadcast, whose over-budget path unpersists the probe cache.
+    chain_ids = _persistent_ids(sc) - outside  # BEFORE caching: the SQL
+    # cache registers its own RDD in getPersistentRDDs and must survive
+    word_counts = tracked_cache(word_counts)
+    n_vocab = word_counts.count()
+    _unpersist_ids(sc, chain_ids)
+    if n_vocab <= BROADCAST_BUDGET_ROWS:
+        word_counts = F.broadcast(word_counts)
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("word"),
     ).filter(F.col("word") != "")
     return (
-        exploded.join(maybe_broadcast(word_counts), "word")
+        exploded.join(word_counts, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ws_tokens"),

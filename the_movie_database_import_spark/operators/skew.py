@@ -210,8 +210,8 @@ def bloom_prefiltered_semi_join(
     prefiltered = big.filter(
         bloom_might_contain(F.col(big_key), bitmap, m_bits, k)
     )
+    # no distinct on the build side: LEFT SEMI already emits each probe row
+    # at most once, and a distinct would add a build-side exchange for nothing
     return prefiltered.join(
-        small.select(F.col(small_key).alias(big_key)).distinct(),
-        big_key,
-        "left_semi",
+        small.select(F.col(small_key).alias(big_key)), big_key, "left_semi"
     )

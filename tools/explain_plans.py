@@ -388,6 +388,32 @@ SHOWCASES = [
         "components fixpoint reads its localCheckpointed edge table, "
         "never the edge generator plan.",
     ),
+    (
+        "q_quality_gopher_rules",
+        "Gopher-rules composite quality filter (r13): six heuristic rules "
+        "as ONE single-pass in-row projection — no Exchange, no Join, no "
+        "Python stage anywhere; the documents scan is pruned to "
+        "(doc_id, text), so the filter runs at scan speed at any corpus "
+        "size.",
+    ),
+    (
+        "q_join_bloom_prefilter",
+        "Runtime Bloom-prefiltered semi join (r13): the k=5 xxhash64 "
+        "bit-test Filter sits on the fact scan BELOW the exact LeftSemi "
+        "join — at 100 TB the join shuffle moves matches plus a false-"
+        "positive sliver instead of the whole fact table; the 8 KiB "
+        "bitmap is a literal array in codegen, built by one bounded "
+        "bit_or aggregate.",
+    ),
+    (
+        "q_er_sorted_neighborhood",
+        "Sorted-neighborhood ER blocking (r13): the exact global rank is "
+        "DISTRIBUTED — range partition ids + per-partition row_number + a "
+        "broadcast offsets table (never a global single-partition window "
+        "over the data); pairing is one equi-join on rank-div-window "
+        "blocks with the left side duplicated into exactly two probe "
+        "buckets, so candidates are linear by construction.",
+    ),
 ]
 
 
