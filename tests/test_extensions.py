@@ -3864,3 +3864,33 @@ def test_bpe_encode_matches_python_model(spark):
     # merges must actually compress: strictly fewer BPE tokens than chars
     some = next(iter(got.values()))
     assert some[1] >= some[0]  # at least one symbol per word
+
+
+def test_iterative_operators_leave_no_pinned_rdds(spark):
+    """localCheckpoint blocks live in the executor block store, not the SQL
+    cache — release_caches cannot reclaim them, so the iterative operators
+    must retire their own snapshots (the r13 ext-bench interference
+    finding). After connected_components and train_bpe complete, at most
+    the operator's single RESULT checkpoint may remain pinned."""
+    from the_movie_database_import_spark.operators.bpe import train_bpe
+    from the_movie_database_import_spark.operators.dedup import (
+        connected_components,
+    )
+    from the_movie_database_import_spark.session import persistent_rdd_ids
+
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(41)], "id long")
+    labels = connected_components(nodes, edges, node_col="id")
+    labels.count()
+    after_cc = persistent_rdd_ids(sc) - before
+    assert len(after_cc) <= 1, f"connected_components leaked pins: {after_cc}"
+
+    docs = _docs(spark)
+    train_bpe(docs, n_merges=5).count()
+    after_bpe = persistent_rdd_ids(sc) - before - after_cc
+    assert not after_bpe, f"train_bpe leaked pins: {after_bpe}"

@@ -105,21 +105,6 @@ def _apply_merge(syms: Column, left: str, right: str, merged: str) -> Column:
     )
 
 
-def _persistent_ids(sc) -> set[int]:
-    """Ids of the RDDs currently pinned in the executor block store —
-    localCheckpoint blocks live here, NOT in the SQL cache manager, so the
-    session-level release_caches() cannot reclaim them."""
-    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-
-def _unpersist_ids(sc, ids: set[int]) -> None:
-    jmap = sc._jsc.getPersistentRDDs()
-    for rid in ids:
-        jrdd = jmap.get(rid)
-        if jrdd is not None:
-            jrdd.unpersist(False)
-
-
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 12,
@@ -134,21 +119,23 @@ def train_bpe(
 
     Job shape: the per-round checkpoint is LAZY (``eager=False``) so the
     NEXT round's argmax job materializes it — one job per round instead of
-    two. Checkpoint blocks are freed explicitly as rounds retire (RDD ids
-    are monotonic: everything this function pinned except the newest is
-    dead weight) and ALL of them at return — the merge table is driver
-    data, so nothing downstream reads the vocab chain. Without this, a
-    shared session accumulates n_merges vocab snapshots per call in the
-    executor block store (the r13 ext-bench interference finding)."""
+    two. Checkpoint blocks are freed explicitly as rounds retire (each
+    tracked by its EXACT LogicalRDD id, session.local_checkpoint_rdd_id)
+    and ALL of them at return — the merge table is driver data, so nothing
+    downstream reads the vocab chain. Without this, a shared session
+    accumulates n_merges vocab snapshots per call in the executor block
+    store (the r13 ext-bench interference finding)."""
+    from ..session import local_checkpoint_rdd_id, unpersist_rdd_ids
+
     spark = docs.sparkSession
     sc = spark.sparkContext
-    outside = _persistent_ids(sc)
     vocab = (
         word_census(docs, text_col)
         .withColumn("syms", _chars(F.col("word")))
         .select("wcount", "syms")
         .localCheckpoint()
     )
+    prev_id = local_checkpoint_rdd_id(vocab)
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for rank in range(1, int(n_merges) + 1):
@@ -163,10 +150,11 @@ def train_bpe(
                 .collect()
             )
             # the argmax job just materialized this round's lazy
-            # checkpoint; every older one of ours is now unreachable
-            mine = _persistent_ids(sc) - outside
-            if len(mine) > 1:
-                _unpersist_ids(sc, mine - {max(mine)})
+            # checkpoint; the previous round's snapshot is now unreachable
+            cur_id = local_checkpoint_rdd_id(vocab)
+            if prev_id is not None and prev_id != cur_id:
+                unpersist_rdd_ids(sc, {prev_id})
+            prev_id = cur_id
             if not best or best[0].pair_count < min_count:
                 break
             left, right = best[0].left, best[0].right
@@ -178,7 +166,9 @@ def train_bpe(
                 _apply_merge(F.col("syms"), left, right, merged).alias("syms"),
             ).localCheckpoint(eager=False)
     finally:
-        _unpersist_ids(sc, _persistent_ids(sc) - outside)
+        for rid in {prev_id, local_checkpoint_rdd_id(vocab)}:
+            if rid is not None:
+                unpersist_rdd_ids(sc, {rid})
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, left string, right string, merged string, pair_count bigint",
@@ -205,39 +195,43 @@ def bpe_encode_counts(
     corpus through the budget-guarded broadcast. The merge chain
     checkpoints every ``checkpoint_every`` rounds so expression depth stays
     bounded instead of nesting n_merges fold lambdas into one tree."""
-    from ..session import BROADCAST_BUDGET_ROWS, tracked_cache
+    from ..session import (
+        BROADCAST_BUDGET_ROWS,
+        local_checkpoint_rdd_id,
+        tracked_cache,
+        unpersist_rdd_ids,
+    )
 
     sc = docs.sparkSession.sparkContext
-    outside = _persistent_ids(sc)
     vocab = word_census(docs, text_col).select(
         "word", _chars(F.col("word")).alias("syms")
     )
+    prev_id: int | None = None
     for i, (left, right, merged) in enumerate(merges):
         vocab = vocab.select(
             "word", _apply_merge(F.col("syms"), left, right, merged).alias("syms")
         )
         if (i + 1) % int(checkpoint_every) == 0 and i + 1 < len(merges):
             vocab = vocab.localCheckpoint()
-            # retire the previous chain checkpoint — only the newest one
-            # (max id: RDD ids are monotonic) feeds the rest of the plan
-            mine = _persistent_ids(sc) - outside
-            if len(mine) > 1:
-                _unpersist_ids(sc, mine - {max(mine)})
+            # retire the previous chain checkpoint (exact-id tracked) —
+            # only the newest one feeds the rest of the plan
+            if prev_id is not None:
+                unpersist_rdd_ids(sc, {prev_id})
+            prev_id = local_checkpoint_rdd_id(vocab)
     word_counts = vocab.select(
         "word", F.size("syms").cast("bigint").alias("_wtoks")
     )
     # Materialize the per-word counts into the tracked SQL cache (released
     # by the registry/bench discipline at the next query) and THEN free the
-    # chain checkpoints — they are dead weight once the cache holds the
+    # last chain checkpoint — it is dead weight once the cache holds the
     # counts. The cache must stay retained on BOTH broadcast paths: the
-    # freed checkpoints cannot back a lineage recompute (localCheckpoint
+    # freed checkpoint cannot back a lineage recompute (localCheckpoint
     # truncates lineage), so this deliberately does not route through
     # maybe_broadcast, whose over-budget path unpersists the probe cache.
-    chain_ids = _persistent_ids(sc) - outside  # BEFORE caching: the SQL
-    # cache registers its own RDD in getPersistentRDDs and must survive
     word_counts = tracked_cache(word_counts)
     n_vocab = word_counts.count()
-    _unpersist_ids(sc, chain_ids)
+    if prev_id is not None:
+        unpersist_rdd_ids(sc, {prev_id})
     if n_vocab <= BROADCAST_BUDGET_ROWS:
         word_counts = F.broadcast(word_counts)
     exploded = docs.select(

@@ -688,6 +688,10 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
+    from ..session import local_checkpoint_rdd_id, unpersist_rdd_ids
+
+    sc = nodes.sparkSession.sparkContext
+
     # The edge table is consumed by EVERY iteration's join — without a
     # materialization each round would re-execute the caller's whole edge
     # GENERATION plan (a banded-MinHash or inverted-index join, the
@@ -708,6 +712,8 @@ def connected_components(
         .withColumn("label", F.col("u"))
         .localCheckpoint()
     )
+    _edges_id = local_checkpoint_rdd_id(undirected)
+    _prev_labels_id = local_checkpoint_rdd_id(labels)
     rounds = 0
     for _ in range(max_iters):
         neighbor_min = (
@@ -755,10 +761,26 @@ def connected_components(
         )
         labels = new_labels
         rounds += 1
+        # Retire the PREVIOUS round's labels snapshot (tracked by its
+        # EXACT LogicalRDD id — see session.local_checkpoint_rdd_id):
+        # this round's checkpoint holds everything further rounds read.
+        # Without this, a k-round fixpoint leaves k+2 pinned RDDs per
+        # query in the block store — invisible to release_caches (RDD
+        # pins, not SQL cache entries), accumulating across a registry
+        # sweep (the r13 ext-bench interference finding, same class as
+        # the BPE checkpoint leak).
+        _new_labels_id = local_checkpoint_rdd_id(labels)
+        if _prev_labels_id is not None and _prev_labels_id != _new_labels_id:
+            unpersist_rdd_ids(sc, {_prev_labels_id})
+        _prev_labels_id = _new_labels_id
         if not obs.get["n_changed"]:  # None (empty graph) or 0: fixpoint
             break
     if stats is not None:
         stats["rounds"] = rounds
+    # the returned labeling reads ONLY the final labels checkpoint — the
+    # edge table is dead weight past the fixpoint
+    if _edges_id is not None:
+        unpersist_rdd_ids(sc, {_edges_id})
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_rep"),

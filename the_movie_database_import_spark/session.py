@@ -108,6 +108,45 @@ def release_caches() -> int:
     _TRACKED_CACHES.clear()
     return n
 
+
+def persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently pinned in the executor block store.
+    localCheckpoint blocks live HERE, not in the SQL cache manager, so
+    :func:`release_caches` cannot reclaim them — iterative operators
+    (connected components, BPE training) retire their per-round snapshots
+    explicitly via id diffs against an entry snapshot. RDD ids are
+    monotonically increasing, so within a diff the newest pin is max()."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Unpersist the given pinned RDD ids (no-op for ids already gone).
+    NEVER call on an id whose localCheckpoint data is still referenced by
+    a live plan: localCheckpoint truncates lineage, so freed blocks cannot
+    be recomputed (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def local_checkpoint_rdd_id(df) -> int | None:
+    """The EXACT pinned RDD id behind a localCheckpointed DataFrame (its
+    analyzed plan is a LogicalRDD wrapping the checkpoint RDD). Iterative
+    operators use this to retire exactly their own retired snapshots —
+    an id-set diff is unsound because unrelated caches can materialize
+    (and register persistent RDDs) during the same job that materializes
+    a checkpoint. Returns None when the plan is not a checkpoint."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return int(plan.rdd().id())
+    except Exception:
+        return None
+
+
 _PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
 _shipped_sessions: set[int] = set()
 
