@@ -3894,3 +3894,57 @@ def test_iterative_operators_leave_no_pinned_rdds(spark):
     train_bpe(docs, n_merges=5).count()
     after_bpe = persistent_rdd_ids(sc) - before - after_cc
     assert not after_bpe, f"train_bpe leaked pins: {after_bpe}"
+
+
+def test_setjoin_prefix_hand_case(spark):
+    """Prefix-filter completeness + rational-boundary semantics: at
+    threshold 0.5 a pair whose Jaccard is EXACTLY 1/2 must be kept (binary
+    0.5 is exact here, but the operator compares num/den integers — pin
+    the boundary anyway), a sub-threshold pair dropped, disjoint docs
+    never paired, and an identical pair scores 1.0."""
+    from the_movie_database_import_spark.operators.dedup import (
+        set_similarity_join_prefix,
+    )
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c d"),      # jaccard 1.0 with doc 1
+        (3, "a b e f"),      # jaccard 2/6 = 1/3 with doc 1 -> dropped
+        (4, "a b c d e f g h"),  # inter 4, union 8 -> EXACTLY 1/2 with doc 1
+        (5, "x y z w"),      # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in set_similarity_join_prefix(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert got[(1, 4)] == 0.5 and got[(2, 4)] == 0.5
+    assert (1, 3) not in got and (2, 3) not in got
+    assert all(5 not in pair for pair in got)
+
+
+def test_setjoin_prefix_equals_brute_force(spark):
+    """The prefix-filtered join must EQUAL brute-force all-pairs Jaccard
+    on real corpus data (completeness: no false negatives from the prefix
+    pruning; exactness: verify removes every false positive)."""
+    from the_movie_database_import_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        set_similarity_join_prefix,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "_all", F.lit(1)
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in set_similarity_join_prefix(docs, threshold=0.9).collect()
+    }
+    # brute force via the inverted-index twin with a constant blocking key
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs_exact(
+            docs, block_col="_all", threshold=0.9
+        ).collect()
+    }
+    assert got == want and len(got) > 0

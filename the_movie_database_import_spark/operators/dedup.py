@@ -1710,3 +1710,137 @@ def dedup_survivors(
             (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
         )
     )
+
+
+def set_similarity_join_prefix(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_fn: Callable[[Column], Column] = distinct_tokens,
+) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity self-join (SSJoin/PPJoin family
+    — Chaudhuri et al. 2006, Xiao et al. 2011): all document pairs with
+    token-set Jaccard >= ``threshold``, WITHOUT a user-supplied blocking
+    key and WITHOUT an all-pairs construct.
+
+    Where :func:`jaccard_pairs_exact` bounds its candidate space with an
+    application blocking column (source, label, ...), this operator derives
+    the pruning from the threshold itself — the classic answer when no
+    natural blocking key exists:
+
+    1. **Global rarest-first token order.** One document-frequency census
+       (vocab-bounded, broadcast), then each document's token set is sorted
+       by ``(df ASC, token ASC)`` — a single global total order.
+    2. **Prefix filter.** A pair with Jaccard >= t must share at least one
+       token within the first ``p = n - ceil(t*n) + 1`` tokens of BOTH
+       sorted sets (any fewer shared prefix tokens caps the possible
+       overlap below the threshold's requirement) — so candidate
+       generation explodes ONLY the prefix (~(1-t) of each set, the
+       globally RAREST tokens), and the equi-join fan-out per token is
+       bounded by its prefix document frequency, not its raw df: the
+       stop-word-grade tokens that blow up a naive token join never enter
+       a large set's prefix.
+    3. **Length filter in the join condition.** ``t*|x| <= |y|`` pruned
+       BEFORE the candidate shuffle (sizes ride the prefix rows).
+    4. **In-row verify.** Candidates join back to the full token arrays
+       and the exact intersection is ``size(array_intersect(...))`` —
+       in-row JVM codegen, no second token-level shuffle.
+
+    Exactness: the threshold is compared as a RATIONAL ``num/den``
+    (``Fraction(threshold).limit_denominator(1e6)``) in both the length
+    filter and the final Jaccard test, so boundary pairs (e.g. 4/5 vs
+    t=0.8 in binary floating point) keep/drop identically to the
+    brute-force DuckDB oracle — prefix filtering admits no false
+    negatives, verification removes all false positives, and the result
+    provably EQUALS all-pairs Jaccard.
+
+    At 100 TB: the df census is one map-side-combinable aggregate; the
+    sort is per-row; the candidate shuffle carries (prefix token, id,
+    size) triples — ~(1-t) of the token volume, concentrated on rare
+    tokens; the pair-distinct and verify shuffles are candidate-bounded.
+    Returns ``(doc_a, doc_b, jaccard)``.
+    """
+    from fractions import Fraction
+
+    from ..session import maybe_broadcast
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_fn(F.col(text_col)).alias("toks")
+    )
+    inv = base.select("doc_id", F.explode("toks").alias("tok"))
+    df_census = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Rarest-first per-document order: tokens are distinct within a doc, so
+    # the (df, tok) struct sort is a deterministic total order.
+    ordered = (
+        inv.join(maybe_broadcast(df_census), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("df"), F.col("tok")))).alias(
+                "_o"
+            )
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("_o"), lambda s: s["tok"]).alias("_toks_rare_first"),
+        )
+    )
+    n = F.size("_toks_rare_first").cast("bigint")
+    # p = n - ceil(num*n/den) + 1, in exact integer arithmetic.
+    ceil_tn = ((F.lit(num) * n + F.lit(den - 1)) - F.pmod(
+        F.lit(num) * n + F.lit(den - 1), F.lit(den)
+    )) / F.lit(den)
+    prefix_len = (n - ceil_tn.cast("bigint") + F.lit(1)).cast("int")
+    pref = ordered.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.slice("_toks_rare_first", F.lit(1), prefix_len)).alias("tok"),
+    )
+    cands = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: least(n_a,n_b)*den >= greatest(n_a,n_b)*num
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * F.lit(den)
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * F.lit(num)
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta")),
+            "doc_a",
+        )
+        .join(
+            base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ta", "_tb")).cast("bigint").alias("_ni"),
+            F.size("_ta").cast("bigint").alias("_na"),
+            F.size("_tb").cast("bigint").alias("_nb"),
+        )
+    )
+    union_size = F.col("_na") + F.col("_nb") - F.col("_ni")
+    return (
+        verified.filter(F.col("_ni") * F.lit(den) >= F.lit(num) * union_size)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_ni") / union_size).alias("jaccard"),
+        )
+    )

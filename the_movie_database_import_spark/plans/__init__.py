@@ -101,6 +101,10 @@ DRIVER_WINDOW = [
     "q_interevent_gaps",
     "q_source_syndication",
     "q_twap_per_user",
+    # --- late-r13 new operators (never driver-checked, must be in-window;
+    # each displaces one r09-era refresh row to the head of the r14
+    # rotation queue — annotated at their tail entries) ---
+    "q_dedup_setjoin_prefix",
     # --- r09-era rows refresh (the ones left out are annotated at their
     # tail entries and head the r14 rotation queue) ---
     "q_benford_audit",
@@ -108,7 +112,6 @@ DRIVER_WINDOW = [
     "q_fk_orphan_audit",
     "q_quality_calibrated_keep",
     "q_substring_search_trgm",
-    "q_value_outliers",
 ]
 
 
@@ -260,6 +263,10 @@ TAIL_PRIORITY = [
     "q_zipf_fit",
     # --- the r09-era rows that did not fit the r13 window — each has a
     # standing redundancy story; they head the r14 rotation queue ---
+    "q_value_outliers",          # census-then-in-row-stat family: benford
+                                 # and mad_per_type cover the shape;
+                                 # displaced for the late-r13
+                                 # q_dedup_setjoin_prefix slot
     "q_join_full_outer",         # join family: broadcast/asof/multiway/
                                  # full refreshes share the join code path;
                                  # displaced for a new r13 operator
@@ -273,7 +280,7 @@ TAIL_PRIORITY = [
                                  # _frame in-window shares the frame
                                  # machinery; displaced for r13 operator
     "q_chi2_independence",       # census-then-in-row-stat family: benford
-                                 # and value_outliers refresh in-window;
+                                 # refreshes in-window;
                                  # displaced for a new r13 operator
     "q_token_pair_lift",         # token-census family: bigram_nll stays
                                  # in-window, burstiness/unigram r12-green;

@@ -131,6 +131,52 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_setjoin_prefix",
+    # Brute-force all-pairs Jaccard — the prefix-filtered join must EQUAL it
+    # (the filter is complete, the verify is exact). Threshold compared as
+    # the rational 19/20 on both sides so boundary pairs (e.g. jaccard
+    # exactly 19/20, which binary 0.95 misorders) keep/drop identically.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM tok a
+        JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 20 >= 19 * (sa.n + sb.n - n_inter)
+    """,
+    tags=("dedup", "ext"),
+)
+def q_dedup_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity self-join (SSJoin/PPJoin,
+    Chaudhuri et al. 2006 / Xiao et al. 2011): all pairs with token-set
+    Jaccard >= 0.95 across the WHOLE corpus — no blocking key. The
+    threshold itself prunes: tokens sort by global rarity, candidate
+    generation explodes only each set's (1-t) rarest-token prefix (a pair
+    at Jaccard >= t must collide inside both prefixes), the length filter
+    rides the join condition, and verification is one in-row
+    array_intersect — no all-pairs construct anywhere, candidate fan-out
+    per token bounded by its PREFIX document frequency (high-df soup
+    tokens never enter large prefixes). Provably equal to brute-force
+    all-pairs Jaccard; the driver hash-checks that equality against the
+    quadratic DuckDB oracle."""
+    from ..operators.dedup import set_similarity_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return set_similarity_join_prefix(docs, threshold=0.95)
+
+
+@register(
     "q_dedup_clusters",
     oracle="""
     WITH RECURSIVE tok AS (

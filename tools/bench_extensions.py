@@ -134,6 +134,7 @@ QUERIES = [
     "q_bpe_encode",
     "q_join_bloom_prefilter",
     "q_dedup_semantic",
+    "q_dedup_setjoin_prefix",
 ]
 
 
