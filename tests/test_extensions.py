@@ -3948,3 +3948,42 @@ def test_setjoin_prefix_equals_brute_force(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_c4_line_filters_real_defaults_hand_case(spark):
+    """The C4 defaults (Raffel et al. 2020) on English-shaped text: the
+    terminal-punctuation rule, the 3-word floor, the Javascript line
+    blocklist, the lorem-ipsum and curly-brace page blocklists, the
+    min-kept-lines page rule, and in-order reassembly of survivors."""
+    from the_movie_database_import_spark.functions.text import c4_line_filters
+
+    good = "this line is fine.\nanother good line!\na third keeper?"
+    rows = [
+        (1, good),                                     # 3 kept -> page kept
+        (2, "short.\nno terminal mark here\nuses javascript badly.\n"
+            "ok line survives.\nsecond survivor stays."),
+        (3, good + "\nlorem ipsum dolor."),            # page blocklist
+        (4, good + "\nhas a { brace."),                # curly-brace page kill
+        (5, "nothing ends right\nat all"),             # zero kept lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = c4_line_filters(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["n_lines"].alias("n_lines"),
+            c["n_kept_lines"].alias("n_kept_lines"),
+            c["kept_text"].alias("kept_text"),
+            c["keep_doc"].alias("keep_doc"),
+        ).collect()
+    }
+    assert got[1]["keep_doc"] and got[1]["n_kept_lines"] == 3
+    assert got[1]["kept_text"] == good
+    # doc 2: 'short.' fails the 3-word floor, the bare line fails the
+    # terminal rule, the javascript line is blocklisted -> 2 survivors < 3
+    assert got[2]["n_kept_lines"] == 2 and not got[2]["keep_doc"]
+    assert got[2]["kept_text"] == "ok line survives.\nsecond survivor stays."
+    assert got[3]["n_kept_lines"] == 4 and not got[3]["keep_doc"]
+    assert not got[4]["keep_doc"]
+    assert got[5]["n_kept_lines"] == 0 and got[5]["kept_text"] == ""

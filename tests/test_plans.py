@@ -1134,3 +1134,18 @@ def test_bpe_pair_census_alphabet_bounded_shuffles(spark):
         assert len(keys) <= 2 and not any(
             k in ("doc_id", "text") for k in keys
         ), keys
+
+
+def test_c4_line_filters_pure_scan_no_shuffle(spark):
+    """C4 line cleaning is a single-pass in-row projection over the
+    split-once line array: one documents scan pruned to (doc_id, text),
+    no exchange, no join, no Python stage."""
+    plan = _plan(spark, "q_quality_c4_lines")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["doc_id", "text"], cols
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan

@@ -312,6 +312,94 @@ def gopher_rules_oracle_sql(thresholds: dict[str, float] | None = None) -> str:
     """
 
 
+def c4_line_filters(
+    text: Column,
+    sep: str = "\n",
+    terminal_re: str = "[.!?\"']$",
+    min_words_per_line: int = 3,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+) -> dict[str, Column]:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2 — the classic
+    web-corpus curation stage Gopher's document-level rules complement):
+    keep a LINE only if it ends in a terminal mark (``terminal_re``), has
+    at least ``min_words_per_line`` words, and contains no
+    ``line_blocklist`` phrase (C4 drops any line with the word
+    "Javascript"); keep the DOCUMENT only if at least ``min_kept_lines``
+    lines survive and no ``doc_blocklist`` phrase appears anywhere (C4
+    drops whole pages containing "lorem ipsum" or a curly bracket).
+
+    Returns ``{"n_lines", "n_kept_lines", "kept_text", "keep_doc"}`` —
+    the rebuilt document joins surviving lines with ``sep`` in original
+    order. Everything is one in-row expression tree over the split-ONCE
+    line array (split, lambda filter, array_join) — whole-stage codegen,
+    zero shuffles, scan-speed at any corpus size; counts are exact
+    integers and the rebuilt text is deterministic, so the DuckDB oracle
+    (:func:`c4_line_filters_oracle_sql`) is hash-exact. The regex runs in
+    the Java/RE2 common subset (anchors + character classes, no
+    lookaround) so both engines judge lines identically."""
+    import re as _re
+
+    lines = F.split(text, _re.escape(sep))
+
+    def _line_keep(line: Column) -> Column:
+        cond = line.rlike(terminal_re) & (
+            F.size(F.split(line, " ")) >= int(min_words_per_line)
+        )
+        for phrase in line_blocklist:
+            cond = cond & ~line.contains(phrase)
+        return cond
+
+    kept = F.filter(lines, _line_keep)
+    n_kept = F.size(kept).cast("bigint")
+    doc_hit = F.lit(False)
+    for phrase in doc_blocklist:
+        doc_hit = doc_hit | text.contains(phrase)
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_kept_lines": n_kept,
+        "kept_text": F.array_join(kept, sep),
+        "keep_doc": (n_kept >= int(min_kept_lines)) & ~doc_hit,
+    }
+
+
+def c4_line_filters_oracle_sql(
+    sep: str = "\n",
+    terminal_re: str = "[.!?\"']$",
+    min_words_per_line: int = 3,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+) -> str:
+    """DuckDB twin of :func:`c4_line_filters` over the ``documents`` view —
+    same line predicate inside ``list_filter``, same doc-level rules.
+    DuckDB's ``array_to_string`` returns NULL for an EMPTY list where
+    Spark's ``array_join`` returns ``''`` — COALESCE aligns the engines."""
+    line_conds = [
+        f"regexp_matches(l, '{terminal_re}')",
+        f"len(string_split(l, ' ')) >= {int(min_words_per_line)}",
+    ]
+    line_conds += [f"NOT contains(l, '{p}')" for p in line_blocklist]
+    line_pred = " AND ".join(line_conds)
+    doc_hit = " OR ".join(f"contains(text, '{p}')" for p in doc_blocklist)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, '{sep}'),
+                           l -> {line_pred}) AS kept
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(text, '{sep}')) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           COALESCE(array_to_string(kept, '{sep}'), '') AS kept_text,
+           (len(kept) >= {int(min_kept_lines)} AND NOT ({doc_hit}))
+               AS keep_doc
+    FROM t
+    """
+
+
 def regex_token_count(text: Column, pattern: str = "[a-z]+|[0-9]+") -> Column:
     """BPE-ish regex token count (letter runs / digit runs)."""
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")

@@ -105,12 +105,12 @@ DRIVER_WINDOW = [
     # each displaces one r09-era refresh row to the head of the r14
     # rotation queue — annotated at their tail entries) ---
     "q_dedup_setjoin_prefix",
+    "q_quality_c4_lines",
     # --- r09-era rows refresh (the ones left out are annotated at their
     # tail entries and head the r14 rotation queue) ---
     "q_benford_audit",
     "q_events_cusum",
     "q_fk_orphan_audit",
-    "q_quality_calibrated_keep",
     "q_substring_search_trgm",
 ]
 
@@ -267,6 +267,10 @@ TAIL_PRIORITY = [
                                  # and mad_per_type cover the shape;
                                  # displaced for the late-r13
                                  # q_dedup_setjoin_prefix slot
+    "q_quality_calibrated_keep", # quality-filter family: gopher + the new
+                                 # C4 line rules carry the family
+                                 # in-window; displaced for the late-r13
+                                 # q_quality_c4_lines slot
     "q_join_full_outer",         # join family: broadcast/asof/multiway/
                                  # full refreshes share the join code path;
                                  # displaced for a new r13 operator

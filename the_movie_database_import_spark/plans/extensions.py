@@ -618,6 +618,55 @@ def _install_gopher_query() -> None:
 _install_gopher_query()
 
 
+def _install_c4_query() -> None:
+    from ..functions.text import c4_line_filters, c4_line_filters_oracle_sql
+
+    # The synthetic corpus has no newlines or punctuation, so the C4 rules
+    # are instantiated on corpus-appropriate stand-ins (the q_dedup_paragraphs
+    # precedent): ' the ' separates "lines", a line is terminal when it ends
+    # in one of the frequent closing tokens, 'dup' plays Javascript's role in
+    # the line blocklist and the bigram 'slow slow' plays "lorem ipsum" in
+    # the page blocklist. Chosen so every rule fires on real rows at sf0.01
+    # (301/500 docs kept; ~0.95 kept lines/doc).
+    _C4 = dict(
+        sep=" the ",
+        terminal_re="(join|hash|row|scan|value|table|key|agg|column|filter|order|data)$",
+        min_words_per_line=3,
+        line_blocklist=("dup",),
+        doc_blocklist=("slow slow",),
+        min_kept_lines=1,
+    )
+
+    @register(
+        "q_quality_c4_lines",
+        oracle=c4_line_filters_oracle_sql(**_C4),
+        tags=("text", "curation", "ext"),
+    )
+    def q_quality_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+        ending in a terminal mark with >= min words and no blocklist
+        phrase; keep documents with >= min surviving lines and no
+        page-blocklist phrase; rebuild each document from its surviving
+        lines in order. The line-level complement to the document-level
+        Gopher rules: one in-row expression tree over the split-once line
+        array (filter lambda + array_join), whole-stage codegen, zero
+        shuffles — the stage runs at scan speed at any corpus size, and
+        exact integer counts + deterministic rebuilt text make the DuckDB
+        oracle hash-exact."""
+        docs = load_table(spark, sf_dir, "documents")
+        c = c4_line_filters(F.col("text"), **_C4)
+        return docs.select(
+            "doc_id",
+            c["n_lines"].alias("n_lines"),
+            c["n_kept_lines"].alias("n_kept_lines"),
+            c["kept_text"].alias("kept_text"),
+            c["keep_doc"].alias("keep_doc"),
+        )
+
+
+_install_c4_query()
+
+
 @register(
     "q_token_count",
     oracle="""

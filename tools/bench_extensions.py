@@ -135,6 +135,7 @@ QUERIES = [
     "q_join_bloom_prefilter",
     "q_dedup_semantic",
     "q_dedup_setjoin_prefix",
+    "q_quality_c4_lines",
 ]
 
 
