@@ -3987,3 +3987,79 @@ def test_c4_line_filters_real_defaults_hand_case(spark):
     assert got[3]["n_kept_lines"] == 4 and not got[3]["keep_doc"]
     assert not got[4]["keep_doc"]
     assert got[5]["n_kept_lines"] == 0 and got[5]["kept_text"] == ""
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """A document made of the target slice's bigrams must score a strictly
+    higher importance weight than one made of off-target bigrams — the
+    resampling direction DSIR exists for."""
+    from the_movie_database_import_spark.operators.vocab import dsir_importance
+
+    target = [(i, "en", "alpha beta gamma delta alpha beta") for i in range(5)]
+    other = [(i + 5, "de", "zeta eta theta iota zeta eta") for i in range(5)]
+    probe = [
+        (100, "xx", "alpha beta gamma delta"),   # target-shaped
+        (101, "xx", "zeta eta theta iota"),      # raw-shaped
+    ]
+    df = spark.createDataFrame(
+        target + other + probe, "doc_id long, lang string, text string"
+    )
+    got = {
+        r["doc_id"]: r["avg_logratio_q"]
+        for r in dsir_importance(df, F.col("lang") == "en").collect()
+    }
+    # on a tiny fixture the +1/(C+B) smoothing dominates absolute levels,
+    # so pin the RELATIVE ordering (the resampling direction), not signs
+    assert got[100] > got[101]
+    assert got[100] - got[101] > 100_000  # >0.1 nats/bigram on the 1e-6 grid
+
+
+def test_dsir_grid_safety():
+    """The 1e-6 floor grid is only hash-safe if no distinct smoothed
+    bucket log-prob sits near a grid boundary (1-ulp Java-vs-libm ln
+    hazard, same contract as unigram NLL). Check every distinct (count,
+    total) the census produces at every test SF, for both the target and
+    raw lanes."""
+    import math
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH t AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS toks
+                FROM '/root/testdata/{sf}/documents.parquet'
+            ),
+            bg AS (
+                SELECT lang,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM t WHERE len(toks) >= 2
+            ),
+            occ AS (
+                SELECT lang,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(
+                                   range(1, least(length(bigram), 64) + 1),
+                                   i -> CAST(ascii(substr(bigram, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                           (acc, x) -> (acc * 31 + x) % 1000000007) % 256 AS b
+                FROM bg
+            ),
+            census AS (
+                SELECT b, COUNT(*) AS c_raw,
+                       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+                FROM occ GROUP BY b
+            )
+            SELECT DISTINCT c_t AS c, SUM(c_t) OVER () AS total FROM census
+            UNION
+            SELECT DISTINCT c_raw AS c, SUM(c_raw) OVER () AS total FROM census
+            """
+        ).fetchall()
+        assert rows
+        for c, total in rows:
+            v = 1e6 * math.log((c + 1) / (total + 256))
+            dist = abs(v - round(v))
+            assert dist > 1e-6, (sf, c, total, v, dist)

@@ -1070,3 +1070,99 @@ def vocab_growth_curve(
         )
         .orderBy("bucket")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grid: float = 1e6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed-bigram distribution is — the weight the
+    resampling stage draws against when a pretraining mixture should lean
+    toward a target domain (here: rows satisfying ``target_pred``).
+
+    DSIR's estimator is deliberately coarse: bigrams hash into
+    ``n_buckets`` buckets (collisions are part of the model — they
+    regularize exactly like a hashing vectorizer), the target and raw
+    corpora each induce a smoothed categorical distribution over buckets,
+    and a document's log importance weight is ``sum_b ln(p_target(b) /
+    p_raw(b))`` over its bigram occurrences.
+
+    Determinism/oracle contract: the bucket hash is the module's portable
+    rolling polynomial (:func:`...functions.text.fingerprint` — base 31
+    mod 1e9+7, pure integer ops, identical in any engine) mod
+    ``n_buckets``; each smoothed log-prob ``ln((c+1)/(C+B))`` is
+    floor-quantized to a ``grid`` integer BEFORE the subtraction and the
+    per-document sum (distributed double sums are addition-order-
+    dependent; integer sums are exact), so the DuckDB oracle is
+    hash-exact. Returns ``(id_col, n_bigrams, logratio_q_sum,
+    avg_logratio_q)`` — documents with fewer than 2 tokens have no
+    bigrams and drop out (mirrored in the oracle).
+
+    Scale shape: bigrams and buckets are built IN-ROW (token array bound
+    once — the span-dedup O(L²) re-split hazard avoided); the census is
+    one map-side-combinable aggregate with at most ``n_buckets`` output
+    rows; totals ride an unbounded window over that bounded census; the
+    per-doc probe re-aggregates (id, int-weight) pairs after a broadcast
+    of the ``n_buckets``-row weight table — corpus text never shuffles.
+    """
+    from ..functions.text import fingerprint
+    from ..session import maybe_broadcast
+
+    toks = tokens(F.col(text_col))
+    empty = F.array().cast("array<string>")
+    bigrams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 1),
+                    lambda x, i: F.concat(x, F.lit(" "), F.element_at(t, i + 2)),
+                ),
+            ).otherwise(empty),
+        ),
+        1,
+    )
+    buckets = F.transform(bigrams, lambda bg: F.pmod(fingerprint(bg), F.lit(n_buckets)))
+    occ = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(buckets).alias("b"),
+    )
+    census = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("c_t"),
+    )
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lp_q = F.floor(
+        F.lit(grid)
+        * F.log(
+            (F.col("c_t") + F.lit(1))
+            / (F.sum("c_t").over(everything) + F.lit(n_buckets))
+        )
+    ).cast("bigint")
+    lq_q = F.floor(
+        F.lit(grid)
+        * F.log(
+            (F.col("c_raw") + F.lit(1))
+            / (F.sum("c_raw").over(everything) + F.lit(n_buckets))
+        )
+    ).cast("bigint")
+    weights = census.select("b", (lp_q - lq_q).alias("_w_q"))
+    return (
+        occ.join(maybe_broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_w_q").alias("logratio_q_sum"),
+            (F.sum("_w_q") / F.count(F.lit(1))).alias("avg_logratio_q"),
+        )
+    )

@@ -106,11 +106,11 @@ DRIVER_WINDOW = [
     # rotation queue — annotated at their tail entries) ---
     "q_dedup_setjoin_prefix",
     "q_quality_c4_lines",
+    "q_dsir_importance",
     # --- r09-era rows refresh (the ones left out are annotated at their
     # tail entries and head the r14 rotation queue) ---
     "q_benford_audit",
     "q_events_cusum",
-    "q_fk_orphan_audit",
     "q_substring_search_trgm",
 ]
 
@@ -271,6 +271,10 @@ TAIL_PRIORITY = [
                                  # C4 line rules carry the family
                                  # in-window; displaced for the late-r13
                                  # q_quality_c4_lines slot
+    "q_fk_orphan_audit",         # audit family: data-quality audit is
+                                 # r12-green, benford refreshes in-window;
+                                 # displaced for the late-r13
+                                 # q_dsir_importance slot
     "q_join_full_outer",         # join family: broadcast/asof/multiway/
                                  # full refreshes share the join code path;
                                  # displaced for a new r13 operator

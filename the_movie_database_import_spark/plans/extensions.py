@@ -2175,6 +2175,71 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dsir_importance",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    occ AS (
+        SELECT doc_id, lang,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS BIGINT),
+                       list_transform(
+                           range(1, least(length(bigram), {FINGERPRINT_PREFIX}) + 1),
+                           i -> CAST(ascii(substr(bigram, CAST(i AS INTEGER), 1)) AS BIGINT)
+                       )
+                   ),
+                   (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD}
+               ) % 256 AS b
+        FROM bg
+    ),
+    census AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        FROM occ GROUP BY b
+    ),
+    w AS (
+        SELECT b,
+               CAST(floor(1e6 * ln((c_t + 1.0) / (SUM(c_t) OVER () + 256))) AS BIGINT)
+             - CAST(floor(1e6 * ln((c_raw + 1.0) / (SUM(c_raw) OVER () + 256))) AS BIGINT)
+                 AS w_q
+        FROM census
+    )
+    SELECT occ.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(w.w_q) AS BIGINT) AS logratio_q_sum,
+           CAST(SUM(w.w_q) AS DOUBLE) / COUNT(*) AS avg_logratio_q
+    FROM occ JOIN w USING (b)
+    GROUP BY occ.doc_id
+    """,
+    tags=("text", "curation", "lm", "ext"),
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram importance
+    resampling scores for every raw document against the English-language
+    target slice — the data-selection stage that tilts a pretraining
+    mixture toward a target domain without training a classifier. Bigrams
+    hash through the portable rolling polynomial into 256 buckets
+    (collisions ARE the model, as in a hashing vectorizer); both smoothed
+    bucket log-probs floor-quantize to the 1e-6 integer grid BEFORE the
+    subtraction and the per-doc sum, so the score is order-independent
+    and the DuckDB oracle hash-exact. Census is bounded by n_buckets;
+    corpus text never shuffles — only (id, int-weight) pairs."""
+    from ..operators.vocab import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, target_pred=F.col("lang") == "en", n_buckets=256)
+
+
+@register(
     "q_boilerplate_census",
     oracle="""
     WITH t AS (

@@ -136,6 +136,7 @@ QUERIES = [
     "q_dedup_semantic",
     "q_dedup_setjoin_prefix",
     "q_quality_c4_lines",
+    "q_dsir_importance",
 ]
 
 
