@@ -4063,3 +4063,36 @@ def test_dsir_grid_safety():
             v = 1e6 * math.log((c + 1) / (total + 256))
             dist = abs(v - round(v))
             assert dist > 1e-6, (sf, c, total, v, dist)
+
+
+def test_hard_negative_topk_excludes_positives(spark):
+    """Every mined negative carries a different label than its anchor, the
+    anchor itself never appears, ranks are contiguous from 1, and the top
+    negative really is the highest-cosine wrong-label vector (checked
+    against an unconstrained top-k)."""
+    from the_movie_database_import_spark.operators.similarity import (
+        cosine_topk,
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    rows = hard_negative_topk(emb, anchors, k=10).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["query_label"]
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    plain = cosine_topk(emb, anchors, k=emb.count()).collect()
+    best_wrong = {}
+    for r in sorted(plain, key=lambda r: r["rk"]):
+        q = r["query_id"]
+        if q not in best_wrong and labels[r["vec_id"]] != labels[q]:
+            best_wrong[q] = r["vec_id"]
+    for q, rs in by_q.items():
+        rks = sorted(r["rk"] for r in rs)
+        assert rks == list(range(1, len(rks) + 1))
+        top = min(rs, key=lambda r: r["rk"])
+        assert top["vec_id"] == best_wrong[q]

@@ -1519,3 +1519,61 @@ def semantic_dedup(
             F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-negatives
+    upgrade every dense-retriever / embedding-model pipeline runs — DPR,
+    Sentence-BERT, SimCSE lineage): for each anchor vector, the top-k most
+    COSINE-SIMILAR corpus vectors carrying a DIFFERENT label. Near-misses
+    with the wrong label are exactly the examples that sharpen a metric —
+    random negatives are too easy, same-label neighbors are positives.
+
+    Same scale shape as :func:`cosine_topk` (broadcast anchors, one
+    fanned-out corpus scan, per-anchor top-k window over k-bounded rows);
+    the label constraint rides the broadcast join condition, so excluded
+    same-label rows never reach the window. Returns ``(query_id,
+    query_label, vec_id, neg_label, cosine, rk)`` with the module's
+    deterministic (cosine DESC, id ASC) tie order and 1e-6 rounding."""
+    corpus = fan_out(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        as_double_vec(F.col(vec_col)).alias("v"),
+    ).withColumn("v_norm", norm(F.col("v")))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double_vec(F.col(vec_col)).alias("q"),
+    ).withColumn("q_norm", norm(F.col("q")))
+
+    scored = (
+        corpus.join(
+            F.broadcast(qs),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("query_label")),
+        )
+        .withColumn(
+            "cosine",
+            cosine(dot(F.col("v"), F.col("q")), F.col("v_norm"), F.col("q_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

@@ -107,11 +107,11 @@ DRIVER_WINDOW = [
     "q_dedup_setjoin_prefix",
     "q_quality_c4_lines",
     "q_dsir_importance",
+    "q_ann_hard_negatives",
     # --- r09-era rows refresh (the ones left out are annotated at their
     # tail entries and head the r14 rotation queue) ---
     "q_benford_audit",
     "q_events_cusum",
-    "q_substring_search_trgm",
 ]
 
 
@@ -275,6 +275,10 @@ TAIL_PRIORITY = [
                                  # r12-green, benford refreshes in-window;
                                  # displaced for the late-r13
                                  # q_dsir_importance slot
+    "q_substring_search_trgm",   # retrieval family: bm25/rrf/trgm share
+                                 # the index machinery, bm25 r12-green;
+                                 # displaced for the late-r13
+                                 # q_ann_hard_negatives slot
     "q_join_full_outer",         # join family: broadcast/asof/multiway/
                                  # full refreshes share the join code path;
                                  # displaced for a new r13 operator

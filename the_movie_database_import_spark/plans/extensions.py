@@ -313,6 +313,47 @@ def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS vn FROM e
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS vec_id, c.label AS neg_label,
+               {_dot_sql('c.v', 'q.v')} / (c.vn * q.vn) AS cos_raw
+        FROM n c, n q
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+          AND c.label != q.label
+    )
+    SELECT query_id, query_label, vec_id, neg_label,
+           ROUND(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 10
+    """,
+    tags=("similarity", "curation", "ext"),
+)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (north star extending
+    `similarity_topk_cosine`): for each anchor (vec_id<10) the top-10 most
+    cosine-similar vectors with a DIFFERENT label — the near-miss
+    wrong-label examples dense-retriever training wants. Broadcast
+    anchors, one corpus scan, label constraint inside the join condition
+    (same-label rows never reach the top-k window), ordered-fold dot
+    product for reproducible float summation."""
+    from ..operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return hard_negative_topk(emb, anchors, k=10)
+
+
+@register(
     "q_dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (

@@ -137,6 +137,7 @@ QUERIES = [
     "q_dedup_setjoin_prefix",
     "q_quality_c4_lines",
     "q_dsir_importance",
+    "q_ann_hard_negatives",
 ]
 
 
