@@ -4096,3 +4096,33 @@ def test_hard_negative_topk_excludes_positives(spark):
         assert rks == list(range(1, len(rks) + 1))
         top = min(rs, key=lambda r: r["rk"])
         assert top["vec_id"] == best_wrong[q]
+
+
+def test_dedup_within_doc_keep_first_order(spark):
+    """Keep-first-occurrence in original order at line granularity: the
+    production sep='\\n' form, repeated header dropped on its second and
+    third appearance, distinct lines untouched, counts reconcile."""
+    from the_movie_database_import_spark.functions.text import (
+        dedup_lines_within_doc,
+    )
+
+    rows = [
+        (1, "header\nbody one\nheader\nbody two\nheader"),
+        (2, "a\nb\nc"),
+        (3, "same\nsame\nsame"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = dedup_lines_within_doc(F.col("text"), sep="\n")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            d["n_lines"].alias("n_lines"),
+            d["n_kept_lines"].alias("n_kept_lines"),
+            d["cleaned_text"].alias("cleaned_text"),
+        ).collect()
+    }
+    assert got[1]["cleaned_text"] == "header\nbody one\nbody two"
+    assert got[1]["n_lines"] == 5 and got[1]["n_kept_lines"] == 3
+    assert got[2]["cleaned_text"] == "a\nb\nc"
+    assert got[3]["cleaned_text"] == "same" and got[3]["n_kept_lines"] == 1

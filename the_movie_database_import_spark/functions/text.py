@@ -484,3 +484,32 @@ def redact_pii_oracle_sql(
         )
         redacted = f"regexp_replace({redacted}, '{esc}', '{placeholder}', 'g')"
     return ",\n        ".join(counts), f"{redacted} AS redacted"
+
+
+def dedup_lines_within_doc(
+    text: Column, sep: str = "\n"
+) -> dict[str, Column]:
+    """INTRA-document repeated-line removal (the Dolma/RefinedWeb
+    within-doc dedup stage — navigation chrome, repeated headers, and
+    copy-paste stutter repeat INSIDE one page; the cross-document twins
+    are `dedup_paragraphs`/`c4_line_filters`): keep each line's FIRST
+    occurrence, in original order, and rebuild the document.
+
+    Pure in-row and LINEAR: Spark's ``array_distinct`` removes duplicates
+    keeping the FIRST occurrence in document order (a hash-set sweep, one
+    pass per doc) — exactly the keep-first rule. Zero shuffles; cost is
+    the scan. Returns ``{"n_lines", "n_kept_lines", "cleaned_text"}``;
+    counts are exact integers and the rebuild is deterministic. The
+    DuckDB oracle does NOT use ``list_distinct`` (its output order is
+    unspecified) — it replays keep-first explicitly with an indexed
+    ``list_filter(l, (x, i) -> list_position(l, x) = i)``, so a Spark
+    regression on ``array_distinct`` ordering would hash-mismatch."""
+    import re as _re
+
+    lines = F.split(text, _re.escape(sep))
+    kept = F.array_distinct(lines)
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_kept_lines": F.size(kept).cast("bigint"),
+        "cleaned_text": F.array_join(kept, sep),
+    }

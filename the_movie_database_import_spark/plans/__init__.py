@@ -108,10 +108,10 @@ DRIVER_WINDOW = [
     "q_quality_c4_lines",
     "q_dsir_importance",
     "q_ann_hard_negatives",
+    "q_dedup_within_doc",
     # --- r09-era rows refresh (the ones left out are annotated at their
     # tail entries and head the r14 rotation queue) ---
     "q_benford_audit",
-    "q_events_cusum",
 ]
 
 
@@ -279,6 +279,10 @@ TAIL_PRIORITY = [
                                  # the index machinery, bm25 r12-green;
                                  # displaced for the late-r13
                                  # q_ann_hard_negatives slot
+    "q_events_cusum",            # change-point family: autocorr + ewma
+                                 # cover the per-key ordered-scan shape,
+                                 # streaming twin test-pinned; displaced
+                                 # for the late-r13 q_dedup_within_doc slot
     "q_join_full_outer",         # join family: broadcast/asof/multiway/
                                  # full refreshes share the join code path;
                                  # displaced for a new r13 operator

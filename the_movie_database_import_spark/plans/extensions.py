@@ -659,6 +659,48 @@ def _install_gopher_query() -> None:
 _install_gopher_query()
 
 
+@register(
+    "q_dedup_within_doc",
+    # list_distinct's output order is UNSPECIFIED in DuckDB, so the oracle
+    # replays keep-first-occurrence explicitly via the indexed list_filter.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(l, (x, i) -> list_position(l, x) = i))
+               AS BIGINT) AS n_kept_lines,
+           COALESCE(array_to_string(
+               list_filter(l, (x, i) -> list_position(l, x) = i), ' '), '')
+               AS cleaned_text
+    FROM t
+    """,
+    tags=("dedup", "text", "curation", "ext"),
+)
+def q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-unit removal (the Dolma/RefinedWeb
+    WITHIN-doc dedup stage — keep each repeated unit's first occurrence in
+    order, rebuild the doc): the intra-doc complement to the cross-corpus
+    paragraph/C4 stages. The synthetic corpus has no repeated ' the '-
+    separated segments, so the registry form runs at TOKEN granularity
+    where repetition is dense (55 -> ~30 units/doc); production runs it
+    with sep='\\n'. One linear in-row pass (array_distinct keeps first
+    occurrences in document order), zero shuffles, scan speed at any
+    corpus size; the oracle replays keep-first with an indexed
+    list_filter, pinning Spark's array_distinct ordering."""
+    from ..functions.text import dedup_lines_within_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = dedup_lines_within_doc(F.col("text"), sep=" ")
+    return docs.select(
+        "doc_id",
+        d["n_lines"].alias("n_lines"),
+        d["n_kept_lines"].alias("n_kept_lines"),
+        d["cleaned_text"].alias("cleaned_text"),
+    )
+
+
 def _install_c4_query() -> None:
     from ..functions.text import c4_line_filters, c4_line_filters_oracle_sql
 

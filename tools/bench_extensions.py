@@ -138,6 +138,7 @@ QUERIES = [
     "q_quality_c4_lines",
     "q_dsir_importance",
     "q_ann_hard_negatives",
+    "q_dedup_within_doc",
 ]
 
 
