@@ -48,9 +48,12 @@ from . import stats  # noqa: F401,E402
 #   remaining tail of stale evidence; after r13 the oldest driver row
 #   anywhere is r08).
 # - ALL 7 r08-era rows rotate in.
-# - The remaining slots refresh r09-era rows. The r09 rows left out each
-#   have in-window family redundancy, annotated at their tail entries;
-#   they head the r14 rotation queue.
+# - The remaining slots refresh r09-era rows, minus five slots taken by
+#   the LATE-r13 operators (setjoin-prefix, C4 lines, DSIR, hard
+#   negatives, within-doc dedup — never driver-checked, so the hard rule
+#   outranks the refresh). The r09 rows left out each have in-window
+#   family redundancy, annotated at their tail entries; they head the
+#   r14 rotation queue.
 DRIVER_WINDOW = [
     # --- new r13 operators (never driver-checked, must be in-window) ---
     "q_multimodal_decode_image",
