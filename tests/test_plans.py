@@ -1149,3 +1149,44 @@ def test_c4_line_filters_pure_scan_no_shuffle(spark):
     assert cols == ["doc_id", "text"], cols
     for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_stage not in plan
+
+
+def test_setjoin_prefix_no_cartesian_pruned_scan(spark):
+    """The prefix-filtered set-similarity join must plan as equi-joins on
+    (token) / (doc id) — never a cartesian/nested-loop all-pairs — with
+    the documents scan pruned to (doc_id, text)."""
+    plan = _plan(spark, "q_dedup_setjoin_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["doc_id", "text"], cols
+
+
+def test_dsir_importance_broadcast_weights_no_python(spark):
+    """DSIR: the 256-row weight table must broadcast back onto the bucket
+    occurrences (no shuffle of corpus-sized rows for the probe join), and
+    the whole pipeline stays JVM-side."""
+    plan = _plan(spark, "q_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+    # each side prunes independently: the probe never reads lang, the
+    # census never reads doc_id
+    schemas = {
+        tuple(sorted(c.split(":")[0] for c in m.split(",")))
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    }
+    assert ("doc_id", "text") in schemas, schemas
+    assert ("lang", "text") in schemas, schemas
+    assert not any("doc_id" in s and "lang" in s for s in schemas), schemas
+
+
+def test_hard_negatives_anchors_broadcast(spark):
+    """Hard-negative mining: anchors broadcast (nested-loop on the
+    non-equi label/id constraint), the corpus is scanned — never
+    shuffled — before the per-anchor top-k window."""
+    plan = _plan(spark, "q_ann_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
