@@ -1338,3 +1338,46 @@ def test_incremental_side_tables_interleave_to_full_recompute(
         assert got_grams == want_grams
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Word-soup corpora over a tiny alphabet so near-identical token sets are
+# common and threshold boundaries (jaccard exactly num/den) get hit.
+_soup_word = st.sampled_from(["a", "b", "c", "d", "e"])
+_soup_text = st.lists(_soup_word, min_size=1, max_size=8).map(" ".join)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(_soup_text, min_size=2, max_size=14),
+    threshold=st.sampled_from([0.34, 0.5, 2 / 3, 0.75, 0.8, 1.0]),
+)
+def test_setjoin_prefix_matches_python_model(spark, texts, threshold):
+    """set_similarity_join_prefix vs an independent Python all-pairs model:
+    the prefix filter must be COMPLETE (no missing pair) and the verify
+    EXACT (no extra pair, exact jaccard values) at every threshold,
+    including thresholds that are not binary-representable and corpora
+    dense with boundary-exact pairs."""
+    from fractions import Fraction
+
+    from the_movie_database_import_spark.operators.dedup import (
+        set_similarity_join_prefix,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in set_similarity_join_prefix(docs, threshold=threshold).collect()
+    }
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    sets = {i: frozenset(t.split(" ")) for i, t in rows}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * fr.denominator >= fr.numerator * union:
+                    expected[(a, b)] = inter / union
+    assert got == expected
