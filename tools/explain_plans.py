@@ -414,6 +414,31 @@ SHOWCASES = [
         "blocks with the left side duplicated into exactly two probe "
         "buckets, so candidates are linear by construction.",
     ),
+    (
+        "q_dedup_setjoin_prefix",
+        "Prefix-filtered exact set-similarity self-join (late r13): "
+        "candidate generation explodes only each set's rarest-token "
+        "prefix and equi-joins on (token) — no CartesianProduct, no "
+        "nested loop anywhere; the length filter rides the join "
+        "condition as exact integer cross-multiplication, and the verify "
+        "is an in-row array_intersect after two id-keyed joins.",
+    ),
+    (
+        "q_dsir_importance",
+        "DSIR importance weights (late r13): the 256-row bucket-weight "
+        "table (census + window totals, computed once and cached) "
+        "BROADCASTS back onto the bucket occurrences; the probe scan "
+        "prunes to (doc_id, text), the census scan to (text, lang) — "
+        "corpus text never shuffles, only (id, int-weight) pairs reach "
+        "the final doc aggregate.",
+    ),
+    (
+        "q_ann_hard_negatives",
+        "Hard-negative mining (late r13): anchors broadcast into a "
+        "nested-loop join whose condition carries the label constraint — "
+        "the corpus is scanned once, never shuffled, and same-label rows "
+        "are dropped before the per-anchor top-k window.",
+    ),
 ]
 
 
