@@ -4126,3 +4126,117 @@ def test_dedup_within_doc_keep_first_order(spark):
     assert got[1]["n_lines"] == 5 and got[1]["n_kept_lines"] == 3
     assert got[2]["cleaned_text"] == "a\nb\nc"
     assert got[3]["cleaned_text"] == "same" and got[3]["n_kept_lines"] == 1
+
+
+def test_pagerank_hand_graph_matches_python_model(spark):
+    """Weighted 4-node graph vs a python replay of the integer recurrence:
+    the distributed join-aggregate loop must floor identically, edge by
+    edge, and the result must be invariant under repartitioning (integer
+    addition commutes — the whole point of the grid lane)."""
+    from the_movie_database_import_spark.operators.graph import pagerank
+
+    edge_rows = [
+        (1, 2, 3), (1, 3, 1), (2, 3, 1), (3, 1, 2), (4, 1, 1), (2, 4, 5),
+    ]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, weight long")
+    SCALE = 10_000_000_000
+    nodes = sorted({a for a, _, _ in edge_rows} | {b for _, b, _ in edge_rows})
+    n = len(nodes)
+    outw: dict = {}
+    for a, _, w in edge_rows:
+        outw[a] = outw.get(a, 0) + w
+    pr = {v: SCALE // n for v in nodes}
+    for _ in range(10):
+        nxt = {v: (15 * SCALE) // (100 * n) for v in nodes}
+        for a, b, w in edge_rows:
+            nxt[b] += (85 * pr[a] * w) // (100 * outw[a])
+        pr = nxt
+    got = {r.node: r.pr_scaled for r in pagerank(edges, iters=10).collect()}
+    assert got == pr, (got, pr)
+    # total mass <= 1.0 exactly, and the floor leak is tiny
+    assert sum(got.values()) <= SCALE
+    assert sum(got.values()) >= SCALE - 100 * n
+    # repartition invariance: same bits regardless of physical layout
+    got2 = {
+        r.node: r.pr_scaled
+        for r in pagerank(edges.repartition(7), iters=10).collect()
+    }
+    assert got2 == got
+
+
+def test_triangle_counts_hand_case_and_canonicalization(spark):
+    """K4 plus a pendant: every K4 node sits in C(3,2)=3 triangles, the
+    pendant in none (zero-triangle nodes are absent from the census). The
+    input deliberately carries duplicates, both orientations, and a
+    self-loop — canonicalization must shrug them all off."""
+    from the_movie_database_import_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    dirty = k4 + [(1, 2), (2, 1), (3, 3), (4, 5), (5, 4)]
+    edges = spark.createDataFrame(dirty, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}, got
+
+
+def test_triangle_counts_star_graph_has_none(spark):
+    """A pure hub (the adversarial case for naive wedge enumeration — deg^2
+    wedges at the center) has zero triangles; degree-ordered orientation
+    points every edge AT the hub, so the wedge stage emits nothing."""
+    from the_movie_database_import_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 40)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_random_graph_matches_brute_force(spark):
+    """Deterministic pseudo-random graph vs an adjacency-set brute force —
+    pins that the orientation trick changes the plan, not the answer."""
+    import hashlib
+
+    from the_movie_database_import_spark.operators.graph import triangle_counts
+
+    pairs = []
+    for i in range(400):
+        h = hashlib.md5(f"tri-{i}".encode()).hexdigest()
+        a, b = int(h[:4], 16) % 30, int(h[4:8], 16) % 30
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    und = sorted(set(pairs))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for v in (a, b, c):
+                    expect[v] = expect.get(v, 0) + 1
+    edges = spark.createDataFrame(und, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == expect, (len(got), len(expect))
+
+
+def test_cooccurrence_edges_bounded_and_symmetric(spark):
+    """Directed co-occurrence emits both orientations with equal weight and
+    collapses repeated (key, item) rows first; undirected emits the u < v
+    half exactly once."""
+    from the_movie_database_import_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    rows = [
+        (10, 1), (10, 1), (10, 2), (10, 3),   # dup (10,1) collapses
+        (11, 1), (11, 2),
+        (12, 9),                               # singleton key: no pairs
+    ]
+    df = spark.createDataFrame(rows, "k long, item long")
+    d = {(r.src, r.dst): r.weight for r in
+         cooccurrence_edges(df, "k", "item", directed=True).collect()}
+    assert d[(1, 2)] == 2 and d[(2, 1)] == 2  # co-occur under keys 10 and 11
+    assert d[(1, 3)] == 1 and d[(3, 1)] == 1
+    assert (9, 9) not in d and not any(9 in p for p in d)
+    u = {(r.src, r.dst): r.weight for r in
+         cooccurrence_edges(df, "k", "item", directed=False).collect()}
+    assert u == {(1, 2): 2, (1, 3): 1, (2, 3): 1}

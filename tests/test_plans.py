@@ -1190,3 +1190,50 @@ def test_hard_negatives_anchors_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cooccurrence_edges_equi_join_pruned_scan(spark):
+    """The co-occurrence self-join must plan as an equi-join on the group
+    key (bounded per-key fan-out — the blocking shape), never a cartesian,
+    and the lineitem scan must prune to exactly (l_orderkey, l_partkey)."""
+    from the_movie_database_import_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    plan = (
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["l_orderkey", "l_partkey"], cols
+
+
+def test_graph_triangles_equi_joins_and_topk(spark):
+    """Triangle census: wedge + closure joins are equi-joins (the degree
+    orientation is plain column logic, no cross product anywhere), and the
+    registry query's top-100 plans as TakeOrderedAndProject — a bounded
+    per-partition heap + single merge, not a global sort."""
+    plan = _plan(spark, "q_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_graph_pagerank_iteration_paid_once(spark):
+    """The returned ranks are a checkpointed RDD scan: the ten-round
+    iteration ran eagerly exactly once (lineage truncated per round), so
+    consuming the result — here the top-100 — replans as Scan ExistingRDD
+    + TakeOrderedAndProject, never a re-execution of the loop (no join or
+    parquet scan may survive in the consumer plan)."""
+    plan = _plan(spark, "q_graph_pagerank")
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan, "consumer plan must not re-run the iteration"
+    assert "Parquet" not in plan

@@ -6,8 +6,9 @@ SURVEY.md §2 component (including every LLM-pipeline / UDF / extension
 operator) into that window. The tail past 50 holds redundant variants of
 components already covered in-window — each tail entry was driver-green in
 a recent CORRECTNESS_r*.json (r12 displaced rows at the head of the tail
-for the r13 layout; once CORRECTNESS_r13 lands, the oldest evidence
-anywhere is r09) and remains locally oracle-checked by
+for the r13 layout; once CORRECTNESS_r13 lands, the only pre-r09 rows
+anywhere are the two annotated displacements heading the r14 queue —
+q_agg_cube r07, q_benford_audit r09) and remains locally oracle-checked by
 tests/test_oracle_parity.py and tools/exact_parity.py at every SF.
 """
 
@@ -44,9 +45,9 @@ from . import stats  # noqa: F401,E402
 #   pointer-jumping O(log n) fixpoint (VERDICT r12 #4): q_dedup_clusters,
 #   q_split_leakage_safe, q_entity_resolution, q_dedup_savings,
 #   q_dedup_savings_minhash, q_dedup_survivors.
-# - ALL 19 r07-era rows rotate in (VERDICT r12 #1's list — the entire
-#   remaining tail of stale evidence; after r13 the oldest driver row
-#   anywhere is r08).
+# - 18 of the 19 r07-era rows rotate in (VERDICT r12 #1's list — the
+#   remaining tail of stale evidence; q_agg_cube yields its slot to the
+#   late-r13 graph family and heads the r14 rotation queue).
 # - ALL 7 r08-era rows rotate in.
 # - The remaining slots refresh r09-era rows, minus five slots taken by
 #   the LATE-r13 operators (setjoin-prefix, C4 lines, DSIR, hard
@@ -76,9 +77,10 @@ DRIVER_WINDOW = [
     "q_dedup_savings",
     "q_dedup_savings_minhash",
     "q_dedup_survivors",
-    # --- all 19 remaining r07-era rows refresh (clears r07 entirely) ---
+    # --- 18 of the 19 remaining r07-era rows refresh (q_agg_cube yields
+    # its slot to the late-r13 graph family and HEADS the r14 rotation
+    # queue — annotated at its tail entry) ---
     "q_agg_count_distinct",
-    "q_agg_cube",
     "q_agg_first_nonnull",
     "q_agg_grouping_sets",
     "q_agg_percentiles_approx",
@@ -112,9 +114,13 @@ DRIVER_WINDOW = [
     "q_dsir_importance",
     "q_ann_hard_negatives",
     "q_dedup_within_doc",
-    # --- r09-era rows refresh (the ones left out are annotated at their
-    # tail entries and head the r14 rotation queue) ---
-    "q_benford_audit",
+    # --- late-r13 graph family (never driver-checked, hard rule): the
+    # engine's second hash-exact iterative fixpoint (PageRank on the
+    # integer grid, unrolled-CTE oracle) and the degree-ordered triangle
+    # census. They take the final r09-refresh slot (q_benford_audit) and
+    # one r07 slot (q_agg_cube) — both annotated at their tail entries.
+    "q_graph_pagerank",
+    "q_graph_triangles",
 ]
 
 
@@ -125,6 +131,15 @@ DRIVER_WINDOW = [
 # tail queries remain locally oracle-checked by tests/test_oracle_parity.py
 # + tools/exact_parity.py at every SF per round.
 TAIL_PRIORITY = [
+    # --- HEAD OF THE r14 ROTATION QUEUE ---
+    "q_agg_cube",      # the single remaining r07-era row: displaced by the
+                       # late-r13 graph family; its Expand machinery is
+                       # exercised in-window by q_agg_grouping_sets (same
+                       # code path, cube = the full grouping-set lattice);
+                       # locally exact-parity-checked every round
+    "q_benford_audit", # r09-era: displaced by the late-r13 graph family;
+                       # census-then-in-row-stat shape shared with the
+                       # in-window q_bootstrap_se / q_key_skew_census rows
     # --- green r12 rows displaced by the r13 refresh rotation (the r12
     # window minus the 3 implementation-changed queries that kept slots) ---
     "q_agg_collect_set",

@@ -3856,3 +3856,127 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in train_bpe(docs, n_merges=12).orderBy("merge_rank").collect()
     ]
     return bpe_encode_counts(docs, merges)
+
+
+def _pagerank_oracle(iters: int = 10, scale: int = 10_000_000_000) -> str:
+    """Unrolled fixed-iteration PageRank recurrence as chained CTEs.
+
+    DuckDB's recursive CTEs (like Postgres's) cannot aggregate over the
+    recursive reference, and PageRank needs a SUM per round — so the fixed
+    iteration count is unrolled mechanically instead (p0..p10). Every
+    arithmetic step mirrors `operators/graph.pagerank` exactly: BIGINT
+    grid, per-edge floor division (`//` here, `DIV` in Spark — identical
+    on positive operands), teleport term floored against the node count.
+    """
+    steps = []
+    prev = "p0"
+    for i in range(iters):
+        nxt = f"p{i + 1}"
+        steps.append(
+            f"""{nxt} AS (
+      SELECT n.node,
+             CAST((15 * CAST({scale} AS BIGINT)) // (100 * nn.n)
+                  + COALESCE(s.c, 0) AS BIGINT) AS pr_scaled
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM((85 * p.pr_scaled * e.w) // (100 * o.wout)) AS c
+        FROM {prev} p JOIN pairs e ON e.src = p.node
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+        prev = nxt
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.k = b.k AND a.p <> b.p
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM pairs),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS wout FROM pairs GROUP BY src),
+    p0 AS (
+      SELECT node, CAST(CAST({scale} AS BIGINT) // nn.n AS BIGINT)
+             AS pr_scaled
+      FROM nodes CROSS JOIN nn
+    ),
+    {','.join(steps)}
+    SELECT node, pr_scaled FROM {prev}
+    ORDER BY pr_scaled DESC, node LIMIT 100
+    """
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "ext"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-occurrence graph (north star
+    `graph_pagerank`, r13): which catalog items sit at the center of the
+    bought-together graph — the importance signal a recommender or a
+    crawl-frontier prioritizer reads. Ten damped power-iteration rounds
+    on a BIGINT grid with per-edge floor division, so the driver hash
+    certifies the DISTRIBUTED ITERATION bit-for-bit against an oracle
+    that unrolls the same recurrence as ten chained CTEs (the engine's
+    second hash-exact iterative fixpoint beside the connected-components
+    closure). One shuffle-join + one aggregate per round, edges
+    checkpointed once, previous round's blocks retired by RDD id. Top
+    100 by rank, smallest-node tiebreak."""
+    from ..operators.graph import cooccurrence_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=True)
+    pr = pagerank(edges, iters=10)
+    return pr.orderBy(F.desc("pr_scaled"), "node").limit(100)
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    ed AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM ed e1
+      JOIN ed e2 ON e2.u = e1.v
+      JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 100
+    """,
+    tags=("graph", "ext"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the part co-occurrence graph
+    (north star `graph_triangles`, r13): the clustering-coefficient
+    numerator — how embedded each item is in tightly-knit buying
+    communities. The engine orients every edge from its (degree, id)-
+    smaller endpoint before enumerating wedges, bounding the hot node's
+    fan-out at O(sqrt(m)) (Suri & Vassilvitskii WWW'11) — the oracle is
+    the plain three-way join over canonical u < v edges, so the hash
+    certifies that the orientation trick changes the PLAN, not the
+    answer. Exact integers; top 100, smallest-node tiebreak."""
+    from ..operators.graph import cooccurrence_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=False)
+    tc = triangle_counts(edges)
+    return tc.orderBy(F.desc("n_triangles"), "node").limit(100)
