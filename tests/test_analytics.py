@@ -1218,3 +1218,101 @@ def test_gopher_rules_discriminate_on_fixture(spark):
     out = REGISTRY["q_quality_gopher_rules"].spark_fn(spark, SF_DIR).collect()
     kept = sum(1 for r in out if r.keep)
     assert 0 < kept < len(out)
+
+
+def test_km_survival_hand_case(spark):
+    """Six users over a 20-day window (obs_end = Jan 21, churn gap 7):
+    durations and censoring computed by hand, KM factors replayed in
+    python on the same integer-ln grid. Covers: multiple churns at one
+    duration, a censored user inside the curve, and the all-remaining-
+    churn row where survival hits exact zero (km_log_q6 NULL + km_zero)."""
+    import datetime as dt
+    import math
+
+    from the_movie_database_import_spark.operators.analytics import km_survival
+
+    def ts(day, h=12):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    rows = [
+        # u1: days 1..3 -> churned, duration 2
+        (1, ts(1)), (1, ts(3)),
+        # u2: days 1..3 -> churned, duration 2 (ties with u1)
+        (2, ts(1)), (2, ts(3)),
+        # u3: days 2..10 -> churned (last 11 days before obs_end), dur 8
+        (3, ts(2)), (3, ts(10)),
+        # u4: days 4..18 -> active within gap -> censored at obs_end, dur 17
+        (4, ts(4)), (4, ts(18)),
+        # u5: days 1..21 -> censored, duration 20
+        (5, ts(1)), (5, ts(21)),
+        # u6: days 2..14 -> churned (7-day gap exactly), duration 12
+        (6, ts(2)), (6, ts(14)),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.duration_days: r
+        for r in km_survival(events, churn_gap_days=7).collect()
+    }
+    assert sorted(got) == [2, 8, 12, 17, 20]
+
+    def q6(x):
+        return math.floor(1_000_000 * math.log(x))
+
+    # d=2: n=6, 2 churn -> factor ln(4/6)
+    r = got[2]
+    assert (r.n_at_risk, r.n_events, r.n_censored) == (6, 2, 0)
+    assert r.hazard_q6 == (1_000_000 * 2) // 6
+    assert r.km_log_q6 == q6(4 / 6) and not r.km_zero
+    # d=8: n=4, 1 churn
+    r = got[8]
+    assert (r.n_at_risk, r.n_events, r.n_censored) == (4, 1, 0)
+    assert r.km_log_q6 == q6(4 / 6) + q6(3 / 4)
+    # d=12: n=3, 1 churn
+    r = got[12]
+    assert (r.n_at_risk, r.n_events) == (3, 1)
+    assert r.km_log_q6 == q6(4 / 6) + q6(3 / 4) + q6(2 / 3)
+    # d=17: censored only -> factor 0, curve flat
+    r = got[17]
+    assert (r.n_at_risk, r.n_events, r.n_censored) == (2, 0, 1)
+    assert r.hazard_q6 == 0
+    assert r.km_log_q6 == got[12].km_log_q6
+    # d=20: last user censored -> still no zero anywhere
+    r = got[20]
+    assert (r.n_at_risk, r.n_events, r.n_censored) == (1, 0, 1)
+    assert not r.km_zero
+
+
+def test_km_survival_zero_row_goes_null(spark):
+    """When the whole remaining risk set churns at one duration the
+    survival product is exactly zero: ln(0) is undefined, so km_log_q6
+    must be NULL from that row on and km_zero flips true. A zero needs
+    every censored user to exit EARLIER than the final churn duration
+    (obs_end always sits >= last churn + gap), so the censored user here
+    starts late and lives short."""
+    import datetime as dt
+
+    from the_movie_database_import_spark.operators.analytics import km_survival
+
+    def ts(day):
+        return dt.datetime(2024, 1, day, 12, 0, 0)
+
+    rows = [
+        (8, ts(15)), (8, ts(16)),  # last event = obs_end -> censored, dur 1
+        (1, ts(1)), (1, ts(2)),    # churn, dur 1
+        (2, ts(1)), (2, ts(9)),    # churn, dur 8
+        (3, ts(1)), (3, ts(9)),    # churn, dur 8 -> d=8 risk set {2,3}
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.duration_days: r
+        for r in km_survival(events, churn_gap_days=7).collect()
+    }
+    assert sorted(got) == [1, 8]
+    assert (got[1].n_at_risk, got[1].n_events, got[1].n_censored) == (
+        4, 1, 1,
+    )
+    assert not got[1].km_zero and got[1].km_log_q6 is not None
+    r = got[8]
+    assert (r.n_at_risk, r.n_events) == (2, 2)
+    assert r.km_zero and r.km_log_q6 is None
+    assert r.hazard_q6 == 1_000_000

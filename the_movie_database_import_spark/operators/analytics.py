@@ -1019,3 +1019,138 @@ def coalesce_intervals(
         F.max(end_col).alias("span_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def km_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: int = 7,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over user lifetimes with right-censoring
+    — "what fraction of users are still active after d days?", the churn
+    readout `retention_cohorts` cannot give because cohort cells silently
+    mix users who left with users whose observation simply ended.
+
+    Lifetime model: a user's clock starts at their FIRST event. A user
+    whose last event is ≥ ``churn_gap_days`` before the corpus's last
+    observed timestamp has CHURNED (event, duration = first→last in days);
+    anyone active more recently is CENSORED at the observation end
+    (duration = first→obs_end) — their lifetime is only known to EXCEED
+    that, which is exactly what the KM estimator consumes and a naive
+    "avg lifetime" silently gets wrong.
+
+    Output per distinct duration d (ascending): ``n_at_risk`` (users whose
+    lifetime reached d), ``n_events`` (churned at d), ``n_censored``,
+    ``hazard_q6`` = (grid * n_events) DIV n_at_risk — exact integer — and
+    ``km_log_q6``, the running sum of floor(grid * ln((n-d)/n)) over event
+    durations: the KM product in grid-quantized log space. Both engines
+    floor the same ln at the same grid (the `unigram_nll` integer-ln lane),
+    and the cumulative SUM is exact integer arithmetic, so the curve is
+    oracle-hash-exact THROUGH the cumulative product. Where the risk set
+    churns out entirely (n_events = n_at_risk) survival hits exact zero —
+    ln(0) is undefined, so ``km_log_q6`` goes NULL from that row on
+    (flagged ``km_zero``), mirrored in SQL.
+
+    Scale: one user-keyed shuffle for the lifetime table (min/max from one
+    hash aggregate), then every window runs over the DURATION CENSUS — one
+    row per distinct day count, bounded by the observation span in days,
+    not by users or events (the bounded-global-window discipline of
+    `token_kl_divergence`). The single-row obs_end aggregate broadcasts.
+    """
+    day_diff = F.datediff
+    obs = events.agg(F.max(F.to_date(F.col(ts_col))).alias("_obs_end"))
+    pu = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.min(F.to_date(F.col(ts_col))).alias("_t0"),
+            F.max(F.to_date(F.col(ts_col))).alias("_t1"),
+        )
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.when(
+                day_diff(F.col("_obs_end"), F.col("_t1"))
+                >= F.lit(churn_gap_days),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("_churned"),
+            F.when(
+                day_diff(F.col("_obs_end"), F.col("_t1"))
+                >= F.lit(churn_gap_days),
+                day_diff(F.col("_t1"), F.col("_t0")),
+            )
+            .otherwise(day_diff(F.col("_obs_end"), F.col("_t0")))
+            .cast("long")
+            .alias("duration_days"),
+        )
+    )
+    census = pu.groupBy("duration_days").agg(
+        F.sum("_churned").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("_churned")).cast("bigint").alias("n_censored"),
+    )
+    total = pu.agg(F.count(F.lit(1)).cast("bigint").alias("_n_total"))
+    w_prior = (
+        Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = (
+        census.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("_n_total")
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(
+                        w_prior
+                    ),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+        .drop("_n_total")
+    )
+    factor = F.when(
+        F.col("n_events") == 0, F.lit(0).cast("bigint")
+    ).when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.floor(
+            F.lit(grid)
+            * F.log(
+                (F.col("n_at_risk") - F.col("n_events")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+        ).cast("bigint"),
+    )  # n_events == n_at_risk -> NULL (survival exactly zero)
+    stepped = at_risk.withColumn("_f", factor).withColumn(
+        "km_zero",
+        (
+            F.max(
+                F.when(
+                    F.col("n_events") == F.col("n_at_risk"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).over(w_cum)
+            == 1
+        ),
+    )
+    return stepped.select(
+        "duration_days",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.expr(f"CAST({grid} AS BIGINT) * n_events DIV n_at_risk").alias(
+            "hazard_q6"
+        ),
+        F.when(
+            F.col("km_zero"), F.lit(None).cast("bigint")
+        )
+        .otherwise(F.sum("_f").over(w_cum))
+        .cast("bigint")
+        .alias("km_log_q6"),
+        "km_zero",
+    )

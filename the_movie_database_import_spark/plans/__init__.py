@@ -8,7 +8,8 @@ components already covered in-window — each tail entry was driver-green in
 a recent CORRECTNESS_r*.json (r12 displaced rows at the head of the tail
 for the r13 layout; once CORRECTNESS_r13 lands, the only pre-r09 rows
 anywhere are the two annotated displacements heading the r14 queue —
-q_agg_cube r07, q_benford_audit r09) and remains locally oracle-checked by
+q_agg_cube + q_positive_or_null r07, q_benford_audit r09) and remains
+locally oracle-checked by
 tests/test_oracle_parity.py and tools/exact_parity.py at every SF.
 """
 
@@ -45,9 +46,10 @@ from . import stats  # noqa: F401,E402
 #   pointer-jumping O(log n) fixpoint (VERDICT r12 #4): q_dedup_clusters,
 #   q_split_leakage_safe, q_entity_resolution, q_dedup_savings,
 #   q_dedup_savings_minhash, q_dedup_survivors.
-# - 18 of the 19 r07-era rows rotate in (VERDICT r12 #1's list — the
+# - 17 of the 19 r07-era rows rotate in (VERDICT r12 #1's list — the
 #   remaining tail of stale evidence; q_agg_cube yields its slot to the
-#   late-r13 graph family and heads the r14 rotation queue).
+#   late-r13 graph family and q_positive_or_null to the Kaplan-Meier
+#   survival curve — both head the r14 rotation queue).
 # - ALL 7 r08-era rows rotate in.
 # - The remaining slots refresh r09-era rows, minus five slots taken by
 #   the LATE-r13 operators (setjoin-prefix, C4 lines, DSIR, hard
@@ -77,9 +79,10 @@ DRIVER_WINDOW = [
     "q_dedup_savings",
     "q_dedup_savings_minhash",
     "q_dedup_survivors",
-    # --- 18 of the 19 remaining r07-era rows refresh (q_agg_cube yields
-    # its slot to the late-r13 graph family and HEADS the r14 rotation
-    # queue — annotated at its tail entry) ---
+    # --- 17 of the 19 remaining r07-era rows refresh (q_agg_cube yields
+    # its slot to the late-r13 graph family, q_positive_or_null to the
+    # Kaplan-Meier survival query; both HEAD the r14 rotation queue —
+    # annotated at their tail entries) ---
     "q_agg_count_distinct",
     "q_agg_first_nonnull",
     "q_agg_grouping_sets",
@@ -91,7 +94,6 @@ DRIVER_WINDOW = [
     "q_join_broadcast",
     "q_join_multiway_star",
     "q_math_fns",
-    "q_positive_or_null",
     "q_safe_cast",
     "q_similarity_topk_cosine",
     "q_topk_per_group",
@@ -121,6 +123,8 @@ DRIVER_WINDOW = [
     # one r07 slot (q_agg_cube) — both annotated at their tail entries.
     "q_graph_pagerank",
     "q_graph_triangles",
+    # --- late-r13: Kaplan-Meier survival (never driver-checked) ---
+    "q_km_survival",
 ]
 
 
@@ -132,7 +136,12 @@ DRIVER_WINDOW = [
 # + tools/exact_parity.py at every SF per round.
 TAIL_PRIORITY = [
     # --- HEAD OF THE r14 ROTATION QUEUE ---
-    "q_agg_cube",      # the single remaining r07-era row: displaced by the
+    "q_positive_or_null",  # r07-era: displaced by the late-r13 Kaplan-Meier
+                       # survival query; its null-lane row-op family keeps
+                       # q_safe_cast in-window (same junk-guard machinery,
+                       # plans/relational.py); locally exact-parity-checked
+                       # every round
+    "q_agg_cube",      # the other remaining r07-era row: displaced by the
                        # late-r13 graph family; its Expand machinery is
                        # exercised in-window by q_agg_grouping_sets (same
                        # code path, cube = the full grouping-set lattice);

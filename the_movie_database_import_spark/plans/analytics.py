@@ -812,3 +812,78 @@ def q_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return key_skew_census(events, "user_id", top_k=10)
+
+
+@register(
+    "q_km_survival",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS t0,
+             MAX(CAST(ts AS DATE)) AS t1
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    obs AS (SELECT MAX(CAST(ts AS DATE)) AS obs_end FROM events),
+    lif AS (
+      SELECT CASE WHEN datediff('day', t1, obs_end) >= 7 THEN 1 ELSE 0 END
+               AS churned,
+             CAST(CASE WHEN datediff('day', t1, obs_end) >= 7
+                  THEN datediff('day', t0, t1)
+                  ELSE datediff('day', t0, obs_end) END AS BIGINT)
+               AS duration_days
+      FROM pu CROSS JOIN obs
+    ),
+    census AS (
+      SELECT duration_days,
+             CAST(SUM(churned) AS BIGINT) AS n_events,
+             CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+      FROM lif GROUP BY duration_days
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lif),
+    ar AS (
+      SELECT c.*,
+             CAST(t.n_total - COALESCE(SUM(n_events + n_censored) OVER (
+                 ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+      FROM census c CROSS JOIN tot t
+    ),
+    st AS (
+      SELECT *,
+        CASE WHEN n_events = 0 THEN CAST(0 AS BIGINT)
+             WHEN n_events < n_at_risk THEN CAST(floor(1000000 * ln(
+               CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk))
+               AS BIGINT)
+             ELSE NULL END AS f,
+        MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END) OVER (
+          ORDER BY duration_days
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS km_zero
+      FROM ar
+    )
+    SELECT duration_days, n_at_risk, n_events, n_censored,
+           (1000000 * n_events) // n_at_risk AS hazard_q6,
+           CASE WHEN km_zero THEN NULL
+                ELSE CAST(SUM(f) OVER (
+                  ORDER BY duration_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) END AS km_log_q6,
+           km_zero
+    FROM st
+    """,
+    tags=("events", "stats", "ext"),
+)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-lifetime survival curve with right-censoring
+    (north star `km_survival`, r13): per distinct lifetime duration, the
+    risk set, churn events, censored exits, the exact-integer hazard, and
+    the KM survival product carried in grid-quantized log space
+    (`km_log_q6` — the running BIGINT sum of floored ln factors, the
+    `unigram_nll` integer-ln lane), so the driver hash certifies the
+    cumulative product itself. Censoring via the 7-day activity gap
+    against the corpus's final observed day. Every window runs over the
+    bounded duration census (≤ observation span in days), never over
+    users or events."""
+    from ..operators.analytics import km_survival
+
+    events = load_table(spark, sf_dir, "events")
+    return km_survival(events, churn_gap_days=7)

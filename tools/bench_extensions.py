@@ -139,6 +139,9 @@ QUERIES = [
     "q_dsir_importance",
     "q_ann_hard_negatives",
     "q_dedup_within_doc",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_km_survival",
 ]
 
 
