@@ -688,7 +688,11 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
-    from ..session import local_checkpoint_rdd_id, unpersist_rdd_ids
+    from ..session import (
+        local_checkpoint_rdd_id,
+        maybe_broadcast,
+        unpersist_rdd_ids,
+    )
 
     sc = nodes.sparkSession.sparkContext
 
@@ -699,30 +703,65 @@ def connected_components(
     # savings census over minhash edges, r11). localCheckpoint cuts the
     # lineage once; the pair list is the SMALL derived table (pairs, not
     # corpus rows), the same bounded-state argument as the labels table.
-    undirected = (
+    #
+    # r13 opt: checkpoint the DIRECTED pairs and mirror them as a narrow
+    # union over the checkpoint blocks — the old code checkpointed the
+    # mirrored union, whose two branches each re-executed the caller's
+    # edge-generation plan (measured 25.7 CPU-s for the savings-census
+    # materialization at sf0.1, half of it the second LSH execution). The
+    # narrow coalesce keeps round task counts at cluster parallelism
+    # instead of 2x shuffle partitions.
+    obs_edges = Observation()
+    ek = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-        )
+        .coalesce(sc.defaultParallelism)
+        # row count rides the SAME materializing action (the engine's
+        # standing Observation pattern) — no separate count job
+        .observe(obs_edges, F.count(F.lit(1)).alias("n_edges"))
         .localCheckpoint()
     )
+    _edges_id = local_checkpoint_rdd_id(ek)
+    n_edges = int(obs_edges.get["n_edges"] or 0)
+    # Size-derived view of the edge blocks for the per-round scans (~64k
+    # rows per task, capped at cluster parallelism): a small pair list
+    # otherwise pays 2x defaultParallelism near-empty tasks per round.
+    eparts = max(1, min(sc.defaultParallelism, n_edges // 65536 + 1))
+    ekv = ek.coalesce(eparts)
+    undirected = ekv.unionByName(
+        ekv.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    obs_nodes = Observation()
     labels = (
         nodes.select(F.col(node_col).alias("u"))
         .distinct()
         .withColumn("label", F.col("u"))
+        .observe(obs_nodes, F.count(F.lit(1)).alias("n_nodes"))
         .localCheckpoint()
     )
-    _edges_id = local_checkpoint_rdd_id(undirected)
     _prev_labels_id = local_checkpoint_rdd_id(labels)
+    # Label/neighbor-min/pointer tables are all ≤ n rows: within the
+    # broadcast budget every per-round join plans as a BroadcastHashJoin
+    # and the edge table is NEVER shuffled in a round (the checkpointed
+    # LogicalRDD has no stats, so the planner could not discover this —
+    # guide §3.1); over budget the joins fall back unhinted to the shuffle
+    # plan. n is a bounded driver scalar observed off the init action.
+    n = int(obs_nodes.get["n_nodes"] or 0)
+    nparts = max(1, min(sc.defaultParallelism, n // 65536 + 1))
+    labels = labels.coalesce(nparts)
     rounds = 0
     for _ in range(max_iters):
         neighbor_min = (
-            undirected.join(labels.withColumnsRenamed({"u": "v2", "label": "vlabel"}),
-                            F.col("v") == F.col("v2"))
+            undirected.join(
+                maybe_broadcast(
+                    labels.withColumnsRenamed({"u": "v2", "label": "vlabel"}),
+                    n_rows=n,
+                ),
+                F.col("v") == F.col("v2"),
+            )
             .groupBy("u")
             .agg(F.min("vlabel").alias("nb_min"))
         )
-        stepped = labels.join(neighbor_min, "u", "left")
+        stepped = labels.join(maybe_broadcast(neighbor_min, n_rows=n), "u", "left")
         if shortcut and rounds > 0:
             # Pointer jumping: every label VALUE is itself a node id in
             # `labels` (labels start as ids and only ever take neighbor /
@@ -736,8 +775,11 @@ def connected_components(
             # label(label(u)) == label(u) and the join would be a pure
             # cost — this keeps the dense-cluster common case (2-3 rounds
             # total) at almost exactly the pre-shortcut price.
-            ptr = labels.select(
-                F.col("u").alias("_p"), F.col("label").alias("_plabel")
+            ptr = maybe_broadcast(
+                labels.select(
+                    F.col("u").alias("_p"), F.col("label").alias("_plabel")
+                ),
+                n_rows=n,
             )
             stepped = stepped.join(ptr, F.col("label") == F.col("_p"), "left")
             new_label = F.least("label", "nb_min", "_plabel")
@@ -757,6 +799,7 @@ def connected_components(
                 ).alias("n_changed"),
             )
             .drop("_old_label")
+            .coalesce(nparts)  # size-derived: labels are n rows, not 32 blocks
             .localCheckpoint()  # eager: one job materializes AND measures
         )
         labels = new_labels
