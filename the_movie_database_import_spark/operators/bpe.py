@@ -113,9 +113,13 @@ def train_bpe(
 ) -> DataFrame:
     """Learn up to ``n_merges`` BPE merges; returns the merge table
     ``(merge_rank, left, right, merged, pair_count)`` — tiny (one row per
-    merge), assembled on the driver from one 1-row argmax collect per
-    round while ALL counting/merging stays distributed over the word
-    census. Stops early when no pair reaches ``min_count``.
+    merge). When the word census fits ``BPE_DRIVER_CENSUS_ROWS`` it is
+    collected once and trained with the classic local loop (r13 fast
+    path); otherwise the merge table is assembled on the driver from one
+    1-row argmax collect per round while ALL counting/merging stays
+    distributed over the word census. Both paths produce the identical
+    merge table (pinned against the same python reference model). Stops
+    early when no pair reaches ``min_count``.
 
     Job shape: the per-round checkpoint is LAZY (``eager=False``) so the
     NEXT round's argmax job materializes it — one job per round instead of
@@ -125,17 +129,59 @@ def train_bpe(
     downstream reads the vocab chain. Without this, a shared session
     accumulates n_merges vocab snapshots per call in the executor block
     store (the r13 ext-bench interference finding)."""
+    from pyspark.sql import Observation
+
     from ..session import local_checkpoint_rdd_id, unpersist_rdd_ids
 
     spark = docs.sparkSession
     sc = spark.sparkContext
+    # Size-derived loop partitioning (r13 opt, guide §2.6): localCheckpoint
+    # pins the PRE-AQE partitioning, so a Heaps-bounded census (31 rows on
+    # the bench corpus) would otherwise drag shuffle-partition-many
+    # near-empty tasks through every round's census/argmax/merge stages —
+    # per-round latency, not work, dominated training. The row count rides
+    # the eager checkpoint's own job via Observation (no extra action).
+    obs = Observation()
     vocab = (
         word_census(docs, text_col)
         .withColumn("syms", _chars(F.col("word")))
         .select("wcount", "syms")
+        .observe(obs, F.count(F.lit(1)).alias("n_words"))
         .localCheckpoint()
     )
     prev_id = local_checkpoint_rdd_id(vocab)
+    n_words = int(obs.get["n_words"] or 0)
+    schema = (
+        "merge_rank bigint, left string, right string, merged string, "
+        "pair_count bigint"
+    )
+    if n_words <= BPE_DRIVER_CENSUS_ROWS:
+        # Driver fast path (r13 opt, guide §1/§5 trade): the distributed
+        # loop pays one full job ROUND-TRIP per merge (~0.1-0.25 s each on
+        # this harness, measured against a 98 ms trivial-collect floor) to
+        # scan a census that fits in one task. Under the budget, collect
+        # the census once and run the classic Sennrich get_stats/merge
+        # loop locally — the SAME loop the test suite's python reference
+        # model pins the distributed trainer against, so the merge table
+        # is identical by construction (exact integer counts, count DESC /
+        # left ASC / right ASC tie order). Over budget, the distributed
+        # round loop below keeps training scan-shaped.
+        try:
+            data = [
+                (list(r["syms"]), int(r["wcount"])) for r in vocab.collect()
+            ]
+        finally:
+            if prev_id is not None:
+                unpersist_rdd_ids(sc, {prev_id})
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                _train_bpe_local(data, int(n_merges), int(min_count)), 1
+            ),
+            schema,
+        )
+    vocab = vocab.coalesce(
+        max(1, min(sc.defaultParallelism, n_words // 65536 + 1))
+    )
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for rank in range(1, int(n_merges) + 1):
@@ -150,11 +196,15 @@ def train_bpe(
                 .collect()
             )
             # the argmax job just materialized this round's lazy
-            # checkpoint; the previous round's snapshot is now unreachable
+            # checkpoint; the previous round's snapshot is now unreachable.
+            # cur_id is None in round 1 (vocab is the COALESCE VIEW of the
+            # initial checkpoint, not a LogicalRDD) — the initial snapshot
+            # is still live then, so only retire when a real new id shows.
             cur_id = local_checkpoint_rdd_id(vocab)
-            if prev_id is not None and prev_id != cur_id:
-                unpersist_rdd_ids(sc, {prev_id})
-            prev_id = cur_id
+            if cur_id is not None:
+                if prev_id is not None and prev_id != cur_id:
+                    unpersist_rdd_ids(sc, {prev_id})
+                prev_id = cur_id
             if not best or best[0].pair_count < min_count:
                 break
             left, right = best[0].left, best[0].right
@@ -169,10 +219,56 @@ def train_bpe(
         for rid in {prev_id, local_checkpoint_rdd_id(vocab)}:
             if rid is not None:
                 unpersist_rdd_ids(sc, {rid})
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, left string, right string, merged string, pair_count bigint",
-    )
+    # One explicit slice (r13 opt, guide §4): createDataFrame on driver
+    # rows parallelizes into defaultParallelism pickled partitions, each
+    # deserialized by its OWN Python worker — 32 worker spin-ups (~0.3 s
+    # apiece of pure startup, no CPU) to carry a dozen merge rows. The
+    # merge table is n_merges rows by construction; one slice, one worker.
+    return spark.createDataFrame(spark.sparkContext.parallelize(merges, 1), schema)
+
+
+# Census-row budget for the driver training fast path: one scan-task's
+# worth of rows (the engine's ~64k rows/task sizing heuristic). Under it,
+# n_merges full job round-trips cost more than collecting the census and
+# looping locally; far over it, the local loop's O(vocab x word_len) python
+# pass per merge would dwarf the job latency it saves.
+BPE_DRIVER_CENSUS_ROWS = 65536
+
+
+def _train_bpe_local(
+    data: list[tuple[list[str], int]], n_merges: int, min_count: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The classic single-machine BPE loop (Sennrich et al. get_stats /
+    merge), bit-identical in outcome to the distributed round loop: exact
+    integer pair counts (sum of word counts over adjacent slots, overlaps
+    all counting), argmax tie order (count DESC, left ASC, right ASC), and
+    the leftmost-first greedy merge in which the merged symbol is
+    immediately eligible as a LEFT operand (``aaaa`` -> [aa, aa])."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in data:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                stats[k] = stats.get(k, 0) + c
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        for j, (syms, c) in enumerate(data):
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            data[j] = (out, c)
+    return merges
 
 
 def bpe_encode_counts(
@@ -202,11 +298,27 @@ def bpe_encode_counts(
         unpersist_rdd_ids,
     )
 
+    from pyspark.sql import Observation
+
     sc = docs.sparkSession.sparkContext
-    vocab = word_census(docs, text_col).select(
-        "word", _chars(F.col("word")).alias("syms")
+    # Same size-derived chain partitioning as train_bpe (r13 opt): the
+    # census is Heaps-bounded, so running the merge folds and periodic
+    # checkpoints over shuffle-partition-many near-empty tasks costs
+    # per-stage latency for nothing. One eager checkpoint materializes the
+    # census, its row count rides that job via Observation, and the whole
+    # chain inherits the coalesced layout.
+    obs = Observation()
+    vocab = (
+        word_census(docs, text_col)
+        .select("word", _chars(F.col("word")).alias("syms"))
+        .observe(obs, F.count(F.lit(1)).alias("n_words"))
+        .localCheckpoint()
     )
-    prev_id: int | None = None
+    prev_id: int | None = local_checkpoint_rdd_id(vocab)
+    n_words = int(obs.get["n_words"] or 0)
+    vocab = vocab.coalesce(
+        max(1, min(sc.defaultParallelism, n_words // 65536 + 1))
+    )
     for i, (left, right, merged) in enumerate(merges):
         vocab = vocab.select(
             "word", _apply_merge(F.col("syms"), left, right, merged).alias("syms")

@@ -1421,10 +1421,20 @@ def tfidf_cosine_pairs(
         hot = bdf.filter(cond).select("block", "tok")
         w = w.join(maybe_broadcast(hot), ["block", "tok"], "left_anti")
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    # Explicit partition count on the posting-list join key (r13 opt, guide
+    # §2.4): the join's OUTPUT is quadratic in posting-list length (Σdf²
+    # rows) while its INPUT is small, so AQE's byte-proportional coalescing
+    # shrank the exchange to ~2 tasks and ran the pair enumeration near-
+    # serially (measured 5.9 of 6.8 s wall on 2 of 32 cores at sf0.1). A
+    # user-specified partition count is exempt from coalescing, and hashing
+    # on (block, tok) satisfies BOTH sides of the self-join with one reused
+    # exchange — the same fix as the triangle census' wedge stage.
+    sc = docs.sparkSession.sparkContext
+    wj = w.repartition(sc.defaultParallelism, "block", "tok")
     num = (
-        w.alias("a")
+        wj.alias("a")
         .join(
-            w.alias("b"),
+            wj.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.block") == F.col("b.block"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

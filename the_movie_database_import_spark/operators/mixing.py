@@ -97,8 +97,14 @@ def mix_corpus(
     if bad:
         raise ValueError(f"weights must be positive (drop groups instead): {bad}")
     spark = docs.sparkSession
+    # single slice: a len(weights)-row driver table otherwise fans out
+    # into defaultParallelism pickled partitions, each spun up by its own
+    # Python worker (r13 opt, guide §4)
     wdf = spark.createDataFrame(
-        [(g, float(w)) for g, w in sorted(weights.items())], f"{group_col} string, _w double"
+        spark.sparkContext.parallelize(
+            [(g, float(w)) for g, w in sorted(weights.items())], 1
+        ),
+        f"{group_col} string, _w double",
     )
     counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     # both small sides have STATICALLY known row bounds — the weights
@@ -218,8 +224,11 @@ def mix_corpus_epochs(
     if max_epochs < 1.0:
         raise ValueError(f"max_epochs must be >= 1: {max_epochs}")
     spark = docs.sparkSession
+    # single slice — see mix_corpus
     wdf = spark.createDataFrame(
-        [(g, float(w)) for g, w in sorted(weights.items())],
+        spark.sparkContext.parallelize(
+            [(g, float(w)) for g, w in sorted(weights.items())], 1
+        ),
         f"{group_col} string, _w double",
     )
     counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))

@@ -868,8 +868,11 @@ def pca_variance_spectrum(
     for i, r in enumerate(evr):
         cum += r
         rows.append((i + 1, r, cum))
-    return embeddings.sparkSession.createDataFrame(
-        rows,
+    # single slice: n_components rows — avoid defaultParallelism Python
+    # worker spin-ups for a driver-local table (r13 opt, guide §4)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
         "component int, explained_variance_ratio double, cumulative_ratio double",
     )
 
