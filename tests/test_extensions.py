@@ -3911,6 +3911,27 @@ def test_iterative_operators_leave_no_pinned_rdds(spark):
     after_bpe = persistent_rdd_ids(sc) - before - after_cc
     assert not after_bpe, f"train_bpe leaked pins: {after_bpe}"
 
+    # pagerank: the weighted-edge and node-universe scaffolding checkpoints
+    # must retire at function exit (r13: ew alone pinned ~240 MB per call
+    # for the session's lifetime); only the result checkpoint may remain.
+    from the_movie_database_import_spark.operators.graph import pagerank
+
+    pr_edges = spark.createDataFrame(
+        [(i, (i + 1) % 40, 1) for i in range(40)],
+        "src long, dst long, weight long",
+    )
+    pagerank(pr_edges, iters=3).count()
+    after_pr = persistent_rdd_ids(sc) - before - after_cc
+    assert len(after_pr) <= 1, f"pagerank leaked pins: {after_pr}"
+
+    # and the RESULT checkpoints themselves are reclaimed at the next
+    # query boundary via the tracked result-checkpoint registry
+    from the_movie_database_import_spark.session import release_caches
+
+    release_caches()
+    leftover = persistent_rdd_ids(sc) - before
+    assert not leftover, f"result checkpoints survived release: {leftover}"
+
 
 def test_setjoin_prefix_hand_case(spark):
     """Prefix-filter completeness + rational-boundary semantics: at

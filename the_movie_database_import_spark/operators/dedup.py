@@ -691,6 +691,7 @@ def connected_components(
     from ..session import (
         local_checkpoint_rdd_id,
         maybe_broadcast,
+        track_result_checkpoint,
         unpersist_rdd_ids,
     )
 
@@ -821,9 +822,11 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     # the returned labeling reads ONLY the final labels checkpoint — the
-    # edge table is dead weight past the fixpoint
+    # edge table is dead weight past the fixpoint; the labels checkpoint
+    # itself retires at the next query boundary (tracked result registry)
     if _edges_id is not None:
         unpersist_rdd_ids(sc, {_edges_id})
+    track_result_checkpoint(labels)
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_rep"),

@@ -148,6 +148,7 @@ def pagerank(
     from ..session import (
         local_checkpoint_rdd_id,
         maybe_broadcast,
+        track_result_checkpoint,
         unpersist_rdd_ids,
     )
 
@@ -269,12 +270,18 @@ def pagerank(
             unpersist_rdd_ids(sc, {_prev_id})
         _prev_id = new_id
 
-    # The returned DataFrame is fully materialized (checkpointed); the edge
-    # and node scaffolding can retire as soon as the caller consumes it —
-    # they stay pinned here because the session's release_caches() sweep
-    # (plans/__init__._wrap_release) reclaims checkpoint blocks between
-    # registry queries.
-    return ranks
+    # The returned DataFrame is fully materialized (each round's checkpoint
+    # is eager), so the scaffolding checkpoints — the weighted edge table
+    # and the node universe — are dead weight the moment the loop exits:
+    # retire them HERE (r13 opt: ew alone pinned ~240 MB of deserialized
+    # edge blocks per pagerank call for the rest of the session, the
+    # dominant ext-bench interference leak). The final ranks checkpoint IS
+    # the result; it retires at the next query boundary via the tracked
+    # result-checkpoint registry.
+    for rid in (_ew_id, _nodes_id):
+        if rid is not None:
+            unpersist_rdd_ids(sc, {rid})
+    return track_result_checkpoint(ranks)
 
 
 def triangle_counts(

@@ -23,11 +23,34 @@ DEFAULT_APP_NAME = "the-movie-database-import-spark"
 # working set is ever retained.
 _TRACKED_CACHES: list[DataFrame] = []
 
+# RESULT localCheckpoints (the final snapshot an iterative operator RETURNS:
+# pagerank's rank table, connected components' label table). They cannot
+# retire inside their operator — the returned DataFrame reads exactly these
+# blocks — so they are registered here and reclaimed with the same
+# next-query-boundary discipline as the SQL caches (r13 opt: without this,
+# every pagerank/CC RUN pinned its result blocks for the session's lifetime;
+# a 4-pass bench sweep accumulated ~1 GB of dead checkpoint blocks).
+# The strict build->execute interleave assumption documented on
+# plans/__init__._wrap_release applies: re-executing a query's DataFrame
+# after the NEXT query was built errors on the freed checkpoint (it cannot
+# recompute — lineage is truncated) instead of silently recomputing.
+_TRACKED_RESULT_CHECKPOINTS: list[tuple] = []  # (SparkContext, rdd_id)
+
 
 def tracked_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` + registration for :func:`release_caches`."""
     df.cache()
     _TRACKED_CACHES.append(df)
+    return df
+
+
+def track_result_checkpoint(df: DataFrame) -> DataFrame:
+    """Register a localCheckpointed RESULT table for deferred retirement by
+    :func:`release_caches` (the next registry-query boundary). No-op when
+    ``df`` is not a direct checkpoint (id unresolvable)."""
+    rid = local_checkpoint_rdd_id(df)
+    if rid is not None:
+        _TRACKED_RESULT_CHECKPOINTS.append((df.sparkSession.sparkContext, rid))
     return df
 
 
@@ -106,6 +129,12 @@ def release_caches() -> int:
         except Exception:  # session already stopped — nothing to release
             pass
     _TRACKED_CACHES.clear()
+    for sc, rid in _TRACKED_RESULT_CHECKPOINTS:
+        try:
+            unpersist_rdd_ids(sc, {rid})
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _TRACKED_RESULT_CHECKPOINTS.clear()
     return n
 
 
