@@ -1834,10 +1834,47 @@ def set_similarity_join_prefix(
     # joins twice, and the prefix table is BOTH sides of the candidate
     # self-join — without the cache each action would re-scan and re-split
     # the corpus 3-4x (measured 48 s -> materialize-once at sf0.1).
-    base = tracked_cache(
+    all_base = tracked_cache(
         docs.select(
             F.col(id_col).alias("doc_id"), tokens_fn(F.col(text_col)).alias("toks")
         )
+    )
+    # Identical-set collapse (r13 opt, guide §2.3 "shuffle keys instead of
+    # payloads" — the minhash path's clique collapse, applied here): docs
+    # with the SAME token set always share the same candidates, the same
+    # verification outcome, and the same jaccard double, so the join runs
+    # once per DISTINCT set (the group rep, min doc_id) and member pairs
+    # are expanded afterwards — intra-group pairs are exactly jaccard 1.0
+    # (n/n on identical arrays), inter-group pairs inherit the rep pair's
+    # double verbatim. On the dup-dense bench corpus this cut verified
+    # candidates 2.97M -> 0.70M (measured) for two cheap expansion joins.
+    # Degenerate docs (NULL/empty token sets) are excluded up front — they
+    # generate no prefix rows in the uncollapsed join either, so they can
+    # never reach the output on either path.
+    canon = all_base.filter(
+        F.col("toks").isNotNull() & (F.size("toks") > 0)
+    ).select(
+        "doc_id",
+        F.sha2(F.concat_ws("\x01", F.sort_array("toks")), 256).alias("_g"),
+    )
+    group_reps = tracked_cache(
+        canon.groupBy("_g").agg(F.min("doc_id").alias("gid"))
+    )
+    # One count over the cached rep table sizes EVERY broadcast below:
+    # |group_reps| <= |members| <= |docs|, and an upper bound is all the
+    # budget guard needs, so no further count probes run.
+    n_groups = group_reps.count()
+    members = tracked_cache(
+        canon.join(maybe_broadcast(group_reps, n_rows=n_groups), "_g").select(
+            "gid", "doc_id"
+        )
+    )
+    n_members = members.count()
+    base = all_base.join(
+        maybe_broadcast(
+            group_reps.select(F.col("gid").alias("doc_id")), n_rows=n_groups
+        ),
+        "doc_id",
     )
     inv = base.select("doc_id", F.explode("toks").alias("tok"))
     df_census = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -1886,10 +1923,18 @@ def set_similarity_join_prefix(
         F.col("a.n") - (F.col("a.pos0") + F.lit(1)),
         F.col("b.n") - (F.col("b.pos0") + F.lit(1)),
     )
+    # The cached prefix table is (1-t) of the REP token volume — small by
+    # construction — but its post-collapse lineage (cache over joins) has
+    # no usable size estimate, so without the hint the planner falls back
+    # to a sort-merge self-join with a full exchange chain (observed: 35
+    # CPU-s, plan duplicated 3x). One cheap count over the cache sizes the
+    # budget guard; under it, the self-join and both verify joins run
+    # broadcast with zero exchanges above the caches (r13 opt, guide §3.1).
+    n_pref = pref.count()
     cands = (
         pref.alias("a")
         .join(
-            pref.alias("b"),
+            maybe_broadcast(pref.alias("b"), n_rows=n_pref),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: least(n_a,n_b)*den >= greatest(n_a,n_b)*num
@@ -1906,11 +1951,21 @@ def set_similarity_join_prefix(
     )
     verified = (
         cands.join(
-            base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta")),
+            maybe_broadcast(
+                base.select(
+                    F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta")
+                ),
+                n_rows=n_groups,
+            ),
             "doc_a",
         )
         .join(
-            base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb")),
+            maybe_broadcast(
+                base.select(
+                    F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb")
+                ),
+                n_rows=n_groups,
+            ),
             "doc_b",
         )
         .select(
@@ -1922,7 +1977,7 @@ def set_similarity_join_prefix(
         )
     )
     union_size = F.col("_na") + F.col("_nb") - F.col("_ni")
-    return (
+    rep_pairs = (
         verified.filter(F.col("_ni") * F.lit(den) >= F.lit(num) * union_size)
         .select(
             "doc_a",
@@ -1930,3 +1985,33 @@ def set_similarity_join_prefix(
             (F.col("_ni") / union_size).alias("jaccard"),
         )
     )
+    # Expand rep-level pairs back to member pairs. Inter-group: every
+    # (member of a, member of b) combination inherits the rep jaccard;
+    # intra-group: identical sets, jaccard exactly 1.0 (the verified path
+    # computes n/n for these — bit-identical). Both expansion sides are
+    # the bounded (gid, doc_id) membership table, broadcast within budget.
+    ma = members.select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("_xa"))
+    mb = members.select(F.col("gid").alias("doc_b"), F.col("doc_id").alias("_xb"))
+    inter = (
+        rep_pairs.join(maybe_broadcast(ma, n_rows=n_members), "doc_a")
+        .join(maybe_broadcast(mb, n_rows=n_members), "doc_b")
+        .select(
+            F.least("_xa", "_xb").alias("doc_a"),
+            F.greatest("_xa", "_xb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            maybe_broadcast(members.alias("y"), n_rows=n_members),
+            (F.col("x.gid") == F.col("y.gid"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra)
