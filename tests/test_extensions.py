@@ -656,7 +656,12 @@ def test_connected_components_single_action_per_iteration(spark, monkeypatch):
     # in Spark 4 and classic.dataframe.DataFrame overrides count, so a spy
     # on the base never fires (r12 fix — the assertion was vacuous before).
     from pyspark.sql.classic.dataframe import DataFrame
+    from the_movie_database_import_spark.operators import dedup
     from the_movie_database_import_spark.operators.dedup import connected_components
+
+    # force the distributed loop: this test pins ITS job shape (the r13
+    # driver union-find fast path would short-circuit a 7-node graph)
+    monkeypatch.setattr(dedup, "CC_DRIVER_GRAPH_ROWS", 0)
 
     calls: list[int] = []
     orig = DataFrame.count
@@ -797,15 +802,20 @@ def test_decoded_features_match_python_model(spark):
         )
 
 
-def test_connected_components_chain_log_rounds(spark):
+def test_connected_components_chain_log_rounds(spark, monkeypatch):
     """VERDICT r12 #4: a chain-shaped component (syndication rings, quote
     chains) must converge in O(log n) rounds, not O(n). Pointer jumping
     (`shortcut=True`, the default) composes label(label(u)) each round, so
     the distance the minimum travels roughly doubles per round: a 24-node
     path takes exactly 24 rounds under plain neighbor-min propagation and 7
     with the shortcut (python-model counts, pinned); a 300-node path
-    converges in 11 shortcut rounds where plain would need 300."""
+    converges in 11 shortcut rounds where plain would need 300. The r13
+    driver fast path is disabled so the DISTRIBUTED loop's round counts
+    are what this test pins."""
+    from the_movie_database_import_spark.operators import dedup
     from the_movie_database_import_spark.operators.dedup import connected_components
+
+    monkeypatch.setattr(dedup, "CC_DRIVER_GRAPH_ROWS", 0)
 
     def chain(n):
         nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "node long")
@@ -834,7 +844,7 @@ def test_connected_components_chain_log_rounds(spark):
     assert st_big["rounds"] <= 12, st_big  # python model: 11
 
 
-def test_connected_components_shortcut_identical(spark):
+def test_connected_components_shortcut_identical(spark, monkeypatch):
     """The shortcut never changes the answer — component-min is the unique
     fixpoint of both iterations (labels are monotone decreasing, bounded by
     the component minimum, and any fixpoint is constant per component), so
@@ -865,6 +875,43 @@ def test_connected_components_shortcut_identical(spark):
     reps = {d: c for d, c, _ in fast}
     assert reps[17] == 10 and reps[23] == 10  # bridged component
     assert reps[35] == 30 and reps[39] == 39  # star + singleton
+
+
+def test_connected_components_driver_path_identical(spark, monkeypatch):
+    """The r13 budget-guarded driver union-find fast path must return
+    exactly the distributed fixpoint's labeling — same mixed topology as
+    the shortcut pin (chain + clique + star + bridge + singletons), plus
+    an edge with an endpoint outside the node universe (both paths must
+    ignore it)."""
+    from the_movie_database_import_spark.operators import dedup
+    from the_movie_database_import_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges_py = (
+        [(i, i + 1) for i in range(10, 17)]
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+        + [(30, b) for b in range(31, 36)]
+        + [(17, 20)]
+        + [(38, 999)]  # 999 is outside the node universe
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10, 40)], "node long")
+    edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+
+    fast = connected_components(nodes, edges)  # 30 nodes -> driver path
+    assert fast.dtypes == [
+        ("doc_id", "bigint"),
+        ("cluster_rep", "bigint"),
+        ("is_kept", "boolean"),
+    ]
+    got_fast = {(r.doc_id, r.cluster_rep, r.is_kept) for r in fast.collect()}
+
+    monkeypatch.setattr(dedup, "CC_DRIVER_GRAPH_ROWS", 0)
+    st: dict = {}
+    dist = connected_components(nodes, edges, stats=st)
+    got_dist = {(r.doc_id, r.cluster_rep, r.is_kept) for r in dist.collect()}
+    assert st["rounds"] > 0  # the distributed loop really ran
+    assert got_fast == got_dist
 
 
 def test_decontaminate_removes_exactly_flagged_docs(spark):
@@ -3504,10 +3551,15 @@ def test_savings_census_minhash_edge_plan_paid_once(spark, monkeypatch):
     # base never fire in Spark 4 (classic.dataframe overrides the method)
     from pyspark.sql.classic.dataframe import DataFrame
 
+    from the_movie_database_import_spark.operators import dedup
     from the_movie_database_import_spark.operators.dedup import (
         dedup_savings_census,
         minhash_lsh_pairs,
     )
+
+    # this pins the DISTRIBUTED loop's pay-once checkpoint shape; the r13
+    # driver fast path would skip the round checkpoints on 6 docs
+    monkeypatch.setattr(dedup, "CC_DRIVER_GRAPH_ROWS", 0)
 
     docs = spark.createDataFrame(
         pd.DataFrame(
@@ -3882,18 +3934,22 @@ def test_bpe_encode_matches_python_model(spark):
     assert some[1] >= some[0]  # at least one symbol per word
 
 
-def test_iterative_operators_leave_no_pinned_rdds(spark):
+def test_iterative_operators_leave_no_pinned_rdds(spark, monkeypatch):
     """localCheckpoint blocks live in the executor block store, not the SQL
     cache — release_caches cannot reclaim them, so the iterative operators
     must retire their own snapshots (the r13 ext-bench interference
     finding). After connected_components and train_bpe complete, at most
     the operator's single RESULT checkpoint may remain pinned."""
+    from the_movie_database_import_spark.operators import dedup
     from the_movie_database_import_spark.operators.bpe import train_bpe
     from the_movie_database_import_spark.operators.dedup import (
         connected_components,
     )
     from the_movie_database_import_spark.session import persistent_rdd_ids
 
+    # exercise the DISTRIBUTED loop's retirement discipline (the driver
+    # fast path would skip the per-round checkpoints on this small graph)
+    monkeypatch.setattr(dedup, "CC_DRIVER_GRAPH_ROWS", 0)
     sc = spark.sparkContext
     before = persistent_rdd_ids(sc)
 
