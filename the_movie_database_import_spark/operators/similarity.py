@@ -296,7 +296,9 @@ def hyperplane_signature(vec: Column, planes: int = LSH_PLANES, dim: int = 64) -
     bucketing path and the near-dup sub-bucketing path."""
     bits = []
     for p in range(planes):
-        hp = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        # one array Literal per plane, not dim CreateArray children — see
+        # _sq_dist (planes x dim literal nodes dominated plan analysis)
+        hp = F.lit([float(c) for c in _hyperplane(dim, p)])
         proj = dot(vec, hp)
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
     out = bits[0]
@@ -308,7 +310,10 @@ def hyperplane_signature(vec: Column, planes: int = LSH_PLANES, dim: int = 64) -
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance from an array column to a constant centroid,
     as a single fold — stays in whole-stage codegen."""
-    cen = F.array(*[F.lit(float(c)) for c in centroid])
+    # one array Literal, not dim CreateArray children: k centroids x dim
+    # literal nodes made Catalyst plan time rival executor time for the
+    # IVF/PQ family (r13 opt, guide §7.3); values and types unchanged
+    cen = F.lit([float(c) for c in centroid])
     return F.aggregate(
         F.zip_with(vec, cen, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -171,7 +171,14 @@ def bloom_might_contain(
     """In-row membership probe against a literal bitmap: AND over the k
     xxhash64 bit tests — pure codegen, no join, no shuffle. False positives
     possible (that is the contract), false negatives never."""
-    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # ONE array Literal, not a CreateArray of n_words literal nodes: the
+    # k probes each embed this expression, so the old form put k x 1024
+    # Literal children in the filter's tree and Catalyst's rule passes
+    # walked all of them — measured 4.1 s of driver plan time against
+    # 0.6 s of executor CPU for the whole query (r13 opt, guide §7.3
+    # "very large expression trees"). A python list lits to a single
+    # ArrayType Literal node; bit math and results are unchanged.
+    arr = F.lit([int(w) for w in bitmap]).cast("array<bigint>")
     cond = None
     for i in range(k):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)).cast("long")
