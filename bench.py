@@ -32,6 +32,22 @@ from the_movie_database_import_spark.plans import REGISTRY  # noqa: E402
 from the_movie_database_import_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_calib_ms() -> float:
+    """Fixed single-thread integer workload (~350 ms nominal on this class
+    of host): anchors the artifact to the host's EFFECTIVE single-core
+    speed at recording time. r13 finding: same-tree reruns with BYTE-
+    IDENTICAL per-query task counts varied 1.3-1.5x in both wall AND
+    executor-CPU seconds purely with host speed (frequency scaling / noisy
+    neighbors) while loadavg read idle — so loadavg alone cannot certify a
+    recording window, but this number lets any two artifacts be speed-
+    normalized (compare cpu_calib_ms ratios before comparing seconds)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(3_000_000):
+        x = (x * 1103515245 + i) & 0xFFFFFFFFFFFF
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -75,6 +91,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calib_before = _cpu_calib_ms()
     spark = get_spark("tmdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -141,6 +158,11 @@ def main() -> None:
                 # exceeded the gate when the timed passes started — compare
                 # cpu_sec/tasks, not wall, against the baseline for this run
                 "load_warning": load_warning,
+                # effective single-core speed anchor (r13): a fixed python
+                # integer loop timed before session start and after the
+                # passes — normalize cross-round comparisons by its ratio
+                "cpu_calib_ms_before": calib_before,
+                "cpu_calib_ms_after": _cpu_calib_ms(),
             }
         )
     )

@@ -224,6 +224,16 @@ def get_spark(app_name: str = DEFAULT_APP_NAME) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # NOTE (r13, measured): Spark 4.1's PythonWorkerFactory reaps ALL idle
+    # Python workers after a HARD-CODED 1 minute (IDLE_WORKER_TIMEOUT_NS —
+    # not configurable; spark.python.worker.idleTimeoutSeconds only logs).
+    # Any pipeline with >1 min of JVM-only work between Python stages pays
+    # a full per-core worker respawn on the next Arrow/pandas stage
+    # (measured: 1.6-1.8 s for a trivial pandas_udf stage at 32 cores, up
+    # to ~6 s for the numpy-importing multimodal decoders). Benchmarks of
+    # Python-boundary operators in a long mixed sweep therefore carry a
+    # respawn tax their standalone runs do not — a platform behavior, not
+    # an engine plan cost.
     spark = builder.getOrCreate()
     configure_session(spark)
     return spark

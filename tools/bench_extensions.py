@@ -145,12 +145,22 @@ QUERIES = [
 ]
 
 
+def _cpu_calib_ms() -> float:
+    """Single-core speed anchor — see bench.py._cpu_calib_ms (r13)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(3_000_000):
+        x = (x * 1103515245 + i) & 0xFFFFFFFFFFFF
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     from the_movie_database_import_spark.plans import REGISTRY
     from the_movie_database_import_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_before = os.getloadavg()
+    calib_before = _cpu_calib_ms()
     spark = get_spark("tmdb-spark-bench-ext")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -192,6 +202,8 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "cpu_calib_ms_before": calib_before,
+                "cpu_calib_ms_after": _cpu_calib_ms(),
             }
         )
     )
