@@ -385,13 +385,16 @@ def test_sql_shared_text_decorrelates_to_semi_join(spark):
 
 
 def test_pipeline_end_to_end_plan_shape(spark):
-    """The eight-stage daily composite's wide operations are exactly: the
-    delta/incremental prologue's joins, the within-batch dedup window
-    (partition by digest), the per-split packing window, and the census
-    aggregate. The deduped increment is CACHED and consumed twice by
-    decontamination (gram probe + anti-join) so the prologue's joins
-    materialize once; the decontamination joins themselves broadcast, no
-    stage leaves the JVM, and nothing degenerates to a cartesian product."""
+    """The nine-stage daily composite, pinned in its two r13 halves. The
+    span-deduped increment is an eager localCheckpoint (the r13
+    plan-truncation midpoint), so the COMPOSITE plan shows the back half
+    (decontaminate -> ... -> packing -> census) reading a LogicalRDD: pin
+    the broadcast decontamination joins, the packing window, and the
+    no-python/no-cartesian invariants there. The PROLOGUE (delta ->
+    incremental dedup -> span dedup) is pinned on its own executed plan:
+    the deduped increment is CACHED and read twice by the span stage, and
+    the within-batch winner is a min AGGREGATE on the digest (skew-proof),
+    never a digest-partitioned window."""
     plan = (
         REGISTRY["q_pipeline_end_to_end"]
         .spark_fn(spark, SF_DIR)
@@ -402,21 +405,62 @@ def test_pipeline_end_to_end_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan  # gram probe + anti-join
-    # every decontamination consumer must read the CACHED increment
-    # (doc_id, text), not replay the delta + incremental-dedup prologue;
-    # the r07 broadcast-budget guard adds its own small cached sides
-    # (gram table, contaminated ids), so pin the increment's cache reads
-    # specifically rather than a global InMemoryTableScan count
-    inc_reads = len(re.findall(r"InMemoryTableScan \[doc_id#\d+L, text#\d+\]", plan))
-    assert inc_reads >= 2, f"increment cache reads: {inc_reads}\n{plan}"
-    # the within-batch dedup winner is a min AGGREGATE on the digest (skew-
-    # proof: map-side combine), never a window partitioned by digest — AQE
-    # can split skewed join partitions but not window partitions
-    assert "windowspecdefinition(_digest" not in plan, "digest window crept back"
-    assert re.search(r"partial_min\([^)]*doc_id", plan) or re.search(
-        r"min\([^)]*doc_id", plan
-    ), "within-batch min-id winner aggregate missing"
+    # the back half reads the materialized span checkpoint, not a replay
+    # of the prologue
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     assert "windowspecdefinition(split" in plan, "packing window missing"
+
+    # prologue half: rebuild the same delta -> dedup -> span chain the
+    # composite checkpoints, and pin ITS wide-operation shape
+    from the_movie_database_import_spark.operators.dedup import (
+        dedup_substring_spans_incremental,
+        substring_gram_digests,
+    )
+    from the_movie_database_import_spark.operators.delta import (
+        corpus_delta,
+        incremental_dedup,
+    )
+    from the_movie_database_import_spark.operators.sampling import (
+        hash_bucket,
+        hex_threshold,
+    )
+    from the_movie_database_import_spark.session import tracked_cache
+    from the_movie_database_import_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    yesterday = docs.filter(bucket < F.lit(hex_threshold(0.9))).select(
+        "doc_id", "text"
+    )
+    today = docs.filter(bucket >= F.lit(hex_threshold(0.1))).select(
+        "doc_id", "text"
+    )
+    delta = corpus_delta(yesterday, today)
+    increment = today.join(
+        delta.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+    )
+    seen = yesterday.select(F.sha2(F.col("text"), 256).alias("digest"))
+    dd = tracked_cache(
+        incremental_dedup(increment, seen).filter("is_kept").select(
+            "doc_id", "text"
+        )
+    )
+    seen_grams = substring_gram_digests(yesterday, k=8)
+    spans = dedup_substring_spans_incremental(dd, seen_grams, k=8).select(
+        "doc_id", "text"
+    )
+    pro = spans._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pro and "BroadcastNestedLoopJoin" not in pro
+    assert "BatchEvalPython" not in pro and "ArrowEvalPython" not in pro, pro
+    # the span stage reads the CACHED increment (doc_id, text) twice
+    # (gram-occurrence stream + rebuild join), not a prologue replay
+    inc_reads = len(re.findall(r"InMemoryTableScan \[doc_id#\d+L, text#\d+\]", pro))
+    assert inc_reads >= 2, f"increment cache reads: {inc_reads}\n{pro}"
+    assert "windowspecdefinition(_digest" not in pro, "digest window crept back"
+    assert re.search(r"partial_min\([^)]*doc_id", pro) or re.search(
+        r"min\([^)]*doc_id", pro
+    ), "within-batch min-id winner aggregate missing"
 
 
 def test_scan_jsonl_parses_and_quarantines(spark, tmp_path):
