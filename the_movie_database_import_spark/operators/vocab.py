@@ -1130,7 +1130,14 @@ def dsir_importance(
         1,
     )
     buckets = F.transform(bigrams, lambda bg: F.pmod(fingerprint(bg), F.lit(n_buckets)))
-    occ = docs.select(
+    # fan_out (r13 opt, guide §2.6/§6): the bigram hash + explode is the
+    # operator's CPU and runs at SCAN parallelism — a single-file corpus
+    # arrives as ONE split, so census and probe each ran their ~1 CPU-s
+    # serially on one core (measured: the query's two 1-task stages). The
+    # round-robin repartition is a no-op on a many-split 100 TB scan.
+    from ..sources.readers import fan_out
+
+    occ = fan_out(docs).select(
         F.col(id_col),
         target_pred.alias("_is_target"),
         F.explode(buckets).alias("b"),
