@@ -1915,8 +1915,9 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache truncates the analyzed plan here (r13 opt, guide §3.3 "very
     # large plans: materialise an intermediate"), so Catalyst stops
     # re-walking the delta/dedup/span prologue under every downstream
-    # stage — same-window A/B at sf0.1: 7.8 -> 6.3 s wall (plan build
-    # 6.6 -> 5.3 s), identical rows (a checkpoint is a pure
+    # stage — repeated same-window A/B pairs at sf0.1: checkpoint faster
+    # in 2 of 3 (deltas +1.6/-0.2/+0.7 s, mean ~+0.7 s; window variance
+    # is high), tasks 509 -> 448, identical rows (a checkpoint is a pure
     # materialization barrier; oracle parity green). The block retires at
     # the next query boundary via the tracked result registry.
     from ..session import track_result_checkpoint
