@@ -130,15 +130,20 @@ def pagerank(
     Overflow bound: d_num * scale * max(w) must stay under 2^63; the default
     scale 1e10 leaves headroom to per-edge weights of ~1e7 co-occurrences.
 
-    Loop shape (the CC loop's twin, `dedup.py:connected_components`): the
-    edge table joins `outw` ONCE up front and is `localCheckpoint`-ed so no
-    round re-executes the caller's edge-generation plan; each round is one
-    shuffle-join (ranks into edges on src) + one aggregate (sum into dst) +
-    one broadcast of the single-row N; the new ranks checkpoint and the
-    previous round's blocks retire by exact RDD id. At cluster scale the
-    checkpoint becomes a persisted table per round — same loop body. Nodes
-    with no in-edges keep the teleport term via the left join from the node
-    universe; dangling mass needs no correction here because the co-occurrence
+    Loop shape (r14): the edge table joins `outw` ONCE up front, gains one
+    synthetic zero-weight self-row per node (teleport coverage), and is
+    hash-partitioned BY DESTINATION before its single `localCheckpoint` —
+    the checkpoint records that partitioning, so each round's
+    `groupBy(dst)` needs no exchange and the round plan is one fused stage:
+    scan edge blocks -> BroadcastHashJoin(ranks, under budget) -> project
+    -> aggregate -> checkpoint (2 jobs/round, zero shuffle; the r13 form
+    paid 3 jobs and a full shuffle per round). The new ranks checkpoint and
+    the previous round's blocks retire by exact RDD id. Over the broadcast
+    budget every round falls back to the unhinted shuffle-join plan —
+    identical integer results. At cluster scale the checkpoint becomes a
+    persisted table per round — same loop body. Nodes with no in-edges keep
+    the teleport term via their synthetic self-row (contribution exactly
+    0); dangling mass needs no correction here because the co-occurrence
     graph is symmetric (every node has out-edges) — callers feeding a
     non-symmetric graph should add the standard dangling-sum redistribution.
 
@@ -199,9 +204,16 @@ def pagerank(
     nparts = max(1, min(sc.defaultParallelism, n // 65536 + 1))
     nodes = nodes.coalesce(nparts)
     if n == 0:
-        return nodes.select(
+        # Empty graph: nothing iterates, so the scaffolding checkpoints are
+        # dead right here — retire them before returning (r14, ADVICE r13:
+        # the early return previously left _e_id/_nodes_id pinned forever).
+        empty = nodes.select(
             "node", F.lit(0).cast("bigint").alias("pr_scaled")
-        )
+        ).localCheckpoint()
+        for rid in (_e_id, _nodes_id):
+            if rid is not None:
+                unpersist_rdd_ids(sc, {rid})
+        return track_result_checkpoint(empty)
 
     # Rank/out-weight/contribution tables are all ≤ n rows. When n fits the
     # broadcast budget the per-round join plans as ranks-broadcast
@@ -213,7 +225,43 @@ def pagerank(
     # side is small"). Over the budget every join falls back to the shuffle
     # plan unhinted (identical integer results either way).
     outw = e.groupBy("_u").agg(F.sum("_w").alias("_wout"))
-    ew = e.join(maybe_broadcast(outw, n_rows=n), "_u").localCheckpoint()
+    # r14 (guide §2.4 "remove shuffles outright"): hash-partition the
+    # weighted edge table by DESTINATION once, before its checkpoint, and
+    # fold the per-node zero row (teleport coverage for in-edge-less nodes)
+    # INTO it as a synthetic self-row with _w = 0, _wout = 1 — its per-edge
+    # contribution floors to exactly 0, so the round's sum is integer-
+    # identical to the old `unionByName(zeros)` form while keeping the
+    # union out of the per-round plan (UnionExec erases outputPartitioning).
+    # Dataset.localCheckpoint records the physical plan's outputPartitioning
+    # into the LogicalRDD, so every round's groupBy("_v") then satisfies its
+    # ClusteredDistribution from the checkpoint blocks and the round plan
+    # has ZERO data exchanges: scan -> BroadcastHashJoin(ranks) -> project
+    # -> fused partial+final HashAggregate, one stage, 2 jobs/round
+    # (broadcast collect + checkpoint) vs 3 jobs + a full shuffle before.
+    # AQE must be off while THIS checkpoint materializes:
+    # AdaptiveSparkPlanExec hides the final outputPartitioning from
+    # Dataset.checkpoint, which then records nothing (measured: the round
+    # re-gains its Exchange). Everything after re-enables AQE.
+    synth = nodes.select(
+        F.col("node").alias("_u"),
+        F.col("node").alias("_v"),
+        F.lit(0).cast("bigint").alias("_w"),
+        F.lit(1).cast("bigint").alias("_wout"),
+    )
+    adaptive_was = edges.sparkSession.conf.get(
+        "spark.sql.adaptive.enabled", "true"
+    )
+    edges.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ew = (
+            e.join(maybe_broadcast(outw, n_rows=n), "_u")
+            .select("_u", "_v", "_w", "_wout")
+            .unionByName(synth)
+            .repartition(sc.defaultParallelism, "_v")
+            .localCheckpoint()
+        )
+    finally:
+        edges.sparkSession.conf.set("spark.sql.adaptive.enabled", adaptive_was)
     _ew_id = local_checkpoint_rdd_id(ew)
     if _e_id is not None:
         unpersist_rdd_ids(sc, {_e_id})
@@ -226,23 +274,22 @@ def pagerank(
         .localCheckpoint()
     )
     _prev_id = local_checkpoint_rdd_id(ranks)
+    # The node universe now lives on inside ew (synthetic rows) and ranks;
+    # its own checkpoint is dead from here (r14 — was retired at loop exit).
+    if _nodes_id is not None:
+        unpersist_rdd_ids(sc, {_nodes_id})
+        _nodes_id = None
 
     # Integer-floor teleport term, folded to a literal: Python // on
     # positive ints is the same truncation as SQL DIV.
     teleport = F.lit(
         ((damping_den - damping_num) * scale) // (damping_den * n)
     ).cast("bigint")
-    # Zero-contribution row per node, unioned into the aggregate: this
-    # replaces the old per-round `nodes LEFT JOIN contrib` (an extra join,
-    # its exchanges, and a second broadcast build every round) with n
-    # extra rows through the same sum — integer-identical (x + 0 = x, and
-    # a node with no in-edges gets exactly its teleport term), and the
-    # round collapses to ONE map stage (edge blocks + node blocks feeding
-    # one exchange) plus ONE reduce stage that aggregates, applies the
-    # teleport, and checkpoints (r13 opt, guide §2.4).
-    zeros = nodes.select(
-        F.col("node").alias("_v"), F.lit(0).cast("bigint").alias("_c")
-    )
+    # Per-node teleport coverage rides the synthetic _w = 0 self-rows baked
+    # into ew above (r14): a node with no real in-edges still emits one
+    # zero contribution to itself, so the sum covers the full universe —
+    # integer-identical to the r13 `unionByName(zeros)` (x + 0 = x) without
+    # a union node erasing ew's dst-partitioning from the round plan.
     for _ in range(iters):
         contrib = (
             ew.join(maybe_broadcast(ranks, n_rows=n), ew["_u"] == F.col("node"))
@@ -253,18 +300,18 @@ def pagerank(
                     f" DIV (CAST({damping_den} AS BIGINT) * _wout)"
                 ).alias("_c"),
             )
-            .unionByName(zeros)
             .groupBy("_v")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            contrib.select(
-                F.col("_v").alias("node"),
-                (teleport + F.col("_in")).cast("bigint").alias("pr_scaled"),
-            )
-            .coalesce(nparts)
-            .localCheckpoint()
-        )
+        # NO coalesce here (r14): with the exchange gone, a coalesce would
+        # merge into the round's ONLY stage and run the whole scan-join-
+        # aggregate on nparts tasks — de-parallelizing the round. The rank
+        # checkpoint simply keeps the edge table's partition count; the
+        # blocks are tiny and the broadcast build reads them in parallel.
+        ranks = contrib.select(
+            F.col("_v").alias("node"),
+            (teleport + F.col("_in")).cast("bigint").alias("pr_scaled"),
+        ).localCheckpoint()
         new_id = local_checkpoint_rdd_id(ranks)
         if _prev_id is not None:
             unpersist_rdd_ids(sc, {_prev_id})

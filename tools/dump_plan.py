@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for registry queries to plans/r13/<q>_<tag>.txt.
+"""Dump .explain('formatted') for registry queries to plans/$SPARK_GRAFT_PLANS_DIR (default r14)/<q>_<tag>.txt.
 
 Usage: python tools/dump_plan.py <before|after> q_a q_b ...
 """
@@ -14,7 +14,7 @@ def main() -> None:
     from the_movie_database_import_spark.session import get_spark
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = REGISTRY[name].spark_fn(spark, sf_dir)
