@@ -70,8 +70,14 @@ def main() -> None:
     # drain, then — if still loaded — proceeds but stamps the artifact with
     # "load_warning": true so a recording pass is loudly marked as
     # contention-inflated instead of masquerading as a regression.
+    # r14 (VERDICT r13 #2): the wait default is now 120 s — both the r12 and
+    # r13 driver recordings were load-stamped because the gate only ever
+    # DOCUMENTED contention (default wait 0). Waiting up to two minutes for
+    # the host to drain costs nothing when idle and converts a contaminated
+    # recording into a clean one; set SPARK_GRAFT_LOAD_WAIT_SEC=0 to restore
+    # the old behavior.
     load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "120"))
     waited = 0.0
     while os.getloadavg()[0] > load_gate and waited < wait_budget:
         print(
@@ -145,6 +151,15 @@ def main() -> None:
                 "queries_cpu_sec": cpu_timings,
                 "queries_tasks": tasks,
                 "sf": sf_val,
+                # core count the session actually ran with (r14, VERDICT r13
+                # #4): makes the 8-core scaling rerun self-identifying — at
+                # sf0.1 flat WALL ratios across core counts are the ~40-100
+                # ms/job floor plus 3-task single-row-group scans, and the
+                # honored $SPARK_GRAFT_CPUS shows up in task/CPU deltas.
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS")
+                    or spark.sparkContext.defaultParallelism
+                ),
                 # 1/5/15-min load BEFORE session start and AFTER the timed
                 # passes: pre-existing background load (not our own Spark
                 # threads) shows up in load_before and the 15-min column.

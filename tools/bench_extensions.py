@@ -200,6 +200,10 @@ def main() -> None:
                 "queries_cpu_sec": cpu_timings,
                 "queries_tasks": tasks,
                 "sf_dir": sf_dir,
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS")
+                    or spark.sparkContext.defaultParallelism
+                ),
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpu_calib_ms_before": calib_before,
