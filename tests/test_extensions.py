@@ -914,6 +914,51 @@ def test_connected_components_driver_path_identical(spark, monkeypatch):
     assert got_fast == got_dist
 
 
+def test_connected_components_contraction_finish_identical(spark, monkeypatch):
+    """The r14 post-round-1 contraction finish (node table under the driver
+    budget, edge table over it -> one distributed round, then union-find on
+    the DISTINCT cross-cluster label pairs) must return exactly the
+    distributed fixpoint's labeling. Budget 30 with 30 nodes / 37 edges
+    forces precisely that path: the plain fast path needs edges <= budget
+    (37 > 30), the contraction guard needs n <= budget (30 <= 30). Same
+    mixed topology as the driver-path pin, including a chain (so round 1
+    genuinely does NOT converge and the contracted graph is non-trivial)
+    and an out-of-universe edge endpoint."""
+    from the_movie_database_import_spark.operators import dedup
+    from the_movie_database_import_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges_py = (
+        [(i, i + 1) for i in range(10, 17)]
+        + [(a, b) for a in range(20, 28) for b in range(a + 1, 28)]
+        + [(30, b) for b in range(31, 36)]
+        + [(17, 20)]
+        + [(38, 999)]  # 999 is outside the node universe
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10, 40)], "node long")
+    edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+    assert len(edges_py) > 30  # over the patched budget -> no plain fast path
+
+    monkeypatch.setattr(dedup, "CC_DRIVER_GRAPH_ROWS", 30)
+    st_c: dict = {}
+    mixed = connected_components(nodes, edges, stats=st_c)
+    assert mixed.dtypes == [
+        ("doc_id", "bigint"),
+        ("cluster_rep", "bigint"),
+        ("is_kept", "boolean"),
+    ]
+    got_mixed = {(r.doc_id, r.cluster_rep, r.is_kept) for r in mixed.collect()}
+    assert st_c["rounds"] == 1  # exactly one distributed round ran
+
+    monkeypatch.setattr(dedup, "CC_DRIVER_GRAPH_ROWS", 0)
+    st_d: dict = {}
+    dist = connected_components(nodes, edges, stats=st_d)
+    got_dist = {(r.doc_id, r.cluster_rep, r.is_kept) for r in dist.collect()}
+    assert st_d["rounds"] > 1  # the full distributed fixpoint really ran
+    assert got_mixed == got_dist
+
+
 def test_decontaminate_removes_exactly_flagged_docs(spark):
     """`decontaminate` must drop precisely the docs `contamination_counts`
     flags at min_grams, keep full rows, and be a no-op when n exceeds every

@@ -644,6 +644,40 @@ def minhash_lsh_pairs_incremental(
 CC_DRIVER_GRAPH_ROWS = 65536
 
 
+def _driver_component_min(node_ids, edge_pairs) -> dict:
+    """Classic path-compressed union-find over a bounded id universe:
+    returns ``{id: component-minimum id}`` — the same labeling the
+    distributed min-label fixpoint converges to. Shared by the driver
+    fast path (ids = node ids) and the r14 post-round-1 contraction
+    finish (ids = round-1 label values). Edges with an endpoint outside
+    the universe are skipped, mirroring the distributed loop's inner-join
+    semantics."""
+    parent: dict = {}
+    for x in node_ids:
+        parent[x] = x
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_pairs:
+        if u not in parent or v not in parent:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    return {x: comp_min[find(x)] for x in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -769,34 +803,11 @@ def connected_components(
         # Over budget, the round loop below keeps everything distributed.
         edge_rows = ekv.collect()
         node_rows = labels.collect()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for r in node_rows:
-            parent[r["u"]] = r["u"]
-        for r in edge_rows:
-            u, v = r["u"], r["v"]
-            if u not in parent or v not in parent:
-                continue  # edge endpoint outside the node universe
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                parent[ru] = rv
-        comp_min: dict = {}
-        for u in parent:
-            r = find(u)
-            if r not in comp_min or u < comp_min[r]:
-                comp_min[r] = u
-        out = [
-            (u, comp_min[find(u)], u == comp_min[find(u)])
-            for u in sorted(parent)
-        ]
+        final = _driver_component_min(
+            (r["u"] for r in node_rows),
+            ((r["u"], r["v"]) for r in edge_rows),
+        )
+        out = [(u, final[u], u == final[u]) for u in sorted(final)]
         if stats is not None:
             stats["rounds"] = 0
         for rid in (_edges_id, _prev_labels_id):
@@ -811,6 +822,62 @@ def connected_components(
     labels = labels.coalesce(nparts)
     rounds = 0
     for _ in range(max_iters):
+        if rounds == 1 and n <= CC_DRIVER_GRAPH_ROWS:
+            # r14 contraction finish (guide §1.2 "the distributed
+            # algorithm"): round-1 labels collapse every node into its
+            # neighborhood minimum, so on duplicate-dense graphs (the
+            # minhash/savings shape: huge cliques, few cross-links) the
+            # DISTINCT cross-cluster label pairs form a graph orders of
+            # magnitude smaller than the edge table. If that contracted
+            # graph fits the same driver budget as the fast path above, a
+            # bounded collect + union-find finishes the fixpoint in one
+            # pass instead of diameter/log-n more 8-CPU-s rounds.
+            # Result-identical: every original edge (u, v) maps to the
+            # contracted edge (label(u), label(v)) with both labels in u's
+            # component, and label(min of component) == that min, so the
+            # component minimum over label values equals the component
+            # minimum over nodes — the unique fixpoint the loop converges
+            # to. Over budget, the probe abandons after ONE bounded
+            # collect (the LIMIT stops the fetch, the distinct bounds the
+            # shuffle) and the distributed rounds continue unchanged —
+            # the 100 TB posture is the same class as the existing
+            # budget-guarded fast paths. Only attempted when the LABEL
+            # table itself is driver-sized (n <= budget), which also
+            # bounds the final collect.
+            lab_u = labels.select(
+                F.col("u").alias("_cu"), F.col("label").alias("lu")
+            )
+            lab_v = labels.select(
+                F.col("u").alias("_cv"), F.col("label").alias("lv")
+            )
+            contracted = (
+                ekv.join(maybe_broadcast(lab_u, n_rows=n), ekv["u"] == F.col("_cu"))
+                .join(maybe_broadcast(lab_v, n_rows=n), ekv["v"] == F.col("_cv"))
+                .where(F.col("lu") != F.col("lv"))
+                .select("lu", "lv")
+                .distinct()
+            )
+            probe = contracted.limit(CC_DRIVER_GRAPH_ROWS + 1).collect()
+            if len(probe) <= CC_DRIVER_GRAPH_ROWS:
+                node_rows = labels.collect()  # n <= budget rows (~1 MB)
+                final = _driver_component_min(
+                    (r["label"] for r in node_rows),
+                    ((p["lu"], p["lv"]) for p in probe),
+                )
+                out = [
+                    (r["u"], final[r["label"]], r["u"] == final[r["label"]])
+                    for r in sorted(node_rows, key=lambda r: r["u"])
+                ]
+                if stats is not None:
+                    stats["rounds"] = rounds
+                for rid in (_edges_id, _prev_labels_id):
+                    if rid is not None:
+                        unpersist_rdd_ids(sc, {rid})
+                id_type = dict(labels.dtypes)["u"]
+                return nodes.sparkSession.createDataFrame(
+                    sc.parallelize(out, 1),
+                    f"doc_id {id_type}, cluster_rep {id_type}, is_kept boolean",
+                )
         neighbor_min = (
             undirected.join(
                 maybe_broadcast(
