@@ -3806,6 +3806,44 @@ def test_bpe_train_matches_python_model(spark):
     assert len(got) == 8  # the fixture corpus supports at least 8 merges
 
 
+def test_bpe_train_distributed_loop_matches_python_model(spark, monkeypatch):
+    """ADVICE r13: every BPE fixture corpus fits the driver census budget,
+    so the python-model parity tests all exercise the driver fast path —
+    the DISTRIBUTED training loop (coalesced census view, per-round lazy
+    checkpoints, round-1 retirement) shipped untested. Force it by zeroing
+    the budget and pin (a) python-model parity and (b) fast-vs-distributed
+    merge-table equality — the CC treatment applied to BPE."""
+    from collections import Counter
+
+    from the_movie_database_import_spark.operators import bpe as bpe_mod
+    from the_movie_database_import_spark.operators.bpe import train_bpe
+
+    docs = _docs(spark)
+    words = Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in (r.text or "").split(" ")
+        if w
+    )
+    expect = _py_bpe(dict(words), n_merges=8)
+    fast = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    monkeypatch.setattr(bpe_mod, "BPE_DRIVER_CENSUS_ROWS", 0)
+    dist = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert dist == expect
+    assert dist == fast
+    # early stop in the DISTRIBUTED loop too (round-1 cur_id-is-None path)
+    tiny = spark.createDataFrame(
+        [(1, "ab cd"), (2, "ef gh")], "doc_id long, text string"
+    )
+    assert train_bpe(tiny, n_merges=4, min_count=2).count() == 0
+
+
 def test_bpe_merge_fold_is_leftmost_greedy(spark):
     """'aaaa' under merge (a,a) -> [aa, aa]; 'aaa' -> [aa, a]; and a merged
     symbol is immediately eligible as a LEFT operand ('ab'+'c' after (a,b)
@@ -4007,6 +4045,12 @@ def test_iterative_operators_leave_no_pinned_rdds(spark, monkeypatch):
     after_cc = persistent_rdd_ids(sc) - before
     assert len(after_cc) <= 1, f"connected_components leaked pins: {after_cc}"
 
+    # exercise the DISTRIBUTED trainer's retirement too (ADVICE r13: every
+    # fixture census fits the driver budget, so unpatched this covered
+    # only the fast path's absence of checkpoints)
+    from the_movie_database_import_spark.operators import bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "BPE_DRIVER_CENSUS_ROWS", 0)
     docs = _docs(spark)
     train_bpe(docs, n_merges=5).count()
     after_bpe = persistent_rdd_ids(sc) - before - after_cc

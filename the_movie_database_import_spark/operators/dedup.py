@@ -727,6 +727,12 @@ def connected_components(
     measures in one pass. A separate per-round ``count()`` would be a second
     full job over the labels table — at 100 TB that doubles the number of
     jobs for a scalar the iteration already knows.
+
+    Lifetime contract (ADVICE r13): when the distributed loop runs, the
+    returned frame reads a localCheckpoint registered for retirement at the
+    next registry-query boundary (``session.release_caches``). Consume it
+    before that boundary; re-executing it later fails fast (freed blocks
+    cannot be recomputed from truncated lineage).
     """
     from pyspark.sql import Observation
 
@@ -1942,6 +1948,15 @@ def set_similarity_join_prefix(
     negatives, verification removes all false positives, and the result
     provably EQUALS all-pairs Jaccard.
 
+    CONTRACT: ``tokens_fn`` must return DUPLICATE-FREE arrays (a set, as
+    the built-in ``distinct_tokens`` and ``word_shingles`` do). The
+    identical-set collapse scores intra-group pairs at exactly 1.0 and
+    Jaccard itself is a SET measure; a tokens_fn emitting duplicates
+    would make ``size(array_intersect(...))`` disagree with the set
+    semantics on the uncollapsed path too (ADVICE r13 — documented
+    rather than paying ``array_distinct`` on every row for callers that
+    already supply sets).
+
     At 100 TB: the df census is one map-side-combinable aggregate; the
     sort is per-row; the candidate shuffle carries (prefix token, id,
     size) triples — ~(1-t) of the token volume, concentrated on rare
@@ -2002,6 +2017,15 @@ def set_similarity_join_prefix(
             group_reps.select(F.col("gid").alias("doc_id")), n_rows=n_groups
         ),
         "doc_id",
+    )
+    # Total rep TOKEN volume, for the array-carrying verify broadcasts
+    # below (ADVICE r13): n_groups rows of full token arrays can be
+    # multi-GB at group counts the row budget happily admits, so those
+    # sides are budgeted by element count instead. One tiny aggregate
+    # over the two cached inputs (the same eager-probe discipline as the
+    # n_groups count above).
+    v_reps = int(
+        base.select(F.sum(F.size("toks"))).first()[0] or 0
     )
     inv = base.select("doc_id", F.explode("toks").alias("tok"))
     df_census = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -2076,13 +2100,19 @@ def set_similarity_join_prefix(
         )
         .distinct()
     )
+    # The token-array sides are budgeted by ELEMENT volume, not rows
+    # (ADVICE r13 — see BROADCAST_BUDGET_ARRAY_ELEMS): over budget they
+    # fall back to the unhinted shuffle join, identical results.
+    from ..session import BROADCAST_BUDGET_ARRAY_ELEMS
+
     verified = (
         cands.join(
             maybe_broadcast(
                 base.select(
                     F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta")
                 ),
-                n_rows=n_groups,
+                n_rows=v_reps,
+                budget_rows=BROADCAST_BUDGET_ARRAY_ELEMS,
             ),
             "doc_a",
         )
@@ -2091,7 +2121,8 @@ def set_similarity_join_prefix(
                 base.select(
                     F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb")
                 ),
-                n_rows=n_groups,
+                n_rows=v_reps,
+                budget_rows=BROADCAST_BUDGET_ARRAY_ELEMS,
             ),
             "doc_b",
         )

@@ -149,6 +149,12 @@ def pagerank(
 
     Returns (node, pr_scaled BIGINT). pr_scaled/scale sums to ≤1 (flooring
     leaks mass downward deterministically — both engines leak identically).
+
+    Lifetime contract (ADVICE r13): the returned frame reads a
+    localCheckpoint registered for retirement at the next registry-query
+    boundary (``session.release_caches``). Consume it before that boundary;
+    a later re-execution cannot recompute the freed blocks (truncated
+    lineage) and fails fast instead of silently re-running the plan.
     """
     from ..session import (
         local_checkpoint_rdd_id,

@@ -61,6 +61,16 @@ def track_result_checkpoint(df: DataFrame) -> DataFrame:
 # pass a smaller budget.
 BROADCAST_BUDGET_ROWS = 8_000_000
 
+# Budget for ARRAY-CARRYING broadcast sides (ADVICE r13): a row budget
+# assumes ~64 B/row, but a side whose rows carry token/adjacency arrays is
+# sized by its total ELEMENT volume, not its row count — 8M rows of
+# 200-token documents is multi-GB, past Spark's broadcast cap, where the
+# unhinted shuffle join is safe. Sites with array payloads pass the total
+# element count (or a provable upper bound) as ``n_rows`` against THIS
+# budget: 16M elements ≈ 512 MB at a conservative ~32 B amortized per
+# short string token (offsets + bytes + row overhead).
+BROADCAST_BUDGET_ARRAY_ELEMS = 16_000_000
+
 
 def maybe_broadcast(df: DataFrame, *, budget_rows: int = BROADCAST_BUDGET_ROWS,
                     n_rows: int | None = None, cache: bool = True) -> DataFrame:
