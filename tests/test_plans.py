@@ -392,9 +392,12 @@ def test_pipeline_end_to_end_plan_shape(spark):
     the broadcast decontamination joins, the packing window, and the
     no-python/no-cartesian invariants there. The PROLOGUE (delta ->
     incremental dedup -> span dedup) is pinned on its own executed plan:
-    the deduped increment is CACHED and read twice by the span stage, and
-    the within-batch winner is a min AGGREGATE on the digest (skew-proof),
-    never a digest-partitioned window."""
+    the deduped increment is an eager localCheckpoint (r14 — it was a
+    cache in r13; the checkpoint serves the span stage's two reads like
+    the cache did AND truncates the delta/dedup subtree out of every
+    Catalyst pass over the span stage), and the within-batch winner is a
+    min AGGREGATE on the digest (skew-proof), never a digest-partitioned
+    window."""
     plan = (
         REGISTRY["q_pipeline_end_to_end"]
         .spark_fn(spark, SF_DIR)
@@ -424,7 +427,6 @@ def test_pipeline_end_to_end_plan_shape(spark):
         hash_bucket,
         hex_threshold,
     )
-    from the_movie_database_import_spark.session import tracked_cache
     from the_movie_database_import_spark.sources.readers import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
@@ -441,26 +443,49 @@ def test_pipeline_end_to_end_plan_shape(spark):
         "doc_id",
     )
     seen = yesterday.select(F.sha2(F.col("text"), 256).alias("digest"))
-    dd = tracked_cache(
+    dd = (
         incremental_dedup(increment, seen).filter("is_kept").select(
             "doc_id", "text"
         )
-    )
+    ).localCheckpoint()
     seen_grams = substring_gram_digests(yesterday, k=8)
     spans = dedup_substring_spans_incremental(dd, seen_grams, k=8).select(
         "doc_id", "text"
     )
     pro = spans._jdf.queryExecution().executedPlan().toString()
+    dd.unpersist()
     assert "CartesianProduct" not in pro and "BroadcastNestedLoopJoin" not in pro
     assert "BatchEvalPython" not in pro and "ArrowEvalPython" not in pro, pro
-    # the span stage reads the CACHED increment (doc_id, text) twice
-    # (gram-occurrence stream + rebuild join), not a prologue replay
-    inc_reads = len(re.findall(r"InMemoryTableScan \[doc_id#\d+L, text#\d+\]", pro))
-    assert inc_reads >= 2, f"increment cache reads: {inc_reads}\n{pro}"
+    # the span stage reads the CHECKPOINTED increment (doc_id, text) twice
+    # (gram-occurrence stream + rebuild join), not a prologue replay —
+    # the checkpoint appears as a Scan ExistingRDD leaf on both reads
+    inc_reads = len(re.findall(r"Scan ExistingRDD\[doc_id#\d+L,text#\d+\]", pro))
+    assert inc_reads >= 2, f"increment checkpoint reads: {inc_reads}\n{pro}"
     assert "windowspecdefinition(_digest" not in pro, "digest window crept back"
     assert re.search(r"partial_min\([^)]*doc_id", pro) or re.search(
         r"min\([^)]*doc_id", pro
     ), "within-batch min-id winner aggregate missing"
+
+
+def test_pipeline_checkpoints_retire(spark):
+    """r14: the composite's dd (deduped-increment) checkpoint is retired
+    INLINE — its blocks feed exactly the two span-stage reads, both inside
+    the spans materialization — so after the build only the spans RESULT
+    checkpoint may stay pinned, and release_caches() (the next registry-
+    query boundary) reclaims that one via the tracked-result registry."""
+    from the_movie_database_import_spark import session as S
+
+    sc = spark.sparkContext
+    S.release_caches()
+    before = S.persistent_rdd_ids(sc)
+    df = REGISTRY["q_pipeline_end_to_end"].spark_fn(spark, SF_DIR)
+    # exactly ONE result checkpoint registered (spans) — dd was retired
+    # inline during the build, not deferred to the registry
+    assert len(S._TRACKED_RESULT_CHECKPOINTS) == 1, S._TRACKED_RESULT_CHECKPOINTS
+    df.write.format("noop").mode("overwrite").save()
+    S.release_caches()
+    leftover = S.persistent_rdd_ids(sc) - before
+    assert not leftover, f"pipeline checkpoints survived release: {leftover}"
 
 
 def test_scan_jsonl_parses_and_quarantines(spark, tmp_path):
